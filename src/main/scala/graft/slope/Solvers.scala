@@ -1,0 +1,376 @@
+package graft.slope
+
+import graft.slope.kernels.{Prox, Screening}
+
+/** Per-sigma-step solver result (reference `src/results.h:8-30`). */
+case class SolveResult(
+    beta: Array[Double], // |active| x m, column-major
+    passes: Int,
+    deviance: Double,
+    primals: Array[Double],
+    duals: Array[Double],
+    times: Array[Double])
+
+/** FISTA with backtracking line search and duality-gap + infeasibility
+  * stopping — the reference's generic solver (`src/families/family.h:87-223`).
+  *
+  * Driver-held state is |active| x m; each pass issues ONE fused
+  * distributed evaluation (primal + dual + gradient) plus one
+  * primal-only pass per line-search probe. The learning rate persists
+  * across passes (reference `family.h:111`) so probes are rare after
+  * warm-up.
+  */
+object Fista {
+
+  def fit(backend: SlopeBackend,
+          active: Array[Int],
+          betaInit: Array[Double],
+          lambda: Array[Double], // already scaled by sigma; length (|a|-off)*m
+          family: Family,
+          fitIntercept: Boolean,
+          maxPasses: Int,
+          tolRelGap: Double,
+          tolInfeas: Double,
+          diagnostics: Boolean): SolveResult = {
+
+    val a = active.length
+    val m = backend.m
+    val off = if (fitIntercept && a > 0 && active(0) == 0) 1 else 0
+    val pTail = a - off // penalized rows
+
+    var beta = betaInit.clone()
+    var betaTilde = betaInit.clone()
+    var betaTildeOld = betaInit.clone()
+
+    var learningRate = 1.0
+    val eta = 0.5
+    var t = 1.0
+
+    val primals = if (diagnostics) scala.collection.mutable.ArrayBuffer[Double]() else null
+    val duals = if (diagnostics) scala.collection.mutable.ArrayBuffer[Double]() else null
+    val times = if (diagnostics) scala.collection.mutable.ArrayBuffer[Double]() else null
+    val t0 = System.nanoTime()
+
+    def tailAbs(b: Array[Double]): Array[Double] = {
+      val out = new Array[Double](pTail * m)
+      var k = 0
+      while (k < m) {
+        var i = off
+        while (i < a) { out(k * pTail + (i - off)) = math.abs(b(k * a + i)); i += 1 }
+        k += 1
+      }
+      out
+    }
+
+    var passes = 0
+    var lastPrimal = 0.0
+    var done = false
+    while (passes < maxPasses && !done) {
+      val (g0, dual, grad) =
+        backend.evalActive(active, beta, family, needDual = true, needGrad = true)
+      lastPrimal = g0
+
+      // sorted-L1 penalty at current beta
+      val absTail = tailAbs(beta).sortBy(-(_: Double))
+      var h = 0.0
+      var i = 0
+      while (i < absTail.length) { h += absTail(i) * lambda(i); i += 1 }
+      val f = g0 + h
+
+      val gradTail = {
+        val out = new Array[Double](pTail * m)
+        var k = 0
+        while (k < m) {
+          var r = off
+          while (r < a) { out(k * pTail + (r - off)) = grad(k * a + r); r += 1 }
+          k += 1
+        }
+        out
+      }
+      val infeas =
+        if (lambda.length > 0) Screening.infeasibility(gradTail, lambda) else 0.0
+
+      val small = math.sqrt(2.220446049250313e-16)
+      val optimal = math.abs(f - dual) / math.max(small, math.abs(f)) < tolRelGap
+      val feasible =
+        if (lambda.length > 0) infeas <= math.max(small, tolInfeas * lambda(0)) else true
+
+      if (diagnostics) {
+        times += (System.nanoTime() - t0) / 1e9
+        primals += f
+        duals += dual
+      }
+
+      if (optimal && feasible) {
+        done = true
+      } else {
+        betaTildeOld = betaTilde
+        val gOld = g0
+        val tOld = t
+
+        // backtracking line search (reference family.h:177-201)
+        var searching = true
+        while (searching) {
+          val cand = new Array[Double](a * m)
+          var j = 0
+          while (j < a * m) { cand(j) = beta(j) - learningRate * grad(j); j += 1 }
+          // prox on penalized tail only
+          val tailVec = new Array[Double](pTail * m)
+          var k = 0
+          while (k < m) {
+            var r = off
+            while (r < a) { tailVec(k * pTail + (r - off)) = cand(k * a + r); r += 1 }
+            k += 1
+          }
+          val lamLr = new Array[Double](lambda.length)
+          j = 0
+          while (j < lambda.length) { lamLr(j) = lambda(j) * learningRate; j += 1 }
+          val proxed = Prox.sortedL1(tailVec, lamLr)
+          k = 0
+          while (k < m) {
+            var r = off
+            while (r < a) { cand(k * a + r) = proxed(k * pTail + (r - off)); r += 1 }
+            k += 1
+          }
+
+          val g = backend.primalActive(active, cand, family)
+          var dDotGrad = 0.0
+          var dNormSq = 0.0
+          j = 0
+          while (j < a * m) {
+            val d = cand(j) - beta(j)
+            dDotGrad += d * grad(j)
+            dNormSq += d * d
+            j += 1
+          }
+          val q = gOld + dDotGrad + dNormSq / (2.0 * learningRate)
+          if (q >= g * (1.0 - 1e-12)) {
+            betaTilde = cand
+            searching = false
+          } else {
+            learningRate *= eta
+          }
+        }
+
+        t = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * tOld * tOld))
+        val mom = (tOld - 1.0) / t
+        val next = new Array[Double](a * m)
+        var j = 0
+        while (j < a * m) {
+          next(j) = betaTilde(j) + mom * (betaTilde(j) - betaTildeOld(j))
+          j += 1
+        }
+        beta = next
+        passes += 1
+      }
+    }
+
+    SolveResult(beta, passes, 2.0 * lastPrimal,
+      if (diagnostics) primals.toArray else Array.empty,
+      if (diagnostics) duals.toArray else Array.empty,
+      if (diagnostics) times.toArray else Array.empty)
+  }
+}
+
+/** Over-relaxed ADMM for the gaussian family (reference
+  * `src/families/gaussian.h:47-139`): after ONE distributed Gram + X^T y
+  * pass, every iteration is a pure driver-side O(p^2) triangular solve +
+  * prox — zero per-iteration cluster passes. This is the 100-TB fast
+  * path for gaussian fits.
+  *
+  * Only the "tall" (n >= |active|) normal-equation branch is exposed;
+  * the wide branch needs per-iteration n-dimensional products and is
+  * delegated to FISTA when data is distributed.
+  */
+object Admm {
+  private val alpha = 1.5
+
+  /** Largest eigenvalue of a symmetric PSD matrix via power iteration. */
+  def eigMax(gram: Array[Double], a: Int): Double = {
+    if (a == 0) return 0.0
+    var v = Array.fill(a)(1.0 / math.sqrt(a))
+    var lambda = 0.0
+    var it = 0
+    while (it < 200) {
+      val w = new Array[Double](a)
+      var j = 0
+      while (j < a) {
+        var i = 0
+        var s = 0.0
+        while (i < a) { s += gram(j * a + i) * v(i); i += 1 }
+        w(j) = s
+        j += 1
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm == 0.0) return 0.0
+      val newLambda = nrm
+      var i = 0
+      while (i < a) { v(i) = w(i) / nrm; i += 1 }
+      if (math.abs(newLambda - lambda) < 1e-10 * math.max(1.0, newLambda) && it > 10) {
+        return newLambda
+      }
+      lambda = newLambda
+      it += 1
+    }
+    lambda
+  }
+
+  /** In-place Cholesky (lower) of a column-major symmetric matrix. */
+  def cholesky(mat: Array[Double], a: Int): Array[Double] = {
+    val l = new Array[Double](a * a)
+    var j = 0
+    while (j < a) {
+      var i = j
+      while (i < a) {
+        var s = mat(j * a + i)
+        var k = 0
+        while (k < j) { s -= l(k * a + i) * l(k * a + j); k += 1 }
+        if (i == j) {
+          require(s > 0, s"Cholesky failed: non-PD at $j (s=$s)")
+          l(j * a + j) = math.sqrt(s)
+        } else {
+          l(j * a + i) = s / l(j * a + j)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    l
+  }
+
+  /** Solve (L L^T) x = b by forward/back substitution. */
+  def cholSolve(l: Array[Double], a: Int, b: Array[Double]): Array[Double] = {
+    val y = new Array[Double](a)
+    var i = 0
+    while (i < a) {
+      var s = b(i)
+      var k = 0
+      while (k < i) { s -= l(k * a + i) * y(k); k += 1 }
+      y(i) = s / l(i * a + i)
+      i += 1
+    }
+    val x = new Array[Double](a)
+    i = a - 1
+    while (i >= 0) {
+      var s = y(i)
+      var k = i + 1
+      while (k < a) { s -= l(i * a + k) * x(k); k += 1 }
+      x(i) = s / l(i * a + i)
+      i -= 1
+    }
+    x
+  }
+
+  /** The reference's rho heuristic (`src/owl.cpp:190-192`, as written:
+    * eig_max^(1/3) * (lambda_max*sigma)^(2/3); the C++ integer division
+    * makes the compiled value 1.0 — the fixed point is rho-independent,
+    * so we use the intended formula for better conditioning). */
+  def rhoHeuristic(eigmax: Double, lambdaMaxSigma: Double): Double = {
+    val r = math.cbrt(eigmax) * math.cbrt(lambdaMaxSigma * lambdaMaxSigma)
+    if (r.isNaN || r <= 0 || r.isInfinity) 1.0 else r
+  }
+
+  /** Factorization cache entry for one active set. Keeps the raw Gram so
+    * the final deviance ||y - Xz||^2 = y'y - 2 z'X'y + z'Gz is a pure
+    * driver-side computation (no extra cluster pass). */
+  case class Factorization(chol: Array[Double], gram: Array[Double],
+                           xty: Array[Double], rho: Double) {
+    /** z' G z for the cached raw Gram. */
+    def gramQuad(zv: Array[Double]): Double = {
+      val a = zv.length
+      var s = 0.0
+      var j = 0
+      while (j < a) {
+        var i = 0
+        var acc = 0.0
+        while (i < a) { acc += gram(j * a + i) * zv(i); i += 1 }
+        s += acc * zv(j)
+        j += 1
+      }
+      s
+    }
+  }
+
+  def factorize(gram: Array[Double], xty: Array[Double], a: Int,
+                lambdaMaxSigma: Double): Factorization = {
+    val rho = rhoHeuristic(eigMax(gram, a), lambdaMaxSigma)
+    val g = gram.clone()
+    var j = 0
+    while (j < a) { g(j * a + j) += rho; j += 1 }
+    Factorization(cholesky(g, a), gram, xty, rho)
+  }
+
+  /** ADMM iterations, entirely on the driver.
+    *
+    * @param fact   cached Cholesky of (Gram + rho I) and X^T y for the
+    *               active columns
+    * @param nRows  n (for the stopping thresholds)
+    * @param lambda penalty (already sigma-scaled), length a - off
+    * @param z,u    warm-start auxiliary state (length a), mutated in place
+    * @return final z (the returned coefficients, as in the reference)
+    */
+  def fit(fact: Factorization, a: Int, off: Int, nRows: Long,
+          lambda: Array[Double], z: Array[Double], u: Array[Double],
+          maxPasses: Int, tolAbs: Double, tolRel: Double,
+          diagnostics: Boolean): (Array[Double], Int, Array[Double], Array[Double]) = {
+
+    val rho = fact.rho
+    var passes = 0
+    var beta = new Array[Double](a)
+    val primals = if (diagnostics) scala.collection.mutable.ArrayBuffer[Double]() else null
+    val duals = if (diagnostics) scala.collection.mutable.ArrayBuffer[Double]() else null
+
+    var converged = false
+    while (passes < maxPasses && !converged) {
+      passes += 1
+      val q = new Array[Double](a)
+      var i = 0
+      while (i < a) { q(i) = fact.xty(i) + rho * (z(i) - u(i)); i += 1 }
+      beta = cholSolve(fact.chol, a, q)
+
+      val zOld = z.clone()
+      val betaHat = new Array[Double](a)
+      i = 0
+      while (i < a) { betaHat(i) = alpha * beta(i) + (1 - alpha) * zOld(i); i += 1 }
+
+      i = 0
+      while (i < a) { z(i) = betaHat(i) + u(i); i += 1 }
+      // prox on the penalized tail
+      val tail = java.util.Arrays.copyOfRange(z, off, a)
+      val lamRho = lambda.map(_ / rho)
+      val proxed = Prox.sortedL1(tail, lamRho)
+      i = off
+      while (i < a) { z(i) = proxed(i - off); i += 1 }
+
+      i = 0
+      while (i < a) { u(i) += betaHat(i) - z(i); i += 1 }
+
+      var rNormSq = 0.0
+      var sNormSq = 0.0
+      var bNormSq = 0.0
+      var zNormSq = 0.0
+      var uNormSq = 0.0
+      i = 0
+      while (i < a) {
+        val r = beta(i) - z(i); rNormSq += r * r
+        val s = rho * (z(i) - zOld(i)); sNormSq += s * s
+        bNormSq += beta(i) * beta(i)
+        zNormSq += z(i) * z(i)
+        uNormSq += rho * u(i) * rho * u(i)
+        i += 1
+      }
+      val rNorm = math.sqrt(rNormSq)
+      val sNorm = math.sqrt(sNormSq)
+      val epsPrimal = math.sqrt(nRows.toDouble) * tolAbs +
+        tolRel * math.max(math.sqrt(bNormSq), math.sqrt(zNormSq))
+      val epsDual = math.sqrt(nRows.toDouble) * tolAbs + tolRel * math.sqrt(uNormSq)
+
+      if (diagnostics) { primals += rNorm; duals += sNorm }
+      if (rNorm < epsPrimal && sNorm < epsDual) converged = true
+    }
+
+    (z.clone(), passes,
+      if (diagnostics) primals.toArray else Array.empty,
+      if (diagnostics) duals.toArray else Array.empty)
+  }
+}
