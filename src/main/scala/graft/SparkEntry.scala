@@ -1,13 +1,464 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.slope.{Slope, SlopeParams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one entry per implemented operator (SURVEY.md §2 +
+  * the charter's pipeline extensions), each with an equivalent DuckDB
+  * oracle where the semantics are SQL-expressible.
+  *
+  * Convention: every aggregate / computed column is rounded and aliased
+  * IDENTICALLY in the Spark plan and the oracle SQL, and every result
+  * carries a deterministic ORDER BY, so the driver's hash compare is
+  * stable across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def li(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** Features used by the §2.9 relational queries. */
+  private val Feats = Seq("l_quantity", "l_discount", "l_tax")
+
+  // constant test coefficients for the loss-sum / scoring queries
+  // (arbitrary but fixed; shared verbatim with the oracle SQL)
+  private val BinB: (Double, Double) = (0.05, -2.0) // lp = .05*qty - 2*disc
+  private val PoisB: (Double, Double) = (1.0, 5.0) //  lp = 1 + 5*disc
+  private val GaussPred = 1000.0 //                    pred = 1000*qty
+
+  /** Flagship: SLOPE gaussian path fit on sf0.001 lineitem features. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    slopeFitQuery(spark, "/root/testdata/sf0.001")
+
+  /** Long-form coefficient path of a gaussian SLOPE fit over lineitem
+    * numeric features (the engine's flagship ML operator; not
+    * SQL-expressible — validated by the differential test suite). */
+  private def slopeFitQuery(s: SparkSession, dir: String): DataFrame = {
+    val df = li(s, dir).select(
+      array(Feats.map(col): _*).as("features"),
+      col("l_extendedprice").as("label"))
+    val m = Slope.fit(df, "features", "label",
+      SlopeParams(family = "gaussian", nSigma = 40))
+    val rows = for {
+      step <- 0 until m.nSteps
+      j <- 0 until m.p
+    } yield (step, m.sigma(step), Feats(j), m.coefs(step)(j), m.intercepts(step)(0))
+    import s.implicits._
+    rows.toDF("step", "sigma", "feature", "coefficient", "intercept")
+      .orderBy("step", "feature")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- SURVEY §2.9: relational substrate of the SLOPE engine ----
+    "q_moments" -> ((s, dir) => {
+      // per-feature standardization moments (standardize.h:17-39)
+      val base = li(s, dir)
+      Feats.map { f =>
+        base.select(
+          lit(f).as("feature"),
+          round(avg(col(f)), 6).as("mean_v"),
+          round(stddev_samp(col(f)), 6).as("sd_v"),
+          round(avg(abs(col(f))), 6).as("l1n_v"),
+          round(sqrt(avg(col(f) * col(f))), 6).as("l2n_v"),
+          round(max(col(f)), 6).as("max_v"))
+      }.reduce(_ unionAll _).orderBy("feature")
+    }),
+
+    "q_null_model" -> ((s, dir) => {
+      // family null models (families/*.h fitNullModel)
+      li(s, dir).select(
+        round(avg(col("l_extendedprice")), 4).as("gaussian_null"),
+        round(log(
+          least(greatest(avg(when(col("l_returnflag") === "A", 1.0).otherwise(0.0)),
+            lit(1e-9)), lit(1.0 - 1e-9)) /
+            (lit(1.0) - least(greatest(avg(when(col("l_returnflag") === "A", 1.0)
+              .otherwise(0.0)), lit(1e-9)), lit(1.0 - 1e-9)))), 6)
+          .as("binomial_null"),
+        round(log(avg(col("l_quantity"))), 6).as("poisson_null"))
+    }),
+
+    "q_lambda_max" -> ((s, dir) => {
+      // per-feature null-model gradient / n: avg(x*y) - avg(x)*avg(y)
+      // (lambdaMax.h gaussian branch on centered y)
+      val base = li(s, dir)
+      val y = col("l_extendedprice")
+      Feats.map { f =>
+        base.select(lit(f).as("feature"),
+          round(avg(col(f) * y) - avg(col(f)) * avg(y), 4).as("grad_over_n"))
+      }.reduce(_ unionAll _).orderBy("feature")
+    }),
+
+    "q_gram" -> ((s, dir) => {
+      // standardized Gram entries = pairwise correlations (owl.cpp:183-187)
+      val base = li(s, dir)
+      val pairs = for {
+        i <- Feats.indices; j <- Feats.indices if i < j
+      } yield (Feats(i), Feats(j))
+      pairs.map { case (a, b) =>
+        base.select(lit(a).as("f1"), lit(b).as("f2"),
+          round(corr(col(a), col(b)), 6).as("corr_v"))
+      }.reduce(_ unionAll _).orderBy("f1", "f2")
+    }),
+
+    "q_loss_sums" -> ((s, dir) => {
+      // per-family mean loss at fixed coefficients (families/*.h primal)
+      val y = col("l_extendedprice")
+      val yb = when(col("l_returnflag") === "A", 1.0).otherwise(-1.0)
+      val lpB = col("l_quantity") * BinB._1 + col("l_discount") * BinB._2
+      val lpP = lit(PoisB._1) + col("l_discount") * PoisB._2
+      li(s, dir).select(
+        round(avg(pow(y - col("l_quantity") * GaussPred, 2) * 0.5), 2)
+          .as("gaussian_loss"),
+        round(avg(log(lit(1.0) + exp(-yb * lpB))), 6).as("binomial_loss"),
+        // poisson loss excludes the lgamma(y+1) term (constant in beta)
+        round(avg(exp(lpP) - col("l_quantity") * lpP), 6).as("poisson_loss"))
+    }),
+
+    "q_score" -> ((s, dir) => {
+      // mse / mae / misclassification at fixed coefficients (R/score.R)
+      val y = col("l_extendedprice")
+      val pred = col("l_quantity") * GaussPred
+      val yb = when(col("l_returnflag") === "A", 1.0).otherwise(0.0)
+      val prob = lit(1.0) /
+        (lit(1.0) + exp(-(col("l_quantity") * BinB._1 + col("l_discount") * BinB._2)))
+      li(s, dir).select(
+        round(avg(pow(y - pred, 2)), 2).as("mse"),
+        round(avg(abs(y - pred)), 4).as("mae"),
+        round(avg(when((prob > 0.5) =!= (yb === 1.0), 1.0).otherwise(0.0)), 6)
+          .as("misclass"))
+    }),
+
+    "q_auc" -> ((s, dir) => {
+      // midrank (Mann-Whitney) AUC, R/score.R:137-166. Scalable form:
+      // aggregate per distinct score first (mid-rank of a tie group =
+      // count-before + (n+1)/2), so the only ordered window runs over
+      // |distinct scores| rows, not n — a global rank over raw rows
+      // would funnel 100 TB through one partition.
+      val score = col("l_discount") * 3.0 + col("l_quantity") * 0.02
+      val grouped = li(s, dir).select(
+        when(col("l_returnflag") === "A", 1.0).otherwise(0.0).as("y"),
+        score.as("score"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n"), sum("y").as("n1"))
+      val wOrd = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grouped
+        .select(col("n"), col("n1"),
+          (sum(col("n")).over(wOrd) - col("n") + (col("n") + 1.0) / 2.0).as("mr"))
+        .agg(round(
+          (sum(col("n1") * col("mr")) - sum(col("n1")) * (sum(col("n1")) + 1.0) / 2.0) /
+            (sum(col("n1")) * (sum(col("n")) - sum(col("n1")))), 6).as("auc"))
+    }),
+
+    "q_cv_cells" -> ((s, dir) => {
+      // CV-cell aggregation shape (R/trainOwl.R:146-161): per-fold
+      // mean/se of a scoring measure
+      val y = col("l_extendedprice")
+      val pred = col("l_quantity") * GaussPred
+      li(s, dir)
+        .select((col("l_orderkey") % 5).as("fold"), pow(y - pred, 2).as("sqerr"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_obs"),
+          round(avg(col("sqerr")), 2).as("mean_mse"),
+          round(stddev_samp(col("sqerr")) / sqrt(count(lit(1))), 2).as("se_mse"))
+        .orderBy("fold")
+    }),
+
+    // ---- pipeline extensions: text analysis ----
+    "q_text_stats" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.wordCount(col("text")).as("n_words"),
+        length(col("text")).as("n_chars_obs"),
+        round(TextFunctions.meanWordLength(col("text")), 6).as("mean_wlen"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- pipeline extensions: dedup ----
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+        .select(col("fp"), col("cnt"), col("canonical_id"))
+        .orderBy("fp")
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.12, maxDf = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_minhash_dedup" -> ((s, dir) => {
+      // MinHash-LSH near-dup candidates (not SQL-expressible: xxhash64)
+      Dedup.minhashDupPairs(docs(s, dir), "doc_id", "text",
+        n = 2, numHashes = 32, bands = 16, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_simhash_dedup" -> ((s, dir) => {
+      // SimHash near-dup candidates (not SQL-expressible: xxhash64)
+      Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- pipeline extensions: similarity search ----
+    "q_ann_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_embedding_dup" -> ((s, dir) => {
+      // embedding near-dup pairs, exhaustive buckets=off for exactness
+      // (synthetic embeddings top out near cosine 0.51, so 0.45 gives a
+      // small non-empty result to hash-check)
+      Dedup.embeddingDupPairs(emb(s, dir), "vec_id", "embedding",
+        dim = 64, threshold = 0.45, nBits = 0)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (approximate; rows-only check)
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, dim = 64, nBits = 6, probes = 6)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- events: relational windowed aggregation ----
+    "q_events_window" -> ((s, dir) => {
+      // ts arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong)
+      val hourSec = (col("ts") / 1000000000L).cast("long") -
+        pmod((col("ts") / 1000000000L).cast("long"), lit(3600L))
+      events(s, dir)
+        .groupBy(date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 6).as("avg_value"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // ---- the engine itself (rows-only check; oracle = test suite) ----
+    "q_slope_fit" -> ((s, dir) => slopeFitQuery(s, dir))
+  )
+
+  // ======================================================================
+  // DuckDB oracle SQL. Shares constants with the Spark plans above.
+  // ======================================================================
+
+  /** Normalized text (DuckDB): must mirror TextFunctions.normalizeText. */
+  private val NormSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private def occSql(padded: String, term: String): String =
+    s"((length($padded) - length(replace($padded, ' $term ', ''))) // ${term.length + 2})"
+
+  private val wcSql =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+
+  def oracleSql: Map[String, String] = {
+    val featRows = Feats.map { f =>
+      s"""SELECT '$f' AS feature, round(avg($f), 6) AS mean_v,
+         round(stddev_samp($f), 6) AS sd_v, round(avg(abs($f)), 6) AS l1n_v,
+         round(sqrt(avg($f*$f)), 6) AS l2n_v, round(max($f), 6) AS max_v
+         FROM lineitem"""
+    }.mkString(" UNION ALL ")
+
+    val lmRows = Feats.map { f =>
+      s"""SELECT '$f' AS feature,
+         round(avg($f*l_extendedprice) - avg($f)*avg(l_extendedprice), 4) AS grad_over_n
+         FROM lineitem"""
+    }.mkString(" UNION ALL ")
+
+    val gramRows = (for {
+      i <- Feats.indices; j <- Feats.indices if i < j
+    } yield s"""SELECT '${Feats(i)}' AS f1, '${Feats(j)}' AS f2,
+      round(corr(${Feats(i)}, ${Feats(j)}), 6) AS corr_v FROM lineitem""")
+      .mkString(" UNION ALL ")
+
+    val stopHits = TextFunctions.EnglishStopwords
+      .map(w => occSql("pad", w)).mkString(" + ")
+
+    val langScoreExprs = TextFunctions.LangMarkers.map { case (lang, words) =>
+      lang -> words.map(w => occSql("pad", w)).mkString(" + ")
+    }
+    val maxExpr = s"greatest(${langScoreExprs.map(e => s"s_${e._1}").mkString(", ")})"
+    // same tie order as TextFunctions.langId: first language in list wins
+    val argmax = langScoreExprs
+      .map { case (lang, _) => s"WHEN s_$lang = mx AND mx > 0 THEN '$lang'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+
+    Map(
+      "q_moments" -> s"SELECT * FROM ($featRows) ORDER BY feature",
+
+      "q_null_model" ->
+        s"""SELECT round(avg(l_extendedprice), 4) AS gaussian_null,
+           round(ln(least(greatest(avg(CASE WHEN l_returnflag='A' THEN 1.0 ELSE 0.0 END), 1e-9), 1 - 1e-9)
+             / (1 - least(greatest(avg(CASE WHEN l_returnflag='A' THEN 1.0 ELSE 0.0 END), 1e-9), 1 - 1e-9))), 6) AS binomial_null,
+           round(ln(avg(l_quantity)), 6) AS poisson_null
+           FROM lineitem""",
+
+      "q_lambda_max" -> s"SELECT * FROM ($lmRows) ORDER BY feature",
+
+      "q_gram" -> s"SELECT * FROM ($gramRows) ORDER BY f1, f2",
+
+      "q_loss_sums" ->
+        s"""SELECT
+           round(avg(0.5 * (l_extendedprice - l_quantity*$GaussPred)^2), 2) AS gaussian_loss,
+           round(avg(ln(1.0 + exp(-(CASE WHEN l_returnflag='A' THEN 1.0 ELSE -1.0 END) * (l_quantity*${BinB._1} + l_discount*(${BinB._2}))))), 6) AS binomial_loss,
+           round(avg(exp(${PoisB._1} + l_discount*${PoisB._2}) - l_quantity*(${PoisB._1} + l_discount*${PoisB._2})), 6) AS poisson_loss
+           FROM lineitem""",
+
+      "q_score" ->
+        s"""SELECT
+           round(avg((l_extendedprice - l_quantity*$GaussPred)^2), 2) AS mse,
+           round(avg(abs(l_extendedprice - l_quantity*$GaussPred)), 4) AS mae,
+           round(avg(CASE WHEN (1.0/(1.0+exp(-(l_quantity*${BinB._1} + l_discount*(${BinB._2})))) > 0.5) != (l_returnflag='A') THEN 1.0 ELSE 0.0 END), 6) AS misclass
+           FROM lineitem""",
+
+      "q_auc" ->
+        """WITH s AS (
+             SELECT CASE WHEN l_returnflag='A' THEN 1.0 ELSE 0.0 END AS y,
+                    l_discount*3.0 + l_quantity*0.02 AS score
+             FROM lineitem),
+           r AS (
+             SELECT y, rank() OVER (ORDER BY score)
+                       + (count(*) OVER (PARTITION BY score) - 1)/2.0 AS mr
+             FROM s)
+           SELECT round(
+             (sum(CASE WHEN y = 1.0 THEN mr END) - sum(y)*(sum(y)+1.0)/2.0)
+             / (sum(y) * (count(*) - sum(y))), 6) AS auc
+           FROM r""",
+
+      "q_cv_cells" ->
+        s"""SELECT l_orderkey % 5 AS fold, count(*)::BIGINT AS n_obs,
+           round(avg((l_extendedprice - l_quantity*$GaussPred)^2), 2) AS mean_mse,
+           round(stddev_samp((l_extendedprice - l_quantity*$GaussPred)^2)/sqrt(count(*)), 2) AS se_mse
+           FROM lineitem GROUP BY 1 ORDER BY fold""",
+
+      "q_text_stats" ->
+        s"""WITH n AS (
+             SELECT doc_id, text, $NormSql AS norm,
+                    ' ' || $NormSql || ' ' AS pad,
+                    $wcSql AS wc
+             FROM documents)
+           SELECT doc_id, wc AS n_words, length(text)::INT AS n_chars_obs,
+             round(CASE WHEN wc = 0 THEN 0.0 ELSE (length(norm) - (wc - 1))::DOUBLE / wc END, 6) AS mean_wlen,
+             round(CASE WHEN wc = 0 THEN 0.0 ELSE ($stopHits)::DOUBLE / wc END, 6) AS stopword_ratio,
+             round(least(wc::DOUBLE/50.0, 1.0)*0.4
+               + (CASE WHEN (CASE WHEN wc = 0 THEN 0.0 ELSE (length(norm) - (wc - 1))::DOUBLE / wc END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)*0.3
+               + least((CASE WHEN wc = 0 THEN 0.0 ELSE ($stopHits)::DOUBLE / wc END)*4.0, 1.0)*0.3, 6) AS quality
+           FROM n ORDER BY doc_id""",
+
+      "q_lang_id" ->
+        s"""WITH n AS (
+             SELECT doc_id, ' ' || $NormSql || ' ' AS pad FROM documents),
+           sc AS (
+             SELECT doc_id,
+               ${langScoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")}
+             FROM n),
+           mxd AS (SELECT *, $maxExpr AS mx FROM sc)
+           SELECT doc_id, $argmax AS lang_pred FROM mxd ORDER BY doc_id""",
+
+      "q_token_count" ->
+        s"""SELECT doc_id, ($wcSql)::INT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::INT AS bpe_tokens
+           FROM documents ORDER BY doc_id""",
+
+      "q_fingerprint" ->
+        s"SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id",
+
+      "q_dedup_exact" ->
+        s"""SELECT md5($NormSql) AS fp, count(*)::BIGINT AS cnt,
+           min(doc_id) AS canonical_id
+           FROM documents GROUP BY 1 ORDER BY fp""",
+
+      "q_ngram_jaccard" ->
+        s"""WITH norm AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w FROM documents),
+           sh AS (
+             SELECT doc_id, CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) END AS sh
+             FROM norm),
+           d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+           e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
+           FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+           HAVING count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.12
+           ORDER BY id_a, id_b""",
+
+      "q_ann_cosine" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 8),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           s AS (
+             SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 OR sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0
+                    ELSE list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) END AS score
+             FROM q, c WHERE query_id != neighbor_id),
+           r AS (
+             SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+             FROM s)
+           SELECT query_id, rank::INT AS rank, neighbor_id, round(score, 6) AS score
+           FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      "q_embedding_dup" ->
+        """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+           FROM v a, v b
+           WHERE a.vec_id < b.vec_id
+             AND list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+           ORDER BY id_a, id_b""",
+
+      "q_events_window" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*)::BIGINT AS n_events,
+           round(avg(value), 6) AS avg_value, round(sum(value), 4) AS sum_value
+           FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+    )
+  }
 }

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: normalization, token statistics, quality signals,
+  * heuristic language ID, and document fingerprints.
+  *
+  * Everything here is built from Spark SQL built-ins (codegen'd,
+  * whole-stage-compatible — no UDFs), so filters and projections built
+  * on these columns still push down / fuse. Every function is
+  * deterministic, which is what makes the DuckDB oracle checks in
+  * `graft.SparkEntry` possible.
+  */
+object TextFunctions {
+
+  /** Lowercase, fold all non-alphanumerics to spaces, collapse runs of
+    * whitespace, trim. The canonical form used by dedup + fingerprints. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]", " "), " +", " "))
+
+  /** Whitespace-delimited word count (0 for blank/empty). */
+  def wordCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Count of non-overlapping occurrences of a literal `term`.
+    * Pure length arithmetic => identical in any SQL engine. */
+  def occurrences(c: Column, term: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(term), ""))) /
+      lit(term.length)).cast("int")
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^.!?,;:]", "")).cast("double") / length(c))
+
+  /** Fraction of characters that are uppercase letters. */
+  def upperRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^A-Z]", "")).cast("double") / length(c))
+
+  /** Fraction of characters that are digits. */
+  def digitRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^0-9]", "")).cast("double") / length(c))
+
+  /** English stopword list used by [[stopwordRatio]] and the quality
+    * score (a small, fixed set so the oracle SQL can replicate it). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as")
+
+  /** Fraction of words that are English stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val padded = concat(lit(" "), normalizeText(c), lit(" "))
+    val hits = EnglishStopwords
+      .map(w => occurrences(padded, s" $w "))
+      .reduce(_ + _)
+    when(wordCount(c) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / wordCount(c))
+  }
+
+  /** Mean word length over the normalized text. */
+  def meanWordLength(c: Column): Column = {
+    val norm = normalizeText(c)
+    val wc = wordCount(norm)
+    when(wc === 0, lit(0.0))
+      .otherwise((length(norm) - (wc - 1)).cast("double") / wc)
+  }
+
+  /** Heuristic quality score in [0,1]: combines word count (saturating
+    * at 50), mean word length window [3,10], and stopword presence —
+    * the length/punct/stopword recipe of C4-style quality filters. */
+  def qualityScore(c: Column): Column = {
+    val wc = wordCount(c)
+    val lenScore = least(wc.cast("double") / 50.0, lit(1.0))
+    val mwl = meanWordLength(c)
+    val wordLenScore =
+      when(mwl >= 3.0 && mwl <= 10.0, 1.0).otherwise(0.0)
+    val swScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    round(lenScore * 0.4 + wordLenScore * 0.3 + swScore * 0.3, 6)
+  }
+
+  /** Whitespace token count (= wordCount; named for pipeline parity). */
+  def wsTokenCount(c: Column): Column = wordCount(c)
+
+  /** BPE-ish token count: alphabetic runs, single digits, and isolated
+    * symbols each count as one token — a cheap, deterministic proxy for
+    * subword tokenizers. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Stable document fingerprint: md5 of the normalized text. Identical
+    * normalization + md5 on any engine => join-able across systems. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
+
+  /** Word n-gram shingles of the normalized text (array of strings).
+    * Documents shorter than n words yield a single whole-text shingle. */
+  def shingles(c: Column, n: Int): Column = {
+    val words = split(normalizeText(c), " ")
+    when(size(words) <= n, array(concat_ws(" ", words)))
+      .otherwise(
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Stopword marker lists for the language-ID heuristic. Tiny
+    * per-language function-word sets — the classic n-gram/stopword
+    * profile trick at its smallest. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "no", "una", "por", "que"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "wo3", "you3", "ta1"))
+
+  /** Per-language marker-hit score (ties broken by list order via a
+    * tiny index epsilon, so argmax is total and deterministic). */
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), normalizeText(c), lit(" "))
+    LangMarkers.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    }
+  }
+
+  /** Heuristic language ID: argmax of marker-word hits; "und"
+    * (undetermined) when no marker matches. */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    // max score, then first language reaching it (deterministic order)
+    val mx = greatest(scores.map(_._2): _*)
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === mx && mx > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+}

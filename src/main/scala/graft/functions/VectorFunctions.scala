@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-embedding column math over `array<float>` / `array<double>`
+  * columns using Spark higher-order functions (zip_with / aggregate) —
+  * no UDFs, so the expressions stay inside codegen and are
+  * deterministic for oracle checks.
+  */
+object VectorFunctions {
+
+  /** Elementwise dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity (0 when either vector is all-zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm2(a)
+    val nb = norm2(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Squared L2 distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** L2-normalized copy of the vector (zero vector stays zero). */
+  def normalize(a: Column): Column = {
+    val n = norm2(a)
+    when(n === 0.0, a.cast("array<double>"))
+      .otherwise(transform(a, v => v.cast("double") / n))
+  }
+
+  /** Sign-bit LSH bucket from `nBits` fixed random hyperplanes.
+    *
+    * Hyperplane components are generated on the driver from `seed`
+    * (deterministic) and inlined as literals, so the whole expression
+    * is still pure Catalyst. Collision probability follows the
+    * random-hyperplane LSH bound: P[same bit] = 1 - angle/pi.
+    */
+  def hyperplaneBucket(a: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit(_)): _*)
+      when(dot(a, planeCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

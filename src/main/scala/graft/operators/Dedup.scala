@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document-scale pipelines.
+  *
+  * Scale design: every variant is a pure shuffle-on-key plan —
+  * group-by content hash (exact), band-bucket join (MinHash LSH,
+  * SimHash), or inverted-index join with document-frequency pruning
+  * (n-gram Jaccard). Nothing collects to the driver; all candidate
+  * generation is hash-partitioned so a 1000-executor cluster scales
+  * each stage linearly, and high-frequency keys are dropped *before*
+  * the self-join (the classic skew killer for LSH buckets).
+  */
+object Dedup {
+
+  /** Exact-duplicate groups by content fingerprint: one row per
+    * distinct normalized text with its cardinality and canonical
+    * (minimum) id. Map-side combine via the single groupBy. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min("id").as("canonical_id"))
+
+  /** Keep one representative row per normalized-text fingerprint. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature column: array of `numHashes` minima over the
+    * document's word `n`-gram shingles. Hash family = xxhash64 with the
+    * hash index salted in; all per-row work stays in one projection
+    * (higher-order functions, no explode => no shuffle until banding). */
+  def minhashSignature(textCol: Column, n: Int, numHashes: Int): Column = {
+    val sh = shingles(textCol, n)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(concat(i.cast("string"), lit("#"), s)))))
+  }
+
+  /** Candidate near-duplicate pairs via banded MinHash LSH.
+    *
+    * Signature split into `bands` bands of `numHashes/bands` rows; docs
+    * sharing any band bucket become candidates; candidates are then
+    * verified with the estimated Jaccard (fraction of matching
+    * signature slots) >= `threshold`.
+    *
+    * Plan shape: projection -> explode(bands) -> shuffle on (band,
+    * bucket) -> within-bucket self-join -> distinct pair verify.
+    * Buckets larger than `maxBucket` are dropped (boilerplate/empty
+    * docs collapse into mega-buckets and would otherwise quadratically
+    * skew a single reducer at 100 TB).
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
+
+    val banded = sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket"))))
+        .as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+
+    val w = Window.partitionBy("band", "bucket")
+    val pruned = banded.withColumn("__sz", count(lit(1)).over(w))
+      .filter(col("__sz") <= maxBucket).drop("__sz")
+
+    val left = pruned.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val right = pruned.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
+          when(a === b, 1).otherwise(0)), v => v === 1)).cast("double") /
+          size(col("sig_a"))).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the word stream: each word votes its hash bits
+    * up/down; the sign pattern is the fingerprint. One projection per
+    * row (aggregate over the words array — no shuffle). */
+  def simhash64(textCol: Column): Column = {
+    // hash every word once, then take a static per-bit vote (shift
+    // amounts must be literals for the built-in shift expressions)
+    val hashes = transform(split(normalizeText(textCol), " "), w => xxhash64(w))
+    (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate candidate pairs: 4 bands of 16 bits — docs
+    * sharing any 16-bit band are candidates; verified by full Hamming
+    * distance <= `maxHamming` (bit_count of xor). */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFF).as("bucket"))): _*))
+        .as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
+    val w = Window.partitionBy("band", "bucket")
+    val pruned = banded.withColumn("__sz", count(lit(1)).over(w))
+      .filter(col("__sz") <= maxBucket).drop("__sz")
+    val left = pruned.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sh").as("sh_a"))
+    val right = pruned.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sh").as("sh_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word n-gram Jaccard similarity for all pairs reaching
+    * `threshold`, via an inverted shingle index.
+    *
+    * Shingles appearing in more than `maxDf` documents are dropped
+    * before the self-join (stopword-like shingles would otherwise
+    * create O(df^2) candidate pairs — the dominant skew risk at scale).
+    * Exact for pairs whose overlap survives pruning; boilerplate-heavy
+    * corpora should lower `maxDf`.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxDf: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val wdf = Window.partitionBy("s")
+    val pruned = sh.withColumn("__df", count(lit(1)).over(wdf))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val left = pruned.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val right = pruned.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    left.join(right, "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= `threshold`.
+    *
+    * Candidates come from sign-bit LSH buckets (`nBits` hyperplanes) —
+    * a shuffle on bucket id, never a full cross join. For exhaustive
+    * small-corpus checks set `nBits = 0` (single bucket = brute force).
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double = 0.9,
+                        nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      (if (nBits == 0) lit(0L)
+      else VectorFunctions.hyperplaneBucket(col(vecCol), dim, nBits, seed))
+        .as("bucket"))
+    val left = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val right = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

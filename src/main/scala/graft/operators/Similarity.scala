@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two physical strategies with the same logical contract
+  * (query id -> top-k corpus neighbors by cosine):
+  *
+  *  - [[bruteForceTopK]]: broadcast the (small) query set against the
+  *    full corpus — one narrow map stage + per-query top-k, no corpus
+  *    shuffle. Exact. The right plan whenever |queries| is
+  *    driver-broadcastable, at ANY corpus size.
+  *  - [[lshTopK]]: random-hyperplane bucket join — both sides shuffle
+  *    on the bucket id only; recall traded for candidate-set size via
+  *    `nBits`/`probes`. The scale path when the query set itself is
+  *    huge (all-pairs-ish workloads).
+  */
+object Similarity {
+
+  /** Exact top-k by cosine: broadcast-join queries x corpus, window
+    * top-k per query. `queries`/`corpus` need (idCol, vecCol). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate top-k via sign-bit LSH buckets with multiprobe.
+    *
+    * Each corpus vector lands in one bucket; each query probes its own
+    * bucket plus every 1-bit-flip neighbor up to `probes` extra buckets
+    * (classic multiprobe LSH — recovers most recall lost to bit
+    * boundaries without replicating the corpus).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              nBits: Int = 12, probes: Int = 4, seed: Long = 42L,
+              excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), dim, nBits, seed).as("bucket"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      hyperplaneBucket(col(vecCol), dim, nBits, seed).as("b0"))
+    // probe buckets: own bucket + single-bit flips (deterministic order)
+    val probeList = qb.select(col("query_id"), col("qv"),
+      explode(array((col("b0") +:
+        (0 until math.min(probes, nBits))
+          .map(i => col("b0").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+    val scored = probeList.join(c, "bucket")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("score"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
