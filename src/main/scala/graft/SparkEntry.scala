@@ -3,7 +3,7 @@ package graft
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.operators.{Dedup, Similarity}
-import graft.slope.{Slope, SlopeParams}
+import graft.slope.{Slope, SlopeCv, SlopeParams, SlopeScore, SlopeServe}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -277,7 +277,115 @@ object SparkEntry {
     }),
 
     // ---- the engine itself (rows-only check; oracle = test suite) ----
-    "q_slope_fit" -> ((s, dir) => slopeFitQuery(s, dir))
+    "q_slope_fit" -> ((s, dir) => slopeFitQuery(s, dir)),
+
+    "q_slope_path_summary" -> ((s, dir) => {
+      // print.Owl path table (R/print.R:14-31)
+      val df = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"),
+        col("l_extendedprice").as("label"))
+      val m = Slope.fit(df, "features", "label",
+        SlopeParams(family = "gaussian", nSigma = 40))
+      SlopeServe.pathSummary(m, s)
+        .select(col("step"), round(col("sigma"), 6).as("sigma"),
+          round(col("deviance_ratio"), 6).as("deviance_ratio"), col("n_nonzero"))
+        .orderBy("step")
+    }),
+
+    "q_slope_predict" -> ((s, dir) => {
+      // binomial fit -> response/class transform (R/predict.R:91-121);
+      // output: predicted-class counts at the final path step
+      val base = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"),
+        when(col("l_returnflag") === "A", "A").otherwise("other").as("label"))
+      val m = Slope.fit(base, "features", "label",
+        SlopeParams(family = "binomial", nSigma = 12))
+      SlopeServe.predictions(m, base, "features", Seq("response", "class"))
+        .select(element_at(col("predicted_class"), m.nSteps).as("predicted_class"),
+          round(element_at(element_at(col("response"), m.nSteps), 1), 6).as("prob"))
+        .groupBy("predicted_class")
+        .agg(count(lit(1)).as("n"), round(avg(col("prob")), 6).as("mean_prob"))
+        .orderBy("predicted_class")
+    }),
+
+    "q_slope_score" -> ((s, dir) => {
+      // score() over the path (R/score.R): per-step mse/mae table
+      val df = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"),
+        col("l_extendedprice").as("label"))
+      val m = Slope.fit(df, "features", "label",
+        SlopeParams(family = "gaussian", nSigma = 40))
+      val mse = SlopeScore.score(m, df, "features", "label", "mse")
+      val mae = SlopeScore.score(m, df, "features", "label", "mae")
+      import s.implicits._
+      mse.indices.map(i => (i, mse(i), mae(i)))
+        .toDF("step", "mse", "mae").orderBy("step")
+    }),
+
+    "q_slope_cv" -> ((s, dir) => {
+      // trainOwl-equivalent repeated k-fold CV (R/trainOwl.R:44-200)
+      val df = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"),
+        col("l_extendedprice").as("label"))
+      val cv = SlopeCv.trainSlope(df, "features", "label",
+        SlopeParams(family = "gaussian", nSigma = 10),
+        qs = Seq(0.1, 0.2), number = 3, repeats = 1,
+        measures = Seq("mse", "mae"), parallelism = 2)
+      cv.summaryDf(s)
+        .select(col("q"), round(col("sigma"), 6).as("sigma"), col("measure"),
+          round(col("mean"), 4).as("mean_v"), round(col("se"), 4).as("se_v"))
+        .orderBy("q", "measure", "sigma")
+    }),
+
+    "q_coef_interp" -> ((s, dir) => {
+      // coef() with off-path interpolation (R/coef.R, interpolatePenalty.R)
+      val df = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"),
+        col("l_extendedprice").as("label"))
+      val m = Slope.fit(df, "features", "label",
+        SlopeParams(family = "gaussian", nSigma = 20))
+      import s.implicits._
+      val rows = (0 until math.max(m.nSteps - 1, 1)).flatMap { i =>
+        val mid = if (i + 1 < m.nSteps) (m.sigma(i) + m.sigma(i + 1)) / 2
+          else m.sigma(i)
+        val (ic, cf) = SlopeServe.coefAt(m, mid)
+        Feats.indices.map(j => (i, mid, Feats(j), cf(j), ic(0)))
+      }
+      rows.toDF("bracket", "sigma_mid", "feature", "coefficient", "intercept")
+        .orderBy("bracket", "feature")
+    }),
+
+    "q_lambda_oscar" -> ((s, dir) => {
+      // OSCAR lambda sequence (src/regularizationPath.h:48-50)
+      import s.implicits._
+      val lam = graft.slope.kernels.LambdaSequence.oscar(20, 0.3)
+      lam.indices.map(i => (i, math.rint(lam(i) * 1e6) / 1e6))
+        .toDF("i", "lambda_v").orderBy("i")
+    }),
+
+    "q_lambda_bh" -> ((s, dir) => {
+      // BH / gaussian-adjusted sequences (regularizationPath.h:28-46;
+      // rows-only: DuckDB has no inverse-normal quantile)
+      import s.implicits._
+      val bh = graft.slope.kernels.LambdaSequence.bh(20, 0.1)
+      val ga = graft.slope.kernels.LambdaSequence.gaussian(20, 0.1, 1000L)
+      bh.indices.map(i => (i, bh(i), ga(i))).toDF("i", "bh_v", "gaussian_v")
+        .orderBy("i")
+    }),
+
+    "q_multimodal_decode" -> ((s, dir) => {
+      // multimodal plumbing: binary payload + typed meta -> partitioned
+      // stub decode -> per-modality feature stats (rows-only: the stub
+      // decode hash is not SQL-expressible)
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, dir))
+      val decoded = graft.multimodal.Multimodal
+        .withDecodedFeatures(media, "payload", dim = 16)
+      decoded.select(col("media_id"), col("media_meta.modality").as("modality"),
+        element_at(col("features"), 1).as("f0"))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n"), round(avg(col("f0")), 6).as("mean_f0"))
+        .orderBy("modality")
+    })
   )
 
   // ======================================================================
@@ -458,7 +566,11 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type, count(*)::BIGINT AS n_events,
            round(avg(value), 6) AS avg_value, round(sum(value), 4) AS sum_value
-           FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+           FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+      "q_lambda_oscar" ->
+        """SELECT i::INT AS i, round(0.3*(20 - 1 - i) + 1, 6) AS lambda_v
+           FROM (SELECT unnest(range(20)) AS i) ORDER BY i"""
     )
   }
 }

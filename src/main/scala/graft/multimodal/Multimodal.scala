@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Convention: media travel as opaque `binary` columns with a typed
+  * metadata struct (`media_meta`): modality, mime, width/height/
+  * duration, source URI. Decode / feature-extraction runs as a
+  * partition-parallel pass over the binary payloads (the Scala
+  * equivalent of `mapInPandas`: one iterator per partition, batch-shaped
+  * work inside) so adding a real codec later only swaps the kernel.
+  *
+  * The decode kernel itself is a STUB — this container has no
+  * image/audio codecs. [[DecodeStub]] produces deterministic fake
+  * features derived from the payload bytes so the schema, partitioning
+  * and batch plumbing are real and testable end-to-end.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every binary media column. */
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("modality", StringType),   // image | audio | video
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("source_uri", StringType)))
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("media_meta", MediaMetaType)))
+
+  /** STUB decode kernel: deterministic pseudo-features from payload
+    * bytes. A real deployment replaces ONLY this function with a codec
+    * call (JNI/ffmpeg/ImageIO); everything around it stays. */
+  object DecodeStub {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      // xorshift over a byte-derived seed -> deterministic fake embedding
+      var s: Long = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < payload.length) { s = (s ^ payload(i)) * 0x100000001B3L; i += 1 }
+      val out = new Array[Float](dim)
+      var j = 0
+      var x = if (s == 0) 1L else s
+      while (j < dim) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        out(j) = (x.toDouble / Long.MaxValue).toFloat
+        j += 1
+      }
+      out
+    }
+
+    /** Stub "resize": deterministic byte subsample to maxBytes. */
+    def resize(payload: Array[Byte], maxBytes: Int): Array[Byte] =
+      if (payload.length <= maxBytes) payload
+      else {
+        val stride = payload.length.toDouble / maxBytes
+        Array.tabulate(maxBytes)(i => payload((i * stride).toInt))
+      }
+
+    /** Stub "frame sample": split payload into `frames` equal chunks
+      * and take the first `bytesPerFrame` of each. */
+    def frameSample(payload: Array[Byte], frames: Int,
+                    bytesPerFrame: Int): Array[Array[Byte]] = {
+      val chunk = math.max(1, payload.length / math.max(1, frames))
+      Array.tabulate(math.min(frames, math.max(1, payload.length / chunk))) { f =>
+        payload.slice(f * chunk, f * chunk + math.min(bytesPerFrame, chunk))
+      }
+    }
+  }
+
+  /** Attach decoded features: partition-parallel map over the binary
+    * payload column (mapInPandas-shaped: per-partition iterator, row
+    * batches inside; no driver collect, no shuffle). */
+  def withDecodedFeatures(df: DataFrame, payloadCol: String,
+                          dim: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats = if (payload == null) new Array[Float](dim)
+          else DecodeStub.features(payload, dim)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Demo media table derived from the documents corpus: text bytes as
+    * payload with fabricated image metadata (this is the ingest shape a
+    * real pipeline would produce from tar/parquet shards). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("image").as("modality"),
+        lit("image/fake").as("mime"),
+        (length(col("text")) % 640).cast("int").as("width"),
+        (length(col("text")) % 480).cast("int").as("height"),
+        lit(0L).as("duration_ms"),
+        concat(lit("mem://doc/"), col("doc_id")).as("source_uri"))
+        .as("media_meta"))
+}

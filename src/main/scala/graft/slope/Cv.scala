@@ -1,0 +1,122 @@
+package graft.slope
+
+import graft.slope.kernels.Stats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One (q, sigma, measure) cell of the CV summary. */
+case class CvCell(q: Double, sigma: Double, measure: String,
+                  mean: Double, se: Double, lo: Double, hi: Double)
+
+/** Repeated k-fold cross-validation result (reference `TrainedOwl`,
+  * `R/trainOwl.R:191-200`). */
+case class SlopeCvResult(summary: Seq[CvCell], optima: Seq[CvCell],
+                         model: SlopeModel) {
+  def summaryDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    summary.toDF()
+  }
+  def optimaDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    optima.toDF()
+  }
+}
+
+/** `trainOwl`-equivalent tuner (reference `R/trainOwl.R:44-200`).
+  *
+  * Architectural difference vs the reference: the reference ships the
+  * full data matrix to every PSOCK worker; here the data stays put in
+  * the cluster — fold membership is a seeded column, every cell fit is
+  * itself distributed, and cells run concurrently from a driver thread
+  * pool (the `CrossValidator.parallelism` pattern). Folds are assigned
+  * by seeded uniform hashing rather than an exact permutation
+  * (statistically equivalent, and the only shuffle-free way to fold
+  * 100 TB).
+  */
+object SlopeCv {
+
+  def trainSlope(df: DataFrame, featuresCol: String, labelCol: String,
+                 params: SlopeParams = SlopeParams(),
+                 qs: Seq[Double] = Seq(0.2),
+                 number: Int = 10,
+                 repeats: Int = 1,
+                 measures: Seq[String] = Seq("mse"),
+                 seed: Long = 42L,
+                 parallelism: Int = 1): SlopeCvResult = {
+    require(number > 1, "number of folds must be > 1")
+    require(repeats >= 1, "repeats must be >= 1")
+
+    // initial full fit fixes the sigma path (R/trainOwl.R:69,84)
+    val fullFit = Slope.fit(df, featuresCol, labelCol,
+      params.copy(q = Some(qs.head)))
+    val sigma = fullFit.sigma
+    val family = params.family
+
+    val valid = SlopeScore.ValidMeasures(family)
+    val ms = measures.filter(valid.contains)
+    require(ms.nonEmpty, s"measure needs to be one of ${valid.mkString(", ")}")
+
+    // seeded fold columns, one per repeat
+    val foldCols = (0 until repeats).map(r =>
+      floor(rand(seed + r) * number).cast("int").as(s"__fold_$r"))
+    val withFolds = df.select(
+      (col(featuresCol) +: col(labelCol) +: foldCols): _*).cache()
+
+    val grid = for {
+      q <- qs; rep <- 0 until repeats; fold <- 0 until number
+    } yield (q, rep, fold)
+
+    def runCell(cell: (Double, Int, Int)): Seq[((Double, String), Array[Double])] = {
+      val (q, rep, fold) = cell
+      val foldCol = col(s"__fold_$rep")
+      val train = withFolds.filter(foldCol =!= fold)
+      val test = withFolds.filter(foldCol === fold)
+      val m = Slope.fit(train, featuresCol, labelCol,
+        params.copy(q = Some(q), sigma = Some(sigma)))
+      ms.map { measure =>
+        ((q, measure), SlopeScore.score(m, test, featuresCol, labelCol, measure))
+      }
+    }
+
+    val results: Seq[((Double, Int, Int), Seq[((Double, String), Array[Double])])] =
+      if (parallelism <= 1) grid.map(c => c -> runCell(c))
+      else {
+        // concurrent Spark jobs from a driver pool (thread-safe in Spark)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futures = grid.map(c => scala.concurrent.Future(c -> runCell(c)))
+        val out = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+        pool.shutdown()
+        out
+      }
+
+    // aggregate (q, measure, step) across number*repeats cells
+    val cells = grid.size / qs.size // = number*repeats per (q, measure)
+    val byKey = results.flatMap(_._2).groupBy(_._1)
+    val summary = for {
+      q <- qs
+      measure <- ms
+      step <- sigma.indices
+    } yield {
+      val vals = byKey((q, measure)).map(_._2)
+        .map(a => if (step < a.length) a(step) else Double.NaN)
+        .filterNot(_.isNaN)
+      val mean = vals.sum / vals.length
+      val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum /
+        math.max(1, vals.length - 1))
+      val se = sd / math.sqrt(cells.toDouble)
+      val ci = Stats.qt(0.975, cells - 1.0) * se
+      CvCell(q, sigma(step), measure, mean, se, mean - ci, mean + ci)
+    }
+
+    val optima = ms.map { m =>
+      summary.filter(_.measure == m).minBy(_.mean)
+    }
+
+    withFolds.unpersist()
+    SlopeCvResult(summary, optima, fullFit)
+  }
+}
