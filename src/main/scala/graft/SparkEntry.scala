@@ -41,13 +41,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     slopeFitQuery(spark, "/root/testdata/sf0.001")
 
+  /** Planted-signal regression label: a fixed linear combination of the
+    * feature columns plus a price-derived pseudo-noise term. The
+    * driver-generated lineitem has no feature-label correlation
+    * (corr ~ 0.003), which would legitimately early-stop every path at
+    * the null model; this deterministic construction gives the fit
+    * queries real signal to recover. */
+  private def signalLabel =
+    col("l_quantity") * 2.0 + col("l_discount") * (-30.0) +
+      col("l_tax") * 5.0 + col("l_extendedprice") / 30000.0
+
   /** Long-form coefficient path of a gaussian SLOPE fit over lineitem
     * numeric features (the engine's flagship ML operator; not
     * SQL-expressible — validated by the differential test suite). */
   private def slopeFitQuery(s: SparkSession, dir: String): DataFrame = {
     val df = li(s, dir).select(
       array(Feats.map(col): _*).as("features"),
-      col("l_extendedprice").as("label"))
+      signalLabel.as("label"))
     val m = Slope.fit(df, "features", "label",
       SlopeParams(family = "gaussian", nSigma = 40))
     val rows = for {
@@ -283,7 +293,7 @@ object SparkEntry {
       // print.Owl path table (R/print.R:14-31)
       val df = li(s, dir).select(
         array(Feats.map(col): _*).as("features"),
-        col("l_extendedprice").as("label"))
+        signalLabel.as("label"))
       val m = Slope.fit(df, "features", "label",
         SlopeParams(family = "gaussian", nSigma = 40))
       SlopeServe.pathSummary(m, s)
@@ -312,7 +322,7 @@ object SparkEntry {
       // score() over the path (R/score.R): per-step mse/mae table
       val df = li(s, dir).select(
         array(Feats.map(col): _*).as("features"),
-        col("l_extendedprice").as("label"))
+        signalLabel.as("label"))
       val m = Slope.fit(df, "features", "label",
         SlopeParams(family = "gaussian", nSigma = 40))
       val mse = SlopeScore.score(m, df, "features", "label", "mse")
@@ -326,7 +336,7 @@ object SparkEntry {
       // trainOwl-equivalent repeated k-fold CV (R/trainOwl.R:44-200)
       val df = li(s, dir).select(
         array(Feats.map(col): _*).as("features"),
-        col("l_extendedprice").as("label"))
+        signalLabel.as("label"))
       val cv = SlopeCv.trainSlope(df, "features", "label",
         SlopeParams(family = "gaussian", nSigma = 10),
         qs = Seq(0.1, 0.2), number = 3, repeats = 1,
@@ -341,7 +351,7 @@ object SparkEntry {
       // coef() with off-path interpolation (R/coef.R, interpolatePenalty.R)
       val df = li(s, dir).select(
         array(Feats.map(col): _*).as("features"),
-        col("l_extendedprice").as("label"))
+        signalLabel.as("label"))
       val m = Slope.fit(df, "features", "label",
         SlopeParams(family = "gaussian", nSigma = 20))
       import s.implicits._

@@ -61,8 +61,15 @@ object Dedup {
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    // materialize the shingle array behind a projection boundary: the
+    // signature references it numHashes times, and letting Catalyst
+    // re-inline the (expensive) shingle expression per hash lane costs
+    // a numHashes-fold slowdown
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("__sh"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("__sh"),
+            s => xxhash64(concat(i.cast("string"), lit("#"), s))))).as("sig"))
 
     val banded = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -93,23 +100,28 @@ object Dedup {
   /** 64-bit SimHash of the word stream: each word votes its hash bits
     * up/down; the sign pattern is the fingerprint. One projection per
     * row (aggregate over the words array — no shuffle). */
-  def simhash64(textCol: Column): Column = {
-    // hash every word once, then take a static per-bit vote (shift
-    // amounts must be literals for the built-in shift expressions)
-    val hashes = transform(split(normalizeText(textCol), " "), w => xxhash64(w))
+  /** Per-bit sign votes folded to the 64-bit fingerprint; expects an
+    * already-materialized array of word hashes (see [[simhash64]]). */
+  private def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { b =>
       val vote = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  def simhash64(textCol: Column): Column =
+    simhashFromHashes(transform(split(normalizeText(textCol), " "), w => xxhash64(w)))
 
   /** SimHash near-duplicate candidate pairs: 4 bands of 16 bits — docs
     * sharing any 16-bit band are candidates; verified by full Hamming
     * distance <= `maxHamming` (bit_count of xor). */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    // word hashes materialized once; the 64 per-bit votes each reference
+    // the array (same re-inlining hazard as the MinHash signature)
+    val sh = df.select(col(idCol).as("id"),
+      transform(split(normalizeText(col(textCol)), " "), w => xxhash64(w)).as("__h"))
+      .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
@@ -170,7 +182,11 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double = 0.9,
                         nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // pre-normalize once per vector so the pairwise kernel is a single
+    // dot product instead of dot + two norms (3x fewer HOF evaluations
+    // on the quadratic stage)
+    val withBucket = df.select(col(idCol).as("id"),
+      VectorFunctions.normalize(col(vecCol)).as("v"),
       (if (nBits == 0) lit(0L)
       else VectorFunctions.hyperplaneBucket(col(vecCol), dim, nBits, seed))
         .as("bucket"))
@@ -179,7 +195,7 @@ object Dedup {
     left.join(right, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+        VectorFunctions.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

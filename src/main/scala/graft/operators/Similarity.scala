@@ -26,12 +26,15 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // normalize each side once; the quadratic stage is then a bare dot
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("cv"))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        dot(col("qv"), col("cv")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -49,9 +52,11 @@ object Similarity {
               idCol: String, vecCol: String, k: Int, dim: Int,
               nBits: Int = 12, probes: Int = 4, seed: Long = 42L,
               excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("cv"),
       hyperplaneBucket(col(vecCol), dim, nBits, seed).as("bucket"))
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val qb = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"),
       hyperplaneBucket(col(vecCol), dim, nBits, seed).as("b0"))
     // probe buckets: own bucket + single-bit flips (deterministic order)
     val probeList = qb.select(col("query_id"), col("qv"),
@@ -61,7 +66,7 @@ object Similarity {
     val scored = probeList.join(c, "bucket")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        dot(col("qv"), col("cv")).as("score"))
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))

@@ -100,8 +100,16 @@ private[slope] object BackendKernels extends Serializable {
   }
 
   /** Effective dense weights/offsets so that
-    * lp = W^T x + b  ==  sum_{j active} beta_j * (x_j - c_j)/s_j + beta_0.
-    * Returns (w: m arrays of length pRaw, b: length m). */
+    * lp = W^T x + b  ==  sum_{j active} beta_j * (x_j - c_j)/s_j
+    *                     + beta_0 / s_0.
+    * Returns (w: m arrays of length pRaw, b: length m).
+    *
+    * The intercept coordinate carries its own scale s_0 (set to sqrt(n)
+    * by the orchestrator): the raw ones-column has squared norm n, which
+    * would dominate the Lipschitz constant and make first-order solver
+    * pass counts grow with n. Dividing by sqrt(n) is an exact
+    * reparameterization (the intercept is unpenalized) that pins its
+    * curvature at 1 regardless of data size. */
   def effectiveWeights(active: Array[Int], betaActive: Array[Double],
                        m: Int, pRaw: Int, fitIntercept: Boolean,
                        xCenter: Array[Double], xScale: Array[Double])
@@ -115,7 +123,7 @@ private[slope] object BackendKernels extends Serializable {
       while (i < a) {
         val row = active(i)
         val beta = betaActive(k * a + i)
-        if (fitIntercept && row == 0) b(k) += beta
+        if (fitIntercept && row == 0) b(k) += beta / xScale(0)
         else {
           val j = if (fitIntercept) row - 1 else row
           val wv = beta / xScale(row)
@@ -142,7 +150,7 @@ private[slope] object BackendKernels extends Serializable {
       while (i < a) {
         val row = active(i)
         g(k * a + i) =
-          if (fitIntercept && row == 0) s0(k)
+          if (fitIntercept && row == 0) s0(k) / xScale(0)
           else (rawA(k * a + i) - xCenter(row) * s0(k)) / xScale(row)
         i += 1
       }
@@ -401,16 +409,16 @@ class DistributedBackend(
         val jIsInt = fi && rj == 0
         val cj = xCenter(rj); val sj = xScale(rj)
         gram(j * a + i) =
-          if (iIsInt && jIsInt) nn
-          else if (iIsInt) (colSum(j) - nn * cj) / sj
-          else if (jIsInt) (colSum(i) - nn * ci) / si
+          if (iIsInt && jIsInt) nn / (si * sj)
+          else if (iIsInt) (colSum(j) - nn * cj) / (si * sj)
+          else if (jIsInt) (colSum(i) - nn * ci) / (si * sj)
           else (res(j * a + i) - ci * colSum(j) - cj * colSum(i) + nn * ci * cj) / (si * sj)
         j += 1
       }
       var k = 0
       while (k < mm) {
         xty(k * a + i) =
-          if (iIsInt) ySum(k)
+          if (iIsInt) ySum(k) / si
           else (xtyRaw(k * a + i) - ci * ySum(k)) / si
         k += 1
       }
@@ -448,7 +456,7 @@ class DistributedBackend(
       var r = 0
       while (r < a) {
         out(k * a + r) =
-          if (fi && r == 0) vSum
+          if (fi && r == 0) vSum / xScale(0)
           else (res(k * a + r) - xCenter(r) * vSum) / xScale(r)
         r += 1
       }
@@ -550,6 +558,36 @@ class LocalBackend(
     (mean, sd)
   }
 
+  /** Split [0, n) into chunks, run `body(chunkBuf, start, end)` in
+    * parallel (common ForkJoin pool), merge the per-chunk buffers. */
+  private def parallelChunks(bufLen: Int)(
+      body: (Array[Double], Int, Int) => Unit): Array[Double] = {
+    val nRows = xs.length
+    val nChunks =
+      if (nRows < 16384) 1
+      else math.min(Runtime.getRuntime.availableProcessors(), 32)
+    if (nChunks == 1) {
+      val buf = new Array[Double](bufLen)
+      body(buf, 0, nRows)
+      buf
+    } else {
+      val bufs = Array.fill(nChunks)(new Array[Double](bufLen))
+      val chunk = (nRows + nChunks - 1) / nChunks
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+        body(bufs(c), c * chunk, math.min(nRows, (c + 1) * chunk))
+      }
+      val out = bufs(0)
+      var c = 1
+      while (c < nChunks) {
+        val src = bufs(c)
+        var i = 0
+        while (i < bufLen) { out(i) += src(i); i += 1 }
+        c += 1
+      }
+      out
+    }
+  }
+
   def evalActive(active: Array[Int], betaActive: Array[Double], family: Family,
                  needDual: Boolean, needGrad: Boolean): (Double, Double, Array[Double]) = {
     val a = active.length
@@ -565,36 +603,38 @@ class LocalBackend(
       }
       s
     }
-    var primal = 0.0
-    var dual = 0.0
-    val s0 = new Array[Double](m)
-    val rawA = new Array[Double](a * m)
-    val lp = new Array[Double](m)
-    val pg = new Array[Double](m)
-    var i = 0
-    while (i < xs.length) {
-      val x = xs(i); val y = ys(i)
-      BackendKernels.linPred(x, w, b, lp)
-      primal += family.primalRow(y, lp)
-      if (needDual) dual += family.dualRow(y, lp)
-      if (needGrad) {
-        family.pseudoGradientRow(y, lp, pg)
-        var k = 0
-        while (k < m) { s0(k) += pg(k); k += 1 }
-        x.foreachActive { (j, v) =>
-          val slot = slotOf(j)
-          if (slot >= 0) {
-            var kk = 0
-            while (kk < m) { rawA(kk * a + slot) += v * pg(kk); kk += 1 }
+    // buffer: [primal, dual, s0(m), rawA(a*m)]
+    val bufLen = 2 + m + a * m
+    val res = parallelChunks(bufLen) { (buf, start, end) =>
+      val lp = new Array[Double](m)
+      val pg = new Array[Double](m)
+      var i = start
+      while (i < end) {
+        val x = xs(i); val y = ys(i)
+        BackendKernels.linPred(x, w, b, lp)
+        buf(0) += family.primalRow(y, lp)
+        if (needDual) buf(1) += family.dualRow(y, lp)
+        if (needGrad) {
+          family.pseudoGradientRow(y, lp, pg)
+          var k = 0
+          while (k < m) { buf(2 + k) += pg(k); k += 1 }
+          x.foreachActive { (j, v) =>
+            val slot = slotOf(j)
+            if (slot >= 0) {
+              var kk = 0
+              while (kk < m) { buf(2 + m + kk * a + slot) += v * pg(kk); kk += 1 }
+            }
           }
         }
+        i += 1
       }
-      i += 1
     }
-    val grad = if (needGrad)
+    val grad = if (needGrad) {
+      val s0 = java.util.Arrays.copyOfRange(res, 2, 2 + m)
+      val rawA = java.util.Arrays.copyOfRange(res, 2 + m, bufLen)
       BackendKernels.standardizeGrad(active, rawA, s0, m, fitIntercept, xCenter, xScale)
-    else new Array[Double](0)
-    (primal, dual, grad)
+    } else new Array[Double](0)
+    (res(0), res(1), grad)
   }
 
   def gramXty(active: Array[Int]): (Array[Double], Array[Double]) = {
@@ -610,30 +650,31 @@ class LocalBackend(
       }
       s
     }
-    val buf = new Array[Double](gLen + a + a * m + m)
-    val tmpSlot = new Array[Int](a)
-    val tmpVal = new Array[Double](a)
-    var i = 0
-    while (i < xs.length) {
-      val x = xs(i); val y = ys(i)
-      var cnt = 0
-      x.foreachActive { (j, v) =>
-        val s = slotOf(j)
-        if (s >= 0 && v != 0.0) { tmpSlot(cnt) = s; tmpVal(cnt) = v; cnt += 1 }
-      }
-      var t1 = 0
-      while (t1 < cnt) {
-        val s1 = tmpSlot(t1); val v1 = tmpVal(t1)
-        buf(gLen + s1) += v1
+    val buf = parallelChunks(gLen + a + a * m + m) { (chunkBuf, start, end) =>
+      val tmpSlot = new Array[Int](a)
+      val tmpVal = new Array[Double](a)
+      var i = start
+      while (i < end) {
+        val x = xs(i); val y = ys(i)
+        var cnt = 0
+        x.foreachActive { (j, v) =>
+          val s = slotOf(j)
+          if (s >= 0 && v != 0.0) { tmpSlot(cnt) = s; tmpVal(cnt) = v; cnt += 1 }
+        }
+        var t1 = 0
+        while (t1 < cnt) {
+          val s1 = tmpSlot(t1); val v1 = tmpVal(t1)
+          chunkBuf(gLen + s1) += v1
+          var k = 0
+          while (k < m) { chunkBuf(gLen + a + k * a + s1) += v1 * y(k); k += 1 }
+          var t2 = 0
+          while (t2 < cnt) { chunkBuf(tmpSlot(t2) * a + s1) += v1 * tmpVal(t2); t2 += 1 }
+          t1 += 1
+        }
         var k = 0
-        while (k < m) { buf(gLen + a + k * a + s1) += v1 * y(k); k += 1 }
-        var t2 = 0
-        while (t2 < cnt) { buf(tmpSlot(t2) * a + s1) += v1 * tmpVal(t2); t2 += 1 }
-        t1 += 1
+        while (k < m) { chunkBuf(gLen + a + a * m + k) += y(k); k += 1 }
+        i += 1
       }
-      var k = 0
-      while (k < m) { buf(gLen + a + a * m + k) += y(k); k += 1 }
-      i += 1
     }
     assembleGramLocal(active, buf, a)
   }
@@ -659,16 +700,16 @@ class LocalBackend(
         val jIsInt = fi && rj == 0
         val cj = xCenter(rj); val sj = xScale(rj)
         gram(j * a + i) =
-          if (iIsInt && jIsInt) nn
-          else if (iIsInt) (colSum(j) - nn * cj) / sj
-          else if (jIsInt) (colSum(i) - nn * ci) / si
+          if (iIsInt && jIsInt) nn / (si * sj)
+          else if (iIsInt) (colSum(j) - nn * cj) / (si * sj)
+          else if (jIsInt) (colSum(i) - nn * ci) / (si * sj)
           else (res(j * a + i) - ci * colSum(j) - cj * colSum(i) + nn * ci * cj) / (si * sj)
         j += 1
       }
       var k = 0
       while (k < m) {
         xty(k * a + i) =
-          if (iIsInt) ySum(k)
+          if (iIsInt) ySum(k) / si
           else (xtyRaw(k * a + i) - ci * ySum(k)) / si
         k += 1
       }
@@ -700,7 +741,7 @@ class LocalBackend(
       var r = 0
       while (r < a) {
         out(k * a + r) =
-          if (fi && r == 0) vSum(k)
+          if (fi && r == 0) vSum(k) / xScale(0)
           else (acc(k * a + r) - xCenter(r) * vSum(k)) / xScale(r)
         r += 1
       }

@@ -287,9 +287,14 @@ object Slope {
       .map(s => if (s == 0.0) 1.0 else s) // zero-variance guard
     require(!xScaleRaw.exists(_.isNaN),
       "missing (NaN) values in features are not allowed")
-    // coefficient-row numbering: slot 0 = intercept (center 0 / scale 1)
+    // coefficient-row numbering: slot 0 = intercept. The intercept
+    // coordinate is scaled by sqrt(n) — exact reparameterization that
+    // keeps the ones-column curvature at 1 instead of n, so first-order
+    // pass counts do not grow with data size (see BackendKernels
+    // .effectiveWeights). Undone in the rescale step below.
     val xCenter = new Array[Double](pInt)
     val xScale = Array.fill(pInt)(1.0)
+    if (intercept) xScale(0) = math.sqrt(n.toDouble)
     var j = 0
     while (j < p) { xCenter(j + off) = xCenterRaw(j); xScale(j + off) = xScaleRaw(j); j += 1 }
     backend.setStandardization(xCenter, xScale)
@@ -563,7 +568,7 @@ object Slope {
           r += 1
         }
         ic(kk) =
-          if (intercept) b(kk * pInt) * yScaleArr(kk) + yCenter - xbarBeta
+          if (intercept) b(kk * pInt) / xScale(0) * yScaleArr(kk) + yCenter - xbarBeta
           else 0.0
         kk += 1
       }

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each transform is defined once and applies to BOTH a batch
+  * DataFrame and a readStream DataFrame (identical logical plans —
+  * the streaming runner adds watermark-driven state cleanup). That is
+  * the contract that keeps the batch oracle (`q_events_window`)
+  * authoritative for the streaming path.
+  */
+object EventStreams {
+
+  /** Tumbling-window per-type aggregation; on a stream, `withWatermark`
+    * bounds state. `ts` may be a timestamp or long nanos
+    * (nanosAsLong reads). */
+  def windowedTypeCounts(events: DataFrame, windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val tsCol = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_seconds((col("ts") / 1000000000L).cast("long"))
+      case _ => col("ts")
+    }
+    val base = events.withColumn("__ts", tsCol)
+    val withWm =
+      if (base.isStreaming) base.withWatermark("__ts", watermark) else base
+    withWm
+      .groupBy(window(col("__ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("avg_value"), col("sum_value"))
+  }
+
+  case class SessionState(start: Long, last: Long, n: Int, sumValue: Double)
+  case class SessionOut(userId: Long, startSec: Long, endSec: Long,
+                        nEvents: Int, sumValue: Double)
+
+  /** Gap-based sessionization with `mapGroupsWithState`-style custom
+    * state (the KeyValueGroupedDataset path for stateful stream logic).
+    * Batch variant: same gap semantics computed with window functions —
+    * used as the oracle for the streaming run in tests. */
+  def sessionizeBatch(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tsSec = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => (col("ts") / 1000000000L).cast("long")
+      case _ => unix_timestamp(col("ts"))
+    }
+    val w = Window.partitionBy("user_id").orderBy("sec")
+    events.select(col("user_id"), tsSec.as("sec"), col("value"))
+      .withColumn("prev", lag("sec", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("sec").as("start_sec"), max("sec").as("end_sec"),
+        count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .drop("session_id")
+  }
+
+  /** Streaming sessionization via typed state: emits a session when the
+    * inactivity gap passes (processing-time timeout). */
+  def sessionizeStream(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tsSec = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => (col("ts") / 1000000000L).cast("long")
+      case _ => unix_timestamp(col("ts"))
+    }
+    val typed = events.select(col("user_id").as("userId"), tsSec.as("sec"),
+      col("value")).as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
+          sorted.foreach { case (_, sec, v) =>
+            st = SessionState(math.min(st.start, sec), math.max(st.last, sec),
+              st.n + 1, st.sumValue + v)
+          }
+          state.update(st)
+          state.setTimeoutDuration(gapSec * 1000)
+          SessionOut(uid, st.start, st.last, st.n, st.sumValue)
+      }.toDF()
+  }
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.slope.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup / similarity / text operators vs in-memory brute-force oracles. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  val corpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat",
+    3L -> "THE QUICK BROWN FOX, jumps over the lazy dog!",
+    4L -> "completely different text about spark engines",
+    5L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+    6L -> "spark engines process completely different text about")
+
+  test("exact dedup: normalized duplicates collapse") {
+    val g = Dedup.exactGroups(docsDf(corpus), "doc_id", "text").collect()
+    // 1, 3 (punct/case), 5 share a fingerprint
+    val dupGroup = g.find(_.getLong(1) == 3L)
+    assert(dupGroup.isDefined, s"expected a group of 3: ${g.mkString(";")}")
+    assert(dupGroup.get.getLong(2) == 1L, "canonical id should be min")
+    val kept = Dedup.dropExactDuplicates(docsDf(corpus), "doc_id", "text")
+    assert(kept.count() == 4)
+    assert(kept.filter(col("doc_id").isin(3L, 5L)).count() == 0)
+  }
+
+  test("ngram jaccard: near-dups found, exact value matches brute force") {
+    val out = Dedup.ngramJaccardPairs(docsDf(corpus), "doc_id", "text",
+      n = 3, threshold = 0.3, maxDf = 1000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.replaceAll("[^a-z0-9]", " ").trim
+        .replaceAll(" +", " ").split(" ")
+      if (w.length <= 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    // brute-force check for the pair (1,2)
+    val s1 = shingles(corpus(0)._2); val s2 = shingles(corpus(1)._2)
+    val expected = (s1 & s2).size.toDouble / (s1 | s2).size
+    assert(out.contains((1L, 2L)), s"pairs found: ${out.keys}")
+    assert(math.abs(out((1L, 2L)) - expected) < 1e-12)
+    // exact dups have jaccard 1
+    assert(math.abs(out((1L, 5L)) - 1.0) < 1e-12)
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH: finds the same near-dup pairs as exact jaccard") {
+    val pairs = Dedup.minhashDupPairs(docsDf(corpus), "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), "exact dup must be caught")
+    assert(pairs.contains((1L, 3L)), "normalized dup must be caught")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 5L)),
+      s"high-jaccard pair should be caught: $pairs")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical normalized text -> identical hash; near text -> small hamming") {
+    import spark.implicits._
+    val h = docsDf(corpus).select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(5L) && h(1L) == h(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(4L)),
+      s"near pair should have smaller hamming: ${ham(h(1L), h(2L))} vs ${ham(h(1L), h(4L))}")
+    val pairs = Dedup.simhashDupPairs(docsDf(corpus), "doc_id", "text",
+      maxHamming = 0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (1L, 5L), (3L, 5L)))
+  }
+
+  test("cosine topk: brute force matches in-memory computation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", k = 4)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for (q <- 0L until 3L) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (i, v) => i -> cos(vecs(q.toInt)._2, v) }
+        .sortBy { case (i, c) => (-c, i) }.take(4).map(_._1)
+      val got = (1 to 4).map(r => topk((q, r)))
+      assert(got == expect, s"query $q: $got vs $expect")
+    }
+  }
+
+  test("lsh topk: high recall vs brute force on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // clustered vectors so neighbors are meaningful
+    val centers = Array.fill(5)(Array.fill(16)(rng.nextGaussian() * 3))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers(rng.nextInt(5))
+      (i, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, df, "vec_id", "embedding", 5,
+      dim = 16, nBits = 8, probes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("text functions: tokenization, ratios, langid markers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick brown fox and the lazy dog in the yard."),
+      (2L, "der hund und die katze sind nicht im haus"),
+      (3L, ""),
+      (4L, "12345 !!!")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextFunctions.wordCount(col("text")).as("wc"),
+      TextFunctions.punctRatio(col("text")).as("pr"),
+      TextFunctions.stopwordRatio(col("text")).as("sr"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getString(4), r.getInt(5)))
+      .toMap
+    assert(out(1L)._1 == 11)
+    assert(out(1L)._4 == "en")
+    assert(out(2L)._4 == "de")
+    assert(out(3L)._1 == 0 && out(3L)._2 == 0.0)
+    assert(out(4L)._5 == 5 + 3) // five digits + three bangs
+    assert(out(1L)._3 > 0.3) // the/and/the/in/the of 11 words
+  }
+
+  test("multimodal: stub decode is deterministic, schema + partitioning hold") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val dec = graft.multimodal.Multimodal.withDecodedFeatures(media, "payload", 8)
+      .repartition(3) // plumbing must survive arbitrary partitioning
+    val rows = dec.select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(1L).length == 8)
+    // determinism: same payload -> same features
+    val again = graft.multimodal.Multimodal.withDecodedFeatures(media, "payload", 8)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows == again)
+    assert(rows(1L) != rows(2L))
+  }
+}

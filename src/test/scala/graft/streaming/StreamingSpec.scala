@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.slope.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming transforms agree with their batch oracles. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def mkEvents(n: Int): Seq[(Long, Long, Long, String, Double)] = {
+    val rng = new scala.util.Random(5)
+    (0 until n).map { i =>
+      (i.toLong, 1700000000000000000L + rng.nextInt(7200) * 1000000000L,
+        rng.nextInt(10).toLong,
+        Seq("click", "view", "buy")(rng.nextInt(3)), rng.nextDouble() * 10)
+    }
+  }
+
+  test("windowed counts: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = mkEvents(500)
+    val batchDf = data.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = EventStreams.windowedTypeCounts(batchDf)
+      .orderBy("window_start", "event_type").collect()
+
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.windowedTypeCounts(streamDf)
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputModeComplete.mode).start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    val got = spark.table("win_test")
+      .orderBy("window_start", "event_type").collect()
+    q.stop()
+
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.getTimestamp(0) == e.getTimestamp(0))
+      assert(g.getString(1) == e.getString(1))
+      assert(g.getLong(2) == e.getLong(2))
+      assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("batch sessionization: gap splits sessions correctly") {
+    import spark.implicits._
+    // user 1: two sessions (gap 3600 > 1800); user 2: one session
+    val rows = Seq(
+      (1L, 1700000000000000000L, 1L, "click", 1.0),
+      (2L, 1700000000000000000L + 600L * 1000000000L, 1L, "view", 2.0), // +600s
+      (3L, 1700000000000000000L + 5000L * 1000000000L, 1L, "buy", 3.0), // +5000s -> new
+      (4L, 1700000000000000000L, 2L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.sessionizeBatch(rows, gapSec = 1800)
+      .orderBy("user_id", "start_sec").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(3) == 2) // 2 events
+    assert(out(1).getLong(0) == 1L && out(1).getLong(3) == 1)
+    assert(out(2).getLong(0) == 2L && out(2).getLong(3) == 1)
+  }
+}
+
+/** Small indirection so the streaming test compiles without importing
+  * OutputMode at top level in multiple places. */
+object OutputModeComplete {
+  val mode: org.apache.spark.sql.streaming.OutputMode =
+    org.apache.spark.sql.streaming.OutputMode.Complete()
+}
