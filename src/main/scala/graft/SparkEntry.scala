@@ -223,8 +223,11 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
+      // 3-gram shingles: the synthetic corpus's tiny vocabulary makes
+      // 2-gram document frequencies huge (quadratic join blowup); word
+      // 3-grams keep the inverted-index join linear-ish and exact
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 2, threshold = 0.12, maxDf = Int.MaxValue)
+        n = 3, threshold = 0.05, maxDf = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -325,8 +328,9 @@ object SparkEntry {
         signalLabel.as("label"))
       val m = Slope.fit(df, "features", "label",
         SlopeParams(family = "gaussian", nSigma = 40))
-      val mse = SlopeScore.score(m, df, "features", "label", "mse")
-      val mae = SlopeScore.score(m, df, "features", "label", "mae")
+      val scores = SlopeScore.scoreMany(m, df, "features", "label", Seq("mse", "mae"))
+      val mse = scores("mse")
+      val mae = scores("mae")
       import s.implicits._
       mse.indices.map(i => (i, mse(i), mae(i)))
         .toDF("step", "mse", "mae").orderBy("step")
@@ -533,8 +537,8 @@ object SparkEntry {
         s"""WITH norm AS (
              SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w FROM documents),
            sh AS (
-             SELECT doc_id, CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) END AS sh
+             SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS sh
              FROM norm),
            d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
            e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d)
@@ -542,7 +546,7 @@ object SparkEntry {
              round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id
-           HAVING count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.12
+           HAVING count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.05
            ORDER BY id_a, id_b""",
 
       "q_ann_cosine" ->

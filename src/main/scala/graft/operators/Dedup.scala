@@ -34,13 +34,25 @@ object Dedup {
   }
 
   /** MinHash signature column: array of `numHashes` minima over the
-    * document's word `n`-gram shingles. Hash family = xxhash64 with the
-    * hash index salted in; all per-row work stays in one projection
-    * (higher-order functions, no explode => no shuffle until banding). */
-  def minhashSignature(textCol: Column, n: Int, numHashes: Int): Column = {
-    val sh = shingles(textCol, n)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(concat(i.cast("string"), lit("#"), s)))))
+    * document's word `n`-gram shingles; all per-row work stays in one
+    * projection (higher-order functions, no explode => no shuffle until
+    * banding).
+    *
+    * Lane family: each lane applies a fixed rotate-XOR permutation to
+    * the ONE xxhash64 per shingle — bitwise ops only (ANSI-safe, no
+    * overflow) and ~numHashes x cheaper than salting the string per
+    * lane. */
+  def minhashSignature(textCol: Column, n: Int, numHashes: Int): Column =
+    minhashFromHashes(transform(shingles(textCol, n), s => xxhash64(s)), numHashes)
+
+  private def minhashFromHashes(baseHashes: Column, numHashes: Int): Column = {
+    val rng = new scala.util.Random(0x5eed)
+    val lanes = Array.fill(numHashes)((1 + rng.nextInt(62), rng.nextLong()))
+    array(lanes.map { case (rot, mask) =>
+      array_min(transform(baseHashes, h =>
+        (shiftleft(h, rot).bitwiseOR(shiftrightunsigned(h, 64 - rot)))
+          .bitwiseXOR(lit(mask))))
+    }: _*)
   }
 
   /** Candidate near-duplicate pairs via banded MinHash LSH.
@@ -61,15 +73,12 @@ object Dedup {
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // materialize the shingle array behind a projection boundary: the
-    // signature references it numHashes times, and letting Catalyst
-    // re-inline the (expensive) shingle expression per hash lane costs
-    // a numHashes-fold slowdown
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("__sh"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(col("__sh"),
-            s => xxhash64(concat(i.cast("string"), lit("#"), s))))).as("sig"))
+    // materialize the per-shingle base hashes behind a projection
+    // boundary: every lane references the array, and re-inlining the
+    // shingle+hash expression per lane is a numHashes-fold slowdown
+    val sig = df.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), n), s => xxhash64(s)).as("__h"))
+      .select(col("id"), minhashFromHashes(col("__h"), numHashes).as("sig"))
 
     val banded = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

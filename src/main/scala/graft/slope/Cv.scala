@@ -73,9 +73,8 @@ object SlopeCv {
       val test = withFolds.filter(foldCol === fold)
       val m = Slope.fit(train, featuresCol, labelCol,
         params.copy(q = Some(q), sigma = Some(sigma)))
-      ms.map { measure =>
-        ((q, measure), SlopeScore.score(m, test, featuresCol, labelCol, measure))
-      }
+      val scores = SlopeScore.scoreMany(m, test, featuresCol, labelCol, ms)
+      ms.map(measure => ((q, measure), scores(measure)))
     }
 
     val results: Seq[((Double, Int, Int), Seq[((Double, String), Array[Double])])] =

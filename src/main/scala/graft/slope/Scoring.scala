@@ -22,6 +22,83 @@ object SlopeScore {
     "poisson" -> Seq("mse", "mae"),
     "multinomial" -> Seq("mse", "mae", "deviance"))
 
+  /** Score several measures in ONE data pass each family allows
+    * (AUC needs its own ranked aggregation and runs separately).
+    * Returns measure -> one value per path step. */
+  def scoreMany(model: SlopeModel, df: DataFrame, featuresCol: String,
+                labelCol: String, measures: Seq[String]): Map[String, Array[Double]] = {
+    val valid = ValidMeasures(model.family)
+    measures.foreach(m => require(valid.contains(m),
+      s"measure $m invalid for family ${model.family}; valid: ${valid.mkString(", ")}"))
+    val (aucMs, aggMs) = measures.distinct.partition(_ == "auc")
+    val aggResults: Map[String, Array[Double]] =
+      if (aggMs.isEmpty) Map.empty
+      else {
+        val scored = SlopeServe.predictions(model, df, featuresCol,
+          if (model.family == "gaussian" || model.family == "poisson") Seq("link")
+          else Seq("response"))
+        val e = explodedErrors(model, scored, labelCol)
+        val aggCols = aggMs.map(m => measureAgg(model, m).as(m))
+        val rows = e.groupBy("step").agg(aggCols.head, aggCols.tail: _*)
+          .orderBy("step").collect()
+        aggMs.map(m => m -> rows.map(_.getAs[Double](m))).toMap
+      }
+    aggResults ++ aucMs.map(m => m -> score(model, df, featuresCol, labelCol, m))
+  }
+
+  /** Per-row exploded (step, ...) frame feeding [[measureAgg]]. */
+  private def explodedErrors(model: SlopeModel, scored: DataFrame,
+                             labelCol: String): DataFrame = model.family match {
+    case "gaussian" | "poisson" =>
+      val y = col(labelCol).cast("double")
+      scored.select(y.as("y"), posexplode(col("linpred")).as(Seq("step", "lp")))
+        .select(col("step"), (element_at(col("lp"), 1) - col("y")).as("err"))
+    case "binomial" =>
+      val y2 = when(col(labelCol).cast("string") === model.classNames(1), 1.0)
+        .otherwise(0.0)
+      scored.select(y2.as("y2"), posexplode(col("response")).as(Seq("step", "r")))
+        .select(col("step"), col("y2"), element_at(col("r"), 1).as("p"))
+    case "multinomial" =>
+      val names = array(model.classNames.map(lit(_)): _*)
+      val yIdx = array_position(names, col(labelCol).cast("string")).cast("int")
+      scored.select(yIdx.as("yi"), posexplode(col("response")).as(Seq("step", "r")))
+  }
+
+  /** Aggregation expression for one non-AUC measure over the exploded
+    * frame (same formulas as [[score]]). */
+  private def measureAgg(model: SlopeModel, measure: String)
+    : org.apache.spark.sql.Column = model.family match {
+    case "gaussian" | "poisson" => measure match {
+      case "mse" => avg(col("err") * col("err"))
+      case "mae" => avg(abs(col("err")))
+    }
+    case "binomial" => measure match {
+      case "mse" => avg(pow(col("p") + (lit(1.0) - col("y2")) - 1.0, 2) +
+        pow(col("p") - col("y2"), 2))
+      case "mae" => avg(abs(col("p") + (lit(1.0) - col("y2")) - 1.0) +
+        abs(col("p") - col("y2")))
+      case "misclass" => avg(when((lit(1.0) - col("y2")) === 1.0 && col("p") > 0.5, 1.0)
+        .when(col("y2") === 1.0 && col("p") <= 0.5, 1.0).otherwise(0.0))
+      case "deviance" =>
+        val pc = least(greatest(col("p"), lit(1e-5)), lit(1.0 - 1e-5))
+        avg(lit(-2.0) * ((lit(1.0) - col("y2")) * log(lit(1.0) - pc) +
+          col("y2") * log(pc)))
+    }
+    case "multinomial" =>
+      val probs = col("r")
+      val yOneHot = transform(sequence(lit(1), lit(model.nClasses)),
+        i => when(i === col("yi"), 1.0).otherwise(0.0))
+      measure match {
+        case "mse" => avg(aggregate(zip_with(probs, yOneHot, (p, y) => pow(p - y, 2)),
+          lit(0.0), (a, v) => a + v) / model.nClasses)
+        case "mae" => avg(aggregate(zip_with(probs, yOneHot, (p, y) => abs(p - y)),
+          lit(0.0), (a, v) => a + v) / model.nClasses)
+        case "deviance" => avg(aggregate(zip_with(probs, yOneHot, (p, y) =>
+          lit(-2.0) * y * log(least(greatest(p, lit(1e-5)), lit(1.0 - 1e-5)))),
+          lit(0.0), (a, v) => a + v))
+      }
+  }
+
   /** Score one measure; returns one value per path step. */
   def score(model: SlopeModel, df: DataFrame, featuresCol: String,
             labelCol: String, measure: String): Array[Double] = {
