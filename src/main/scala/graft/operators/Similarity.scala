@@ -25,16 +25,20 @@ object Similarity {
     * top-k per query. `queries`/`corpus` need (idCol, vecCol). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
-                     excludeSelf: Boolean = true): DataFrame = {
+                     excludeSelf: Boolean = true,
+                     dim: Int = -1): DataFrame = {
     // normalize each side once; the quadratic stage is then a bare dot
+    // (unrolled into codegen'd arithmetic when dim is known)
     val q = queries.select(col(idCol).as("query_id"),
       normalize(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("cv"))
+    val pairScore =
+      if (dim > 0) dotUnrolled(col("qv"), col("cv"), dim)
+      else dot(col("qv"), col("cv"))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"),
-        dot(col("qv"), col("cv")).as("score"))
+      .select(col("query_id"), col("neighbor_id"), pairScore.as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

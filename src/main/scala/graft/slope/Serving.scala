@@ -59,12 +59,25 @@ object SlopeServe {
   def withLinearPredictors(model: SlopeModel, df: DataFrame,
                            featuresCol: String): DataFrame = {
     val f = toArrayCol(df, featuresCol)
+    // small cubes unroll to plain element_at arithmetic (whole-stage
+    // codegen, no higher-order functions — HOFs evaluate interpreted
+    // and cost ~10x on wide scoring passes); big cubes fall back to the
+    // HOF form to keep the expression tree bounded
+    val unroll = model.nSteps.toLong * model.m * model.p <= 20000
     val steps = (0 until model.nSteps).map { s =>
       val perTarget = (0 until model.m).map { k =>
-        val coefArr = array((0 until model.p)
-          .map(j => lit(model.coefs(s)(k * model.p + j))): _*)
-        aggregate(zip_with(f, coefArr, (x, c) => x * c), lit(0.0),
-          (acc, v) => acc + v) + lit(model.intercepts(s)(k))
+        if (unroll) {
+          val terms = (0 until model.p).collect {
+            case j if model.coefs(s)(k * model.p + j) != 0.0 =>
+              element_at(f, j + 1) * lit(model.coefs(s)(k * model.p + j))
+          }
+          terms.foldLeft(lit(model.intercepts(s)(k)): Column)(_ + _)
+        } else {
+          val coefArr = array((0 until model.p)
+            .map(j => lit(model.coefs(s)(k * model.p + j))): _*)
+          aggregate(zip_with(f, coefArr, (x, c) => x * c), lit(0.0),
+            (acc, v) => acc + v) + lit(model.intercepts(s)(k))
+        }
       }
       array(perTarget: _*)
     }

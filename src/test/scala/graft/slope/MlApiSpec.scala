@@ -1,0 +1,76 @@
+package graft.slope
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Estimator/Model wrapper, persistence, distributed fixture generator,
+  * and local==distributed backend equivalence. */
+class MlApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("SlopeRegression estimator: fit + transform through ml.Pipeline API") {
+    val gen = RandomProblem.generate(spark, 500, 5, family = "gaussian", seed = 7)
+    val est = new SlopeRegression()
+      .setFamily("gaussian").setNSigma(15).setScale("l2")
+    val model = est.fit(gen.df)
+    assert(model.slopeModel.nSteps > 1)
+    val out = model.transform(gen.df)
+    assert(out.columns.contains("prediction"))
+    // predictions should correlate strongly with the label at path end
+    val corrV = out.select(corr(col("prediction"), col("label"))).head().getDouble(0)
+    assert(corrV > 0.8, s"corr $corrV")
+    // planted nonzero features should be recovered at the path end
+    val last = model.slopeModel.coefs.last
+    gen.nonzero.foreach { j =>
+      assert(math.abs(last(j)) > 0.1, s"planted feature $j not recovered")
+    }
+  }
+
+  test("binomial estimator predicts class labels") {
+    val gen = RandomProblem.generate(spark, 600, 4, family = "binomial", seed = 9)
+    val model = new SlopeRegression().setFamily("binomial").setNSigma(10)
+      .fit(gen.df)
+    val out = model.transform(gen.df)
+    val acc = out.select(avg(when(col("prediction") ===
+      col("label").cast("string"), 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(acc > 0.8, s"accuracy $acc")
+  }
+
+  test("model save/load roundtrip") {
+    val gen = RandomProblem.generate(spark, 300, 4, family = "gaussian", seed = 3)
+    val m = Slope.fit(gen.df, "features", "label", SlopeParams(nSigma = 8))
+    val dir = java.nio.file.Files.createTempDirectory("slope_model").toString
+    SlopeModelIO.save(m, spark, dir)
+    val loaded = SlopeModelIO.load(spark, dir)
+    assert(loaded.family == m.family && loaded.p == m.p && loaded.nSteps == m.nSteps)
+    for (s <- 0 until m.nSteps) {
+      assert(loaded.coefs(s).sameElements(m.coefs(s)), s"coefs step $s")
+      assert(loaded.intercepts(s).sameElements(m.intercepts(s)))
+    }
+    assert(loaded.sigma.sameElements(m.sigma))
+    assert(loaded.devianceRatios.sameElements(m.devianceRatios))
+  }
+
+  test("distributed backend == local backend on the same data") {
+    val gen = RandomProblem.generate(spark, 400, 4, family = "gaussian", seed = 11)
+    val local = Slope.fit(gen.df, "features", "label", SlopeParams(nSigma = 10))
+    val dist = Slope.fit(gen.df, "features", "label",
+      SlopeParams(nSigma = 10, localCellLimit = 0))
+    assert(local.nSteps == dist.nSteps)
+    for (s <- 0 until local.nSteps) {
+      val d = local.coefs(s).zip(dist.coefs(s)).map { case (a, b) => math.abs(a - b) }
+      assert(d.max < 1e-6, s"step $s max diff ${d.max}")
+    }
+  }
+
+  test("distributed backend binomial == local binomial") {
+    val gen = RandomProblem.generate(spark, 400, 3, family = "binomial", seed = 13)
+    val p = SlopeParams(family = "binomial", nSigma = 6)
+    val local = Slope.fit(gen.df, "features", "label", p)
+    val dist = Slope.fit(gen.df, "features", "label", p.copy(localCellLimit = 0))
+    for (s <- 0 until math.min(local.nSteps, dist.nSteps)) {
+      val d = local.coefs(s).zip(dist.coefs(s)).map { case (a, b) => math.abs(a - b) }
+      assert(d.max < 1e-6, s"step $s max diff ${d.max}")
+    }
+  }
+}
