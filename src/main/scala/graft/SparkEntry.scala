@@ -72,17 +72,23 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- SURVEY §2.9: relational substrate of the SLOPE engine ----
     "q_moments" -> ((s, dir) => {
-      // per-feature standardization moments (standardize.h:17-39)
-      val base = li(s, dir)
-      Feats.map { f =>
-        base.select(
-          lit(f).as("feature"),
-          round(avg(col(f)), 6).as("mean_v"),
-          round(stddev_samp(col(f)), 6).as("sd_v"),
-          round(avg(abs(col(f))), 6).as("l1n_v"),
-          round(sqrt(avg(col(f) * col(f))), 6).as("l2n_v"),
-          round(max(col(f)), 6).as("max_v"))
-      }.reduce(_ unionAll _).orderBy("feature")
+      // per-feature standardization moments (standardize.h:17-39).
+      // ONE scan: every aggregate in a single pass, then a 3-row
+      // unpivot of the result (a union of per-feature aggregations
+      // would read the table |features| times).
+      val aggs = Feats.flatMap { f =>
+        Seq(round(avg(col(f)), 6).as(s"mean_$f"),
+          round(stddev_samp(col(f)), 6).as(s"sd_$f"),
+          round(avg(abs(col(f))), 6).as(s"l1n_$f"),
+          round(sqrt(avg(col(f) * col(f))), 6).as(s"l2n_$f"),
+          round(max(col(f)), 6).as(s"max_$f"))
+      }
+      li(s, dir).agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(Feats.map(f => struct(
+          lit(f).as("feature"), col(s"mean_$f").as("mean_v"),
+          col(s"sd_$f").as("sd_v"), col(s"l1n_$f").as("l1n_v"),
+          col(s"l2n_$f").as("l2n_v"), col(s"max_$f").as("max_v"))): _*)).as("r"))
+        .select("r.*").orderBy("feature")
     }),
 
     "q_null_model" -> ((s, dir) => {
@@ -100,25 +106,30 @@ object SparkEntry {
 
     "q_lambda_max" -> ((s, dir) => {
       // per-feature null-model gradient / n: avg(x*y) - avg(x)*avg(y)
-      // (lambdaMax.h gaussian branch on centered y)
-      val base = li(s, dir)
+      // (lambdaMax.h gaussian branch on centered y); single scan
       val y = col("l_extendedprice")
-      Feats.map { f =>
-        base.select(lit(f).as("feature"),
-          round(avg(col(f) * y) - avg(col(f)) * avg(y), 4).as("grad_over_n"))
-      }.reduce(_ unionAll _).orderBy("feature")
+      val aggs = Feats.map(f =>
+        round(avg(col(f) * y) - avg(col(f)) * avg(y), 4).as(s"g_$f"))
+      li(s, dir).agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(Feats.map(f => struct(
+          lit(f).as("feature"), col(s"g_$f").as("grad_over_n"))): _*)).as("r"))
+        .select("r.*").orderBy("feature")
     }),
 
     "q_gram" -> ((s, dir) => {
-      // standardized Gram entries = pairwise correlations (owl.cpp:183-187)
-      val base = li(s, dir)
+      // standardized Gram entries = pairwise correlations
+      // (owl.cpp:183-187); all pairs in one scan
       val pairs = for {
         i <- Feats.indices; j <- Feats.indices if i < j
       } yield (Feats(i), Feats(j))
-      pairs.map { case (a, b) =>
-        base.select(lit(a).as("f1"), lit(b).as("f2"),
-          round(corr(col(a), col(b)), 6).as("corr_v"))
-      }.reduce(_ unionAll _).orderBy("f1", "f2")
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"c_${a}_$b")
+      }
+      li(s, dir).agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(pairs.map { case (a, b) => struct(
+          lit(a).as("f1"), lit(b).as("f2"), col(s"c_${a}_$b").as("corr_v"))
+        }: _*)).as("r"))
+        .select("r.*").orderBy("f1", "f2")
     }),
 
     "q_loss_sums" -> ((s, dir) => {
@@ -385,6 +396,24 @@ object SparkEntry {
       val ga = graft.slope.kernels.LambdaSequence.gaussian(20, 0.1, 1000L)
       bh.indices.map(i => (i, bh(i), ga(i))).toDF("i", "bh_v", "gaussian_v")
         .orderBy("i")
+    }),
+
+    "q_diagnostics" -> ((s, dir) => {
+      // per-iteration solver diagnostics (setupDiagnostics.R:9-25):
+      // primal/dual objective per FISTA pass of a binomial fit
+      val base = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"),
+        when(col("l_returnflag") === "A", "A").otherwise("other").as("label"))
+      val m = Slope.fit(base, "features", "label",
+        SlopeParams(family = "binomial", nSigma = 5, diagnostics = true))
+      import s.implicits._
+      val rows = for {
+        step <- m.diagnostics.indices
+        it <- m.diagnostics(step).primals.indices
+      } yield (step, it, m.diagnostics(step).primals(it),
+        m.diagnostics(step).duals(it))
+      rows.toDF("step", "iteration", "primal", "dual")
+        .orderBy("step", "iteration")
     }),
 
     "q_multimodal_decode" -> ((s, dir) => {

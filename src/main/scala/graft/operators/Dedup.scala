@@ -204,7 +204,7 @@ object Dedup {
     left.join(right, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.dotUnrolled(col("v_a"), col("v_b"), dim).as("cosine"))
+        VectorFunctions.dot(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

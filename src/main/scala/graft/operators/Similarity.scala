@@ -33,9 +33,10 @@ object Similarity {
       normalize(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("cv"))
-    val pairScore =
-      if (dim > 0) dotUnrolled(col("qv"), col("cv"), dim)
-      else dot(col("qv"), col("cv"))
+    // measured: for wide vectors (dim ~64) the unrolled form loses to
+    // the HOF dot (codegen splits the giant expression into non-inlined
+    // calls); unrolling only pays off for narrow linear predictors
+    val pairScore = dot(col("qv"), col("cv"))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), pairScore.as("score"))
