@@ -398,6 +398,15 @@ object SparkEntry {
         .orderBy("i")
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (streaming/EventStreams batch oracle);
+      // session stats are tie-order-robust, so the hash compare holds
+      graft.streaming.EventStreams.sessionizeBatch(events(s, dir), gapSec = 1800)
+        .select(col("user_id"), col("start_sec"), col("end_sec"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "start_sec")
+    }),
+
     "q_diagnostics" -> ((s, dir) => {
       // per-iteration solver diagnostics (setupDiagnostics.R:9-25):
       // primal/dual objective per FISTA pass of a binomial fit
@@ -613,7 +622,29 @@ object SparkEntry {
 
       "q_lambda_oscar" ->
         """SELECT i::INT AS i, round(0.3*(20 - 1 - i) + 1, 6) AS lambda_v
-           FROM (SELECT unnest(range(20)) AS i) ORDER BY i"""
+           FROM (SELECT unnest(range(20)) AS i) ORDER BY i""",
+
+      "q_sessionize" ->
+        """WITH e AS (
+             SELECT user_id, epoch_ns(ts)//1000000000 AS sec, value FROM events),
+           l AS (
+             SELECT user_id, sec, value,
+               lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+             FROM e),
+           n AS (
+             SELECT user_id, sec, value,
+               CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS ns
+             FROM l),
+           s AS (
+             SELECT user_id, sec, value,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+                             ROWS UNBOUNDED PRECEDING) AS sid
+             FROM n)
+           SELECT user_id, min(sec)::BIGINT AS start_sec,
+             max(sec)::BIGINT AS end_sec, count(*)::BIGINT AS n_events,
+             round(sum(value), 4) AS sum_value
+           FROM s GROUP BY user_id, sid
+           ORDER BY user_id, start_sec"""
     )
   }
 }
