@@ -276,6 +276,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF (k-means inverted-file) ANN — the huge-query-set scale path
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // LSH-bucketed ANN (approximate; rows-only check)
       val e = emb(s, dir)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,6 +41,48 @@ object Similarity {
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), pairScore.as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * (MLlib, seeded) partitions the corpus into `nLists` cells; each
+    * query scores only the corpus vectors in its `nProbe` nearest
+    * cells. The classic FAISS-style scale path when both sides are
+    * large: corpus shuffles once on cell id, queries replicate only
+    * nProbe times, and candidate volume is corpus/nLists * nProbe.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(
+      col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val centers = km.clusterCenters.map(_.toArray)
+
+    def cellDists(v: Column): Column = array(centers.zipWithIndex.map {
+      case (c, i) =>
+        struct(l2Sq(v, array(c.map(lit(_)): _*)).as("d"), lit(i).as("cell"))
+    }: _*)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("cv"),
+      element_at(array_sort(cellDists(col(vecCol))), 1).getField("cell").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"),
+      explode(transform(slice(array_sort(cellDists(col(vecCol))), 1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    val scored = q.join(c, "cell")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("score"))
+      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

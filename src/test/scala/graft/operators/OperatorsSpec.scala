@@ -120,6 +120,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("ivf topk: high recall vs brute force on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(12)(rng.nextGaussian() * 3))
+    val vecs = (0L until 160L).map { i =>
+      val c = centers(rng.nextInt(4))
+      (i, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, df, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ivf recall $recall too low")
+  }
+
   test("text functions: tokenization, ratios, langid markers") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,100 @@
+package graft.slope
+
+import graft.slope.kernels.{LambdaSequence, Prox, Screening}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized property suite (seeded) for the driver-side kernels —
+  * the invariants that, if violated, silently corrupt paths (SURVEY
+  * §7.3 hard parts #1-2). 200 cases per property. */
+class PropertySpec extends AnyFunSuite {
+
+  def cases[A](n: Int)(mk: scala.util.Random => A)(check: A => Unit): Unit =
+    (1 to n).foreach { i => check(mk(new scala.util.Random(i * 7919L))) }
+
+  def randVec(rng: scala.util.Random): Array[Double] =
+    Array.fill(1 + rng.nextInt(30))(rng.nextDouble() * 20 - 10)
+
+  def lambdaFor(p: Int, rng: scala.util.Random): Array[Double] =
+    Array.fill(p)(rng.nextDouble() * 3).sorted(Ordering[Double].reverse)
+
+  test("prox output preserves the sorted-L1 structural invariants") {
+    cases(200) { rng => (randVec(rng), rng) } { case (v, rng) =>
+      val lam = lambdaFor(v.length, rng)
+      val x = Prox.sortedL1(v, lam)
+      // shrinkage: |x_i| <= |v_i| and sign(x_i) in {0, sign(v_i)}
+      for (i <- v.indices) {
+        assert(math.abs(x(i)) <= math.abs(v(i)) + 1e-12)
+        assert(x(i) == 0.0 || math.signum(x(i)) == math.signum(v(i)))
+      }
+      // order preservation: |v_i| >= |v_j| => |x_i| >= |x_j|
+      val ord = v.indices.sortBy(i => -math.abs(v(i)))
+      for (t <- 1 until ord.length) {
+        assert(math.abs(x(ord(t - 1))) >= math.abs(x(ord(t))) - 1e-12,
+          s"order violated at $t for v=${v.toList}")
+      }
+      // idempotence with zero weights, up to 1 ulp: PAVA averages tie
+      // groups, and (a+a+a)/3 is not bit-identical to a
+      val x2 = Prox.sortedL1(x, Array.fill(v.length)(0.0))
+      assert(x.indices.forall(i =>
+        math.abs(x2(i) - x(i)) <= 4 * Math.ulp(math.abs(x(i)))),
+        s"zero-lambda prox not identity: ${x.toList} -> ${x2.toList}")
+    }
+  }
+
+  test("prox with constant lambda equals elementwise soft thresholding") {
+    cases(200) { rng => (randVec(rng), rng.nextDouble() * 5) } { case (v, lam) =>
+      val x = Prox.sortedL1(v, Array.fill(v.length)(lam))
+      for (i <- v.indices) {
+        val st = math.signum(v(i)) * math.max(0.0, math.abs(v(i)) - lam)
+        assert(math.abs(x(i) - st) < 1e-12,
+          s"soft-threshold mismatch at $i: ${x(i)} vs $st")
+      }
+    }
+  }
+
+  test("infeasibility: nonneg, monotone in |gradient|, zero inside the ball") {
+    cases(200) { rng => (randVec(rng), rng) } { case (g, rng) =>
+      val lam = lambdaFor(g.length, rng)
+      val base = Screening.infeasibility(g, lam)
+      assert(base >= 0.0)
+      assert(Screening.infeasibility(g.map(_ * 2.0), lam) >= base - 1e-12)
+      assert(Screening.infeasibility(lam.map(_ * 0.9), lam) == 0.0)
+    }
+  }
+
+  test("sigmaMax is the exact null-model boundary") {
+    cases(200) { rng => (randVec(rng), rng) } { case (g, rng) =>
+      if (g.exists(v => math.abs(v) > 1e-9)) {
+        val lam = lambdaFor(g.length, rng).map(_ + 0.1) // strictly positive
+        val sm = LambdaSequence.sigmaMax(g.map(math.abs), lam)
+        val above = Prox.sortedL1(g, lam.map(_ * sm * (1 + 1e-9)))
+        assert(above.forall(x => math.abs(x) < 1e-7),
+          s"not null above sigmaMax: ${above.toList}")
+      }
+    }
+  }
+
+  test("lambda sequences are positive, finite, non-increasing") {
+    cases(200) { rng =>
+      (1 + rng.nextInt(200), 0.001 + rng.nextDouble() * 0.99,
+        2L + rng.nextInt(100000))
+    } { case (nl, q, n) =>
+      for (lam <- Seq(LambdaSequence.bh(nl, q),
+        LambdaSequence.gaussian(nl, q, n), LambdaSequence.oscar(nl, q))) {
+        assert(lam.sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12))
+        assert(lam.forall(v => v > 0 && !v.isNaN && !v.isInfinity))
+      }
+    }
+  }
+
+  test("set operations behave like Set algebra") {
+    cases(200) { rng =>
+      def idx() = Array.fill(rng.nextInt(30))(rng.nextInt(50)).distinct.sorted
+      (idx(), idx())
+    } { case (a, b) =>
+      assert(Screening.union(a, b).toSet == a.toSet ++ b.toSet)
+      assert(Screening.diff(a, b).toSet == a.toSet -- b.toSet)
+      assert(Screening.intersect(a, b).toSet == (a.toSet & b.toSet))
+    }
+  }
+}
