@@ -260,7 +260,7 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
-        "vec_id", "embedding", k = 5, dim = 64)
+        "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")

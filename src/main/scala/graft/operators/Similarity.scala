@@ -26,17 +26,15 @@ object Similarity {
     * top-k per query. `queries`/`corpus` need (idCol, vecCol). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
-                     excludeSelf: Boolean = true,
-                     dim: Int = -1): DataFrame = {
-    // normalize each side once; the quadratic stage is then a bare dot
-    // (unrolled into codegen'd arithmetic when dim is known)
+                     excludeSelf: Boolean = true): DataFrame = {
+    // normalize each side once; the quadratic stage is then a bare dot.
+    // (Measured: for wide vectors the statically-unrolled dot loses to
+    // the HOF form once codegen splits the giant expression, so no dim
+    // fast path here.)
     val q = queries.select(col(idCol).as("query_id"),
       normalize(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("cv"))
-    // measured: for wide vectors (dim ~64) the unrolled form loses to
-    // the HOF dot (codegen splits the giant expression into non-inlined
-    // calls); unrolling only pays off for narrow linear predictors
     val pairScore = dot(col("qv"), col("cv"))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))

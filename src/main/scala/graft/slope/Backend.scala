@@ -171,10 +171,13 @@ class DistributedBackend(
     val pRaw: Int,
     val m: Int,
     val fitIntercept: Boolean,
-    treeDepth: Int = 2) extends SlopeBackend {
+    treeDepth: Int = 2,
+    knownN: Long = -1L) extends SlopeBackend {
 
   rows.persist(StorageLevel.MEMORY_AND_DISK)
-  lazy val n: Long = rows.count()
+  // callers that already counted (Slope.fit does, for the backend
+  // decision) pass n in — saves a full scan per fit
+  lazy val n: Long = if (knownN >= 0) knownN else rows.count()
 
   private var xCenter: Array[Double] = new Array[Double](pInt)
   private var xScale: Array[Double] = Array.fill(pInt)(1.0)
@@ -278,7 +281,6 @@ class DistributedBackend(
       active, betaActive, mm, pRaw, fitIntercept, xCenter, xScale)
     val bcW = sc.broadcast(w)
     val bcB = sc.broadcast(b)
-    val bcActive = sc.broadcast(active)
     val fi = fitIntercept
     val p = pRaw
     // slot map: raw feature index -> active slot (or -1)
@@ -323,7 +325,7 @@ class DistributedBackend(
         var i = 0; while (i < bufLen) { b1(i) += b2(i); i += 1 }; b1
       }, depth = treeDepth)
 
-    bcW.destroy(); bcB.destroy(); bcActive.destroy(); bcSlot.destroy()
+    bcW.destroy(); bcB.destroy(); bcSlot.destroy()
 
     val grad = if (needGrad) {
       val s0 = java.util.Arrays.copyOfRange(result, 2, 2 + mm)

@@ -111,8 +111,12 @@ object SlopeCv {
       CvCell(q, sigma(step), measure, mean, se, mean - ci, mean + ci)
     }
 
+    // higher-is-better measures maximize; the reference applies
+    // which.min to every measure (trainOwl.R:165), which would pick the
+    // WORST model when tuning on AUC — deliberate deviation
     val optima = ms.map { m =>
-      summary.filter(_.measure == m).minBy(_.mean)
+      val cells = summary.filter(_.measure == m)
+      if (m == "auc") cells.maxBy(_.mean) else cells.minBy(_.mean)
     }
 
     withFolds.unpersist()

@@ -164,7 +164,7 @@ object Slope {
       val enc = responseEncoder(params.family, classNames, yCenter, m)
       val rdd = sel.rdd.map { r => (toVec(r.get(0)), enc(r.get(1))) }
       val backend = new DistributedBackend(rdd, p, m, params.fitIntercept,
-        params.treeDepth)
+        params.treeDepth, knownN = n)
       try fitBackend(backend, params, yCenter, classNames, nClasses)
       finally backend.unpersist()
     }
@@ -267,11 +267,14 @@ object Slope {
     val anySparse = backend match {
       case l: LocalBackend => l.xs.exists(_.isInstanceOf[org.apache.spark.ml.linalg.SparseVector])
       case d: DistributedBackend =>
-        d.rows.take(1).exists(_._1.isInstanceOf[org.apache.spark.ml.linalg.SparseVector])
+        // sample-based: cheap, and only steers the DEFAULT below. An
+        // explicit params.center always wins, and unlike the reference
+        // (which mutates X and must refuse center+sparse,
+        // R/owl.R:359-360) centering here is folded into the row
+        // kernels, so it is safe on sparse data either way.
+        d.rows.take(100).exists(_._1.isInstanceOf[org.apache.spark.ml.linalg.SparseVector])
     }
     val center = params.center.getOrElse(!anySparse)
-    require(!(center && anySparse),
-      "centering would destroy sparsity in x (predictors)")
 
     val xCenterRaw =
       if (center) backend.featureMeans() else new Array[Double](p)
@@ -567,9 +570,15 @@ object Slope {
           xbarBeta += xCenter(r) * v
           r += 1
         }
+        // Without a fitted intercept the reference drops both y_center
+        // and the x-centering offset from served predictions (rescale.h
+        // only restores them onto the intercept row) — leaving every
+        // prediction biased by mean(y) - sum(c_j b_j). We keep the
+        // COEFFICIENTS reference-faithful but carry the offset in the
+        // intercepts slot so linearPredictor/serving are unbiased.
         ic(kk) =
           if (intercept) b(kk * pInt) / xScale(0) * yScaleArr(kk) + yCenter - xbarBeta
-          else 0.0
+          else yCenter - xbarBeta
         kk += 1
       }
       interceptsOut(s) = ic

@@ -27,7 +27,7 @@ object Stats {
   /** log with zero/negative trapped to log(smallest positive double) and
     * +inf trapped to log(largest double) (Armadillo `trunc_log`). */
   def truncLog(x: Double): Double =
-    if (x.isInfinity) 709.782712893384 // log(Double.MaxValue)
-    else if (x <= Double.MinPositiveValue) -744.4400719213812 // log(MinPositiveValue)
+    if (x <= Double.MinPositiveValue) -744.4400719213812 // log(MinPositiveValue)
+    else if (x.isInfinity) 709.782712893384 // log(Double.MaxValue); +Inf only
     else math.log(x)
 }

@@ -64,31 +64,56 @@ object EventStreams {
       .drop("session_id")
   }
 
-  /** Streaming sessionization via typed state: emits a session when the
-    * inactivity gap passes (processing-time timeout). */
-  def sessionizeStream(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+  /** Streaming sessionization via typed state
+    * (`flatMapGroupsWithState` + event-time timeout): events extend or
+    * split the per-user session by the same gap rule as
+    * [[sessionizeBatch]]; a session is emitted exactly once — either
+    * when a later event for the same user lands past the gap, or when
+    * the WATERMARK passes `last + gap` (inactivity flush; state
+    * removed). Event-time timeouts keep micro-batches data-driven
+    * (a processing-time timeout would schedule continuous batches). */
+  def sessionizeStream(events: DataFrame, gapSec: Long = 1800,
+                       watermarkDelay: String = "10 seconds"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val tsSec = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => (col("ts") / 1000000000L).cast("long")
       case _ => unix_timestamp(col("ts"))
     }
-    val typed = events.select(col("user_id").as("userId"), tsSec.as("sec"),
-      col("value")).as[(Long, Long, Double)]
+    val withTs = events.select(col("user_id").as("userId"), tsSec.as("sec"),
+      col("value"), timestamp_seconds(tsSec).as("__ts"))
+    val wm =
+      if (withTs.isStreaming) withTs.withWatermark("__ts", watermarkDelay)
+      else withTs
+    // the watermark column must flow into the typed dataset — projecting
+    // it away disables event-time timeouts
+    val typed = wm.select(col("userId"), col("sec"), col("value"), col("__ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_._2)
-          var st = state.getOption.getOrElse(
-            SessionState(Long.MaxValue, Long.MinValue, 0, 0.0))
-          sorted.foreach { case (_, sec, v) =>
-            st = SessionState(math.min(st.start, sec), math.max(st.last, sec),
-              st.n + 1, st.sumValue + v)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SessionOut(uid, st.start, st.last, st.n, st.sumValue))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var st = state.getOption.orNull
+            rows.toSeq.sortBy(_._2).foreach { case (_, sec, v, _) =>
+              if (st == null) st = SessionState(sec, sec, 1, v)
+              else if (sec - st.last > gapSec) {
+                out += SessionOut(uid, st.start, st.last, st.n, st.sumValue)
+                st = SessionState(sec, sec, 1, v)
+              } else st = SessionState(st.start, math.max(st.last, sec),
+                st.n + 1, st.sumValue + v)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp((st.last + gapSec) * 1000)
+            }
+            out.iterator
           }
-          state.update(st)
-          state.setTimeoutDuration(gapSec * 1000)
-          SessionOut(uid, st.start, st.last, st.n, st.sumValue)
       }.toDF()
   }
 }

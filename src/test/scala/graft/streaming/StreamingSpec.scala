@@ -47,6 +47,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sessionization: gap splits emit finalized sessions once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000000000L
+    def ev(id: Long, plusSec: Long, uid: Long, v: Double) =
+      (id, t0 + plusSec * 1000000000L, uid, "click", v)
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.sessionizeStream(streamDf, gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    // batch 1: two events in one session for user 1
+    stream.addData(ev(1, 0, 1, 1.0), ev(2, 600, 1, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_test").count() == 0, "session still open")
+    // batch 2: event past the gap -> finalizes the first session
+    stream.addData(ev(3, 5000, 1, 3.0))
+    q.processAllAvailable()
+    val got = spark.table("sess_test").collect()
+    q.stop()
+    assert(got.length == 1, s"expected one finalized session: ${got.toList}")
+    val r = got(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 1700000000L && r.getLong(2) == 1700000600L)
+    assert(r.getInt(3) == 2 && math.abs(r.getDouble(4) - 3.0) < 1e-12)
+  }
+
   test("batch sessionization: gap splits sessions correctly") {
     import spark.implicits._
     // user 1: two sessions (gap 3600 > 1800); user 2: one session
