@@ -296,6 +296,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- relational: star-schema join-aggregate ----
+    "q_star_join" -> ((s, dir) => {
+      // revenue by region/returnflag: fact table joins three broadcast
+      // dimensions (classic star shape — dims broadcast, fact never
+      // shuffles before the final group-by)
+      val l = li(s, dir)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("r_name", "l_returnflag")
+    }),
+
     // ---- events: relational windowed aggregation ----
     "q_events_window" -> ((s, dir) => {
       // ts arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong)
@@ -633,6 +654,17 @@ object SparkEntry {
       "q_lambda_oscar" ->
         """SELECT i::INT AS i, round(0.3*(20 - 1 - i) + 1, 6) AS lambda_v
            FROM (SELECT unnest(range(20)) AS i) ORDER BY i""",
+
+      "q_star_join" ->
+        """SELECT r_name, l_returnflag, count(*)::BIGINT AS n_rows,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, l_returnflag
+           ORDER BY r_name, l_returnflag""",
 
       "q_sessionize" ->
         """WITH e AS (

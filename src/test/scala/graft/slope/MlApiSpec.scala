@@ -73,4 +73,28 @@ class MlApiSpec extends AnyFunSuite {
       assert(d.max < 1e-6, s"step $s max diff ${d.max}")
     }
   }
+
+  test("distributed backend poisson and multinomial == local") {
+    for (family <- Seq("poisson", "multinomial")) {
+      val (df, p) =
+        if (family == "poisson")
+          (RandomProblem.generate(spark, 300, 3, family = "poisson", seed = 19).df,
+            SlopeParams(family = "poisson", nSigma = 5))
+        else {
+          // multinomial labels from a 3-way split of a random score
+          val g = RandomProblem.generate(spark, 300, 3, family = "gaussian", seed = 23)
+          import org.apache.spark.sql.functions._
+          (g.df.withColumn("label",
+            when(col("label") > 1.0, "hi").when(col("label") < -1.0, "lo")
+              .otherwise("mid")),
+            SlopeParams(family = "multinomial", nSigma = 5))
+        }
+      val local = Slope.fit(df, "features", "label", p)
+      val dist = Slope.fit(df, "features", "label", p.copy(localCellLimit = 0))
+      for (s <- 0 until math.min(local.nSteps, dist.nSteps)) {
+        val d = local.coefs(s).zip(dist.coefs(s)).map { case (a, b) => math.abs(a - b) }
+        assert(d.max < 1e-6, s"$family step $s max diff ${d.max}")
+      }
+    }
+  }
 }
