@@ -167,9 +167,13 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), n)).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val wdf = Window.partitionBy("s")
-    val pruned = sh.withColumn("__df", count(lit(1)).over(wdf))
-      .filter(col("__df") <= maxDf).drop("__df")
+    val pruned =
+      if (maxDf == Int.MaxValue) sh // unbounded: skip the df-count shuffle
+      else {
+        val wdf = Window.partitionBy("s")
+        sh.withColumn("__df", count(lit(1)).over(wdf))
+          .filter(col("__df") <= maxDf).drop("__df")
+      }
     val left = pruned.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val right = pruned.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
     left.join(right, "s")
