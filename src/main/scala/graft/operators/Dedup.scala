@@ -167,13 +167,17 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), n)).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val pruned =
+    val prunedRaw =
       if (maxDf == Int.MaxValue) sh // unbounded: skip the df-count shuffle
       else {
         val wdf = Window.partitionBy("s")
         sh.withColumn("__df", count(lit(1)).over(wdf))
           .filter(col("__df") <= maxDf).drop("__df")
       }
+    // materialize the exploded index behind ONE exchange on the join
+    // key: both self-join sides then reuse it (ReuseExchange), instead
+    // of recomputing the shingle explosion twice
+    val pruned = prunedRaw.repartition(col("s"))
     val left = pruned.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val right = pruned.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
     left.join(right, "s")
