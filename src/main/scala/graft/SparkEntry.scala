@@ -296,6 +296,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- composed training-data pipeline: filter -> dedup -> join ->
+    // aggregate, one declarative plan ----
+    "q_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.6)
+      val deduped = Dedup.dropExactDuplicates(d, "doc_id", "text")
+      val joined = deduped.join(emb(s, dir),
+        deduped("doc_id") === col("vec_id"))
+      joined.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          round(avg(VectorFunctions.norm2(col("embedding"))), 6).as("avg_norm"))
+        .orderBy("lang")
+    }),
+
     // ---- relational: star-schema join-aggregate ----
     "q_star_join" -> ((s, dir) => {
       // revenue by region/returnflag: fact table joins three broadcast
@@ -654,6 +670,31 @@ object SparkEntry {
       "q_lambda_oscar" ->
         """SELECT i::INT AS i, round(0.3*(20 - 1 - i) + 1, 6) AS lambda_v
            FROM (SELECT unnest(range(20)) AS i) ORDER BY i""",
+
+      "q_pipeline" ->
+        s"""WITH n AS (
+             SELECT doc_id, lang, $NormSql AS norm,
+                    ' ' || $NormSql || ' ' AS pad, $wcSql AS wc
+             FROM documents),
+           q AS (
+             SELECT doc_id, lang, norm,
+               round(least(wc::DOUBLE/50.0, 1.0)*0.4
+                 + (CASE WHEN (CASE WHEN wc = 0 THEN 0.0 ELSE (length(norm) - (wc - 1))::DOUBLE / wc END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)*0.3
+                 + least((CASE WHEN wc = 0 THEN 0.0 ELSE ($stopHits)::DOUBLE / wc END)*4.0, 1.0)*0.3, 6) AS quality
+             FROM n),
+           f AS (SELECT * FROM q WHERE quality >= 0.6),
+           d AS (
+             SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+             FROM f),
+           j AS (
+             SELECT d.lang, d.quality,
+               sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+             FROM d JOIN embeddings e ON d.doc_id = e.vec_id
+             WHERE d.rn = 1)
+           SELECT lang, count(*)::BIGINT AS n_docs,
+             round(avg(quality), 6) AS avg_quality,
+             round(avg(nrm), 6) AS avg_norm
+           FROM j GROUP BY lang ORDER BY lang""",
 
       "q_star_join" ->
         """SELECT r_name, l_returnflag, count(*)::BIGINT AS n_rows,
