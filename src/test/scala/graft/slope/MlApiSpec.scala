@@ -74,6 +74,46 @@ class MlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorUDT features column (ml Vectors) fits like array<double>") {
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (1 to 200).map { _ =>
+      val x = Array.fill(4)(rng.nextGaussian())
+      (Vectors.dense(x), x(0) * 2 - x(2) + rng.nextGaussian() * 0.1)
+    }
+    val dfVec = rows.toDF("features", "label")
+    val dfArr = rows.map { case (v, y) => (v.toArray, y) }.toDF("features", "label")
+    val mv = Slope.fit(dfVec, "features", "label", SlopeParams(nSigma = 8))
+    val ma = Slope.fit(dfArr, "features", "label", SlopeParams(nSigma = 8))
+    assert(mv.nSteps == ma.nSteps)
+    for (s <- 0 until mv.nSteps)
+      assert(mv.coefs(s).zip(ma.coefs(s)).forall { case (a, b) => a == b })
+  }
+
+  test("distributed sparse fit == distributed dense fit") {
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 300).map { _ =>
+      val x = Array.fill(5)(if (rng.nextDouble() < 0.4) rng.nextGaussian() else 0.0)
+      (x, x(0) - 2 * x(3) + rng.nextGaussian() * 0.1)
+    }
+    val dense = rows.map { case (x, y) => (Vectors.dense(x), y) }
+      .toDF("features", "label")
+    val sparse = rows.map { case (x, y) => (Vectors.dense(x).toSparse
+      .asInstanceOf[org.apache.spark.ml.linalg.Vector], y) }
+      .toDF("features", "label")
+    val p = SlopeParams(nSigma = 8, center = Some(false), localCellLimit = 0)
+    val md = Slope.fit(dense, "features", "label", p)
+    val ms = Slope.fit(sparse, "features", "label", p)
+    assert(md.nSteps == ms.nSteps)
+    for (s <- 0 until md.nSteps) {
+      val d = md.coefs(s).zip(ms.coefs(s)).map { case (a, b) => math.abs(a - b) }
+      assert(d.max < 1e-8, s"step $s max diff ${d.max}")
+    }
+  }
+
   test("distributed backend poisson and multinomial == local") {
     for (family <- Seq("poisson", "multinomial")) {
       val (df, p) =
