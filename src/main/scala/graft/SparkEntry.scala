@@ -250,6 +250,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dup_clusters" -> ((s, dir) => {
+      // near-dup clusters over the exact-jaccard pair graph (connected
+      // components; rows-only — deterministic but graph-recursive)
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.05, maxDf = Int.MaxValue)
+      Dedup.dupClusters(pairs).orderBy("id")
+    }),
+
     "q_simhash_dedup" -> ((s, dir) => {
       // SimHash near-dup candidates (not SQL-expressible: xxhash64)
       Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)

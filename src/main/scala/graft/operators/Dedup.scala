@@ -190,6 +190,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate clusters from a candidate-pair table (id_a, id_b):
+    * connected components over the similarity graph, one row per
+    * document appearing in some pair, with the cluster's canonical
+    * (minimum) id. The standard step that turns pairwise near-dup hits
+    * into "keep one per cluster" drop lists at corpus scale. */
+  def dupClusters(pairs: DataFrame, idColA: String = "id_a",
+                  idColB: String = "id_b"): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(idColA).cast("long"), col(idColB).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph.fromEdges(edges, ())
+    graph.connectedComponents().vertices
+      .toDF("id", "cluster_id")
+      .orderBy("id")
+  }
+
+  /** Drop list from near-dup clusters: every non-canonical member. */
+  def dupDropList(pairs: DataFrame): DataFrame =
+    dupClusters(pairs).filter(col("id") =!= col("cluster_id")).select("id")
+
   /** Embedding near-duplicate pairs: cosine >= `threshold`.
     *
     * Candidates come from sign-bit LSH buckets (`nBits` hyperplanes) —

@@ -120,6 +120,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("dup clusters: connected components give canonical ids") {
+    import spark.implicits._
+    // 1-2, 2-3 chain; 5-6 pair; 9 isolated (not in pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val drops = Dedup.dupDropList(pairs).collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L, 3L, 6L))
+  }
+
   test("ivf topk: high recall vs brute force on clustered data") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
