@@ -15,22 +15,6 @@ object VectorFunctions {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Dot product unrolled over a statically-known dimension: plain
-    * element_at arithmetic stays inside whole-stage codegen, where the
-    * higher-order-function form evaluates interpreted (~10x slower on
-    * quadratic candidate stages). Semantically identical to [[dot]]
-    * (same left-to-right summation order). */
-  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(i =>
-      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
-      .reduce(_ + _)
-
-  /** Unrolled squared norm (see [[dotUnrolled]]). */
-  def normSqUnrolled(a: Column, dim: Int): Column =
-    (0 until dim).map { i =>
-      val v = element_at(a, i + 1).cast("double"); v * v
-    }.reduce(_ + _)
-
   /** Euclidean norm. */
   def norm2(a: Column): Column =
     sqrt(aggregate(a, lit(0.0),

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Drop over-sized (band, bucket) groups before any self-join: the
+    * quadratic-skew guard shared by the LSH pair generators. */
+  private def pruneBuckets(banded: org.apache.spark.sql.DataFrame,
+                           maxBucket: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("band", "bucket")
+    banded.withColumn("__sz", count(lit(1)).over(w))
+      .filter(col("__sz") <= maxBucket).drop("__sz")
+  }
+
   /** Exact-duplicate groups by content fingerprint: one row per
     * distinct normalized text with its cardinality and canonical
     * (minimum) id. Map-side combine via the single groupBy. */
@@ -88,9 +97,7 @@ object Dedup {
         .as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
 
-    val w = Window.partitionBy("band", "bucket")
-    val pruned = banded.withColumn("__sz", count(lit(1)).over(w))
-      .filter(col("__sz") <= maxBucket).drop("__sz")
+    val pruned = pruneBuckets(banded, maxBucket)
 
     val left = pruned.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -106,9 +113,6 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of the word stream: each word votes its hash bits
-    * up/down; the sign pattern is the fingerprint. One projection per
-    * row (aggregate over the words array — no shuffle). */
   /** Per-bit sign votes folded to the 64-bit fingerprint; expects an
     * already-materialized array of word hashes (see [[simhash64]]). */
   private def simhashFromHashes(hashes: Column): Column =
@@ -118,6 +122,9 @@ object Dedup {
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** 64-bit SimHash of the word stream: each word votes its hash bits
+    * up/down; the sign pattern is the fingerprint. One projection per
+    * row (aggregate over the words array — no shuffle). */
   def simhash64(textCol: Column): Column =
     simhashFromHashes(transform(split(normalizeText(textCol), " "), w => xxhash64(w)))
 
@@ -137,9 +144,7 @@ object Dedup {
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFF).as("bucket"))): _*))
         .as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
-    val w = Window.partitionBy("band", "bucket")
-    val pruned = banded.withColumn("__sz", count(lit(1)).over(w))
-      .filter(col("__sz") <= maxBucket).drop("__sz")
+    val pruned = pruneBuckets(banded, maxBucket)
     val left = pruned.select(col("band"), col("bucket"), col("id").as("id_a"),
       col("sh").as("sh_a"))
     val right = pruned.select(col("band"), col("bucket"), col("id").as("id_b"),

@@ -137,6 +137,84 @@ private[slope] object BackendKernels extends Serializable {
     (w, b)
   }
 
+  /** Raw-feature-index -> active-slot map (-1 = inactive). */
+  def slotMap(active: Array[Int], pRaw: Int, fitIntercept: Boolean): Array[Int] = {
+    val s = Array.fill(pRaw)(-1)
+    var i = 0
+    while (i < active.length) {
+      val row = active(i)
+      if (!(fitIntercept && row == 0)) s(if (fitIntercept) row - 1 else row) = i
+      i += 1
+    }
+    s
+  }
+
+  /** Per-row raw accumulation for the Gram pass. Buffer layout:
+    * [G_raw(a*a), colSum(a), xty_raw(a*m), ySum(m)]. */
+  def gramRowUpdate(x: Vector, y: Array[Double], slots: Array[Int],
+                    buf: Array[Double], a: Int, m: Int,
+                    tmpSlot: Array[Int], tmpVal: Array[Double]): Unit = {
+    val gLen = a * a
+    var cnt = 0
+    x.foreachActive { (j, v) =>
+      val s = slots(j)
+      if (s >= 0 && v != 0.0) { tmpSlot(cnt) = s; tmpVal(cnt) = v; cnt += 1 }
+    }
+    var t1 = 0
+    while (t1 < cnt) {
+      val s1 = tmpSlot(t1); val v1 = tmpVal(t1)
+      buf(gLen + s1) += v1
+      var k = 0
+      while (k < m) { buf(gLen + a + k * a + s1) += v1 * y(k); k += 1 }
+      var t2 = 0
+      while (t2 < cnt) { buf(tmpSlot(t2) * a + s1) += v1 * tmpVal(t2); t2 += 1 }
+      t1 += 1
+    }
+    var k = 0
+    while (k < m) { buf(gLen + a + a * m + k) += y(k); k += 1 }
+  }
+
+  /** Fold the raw Gram-pass buffer into the standardized Gram and
+    * Xs^T y (both column-major). */
+  def assembleGram(active: Array[Int], res: Array[Double], a: Int, m: Int,
+                   n: Long, fitIntercept: Boolean, xCenter: Array[Double],
+                   xScale: Array[Double]): (Array[Double], Array[Double]) = {
+    val gLen = a * a
+    val colSum = java.util.Arrays.copyOfRange(res, gLen, gLen + a)
+    val xtyRaw = java.util.Arrays.copyOfRange(res, gLen + a, gLen + a + a * m)
+    val ySum = java.util.Arrays.copyOfRange(res, gLen + a + a * m, res.length)
+    val nn = n.toDouble
+    val gram = new Array[Double](a * a)
+    val xty = new Array[Double](a * m)
+    var i = 0
+    while (i < a) {
+      val ri = active(i)
+      val iIsInt = fitIntercept && ri == 0
+      val ci = xCenter(ri); val si = xScale(ri)
+      var j = 0
+      while (j < a) {
+        val rj = active(j)
+        val jIsInt = fitIntercept && rj == 0
+        val cj = xCenter(rj); val sj = xScale(rj)
+        gram(j * a + i) =
+          if (iIsInt && jIsInt) nn / (si * sj)
+          else if (iIsInt) (colSum(j) - nn * cj) / (si * sj)
+          else if (jIsInt) (colSum(i) - nn * ci) / (si * sj)
+          else (res(j * a + i) - ci * colSum(j) - cj * colSum(i) + nn * ci * cj) / (si * sj)
+        j += 1
+      }
+      var k = 0
+      while (k < m) {
+        xty(k * a + i) =
+          if (iIsInt) ySum(k) / si
+          else (xtyRaw(k * a + i) - ci * ySum(k)) / si
+        k += 1
+      }
+      i += 1
+    }
+    (gram, xty)
+  }
+
   /** Fold a raw accumulation (A = sum x_j * pg_k over active feature slots,
     * s0 = sum pg_k) into the standardized-space gradient. */
   def standardizeGrad(active: Array[Int], rawA: Array[Double], s0: Array[Double],
@@ -282,19 +360,7 @@ class DistributedBackend(
     val bcW = sc.broadcast(w)
     val bcB = sc.broadcast(b)
     val fi = fitIntercept
-    val p = pRaw
-    // slot map: raw feature index -> active slot (or -1)
-    val slotOf = {
-      val s = Array.fill(p)(-1)
-      var i = 0
-      while (i < a) {
-        val row = active(i)
-        if (!(fi && row == 0)) s(if (fi) row - 1 else row) = i
-        i += 1
-      }
-      s
-    }
-    val bcSlot = sc.broadcast(slotOf)
+    val bcSlot = sc.broadcast(BackendKernels.slotMap(active, pRaw, fi))
 
     // buffer: [primal, dual, s0(m), A(a*m)]
     val bufLen = 2 + mm + (if (needGrad) a * mm else 0)
@@ -338,95 +404,19 @@ class DistributedBackend(
   def gramXty(active: Array[Int]): (Array[Double], Array[Double]) = {
     val a = active.length
     val mm = m
-    val p = pRaw
-    val fi = fitIntercept
-    val slotOf = {
-      val s = Array.fill(p)(-1)
-      var i = 0
-      while (i < a) {
-        val row = active(i)
-        if (!(fi && row == 0)) s(if (fi) row - 1 else row) = i
-        i += 1
-      }
-      s
-    }
-    val bcSlot = sc.broadcast(slotOf)
-    // raw sums: G_raw (a x a, only feature slots used), colSum (a), xty_raw (a x m), ySum (m)
-    val gLen = a * a
-    val bufLen = gLen + a + a * mm + mm
+    val bcSlot = sc.broadcast(BackendKernels.slotMap(active, pRaw, fitIntercept))
+    val bufLen = a * a + a + a * mm + mm
     val res = rows.treeAggregate(new Array[Double](bufLen))(
       { (buf, row) =>
-        val (x, y) = row
-        val slots = bcSlot.value
-        // gather active nnz of this row
-        var cnt = 0
-        val tmpSlot = new Array[Int](a)
-        val tmpVal = new Array[Double](a)
-        x.foreachActive { (j, v) =>
-          val s = slots(j)
-          if (s >= 0 && v != 0.0) { tmpSlot(cnt) = s; tmpVal(cnt) = v; cnt += 1 }
-        }
-        var t1 = 0
-        while (t1 < cnt) {
-          val s1 = tmpSlot(t1); val v1 = tmpVal(t1)
-          buf(gLen + s1) += v1 // column sum
-          var k = 0
-          while (k < mm) { buf(gLen + a + k * a + s1) += v1 * y(k); k += 1 }
-          var t2 = 0
-          while (t2 < cnt) {
-            buf(tmpSlot(t2) * a + s1) += v1 * tmpVal(t2)
-            t2 += 1
-          }
-          t1 += 1
-        }
-        var k = 0
-        while (k < mm) { buf(gLen + a + a * mm + k) += y(k); k += 1 }
+        BackendKernels.gramRowUpdate(row._1, row._2, bcSlot.value, buf, a, mm,
+          new Array[Int](a), new Array[Double](a))
         buf
       },
       { (b1, b2) =>
         var i = 0; while (i < bufLen) { b1(i) += b2(i); i += 1 }; b1
       }, depth = treeDepth)
     bcSlot.destroy()
-    assembleGram(active, res, a, mm)
-  }
-
-  private def assembleGram(active: Array[Int], res: Array[Double], a: Int, mm: Int)
-    : (Array[Double], Array[Double]) = {
-    val gLen = a * a
-    val colSum = java.util.Arrays.copyOfRange(res, gLen, gLen + a)
-    val xtyRaw = java.util.Arrays.copyOfRange(res, gLen + a, gLen + a + a * mm)
-    val ySum = java.util.Arrays.copyOfRange(res, gLen + a + a * mm, res.length)
-    val fi = fitIntercept
-    val nn = n.toDouble
-    val gram = new Array[Double](a * a)
-    val xty = new Array[Double](a * mm)
-    var i = 0
-    while (i < a) {
-      val ri = active(i)
-      val iIsInt = fi && ri == 0
-      val ci = xCenter(ri); val si = xScale(ri)
-      var j = 0
-      while (j < a) {
-        val rj = active(j)
-        val jIsInt = fi && rj == 0
-        val cj = xCenter(rj); val sj = xScale(rj)
-        gram(j * a + i) =
-          if (iIsInt && jIsInt) nn / (si * sj)
-          else if (iIsInt) (colSum(j) - nn * cj) / (si * sj)
-          else if (jIsInt) (colSum(i) - nn * ci) / (si * sj)
-          else (res(j * a + i) - ci * colSum(j) - cj * colSum(i) + nn * ci * cj) / (si * sj)
-        j += 1
-      }
-      var k = 0
-      while (k < mm) {
-        xty(k * a + i) =
-          if (iIsInt) ySum(k) / si
-          else (xtyRaw(k * a + i) - ci * ySum(k)) / si
-        k += 1
-      }
-      i += 1
-    }
-    (gram, xty)
+    BackendKernels.assembleGram(active, res, a, mm, n, fitIntercept, xCenter, xScale)
   }
 
   def xtv(rowV: Array[Double] => Array[Double]): Array[Double] = {
@@ -595,16 +585,7 @@ class LocalBackend(
     val a = active.length
     val (w, b) = BackendKernels.effectiveWeights(
       active, betaActive, m, pRaw, fitIntercept, xCenter, xScale)
-    val slotOf = {
-      val s = Array.fill(pRaw)(-1)
-      var i = 0
-      while (i < a) {
-        val row = active(i)
-        if (!(fitIntercept && row == 0)) s(if (fitIntercept) row - 1 else row) = i
-        i += 1
-      }
-      s
-    }
+    val slotOf = BackendKernels.slotMap(active, pRaw, fitIntercept)
     // buffer: [primal, dual, s0(m), rawA(a*m)]
     val bufLen = 2 + m + a * m
     val res = parallelChunks(bufLen) { (buf, start, end) =>
@@ -641,83 +622,18 @@ class LocalBackend(
 
   def gramXty(active: Array[Int]): (Array[Double], Array[Double]) = {
     val a = active.length
-    val gLen = a * a
-    val slotOf = {
-      val s = Array.fill(pRaw)(-1)
-      var i = 0
-      while (i < a) {
-        val row = active(i)
-        if (!(fitIntercept && row == 0)) s(if (fitIntercept) row - 1 else row) = i
-        i += 1
-      }
-      s
-    }
-    val buf = parallelChunks(gLen + a + a * m + m) { (chunkBuf, start, end) =>
+    val slotOf = BackendKernels.slotMap(active, pRaw, fitIntercept)
+    val buf = parallelChunks(a * a + a + a * m + m) { (chunkBuf, start, end) =>
       val tmpSlot = new Array[Int](a)
       val tmpVal = new Array[Double](a)
       var i = start
       while (i < end) {
-        val x = xs(i); val y = ys(i)
-        var cnt = 0
-        x.foreachActive { (j, v) =>
-          val s = slotOf(j)
-          if (s >= 0 && v != 0.0) { tmpSlot(cnt) = s; tmpVal(cnt) = v; cnt += 1 }
-        }
-        var t1 = 0
-        while (t1 < cnt) {
-          val s1 = tmpSlot(t1); val v1 = tmpVal(t1)
-          chunkBuf(gLen + s1) += v1
-          var k = 0
-          while (k < m) { chunkBuf(gLen + a + k * a + s1) += v1 * y(k); k += 1 }
-          var t2 = 0
-          while (t2 < cnt) { chunkBuf(tmpSlot(t2) * a + s1) += v1 * tmpVal(t2); t2 += 1 }
-          t1 += 1
-        }
-        var k = 0
-        while (k < m) { chunkBuf(gLen + a + a * m + k) += y(k); k += 1 }
+        BackendKernels.gramRowUpdate(xs(i), ys(i), slotOf, chunkBuf, a, m,
+          tmpSlot, tmpVal)
         i += 1
       }
     }
-    assembleGramLocal(active, buf, a)
-  }
-
-  private def assembleGramLocal(active: Array[Int], res: Array[Double], a: Int)
-    : (Array[Double], Array[Double]) = {
-    val gLen = a * a
-    val colSum = java.util.Arrays.copyOfRange(res, gLen, gLen + a)
-    val xtyRaw = java.util.Arrays.copyOfRange(res, gLen + a, gLen + a + a * m)
-    val ySum = java.util.Arrays.copyOfRange(res, gLen + a + a * m, res.length)
-    val fi = fitIntercept
-    val nn = n.toDouble
-    val gram = new Array[Double](a * a)
-    val xty = new Array[Double](a * m)
-    var i = 0
-    while (i < a) {
-      val ri = active(i)
-      val iIsInt = fi && ri == 0
-      val ci = xCenter(ri); val si = xScale(ri)
-      var j = 0
-      while (j < a) {
-        val rj = active(j)
-        val jIsInt = fi && rj == 0
-        val cj = xCenter(rj); val sj = xScale(rj)
-        gram(j * a + i) =
-          if (iIsInt && jIsInt) nn / (si * sj)
-          else if (iIsInt) (colSum(j) - nn * cj) / (si * sj)
-          else if (jIsInt) (colSum(i) - nn * ci) / (si * sj)
-          else (res(j * a + i) - ci * colSum(j) - cj * colSum(i) + nn * ci * cj) / (si * sj)
-        j += 1
-      }
-      var k = 0
-      while (k < m) {
-        xty(k * a + i) =
-          if (iIsInt) ySum(k) / si
-          else (xtyRaw(k * a + i) - ci * ySum(k)) / si
-        k += 1
-      }
-      i += 1
-    }
-    (gram, xty)
+    BackendKernels.assembleGram(active, buf, a, m, n, fitIntercept, xCenter, xScale)
   }
 
   def xtv(rowV: Array[Double] => Array[Double]): Array[Double] = {

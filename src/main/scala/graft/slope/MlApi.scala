@@ -141,7 +141,6 @@ object SlopeModelIO {
       "nUnique" -> m.nUnique.mkString(","),
       "xCenter" -> m.xCenter.mkString(","),
       "xScale" -> m.xScale.mkString(","))
-    import spark.implicits._
     meta.toSeq.toDF("key", "value")
       .repartition(1).write.mode("overwrite").json(s"$path/metadata")
   }
