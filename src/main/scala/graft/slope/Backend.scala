@@ -555,9 +555,11 @@ class LocalBackend(
   private def parallelChunks(bufLen: Int)(
       body: (Array[Double], Int, Int) => Unit): Array[Double] = {
     val nRows = xs.length
-    val nChunks =
-      if (nRows < 16384) 1
-      else math.min(Runtime.getRuntime.availableProcessors(), 32)
+    // fixed chunk count (not availableProcessors): the per-chunk merge
+    // order below is already deterministic, and pinning the chunk count
+    // makes the FP summation order identical across hosts — required for
+    // the golden-file oracle checks to hash-match
+    val nChunks = if (nRows < 16384) 1 else 32
     if (nChunks == 1) {
       val buf = new Array[Double](bufLen)
       body(buf, 0, nRows)

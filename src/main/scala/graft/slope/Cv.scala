@@ -56,9 +56,18 @@ object SlopeCv {
     val ms = measures.filter(valid.contains)
     require(ms.nonEmpty, s"measure needs to be one of ${valid.mkString(", ")}")
 
-    // seeded fold columns, one per repeat
+    // Deterministic fold columns, one per repeat: fold = content hash mod
+    // number. rand(seed) is only stable for a fixed partition layout —
+    // a cache eviction or upstream repartition between the fit job and
+    // the scoring job could silently swap rows across folds (train/test
+    // leakage). A row-content hash is layout-independent.
+    val featHash = df.schema(featuresCol).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => col(featuresCol)
+      case _ => org.apache.spark.ml.functions.vector_to_array(col(featuresCol))
+    }
     val foldCols = (0 until repeats).map(r =>
-      floor(rand(seed + r) * number).cast("int").as(s"__fold_$r"))
+      pmod(xxhash64(featHash, col(labelCol), lit(seed + r)), lit(number))
+        .cast("int").as(s"__fold_$r"))
     val withFolds = df.select(
       (col(featuresCol) +: col(labelCol) +: foldCols): _*).cache()
 

@@ -149,6 +149,7 @@ object Slope {
         xs(i) = toVec(rows(i).get(0)); rawY(i) = rows(i).get(1); i += 1
       }
       fitLocal(xs, rawY, params)
+      // (fitLocal validates per-row feature lengths against xs(0))
     } else {
       // distributed path
       val (classNames, yCenter) = params.family match {
@@ -162,7 +163,16 @@ object Slope {
       checkClasses(params.family, classNames)
       val m = family.nTargets(nClasses)
       val enc = responseEncoder(params.family, classNames, yCenter, m)
-      val rdd = sel.rdd.map { r => (toVec(r.get(0)), enc(r.get(1))) }
+      val pExpected = p
+      val rdd = sel.rdd.map { r =>
+        val v = toVec(r.get(0))
+        // a short dense row would otherwise silently compute a partial
+        // dot product; a long one would AIOOBE mid-job with no context
+        require(v.size == pExpected,
+          s"feature vector length ${v.size} != expected $pExpected " +
+            "(all rows must have the same dimensionality)")
+        (v, enc(r.get(1)))
+      }
       val backend = new DistributedBackend(rdd, p, m, params.fitIntercept,
         params.treeDepth, knownN = n)
       try fitBackend(backend, params, yCenter, classNames, nClasses)
@@ -175,6 +185,13 @@ object Slope {
                params: SlopeParams): SlopeModel = {
     val family = Family(params.family)
     val p = xs(0).size
+    var vi = 0
+    while (vi < xs.length) {
+      require(xs(vi).size == p,
+        s"feature vector length ${xs(vi).size} at row $vi != expected $p " +
+          "(all rows must have the same dimensionality)")
+      vi += 1
+    }
     val (classNames, yCenter) = params.family match {
       case "gaussian" =>
         val ys = rawY.map(anyToDouble)
@@ -419,9 +436,9 @@ object Slope {
           }
         val zs = active.map(z)
         val us = active.map(u)
-        val (zOut, passes, primals, duals) = Admm.fit(fact, a, aOff, n, lamSig,
-          zs, us, params.maxPasses, params.tolAbs, params.tolRel,
-          params.diagnostics)
+        val (zOut, passes, primals, duals, times) = Admm.fit(fact, a, aOff, n,
+          lamSig, zs, us, params.maxPasses, params.tolAbs, params.tolRel,
+          params.diagnostics, sumYsq)
         i = 0
         while (i < a) { z(active(i)) = zs(i); u(active(i)) = us(i); i += 1 }
         // deviance = ||y - X z||^2 = sum y^2 - 2 z'X'y + z'Gz (driver-side;
@@ -430,7 +447,7 @@ object Slope {
         i = 0
         while (i < a) { lin += zOut(i) * fact.xty(i); i += 1 }
         val dev = fact.gramQuad(zOut) - 2.0 * lin + sumYsq
-        (zOut, passes, dev, StepDiagnostics(primals, duals, Array.empty))
+        (zOut, passes, dev, StepDiagnostics(primals, duals, times))
       } else {
         val betaA = gather(beta, active)
         val res = Fista.fit(backend, active, betaA, lamSig, family, intercept,

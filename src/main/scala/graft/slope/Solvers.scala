@@ -165,6 +165,14 @@ object Fista {
       }
     }
 
+    // On a maxPasses-exhausted exit the loop's last recorded primal was
+    // evaluated at the beta from the START of the final pass, while the
+    // returned beta carries one further prox+momentum update — recompute
+    // so the reported deviance matches the returned coefficients.
+    // (Converged exits are unaffected: beta was not updated after the
+    // final evaluation.)
+    if (!done) lastPrimal = backend.primalActive(active, beta, family)
+
     SolveResult(beta, passes, 2.0 * lastPrimal,
       if (diagnostics) primals.toArray else Array.empty,
       if (diagnostics) duals.toArray else Array.empty,
@@ -312,13 +320,16 @@ object Admm {
   def fit(fact: Factorization, a: Int, off: Int, nRows: Long,
           lambda: Array[Double], z: Array[Double], u: Array[Double],
           maxPasses: Int, tolAbs: Double, tolRel: Double,
-          diagnostics: Boolean): (Array[Double], Int, Array[Double], Array[Double]) = {
+          diagnostics: Boolean, sumYsq: Double = 0.0)
+    : (Array[Double], Int, Array[Double], Array[Double], Array[Double]) = {
 
     val rho = fact.rho
     var passes = 0
     var beta = new Array[Double](a)
     val primals = if (diagnostics) scala.collection.mutable.ArrayBuffer[Double]() else null
     val duals = if (diagnostics) scala.collection.mutable.ArrayBuffer[Double]() else null
+    val times = if (diagnostics) scala.collection.mutable.ArrayBuffer[Double]() else null
+    val t0 = System.nanoTime()
 
     var converged = false
     while (passes < maxPasses && !converged) {
@@ -365,12 +376,35 @@ object Admm {
         tolRel * math.max(math.sqrt(bNormSq), math.sqrt(zNormSq))
       val epsDual = math.sqrt(nRows.toDouble) * tolAbs + tolRel * math.sqrt(uNormSq)
 
-      if (diagnostics) { primals += rNorm; duals += sNorm }
+      if (diagnostics) {
+        // primal/dual OBJECTIVES with the same semantics as the FISTA
+        // diagnostics (gaussian primalRow/dualRow summed over rows),
+        // via the cached Gram identities — still zero cluster passes:
+        //   sum primalRow = 0.5||y||^2 - z'X'y + 0.5 z'Gz
+        //   sum dualRow   = 0.5||y||^2 - 0.5 z'Gz
+        val zGz = fact.gramQuad(z)
+        var zXty = 0.0
+        i = 0
+        while (i < a) { zXty += z(i) * fact.xty(i); i += 1 }
+        val tailAbs = new Array[Double](a - off)
+        i = off
+        while (i < a) { tailAbs(i - off) = math.abs(z(i)); i += 1 }
+        java.util.Arrays.sort(tailAbs)
+        var h = 0.0
+        i = 0
+        while (i < tailAbs.length) {
+          h += tailAbs(tailAbs.length - 1 - i) * lambda(i); i += 1
+        }
+        primals += 0.5 * sumYsq - zXty + 0.5 * zGz + h
+        duals += 0.5 * sumYsq - 0.5 * zGz
+        times += (System.nanoTime() - t0) / 1e9
+      }
       if (rNorm < epsPrimal && sNorm < epsDual) converged = true
     }
 
     (z.clone(), passes,
       if (diagnostics) primals.toArray else Array.empty,
-      if (diagnostics) duals.toArray else Array.empty)
+      if (diagnostics) duals.toArray else Array.empty,
+      if (diagnostics) times.toArray else Array.empty)
   }
 }
