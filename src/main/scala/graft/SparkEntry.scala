@@ -37,6 +37,16 @@ object SparkEntry {
   private val PoisB: (Double, Double) = (1.0, 5.0) //  lp = 1 + 5*disc
   private val GaussPred = 1000.0 //                    pred = 1000*qty
 
+  // shared knobs between queries and their oracle SQL
+  private val MaxDfShipped = 1000 // > |documents| at oracle SF: drops nothing
+  private val EmbDim = 64
+  // the synthetic corpus's "near" dups are only ~63 degrees apart
+  // (cosine 0.45-0.51), so recall needs many short bands; a production
+  // config at a 0.9+ threshold would use more bits and fewer bands
+  private val EmbBits = 6
+  private val EmbBands = 16
+  private val EmbSeed = 42L
+
   /** Flagship: SLOPE gaussian path fit on sf0.001 lineitem features. */
   def entry(spark: SparkSession): DataFrame =
     slopeFitQuery(spark, "/root/testdata/sf0.001")
@@ -236,9 +246,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => {
       // 3-gram shingles: the synthetic corpus's tiny vocabulary makes
       // 2-gram document frequencies huge (quadratic join blowup); word
-      // 3-grams keep the inverted-index join linear-ish and exact
+      // 3-grams keep the inverted-index join linear-ish and exact.
+      // df pruning ON (the 100-TB plan) — maxDf exceeds the corpus
+      // size, so it provably drops nothing here, and the oracle applies
+      // the same df cut
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.05, maxDf = Int.MaxValue)
+        n = 3, threshold = 0.05, maxDf = MaxDfShipped)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -251,10 +264,11 @@ object SparkEntry {
     }),
 
     "q_dup_clusters" -> ((s, dir) => {
-      // near-dup clusters over the exact-jaccard pair graph (connected
-      // components; rows-only — deterministic but graph-recursive)
+      // near-dup clusters over the exact-jaccard pair graph (GraphX
+      // connected components; oracle = DuckDB recursive-CTE min-label
+      // reachability over the same pair table)
       val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.05, maxDf = Int.MaxValue)
+        n = 3, threshold = 0.05, maxDf = MaxDfShipped)
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
@@ -275,11 +289,14 @@ object SparkEntry {
     }),
 
     "q_embedding_dup" -> ((s, dir) => {
-      // embedding near-dup pairs, exhaustive buckets=off for exactness
-      // (synthetic embeddings top out near cosine 0.51, so 0.45 gives a
-      // small non-empty result to hash-check)
+      // embedding near-dup pairs via banded sign-bit LSH (the 100-TB
+      // plan: shuffle on (band, bucket) only, never a cross join). The
+      // oracle reproduces the exact buckets from the same deterministic
+      // hyperplanes inlined as SQL array literals, so the hash compare
+      // covers bucketing AND the cosine verify
       Dedup.embeddingDupPairs(emb(s, dir), "vec_id", "embedding",
-        dim = 64, threshold = 0.45, nBits = 0)
+        dim = EmbDim, threshold = 0.45, nBits = EmbBits, bands = EmbBands,
+        seed = EmbSeed)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -634,13 +651,41 @@ object SparkEntry {
                ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS sh
              FROM norm),
            d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
-           e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d)
+           e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+           keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= $MaxDfShipped),
+           e AS (SELECT e0.* FROM e0 JOIN keep USING (s))
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              round(count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6) AS jaccard
            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id
            HAVING count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.05
            ORDER BY id_a, id_b""",
+
+      "q_dup_clusters" ->
+        s"""WITH RECURSIVE norm AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w FROM documents),
+           sh AS (
+             SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS sh
+             FROM norm),
+           d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+           e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+           keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= $MaxDfShipped),
+           e AS (SELECT e0.* FROM e0 JOIN keep USING (s)),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id
+             HAVING count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.05),
+           edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+           nodes AS (SELECT DISTINCT src AS id FROM edges),
+           reach AS (
+             SELECT id, id AS r FROM nodes
+             UNION
+             SELECT re.id, ed.dst AS r FROM reach re JOIN edges ed ON ed.src = re.r)
+           SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
 
       "q_ann_cosine" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -658,16 +703,30 @@ object SparkEntry {
            SELECT query_id, rank::INT AS rank, neighbor_id, round(score, 6) AS score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
 
-      "q_embedding_dup" ->
-        """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_dot_product(a.e, b.e)
-               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
-           FROM v a, v b
-           WHERE a.vec_id < b.vec_id
-             AND list_dot_product(a.e, b.e)
-               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
-           ORDER BY id_a, id_b""",
+      "q_embedding_dup" -> {
+        // reproduce the banded sign-bit buckets exactly: the hyperplanes
+        // are deterministic driver literals; list_dot_product and the
+        // Spark HOF dot both fold left-to-right in double, so the sign
+        // bits agree bit-for-bit
+        val bucketCols = (0 until EmbBands).map { b =>
+          val expr = graft.functions.VectorFunctions
+            .hyperplanes(EmbDim, EmbBits, EmbSeed + b).zipWithIndex
+            .map { case (plane, i) =>
+              s"(CASE WHEN list_dot_product(e, [${plane.mkString(", ")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+            }.mkString(" + ")
+          s"($expr) AS b$b"
+        }.mkString(", ")
+        val sameBucket = (0 until EmbBands).map(b => s"a.b$b = c.b$b").mkString(" OR ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+           bk AS (SELECT vec_id, e, $bucketCols FROM v)
+           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.e, c.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+           FROM bk a JOIN bk c ON a.vec_id < c.vec_id AND ($sameBucket)
+           WHERE list_dot_product(a.e, c.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) >= 0.45
+           ORDER BY id_a, id_b"""
+      },
 
       "q_events_window" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -49,12 +49,18 @@ object VectorFunctions {
     * random-hyperplane LSH bound: P[same bit] = 1 - angle/pi.
     */
   def hyperplaneBucket(a: Column, dim: Int, nBits: Int, seed: Long): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (plane, i) =>
+    val bits = hyperplanes(dim, nBits, seed).zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit(_)): _*)
       when(dot(a, planeCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** The deterministic hyperplane family behind [[hyperplaneBucket]],
+    * exposed so an external oracle (e.g. DuckDB SQL with the planes
+    * inlined as array literals) can reproduce the exact buckets. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }
 }

@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Drop over-sized (band, bucket) groups before any self-join: the
-    * quadratic-skew guard shared by the LSH pair generators. */
+    * quadratic-skew guard shared by the LSH pair generators.
+    * groupBy().count() + join rather than a windowed count — the
+    * aggregate combines map-side and needs no per-key sort, where a
+    * count-over-window sorts every (band, bucket) partition. */
   private def pruneBuckets(banded: org.apache.spark.sql.DataFrame,
                            maxBucket: Int): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("band", "bucket")
-    banded.withColumn("__sz", count(lit(1)).over(w))
-      .filter(col("__sz") <= maxBucket).drop("__sz")
+    val small = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBucket)
+      .drop("__sz")
+    banded.join(small, Seq("band", "bucket"))
   }
 
   /** Exact-duplicate groups by content fingerprint: one row per
@@ -175,9 +180,11 @@ object Dedup {
     val prunedRaw =
       if (maxDf == Int.MaxValue) sh // unbounded: skip the df-count shuffle
       else {
-        val wdf = Window.partitionBy("s")
-        sh.withColumn("__df", count(lit(1)).over(wdf))
+        // df counts via groupBy + join (map-side combine, no per-key
+        // sort — a windowed count would sort every shingle partition)
+        val small = sh.groupBy("s").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).drop("__df")
+        sh.join(small, "s")
       }
     // materialize the exploded index behind ONE exchange on the join
     // key: both self-join sides then reuse it (ReuseExchange), instead
@@ -203,40 +210,85 @@ object Dedup {
   def dupClusters(pairs: DataFrame, idColA: String = "id_a",
                   idColB: String = "id_b"): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col(idColA).cast("long"), col(idColB).cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val graph = Graph.fromEdges(edges, ())
-    graph.connectedComponents().vertices
-      .toDF("id", "cluster_id")
-      .orderBy("id")
+    // row ordering belongs to the caller's query, not the operator (an
+    // operator-baked orderBy would force a pointless global sort when
+    // composed), so no orderBy here
+    val integral = Seq(idColA, idColB).forall(c =>
+      pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    if (integral) {
+      val edges = pairs.select(col(idColA).cast("long"), col(idColB).cast("long"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      Graph.fromEdges(edges, ()).connectedComponents().vertices
+        .toDF("id", "cluster_id")
+    } else {
+      // arbitrary (string/uuid/decimal) ids: a cast to long would null
+      // or collide silently — assign dense surrogate vertex ids via
+      // zipWithUniqueId, run CC on the surrogate graph, then take the
+      // minimum ORIGINAL id per component as the canonical label
+      val ids = pairs.select(col(idColA).cast("string").as("orig"))
+        .union(pairs.select(col(idColB).cast("string").as("orig")))
+        .distinct()
+      val mapping = ids.rdd.map(_.getString(0)).zipWithUniqueId().toDF("orig", "gid")
+      val pa = pairs.select(col(idColA).cast("string").as("a"),
+        col(idColB).cast("string").as("b"))
+      val edges = pa
+        .join(mapping.select(col("orig").as("a"), col("gid").as("ga")), "a")
+        .join(mapping.select(col("orig").as("b"), col("gid").as("gb")), "b")
+        .select("ga", "gb").rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
+        .toDF("gid", "cgid")
+      val withOrig = cc.join(mapping, "gid").select(col("orig").as("id"), col("cgid"))
+      val canon = withOrig.groupBy("cgid").agg(min(col("id")).as("cluster_id"))
+      withOrig.join(canon, "cgid").select(col("id"), col("cluster_id"))
+    }
   }
 
   /** Drop list from near-dup clusters: every non-canonical member. */
   def dupDropList(pairs: DataFrame): DataFrame =
     dupClusters(pairs).filter(col("id") =!= col("cluster_id")).select("id")
 
-  /** Embedding near-duplicate pairs: cosine >= `threshold`.
-    *
-    * Candidates come from sign-bit LSH buckets (`nBits` hyperplanes) —
-    * a shuffle on bucket id, never a full cross join. For exhaustive
-    * small-corpus checks set `nBits = 0` (single bucket = brute force).
+  /** Embedding near-duplicate pairs: cosine >= `threshold` among
+    * candidates sharing a sign-bit LSH bucket in ANY of `bands`
+    * independent bucket tables (`nBits` hyperplanes each, seeded
+    * `seed + band`). Banding is the standard recall knob: a single
+    * bucket table misses near-dups that straddle one bit boundary;
+    * OR-ing `bands` tables recovers them at bands x one extra explode
+    * row per vector — both sides still shuffle on (band, bucket) only,
+    * never a full cross join. Over-sized buckets are dropped before the
+    * self-join (the quadratic-skew guard). For exhaustive small-corpus
+    * checks set `nBits = 0` (single bucket = brute force).
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double = 0.9,
-                        nBits: Int = 8, seed: Long = 42L): DataFrame = {
+                        nBits: Int = 8, bands: Int = 4, seed: Long = 42L,
+                        maxBucket: Int = 10000): DataFrame = {
     // pre-normalize once per vector so the pairwise kernel is a single
     // dot product instead of dot + two norms (3x fewer HOF evaluations
     // on the quadratic stage)
-    val withBucket = df.select(col(idCol).as("id"),
+    val base = df.select(col(idCol).as("id"),
       VectorFunctions.normalize(col(vecCol)).as("v"),
-      (if (nBits == 0) lit(0L)
-      else VectorFunctions.hyperplaneBucket(col(vecCol), dim, nBits, seed))
-        .as("bucket"))
-    val left = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val right = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    left.join(right, "bucket")
+      col(vecCol).as("__raw"))
+    val banded =
+      if (nBits == 0)
+        base.select(col("id"), col("v"), lit(0).as("band"), lit(0L).as("bucket"))
+      else
+        base.select(col("id"), col("v"),
+          explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+            VectorFunctions.hyperplaneBucket(col("__raw"), dim, nBits, seed + b)
+              .as("bucket"))): _*)).as("bk"))
+          .select(col("id"), col("v"), col("bk.band"), col("bk.bucket"))
+    val pruned = if (nBits == 0) banded else pruneBuckets(banded, maxBucket)
+    val left = pruned.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val right = pruned.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.dot(col("v_a"), col("v_b")).as("cosine"))

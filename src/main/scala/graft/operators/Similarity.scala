@@ -3,7 +3,8 @@ package graft.operators
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -12,8 +13,9 @@ import org.apache.spark.sql.functions._
   * (query id -> top-k corpus neighbors by cosine):
   *
   *  - [[bruteForceTopK]]: broadcast the (small) query set against the
-  *    full corpus — one narrow map stage + per-query top-k, no corpus
-  *    shuffle. Exact. The right plan whenever |queries| is
+  *    full corpus — one narrow map stage + two-phase per-query top-k
+  *    (partial bounded heaps map-side, tiny merge), no corpus shuffle.
+  *    Exact. The right plan whenever |queries| is
   *    driver-broadcastable, at ANY corpus size.
   *  - [[lshTopK]]: random-hyperplane bucket join — both sides shuffle
   *    on the bucket id only; recall traded for candidate-set size via
@@ -22,7 +24,49 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact top-k by cosine: broadcast-join queries x corpus, window
+  /** Bounded top-k accumulator over (score, id) rows, ordered by
+    * (score desc, id asc). Used through `functions.udaf`, so Spark runs
+    * it as an ObjectHashAggregate with a PARTIAL stage: every partition
+    * reduces its candidates to <= 2k rows map-side and only those tiny
+    * states shuffle — a per-query top-k never funnels the full corpus's
+    * candidate rows through one reducer (which is what a
+    * `row_number over (partition by query_id)` window would do). */
+  private final class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def prune(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      if (s.length <= k) s else s.sortWith(better).take(k)
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] = {
+      val b = buf :+ row
+      if (b.length >= 2 * k) prune(b) else b
+    }
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      prune(a ++ b)
+    def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      prune(buf).sortWith(better)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder()
+  }
+
+  /** Two-phase top-k: per-partition bounded partial aggregation, then a
+    * tiny merge of <= 2k-row states per query. Emits
+    * (query_id, rank, neighbor_id, score) with rank 1..k by
+    * (score desc, neighbor_id asc) — identical contract to a window
+    * row_number, without the per-query funnel. */
+  private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
+    scored.groupBy("query_id")
+      .agg(agg(col("score"), col("neighbor_id").cast("long")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("r0", "t")))
+      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("t._2").as("neighbor_id"), col("t._1").as("score"))
+  }
+
+  /** Exact top-k by cosine: broadcast-join queries x corpus, two-phase
     * top-k per query. `queries`/`corpus` need (idCol, vecCol). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
@@ -39,10 +83,7 @@ object Similarity {
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), pairScore.as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKSelect(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
@@ -81,10 +122,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qv"), col("cv")).as("score"))
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKSelect(scored, k)
   }
 
   /** Approximate top-k via sign-bit LSH buckets with multiprobe.
@@ -114,9 +152,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qv"), col("cv")).as("score"))
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKSelect(scored, k)
   }
 }

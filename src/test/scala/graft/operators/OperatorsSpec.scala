@@ -85,7 +85,8 @@ class OperatorsSpec extends AnyFunSuite {
     val df = vecs.toDF("vec_id", "embedding")
     val topk = Similarity.bruteForceTopK(
       df.filter(col("vec_id") < 3), df, "vec_id", "embedding", k = 4)
-      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+      .collect().map(r => ((r.getAs[Long]("query_id"), r.getAs[Int]("rank")),
+        r.getAs[Long]("neighbor_id"))).toMap
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
       d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
@@ -112,10 +113,10 @@ class OperatorsSpec extends AnyFunSuite {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val approx = Similarity.lshTopK(queries, df, "vec_id", "embedding", 5,
       dim = 16, nBits = 8, probes = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low")
   }
@@ -131,6 +132,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drops == Set(2L, 3L, 6L))
   }
 
+  test("dup clusters: non-numeric (string/uuid) ids cluster on original ids") {
+    import spark.implicits._
+    // a long cast would null these out; the surrogate-id path must keep
+    // the min ORIGINAL id as the canonical cluster label
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "x" -> "x", "y" -> "x"))
+  }
+
   test("ivf topk: high recall vs brute force on clustered data") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
@@ -142,10 +155,10 @@ class OperatorsSpec extends AnyFunSuite {
     val df = vecs.toDF("vec_id", "embedding")
     val queries = df.filter(col("vec_id") < 8)
     val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val ivf = Similarity.ivfTopK(queries, df, "vec_id", "embedding", 5,
       nLists = 8, nProbe = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"ivf recall $recall too low")
   }
