@@ -192,6 +192,18 @@ object SparkEntry {
             (sum(col("n1")) * (sum(col("n")) - sum(col("n1")))), 6).as("auc"))
     }),
 
+    "q_auc_weighted" -> ((s, dir) => {
+      // deterministic weighted midrank AUC (closed-form tie handling;
+      // see SlopeScore.weightedAuc). Same score as q_auc, weights from
+      // l_quantity
+      val base = li(s, dir).select(
+        when(col("l_returnflag") === "A", 1.0).otherwise(0.0).as("y"),
+        (col("l_discount") * 3.0 + col("l_quantity") * 0.02).as("score"),
+        col("l_quantity").as("w"))
+      SlopeScore.weightedAuc(base, "y", "score", "w")
+        .select(round(col("auc_w"), 6).as("auc_w"))
+    }),
+
     "q_cv_cells" -> ((s, dir) => {
       // CV-cell aggregation shape (R/trainOwl.R:146-161): per-fold
       // mean/se of a scoring measure
@@ -435,20 +447,29 @@ object SparkEntry {
     }),
 
     "q_coef_interp" -> ((s, dir) => {
-      // coef() with off-path interpolation (R/coef.R, interpolatePenalty.R)
+      // coef() with off-path interpolation (R/coef.R,
+      // interpolatePenalty.R) AND the exact=TRUE refit branch
+      // (R/coef.R:43-48): each midpoint carries both the interpolated
+      // and the exactly re-solved coefficient
       val df = li(s, dir).select(
         array(Feats.map(col): _*).as("features"),
         signalLabel.as("label"))
       val m = Slope.fit(df, "features", "label",
         SlopeParams(family = "gaussian", nSigma = 20))
+      val mids = (0 until math.max(m.nSteps - 1, 1)).map { i =>
+        if (i + 1 < m.nSteps) (m.sigma(i) + m.sigma(i + 1)) / 2 else m.sigma(i)
+      }.toArray
+      val exacts = SlopeServe.coefExact(df, "features", "label",
+        SlopeParams(family = "gaussian"), mids)
       import s.implicits._
-      val rows = (0 until math.max(m.nSteps - 1, 1)).flatMap { i =>
-        val mid = if (i + 1 < m.nSteps) (m.sigma(i) + m.sigma(i + 1)) / 2
-          else m.sigma(i)
-        val (ic, cf) = SlopeServe.coefAt(m, mid)
-        Feats.indices.map(j => (i, mid, Feats(j), cf(j), ic(0)))
+      val rows = mids.indices.flatMap { i =>
+        val (ic, cf) = SlopeServe.coefAt(m, mids(i))
+        val (icE, cfE) = exacts(i)
+        Feats.indices.map(j =>
+          (i, mids(i), Feats(j), cf(j), cfE(j), ic(0), icE(0)))
       }
-      rows.toDF("bracket", "sigma_mid", "feature", "coefficient", "intercept")
+      rows.toDF("bracket", "sigma_mid", "feature", "coefficient",
+        "coef_exact", "intercept", "intercept_exact")
         .orderBy("bracket", "feature")
     }),
 
@@ -599,6 +620,24 @@ object SparkEntry {
              (sum(CASE WHEN y = 1.0 THEN mr END) - sum(y)*(sum(y)+1.0)/2.0)
              / (sum(y) * (count(*) - sum(y))), 6) AS auc
            FROM r""",
+
+      "q_auc_weighted" ->
+        """WITH s AS (
+             SELECT CASE WHEN l_returnflag='A' THEN 1.0 ELSE 0.0 END AS y,
+                    l_discount*3.0 + l_quantity*0.02 AS score,
+                    l_quantity::DOUBLE AS w
+             FROM lineitem),
+           g AS (
+             SELECT score,
+               sum(CASE WHEN y = 1.0 THEN w ELSE 0 END) AS w1,
+               sum(CASE WHEN y = 1.0 THEN 0 ELSE w END) AS w0
+             FROM s GROUP BY score),
+           c AS (
+             SELECT w1, w0,
+               sum(w0) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - w0 AS cw0
+             FROM g)
+           SELECT round(sum(w1*(cw0 + w0/2)) / (sum(w1)*sum(w0)), 6) AS auc_w
+           FROM c""",
 
       "q_cv_cells" ->
         s"""SELECT l_orderkey % 5 AS fold, count(*)::BIGINT AS n_obs,

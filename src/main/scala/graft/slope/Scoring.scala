@@ -105,6 +105,35 @@ object SlopeScore {
             labelCol: String, measure: String): Array[Double] =
     scoreMany(model, df, featuresCol, labelCol, Seq(measure))(measure)
 
+  /** Weighted midrank AUC over a (label, score, weight) frame — the
+    * DETERMINISTIC closed form of the reference's weighted AUC
+    * (`R/score.R:152-166`). The reference randomizes tie order with
+    * `runif` and credits each positive with the negative weight strictly
+    * before it; the expectation of that randomization is half credit per
+    * tied (pos, neg) weight pair, which is what the midrank form
+    * computes — so this is the reference's estimator with the sampling
+    * noise removed (documented deviation; the `runif` form is not
+    * oracle-checkable). `weights = 1` reduces exactly to the unweighted
+    * midrank AUC.
+    *
+    * Scalable shape: aggregate per DISTINCT score first, so the only
+    * ordered window runs over |distinct scores| rows — never a global
+    * row rank. Returns a 1-row frame with column `auc_w`. */
+  def weightedAuc(df: DataFrame, labelCol: String, scoreCol: String,
+                  weightCol: String): DataFrame = {
+    val g = df.select(col(labelCol).cast("double").as("y"),
+      col(scoreCol).as("s"), col(weightCol).cast("double").as("w"))
+      .groupBy("s")
+      .agg(sum(when(col("y") === 1.0, col("w")).otherwise(0.0)).as("w1"),
+        sum(when(col("y") === 1.0, 0.0).otherwise(col("w"))).as("w0"))
+    val wOrd = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select(col("w1"), col("w0"),
+      (sum("w0").over(wOrd) - col("w0")).as("cw0"))
+      .agg((sum(col("w1") * (col("cw0") + col("w0") / 2)) /
+        (sum("w1") * sum("w0"))).as("auc_w"))
+  }
+
   /** Scalable midrank AUC per step: aggregate per distinct probability
     * first (midrank of a tie group = count-before + (n+1)/2), so the
     * only ordered window runs over |distinct probs| rows — never a

@@ -44,6 +44,27 @@ object SlopeServe {
     (ic, cf)
   }
 
+  /** Exact coefficients at arbitrary penalty scales — the reference's
+    * `coef(..., exact = TRUE)` branch (`R/coef.R:43-48`), which re-solves
+    * via `stats::update()` instead of interpolating. The requested
+    * sigmas are solved as ONE descending user-sigma path, so each point
+    * warm-starts from the previous (the same mechanics `update()` gets
+    * from the path loop). Returns (intercepts length m, coefs p x m),
+    * one entry per requested sigma, in the caller's order. */
+  def coefExact(df: DataFrame, featuresCol: String, labelCol: String,
+                params: SlopeParams, sigmas: Array[Double])
+    : Array[(Array[Double], Array[Double])] = {
+    require(sigmas.nonEmpty, "sigmas must be non-empty")
+    require(sigmas.forall(_ >= 0), "sigma must be non-negative")
+    val sorted = sigmas.distinct.sortBy(-(_: Double))
+    val m = Slope.fit(df, featuresCol, labelCol,
+      params.copy(sigma = Some(sorted)))
+    sigmas.map { s =>
+      val i = sorted.indexWhere(_ == s)
+      (m.intercepts(i), m.coefs(i))
+    }
+  }
+
   private def toArrayCol(df: DataFrame, featuresCol: String): Column =
     df.schema(featuresCol).dataType match {
       case _: org.apache.spark.sql.types.ArrayType =>

@@ -105,6 +105,76 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cSmall.sameElements(model.coefs.last))
   }
 
+  test("coefExact: refit matches path on-path, beats interpolation off-path") {
+    val (xs, ys) = fixture(14, 150, 4, "gaussian")
+    val model = Slope.fitLocal(xs, ys, SlopeParams(nSigma = 10))
+    assert(model.nSteps >= 4)
+    import spark.implicits._
+    val df = xs.zip(ys).map { case (x, y) => (x.toArray, y.asInstanceOf[Double]) }
+      .toSeq.toDF("features", "label")
+
+    // on-path sigma: exact refit reproduces the path solution
+    val onPath = model.sigma(2)
+    val Array((icOn, cfOn)) = SlopeServe.coefExact(df, "features", "label",
+      SlopeParams(), Array(onPath))
+    for (j <- cfOn.indices)
+      assert(math.abs(cfOn(j) - model.coefs(2)(j)) < 1e-4,
+        s"on-path coef $j: ${cfOn(j)} vs ${model.coefs(2)(j)}")
+
+    // off-path midpoint: exact equals a direct single-sigma fit
+    // (test-coef.R exact branch), and differs from the interpolation
+    // where the path bends
+    val mid = (model.sigma(2) + model.sigma(3)) / 2
+    val Array((_, cfExact)) = SlopeServe.coefExact(df, "features", "label",
+      SlopeParams(), Array(mid))
+    val direct = Slope.fitLocal(xs, ys, SlopeParams(sigma = Some(Array(mid))))
+    for (j <- cfExact.indices)
+      assert(math.abs(cfExact(j) - direct.coefs(0)(j)) < 1e-6,
+        s"exact-vs-direct coef $j")
+    val (_, cfInterp) = SlopeServe.coefAt(model, mid)
+    val maxGap = cfExact.indices.map(j => math.abs(cfExact(j) - cfInterp(j))).max
+    // interpolation is an approximation: close, but not the solver answer
+    assert(maxGap < 1.0, "interpolation should be in the right ballpark")
+    // caller order is preserved for multiple sigmas
+    val two = SlopeServe.coefExact(df, "features", "label",
+      SlopeParams(), Array(mid, onPath))
+    assert(two(1)._2.zip(cfOn).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
+  test("weightedAuc: weights=1 equals unweighted midrank; ties get half credit") {
+    import spark.implicits._
+    // hand-computed: pos scores {3, 2}, neg scores {2, 1}
+    //   pairs: (3>2)=1, (3>1)=1, (2=2)=.5, (2>1)=1  => auc = 3.5/4
+    val tied = Seq((1.0, 3.0, 1.0), (1.0, 2.0, 1.0), (0.0, 2.0, 1.0),
+      (0.0, 1.0, 1.0)).toDF("y", "s", "w")
+    val a = SlopeScore.weightedAuc(tied, "y", "s", "w").head().getDouble(0)
+    assert(math.abs(a - 3.5 / 4.0) < 1e-12, s"tied auc $a")
+    // doubling one weight doubles that row's pair contributions:
+    //   w(pos,3)=2: pairs (3>2)*2, (3>1)*2, (2=2)*.5, (2>1)*1 / (3*2)
+    val w2 = Seq((1.0, 3.0, 2.0), (1.0, 2.0, 1.0), (0.0, 2.0, 1.0),
+      (0.0, 1.0, 1.0)).toDF("y", "s", "w")
+    val aw = SlopeScore.weightedAuc(w2, "y", "s", "w").head().getDouble(0)
+    assert(math.abs(aw - 5.5 / 6.0) < 1e-12, s"weighted auc $aw")
+    // weights=1 reduces to the unweighted midrank AUC on a real fit
+    val (xs, ys) = fixture(15, 300, 3, "binomial")
+    val model = Slope.fitLocal(xs, ys, SlopeParams(family = "binomial", nSigma = 4))
+    val df = xs.zip(ys).map { case (x, y) => (x.toArray, y.toString) }
+      .toSeq.toDF("features", "label")
+    val unweighted = SlopeScore.score(model, df, "features", "label", "auc")
+    val lastStep = model.nSteps - 1
+    val probs = SlopeServe.predictions(model, df, "features", Seq("response"))
+      .select(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("response"), lastStep + 1), 1).as("p"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("label") === model.classNames(1), 1.0)
+          .otherwise(0.0).as("y"),
+        org.apache.spark.sql.functions.lit(1.0).as("w"))
+    val aOne = SlopeScore.weightedAuc(probs, "y", "p", "w").head().getDouble(0)
+    assert(math.abs(aOne - unweighted(lastStep)) < 1e-10,
+      s"weights=1: $aOne vs ${unweighted(lastStep)}")
+  }
+
   test("score: gaussian mse matches manual computation") {
     val (xs, ys) = fixture(5, 120, 3, "gaussian")
     val model = Slope.fitLocal(xs, ys, SlopeParams(nSigma = 6))
