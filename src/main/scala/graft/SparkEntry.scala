@@ -519,17 +519,18 @@ object SparkEntry {
     }),
 
     "q_multimodal_decode" -> ((s, dir) => {
-      // multimodal plumbing: binary payload + typed meta -> partitioned
-      // stub decode -> per-modality feature stats (rows-only: the stub
-      // decode hash is not SQL-expressible)
-      val media = graft.multimodal.Multimodal.mediaFromDocuments(docs(s, dir))
-      val decoded = graft.multimodal.Multimodal
-        .withDecodedFeatures(media, "payload", dim = 16)
-      decoded.select(col("media_id"), col("media_meta.modality").as("modality"),
-        element_at(col("features"), 1).as("f0"))
-        .groupBy("modality")
-        .agg(count(lit(1)).as("n"), round(avg(col("f0")), 6).as("mean_f0"))
-        .orderBy("modality")
+      // REAL codec end-to-end: deterministic PNGs encoded AND decoded
+      // partition-parallel via javax.imageio; the oracle recomputes the
+      // channel means from the pixel formula in closed form, so the
+      // whole encode->decode->aggregate path is driver-verified
+      val ids = docs(s, dir).filter(col("doc_id") < 64).select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.syntheticPngMedia(ids, "doc_id")
+      graft.multimodal.Multimodal.withImageStats(media, "payload")
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy("media_id")
     })
   )
 
@@ -812,6 +813,20 @@ object SparkEntry {
            JOIN region ON n_regionkey = r_regionkey
            GROUP BY r_name, l_returnflag
            ORDER BY r_name, l_returnflag""",
+
+      "q_multimodal_decode" ->
+        """WITH d AS (
+             SELECT doc_id AS media_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+             FROM documents WHERE doc_id < 64),
+           xs AS (SELECT unnest(range(12)) AS x),
+           ys AS (SELECT unnest(range(9)) AS y),
+           px AS (SELECT media_id, w, h, x, y FROM d, xs, ys
+                  WHERE x < w AND y < h)
+           SELECT media_id, any_value(w)::INT AS width, any_value(h)::INT AS height,
+             round(avg((7*x + 13*y) % 256), 6) AS mean_r,
+             round(avg((11*x + 3*y + 50) % 256), 6) AS mean_g,
+             round(avg((5*x + y + 100) % 256), 6) AS mean_b
+           FROM px GROUP BY media_id ORDER BY media_id""",
 
       "q_sessionize" ->
         """WITH e AS (

@@ -73,6 +73,103 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec: decode a PNG/BMP/GIF payload via `javax.imageio`
+    * and return (width, height, per-channel means). Deterministic —
+    * PNG truecolor is lossless and ImageIO's decode is exact, so the
+    * stats are oracle-checkable. Returns None for null/undecodable
+    * payloads (a real pipeline would route those to a quarantine sink). */
+  def decodeImageStats(payload: Array[Byte])
+    : Option[(Int, Int, Double, Double, Double)] = {
+    if (payload == null) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  /** Partition-parallel REAL decode: adds width/height/channel-mean
+    * columns from the binary payload (javax.imageio). Same mapPartitions
+    * batch shape as the stub path — swapping in the real codec replaces
+    * ONLY the kernel, which was the point of the plumbing design.
+    * Undecodable rows get null stats. */
+  def withImageStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        decodeImageStats(r.getAs[Array[Byte]](idx)) match {
+          case Some((w, h, mr, mg, mb)) =>
+            // Seq[Any], NOT Seq(...): Scala numeric widening would unify
+            // the mixed Int/Double elements to Seq[Double] and silently
+            // box the widths as Doubles, breaking the Row encoder
+            Row.fromSeq(r.toSeq ++ Seq[Any](w, h, mr, mg, mb))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic PNG for id: size (8 + id%5) x (6 + id%4),
+    * pixel (x, y) = ((7x+13y)%256, (11x+3y+50)%256, (5x+y+100)%256).
+    * The formula is reproducible in closed-form SQL, so decoded channel
+    * means can be checked end-to-end through the REAL codec. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (6 + id % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (7 * x + 13 * y) % 256
+        val g = (11 * x + 3 * y + 50) % 256
+        val b = (5 * x + y + 100) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Ingest-shaped synthetic media table: one deterministic PNG per id,
+    * encoded partition-parallel (the encode is itself the mapPartitions
+    * kernel — no driver-side generation). */
+  def syntheticPngMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, syntheticPng(id))
+      }
+    }(enc)
+  }
+
   /** Attach decoded features: partition-parallel map over the binary
     * payload column (mapInPandas-shaped: per-partition iterator, row
     * batches inside; no driver collect, no shuffle). */

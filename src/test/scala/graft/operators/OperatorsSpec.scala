@@ -205,4 +205,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows == again)
     assert(rows(1L) != rows(2L))
   }
+
+  test("multimodal: real PNG codec roundtrips the pixel formula exactly") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // driver-side roundtrip: encode then decode one image, check exact
+    // against the closed-form channel means
+    val id = 7L
+    val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+    val px = for { y <- 0 until h; x <- 0 until w } yield
+      ((7 * x + 13 * y) % 256, (11 * x + 3 * y + 50) % 256, (5 * x + y + 100) % 256)
+    val Some((dw, dh, mr, mg, mb)) = mm.decodeImageStats(mm.syntheticPng(id))
+    assert(dw == w && dh == h)
+    assert(math.abs(mr - px.map(_._1).sum.toDouble / (w * h)) < 1e-12)
+    assert(math.abs(mg - px.map(_._2).sum.toDouble / (w * h)) < 1e-12)
+    assert(math.abs(mb - px.map(_._3).sum.toDouble / (w * h)) < 1e-12)
+    // distributed: encode + decode through mapPartitions, nulls for junk
+    val ids = (0L until 10L).toDF("doc_id")
+    val media = mm.syntheticPngMedia(ids, "doc_id").repartition(3)
+    val stats = mm.withImageStats(media, "payload").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    (0L until 10L).foreach { i =>
+      assert(stats(i) == ((8 + i % 5).toInt, (6 + i % 4).toInt), s"id $i")
+    }
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("media_id", "payload")
+    val junkStats = mm.withImageStats(junk, "payload").collect()
+    assert(junkStats.forall(r => r.isNullAt(r.fieldIndex("width"))))
+  }
 }
