@@ -70,10 +70,12 @@ object SparkEntry {
       signalLabel.as("label"))
     val m = Slope.fit(df, "features", "label",
       SlopeParams(family = "gaussian", nSigma = 40))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
     val rows = for {
       step <- 0 until m.nSteps
       j <- 0 until m.p
-    } yield (step, m.sigma(step), Feats(j), m.coefs(step)(j), m.intercepts(step)(0))
+    } yield (step, r6(m.sigma(step)), Feats(j), r6(m.coefs(step)(j)),
+      r6(m.intercepts(step)(0)))
     import s.implicits._
     rows.toDF("step", "sigma", "feature", "coefficient", "intercept")
       .orderBy("step", "feature")
@@ -384,8 +386,32 @@ object SparkEntry {
         .orderBy("hour_start", "event_type")
     }),
 
-    // ---- the engine itself (rows-only check; oracle = test suite) ----
+    // ---- the engine itself: golden-file oracles (regenerate with
+    // `runMain graft.GoldenGen` after any solver change) ----
     "q_slope_fit" -> ((s, dir) => slopeFitQuery(s, dir)),
+
+    "q_slope_wide" -> ((s, dir) => {
+      // the reference's own differential-test shape (tests/testthat/
+      // test-slope.R:4-23: n=1000 p=50 gaussian full path). Fixture
+      // partitioning is pinned (slices=8) so the randn draws — and the
+      // sorted-local fit — are a pure function of the seed.
+      val gen = graft.slope.RandomProblem.generate(s, n = 1000, p = 50,
+        qSignal = 0.2, amplitude = 3.0, family = "gaussian",
+        seed = 42L, slices = 8)
+      val m = Slope.fit(gen.df, "features", "label",
+        SlopeParams(family = "gaussian", nSigma = 30))
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val rows = for {
+        step <- 0 until m.nSteps
+        j <- 0 until m.p
+        if m.coefs(step)(j) != 0.0 || step == 0
+      } yield (step, r6(m.sigma(step)), j, r6(m.coefs(step)(j)),
+        r6(m.intercepts(step)(0)), r6(m.devianceRatios(step)))
+      import s.implicits._
+      rows.toDF("step", "sigma", "j", "coefficient", "intercept",
+        "deviance_ratio")
+        .orderBy("step", "j")
+    }),
 
     "q_slope_path_summary" -> ((s, dir) => {
       // print.Owl path table (R/print.R:14-31)
@@ -427,7 +453,8 @@ object SparkEntry {
       val mse = scores("mse")
       val mae = scores("mae")
       import s.implicits._
-      mse.indices.map(i => (i, mse(i), mae(i)))
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      mse.indices.map(i => (i, r6(mse(i)), r6(mae(i))))
         .toDF("step", "mse", "mae").orderBy("step")
     }),
 
@@ -462,11 +489,12 @@ object SparkEntry {
       val exacts = SlopeServe.coefExact(df, "features", "label",
         SlopeParams(family = "gaussian"), mids)
       import s.implicits._
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
       val rows = mids.indices.flatMap { i =>
         val (ic, cf) = SlopeServe.coefAt(m, mids(i))
         val (icE, cfE) = exacts(i)
         Feats.indices.map(j =>
-          (i, mids(i), Feats(j), cf(j), cfE(j), ic(0), icE(0)))
+          (i, r6(mids(i)), Feats(j), r6(cf(j)), r6(cfE(j)), r6(ic(0)), r6(icE(0))))
       }
       rows.toDF("bracket", "sigma_mid", "feature", "coefficient",
         "coef_exact", "intercept", "intercept_exact")
@@ -509,11 +537,12 @@ object SparkEntry {
       val m = Slope.fit(base, "features", "label",
         SlopeParams(family = "binomial", nSigma = 5, diagnostics = true))
       import s.implicits._
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
       val rows = for {
         step <- m.diagnostics.indices
         it <- m.diagnostics(step).primals.indices
-      } yield (step, it, m.diagnostics(step).primals(it),
-        m.diagnostics(step).duals(it))
+      } yield (step, it, r6(m.diagnostics(step).primals(it)),
+        r6(m.diagnostics(step).duals(it)))
       rows.toDF("step", "iteration", "primal", "dual")
         .orderBy("step", "iteration")
     }),
@@ -849,6 +878,25 @@ object SparkEntry {
              round(sum(value), 4) AS sum_value
            FROM s GROUP BY user_id, sid
            ORDER BY user_id, start_sec"""
-    )
+    ) ++ goldenQueries.map(n =>
+      n -> s"SELECT * FROM read_parquet('$GoldenDir/$n.parquet')")
   }
+
+  /** Queries whose oracle is a committed golden parquet (regenerated via
+    * `runMain graft.GoldenGen` after any intentional behavior change).
+    * These surfaces are not SQL-expressible (iterative solvers,
+    * xxhash64-based sketches, sampled quantizers), so the driver-side
+    * signal is a hash match against a pinned result. Validity rests on
+    * bit-determinism: local fits sort collected rows by content and use
+    * pinned chunking; sketches are pure hash functions; the IVF
+    * quantizer trains driver-locally on a hash-ordered sample; lambda
+    * sequences are pure driver math. The golden is thus a function of
+    * the DATA only, not of partition layout or task timing. */
+  val goldenQueries: Seq[String] = Seq(
+    "q_slope_fit", "q_slope_wide", "q_slope_path_summary",
+    "q_slope_predict", "q_slope_score", "q_slope_cv", "q_coef_interp",
+    "q_diagnostics", "q_lambda_bh", "q_minhash_dedup", "q_simhash_dedup",
+    "q_ann_ivf", "q_ann_lsh")
+
+  private val GoldenDir = "/root/repo/golden"
 }

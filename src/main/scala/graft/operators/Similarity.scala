@@ -93,17 +93,71 @@ object Similarity {
     * large: corpus shuffles once on cell id, queries replicate only
     * nProbe times, and candidate volume is corpus/nLists * nProbe.
     */
+  /** Deterministic coarse quantizer: Lloyd's k-means run driver-locally
+    * over a bounded, hash-ordered corpus sample — the FAISS pattern (the
+    * quantizer always trains on a sample, so this is also the 100-TB
+    * shape: `orderBy(hash).limit(n)` is a partial per-partition top-n,
+    * never a full sort). Sequential driver FP order makes the centers a
+    * pure function of the data; MLlib's KMeans aggregates partials in
+    * task-completion order, so its centers carry run-to-run jitter that
+    * can flip boundary cell assignments. */
+  private[graft] def trainQuantizer(corpus: DataFrame, idCol: String,
+                                    vecCol: String, nLists: Int,
+                                    maxIter: Int = 10,
+                                    sampleN: Int = 65536): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        xxhash64(col(vecCol).cast("array<double>"), col(idCol)).as("h"),
+        col(idCol).cast("string").as("tid"))
+      .orderBy("h", "tid")
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var j = 0
+        val cc = cs(c)
+        while (j < dim) { val t = v(j) - cc(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // evenly-strided init over the hash-ordered sample (hash order is a
+    // deterministic pseudo-random permutation, so strides behave like a
+    // seeded random init)
+    var centers = Array.tabulate(nLists)(i =>
+      sample(((i.toLong * sample.length) / nLists).toInt).clone())
+    var it = 0
+    while (it < maxIter) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val cnt = new Array[Long](nLists)
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        val c = nearest(centers, v)
+        val s = sums(c)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        cnt(c) += 1
+        i += 1
+      }
+      centers = Array.tabulate(nLists)(c =>
+        if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else centers(c))
+      it += 1
+    }
+    centers
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(
-      col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    val centers = km.clusterCenters.map(_.toArray)
+    val centers = trainQuantizer(corpus, idCol, vecCol, nLists)
 
     def cellDists(v: Column): Column = array(centers.zipWithIndex.map {
       case (c, i) =>

@@ -190,16 +190,20 @@ object RandomProblem {
 
   case class Generated(df: DataFrame, beta: Array[Double], nonzero: Array[Int])
 
+  /** `slices > 0` pins the range partitioning: `randn(seed)` draws are a
+    * function of (seed, partition, offset), so a fixed slice count makes
+    * the generated fixture identical regardless of default parallelism —
+    * required when the fixture feeds a golden-file comparison. */
   def generate(spark: SparkSession, n: Long, p: Int, qSignal: Double = 0.2,
                amplitude: Double = 3.0, family: String = "gaussian",
-               seed: Long = 42L): Generated = {
+               seed: Long = 42L, slices: Int = 0): Generated = {
     val rng = new scala.util.Random(seed)
     val beta = new Array[Double](p)
     val k = math.max(1, (qSignal * p).toInt)
     val idx = rng.shuffle((0 until p).toList).take(k).toArray
     idx.foreach(j => beta(j) = (if (rng.nextBoolean()) 1 else -1) * amplitude)
 
-    val base = spark.range(n)
+    val base = (if (slices > 0) spark.range(0, n, 1, slices) else spark.range(n))
       .select(col("id") +: (0 until p)
         .map(j => randn(seed + j + 1).as(s"x$j")): _*)
     val lp = (0 until p).map(j => col(s"x$j") * beta(j)).reduce(_ + _)

@@ -148,6 +148,12 @@ object Slope {
       while (i < rows.length) {
         xs(i) = toVec(rows(i).get(0)); rawY(i) = rows(i).get(1); i += 1
       }
+      // collect() order follows the parquet split plan, which shifts with
+      // spark.default.parallelism — sort rows by content so the FP
+      // summation order (and thus every fitted path, bit-for-bit) is a
+      // function of the DATA only. Rows with identical content are
+      // interchangeable, so the order is total where it matters.
+      sortRowsInPlace(xs, rawY)
       fitLocal(xs, rawY, params)
       // (fitLocal validates per-row feature lengths against xs(0))
     } else {
@@ -207,6 +213,35 @@ object Slope {
     val ys = rawY.map(enc)
     val backend = new LocalBackend(xs, ys, p, m, params.fitIntercept)
     fitBackend(backend, params, yCenter, classNames, nClasses)
+  }
+
+  /** Content-order rows (label first, then features lexicographically):
+    * a deterministic total preorder whose ties are exact-duplicate rows,
+    * making driver-local FP reductions independent of partition layout. */
+  private def sortRowsInPlace(xs: Array[Vector], rawY: Array[Any]): Unit = {
+    val idx = Array.range(0, xs.length)
+    val ord = new Ordering[Int] {
+      def compare(a: Int, b: Int): Int = {
+        val la = String.valueOf(rawY(a)); val lb = String.valueOf(rawY(b))
+        val c0 = la.compareTo(lb)
+        if (c0 != 0) return c0
+        val va = xs(a); val vb = xs(b)
+        val c1 = Integer.compare(va.size, vb.size)
+        if (c1 != 0) return c1
+        var j = 0
+        while (j < va.size) {
+          val c = java.lang.Double.compare(va(j), vb(j))
+          if (c != 0) return c
+          j += 1
+        }
+        0
+      }
+    }
+    val sorted = idx.sorted(ord)
+    val xs2 = sorted.map(xs)
+    val ys2 = sorted.map(rawY)
+    System.arraycopy(xs2, 0, xs, 0, xs.length)
+    System.arraycopy(ys2, 0, rawY, 0, rawY.length)
   }
 
   private def anyToDouble(a: Any): Double = a match {
