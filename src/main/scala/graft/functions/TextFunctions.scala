@@ -96,15 +96,33 @@ object TextFunctions {
     * normalization + md5 on any engine => join-able across systems. */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
 
-  /** Word n-gram shingles of the normalized text (array of strings).
-    * Documents shorter than n words yield a single whole-text shingle. */
-  def shingles(c: Column, n: Int): Column = {
-    val words = split(normalizeText(c), " ")
+  /** Word n-gram shingles from a words-array column (array of strings).
+    * Documents with at most n words yield a single whole-text shingle.
+    *
+    * Built from `zip_with` over n-1 shifted copies of the array, so the
+    * words expression appears only as HOF *arguments* (evaluated once
+    * per row) — never inside a lambda body. That structure matters: a
+    * lambda that captures the words tree re-evaluates it PER ELEMENT
+    * (O(words^2) regex work — hundreds of seconds for one long doc),
+    * and no projection boundary can protect it because filter pushdown
+    * (e.g. the `size(...) > 0` inferred from a later explode) re-inlines
+    * aliases into predicates wholesale. */
+  def shinglesFromWords(words: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    // acc[i] accumulates "w_i w_i+1 ... w_i+k"; the trailing entries
+    // that run past the array end pick up nulls (concat_ws skips them)
+    // and are cut by the final slice
+    var acc = words
+    for (k <- 1 until n)
+      acc = zip_with(acc,
+        slice(words, lit(k + 1), greatest(size(words) - k, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
     when(size(words) <= n, array(concat_ws(" ", words)))
-      .otherwise(
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(slice(acc, lit(1), size(words) - n + 1))
   }
+
+  /** Normalized word array — the canonical shingling input. */
+  def normalizedWords(c: Column): Column = split(normalizeText(c), " ")
 
   /** Stopword marker lists for the language-ID heuristic. Tiny
     * per-language function-word sets — the classic n-gram/stopword

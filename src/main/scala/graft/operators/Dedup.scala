@@ -25,11 +25,18 @@ object Dedup {
     * count-over-window sorts every (band, bucket) partition. */
   private def pruneBuckets(banded: org.apache.spark.sql.DataFrame,
                            maxBucket: Int): org.apache.spark.sql.DataFrame = {
-    val small = banded.groupBy("band", "bucket")
+    // repartition FIRST: the size-count branch, the prune join, and the
+    // downstream self-join sides all hang off this one exchange
+    // (ReuseExchange), so the signature computation runs ONCE — without
+    // it the sketch expressions (the expensive part) evaluate once per
+    // branch. The aggregate and joins after it are exchange-free: the
+    // data is already hash-clustered on the key.
+    val parted = banded.repartition(col("band"), col("bucket"))
+    val small = parted.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBucket)
       .drop("__sz")
-    banded.join(small, Seq("band", "bucket"))
+    parted.join(small, Seq("band", "bucket"))
   }
 
   /** Exact-duplicate groups by content fingerprint: one row per
@@ -47,17 +54,19 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature column: array of `numHashes` minima over the
-    * document's word `n`-gram shingles; all per-row work stays in one
-    * projection (higher-order functions, no explode => no shuffle until
-    * banding).
+  /** MinHash signature column over a MATERIALIZED words-array attribute
+    * (see [[TextFunctions.normalizedWords]]): array of `numHashes`
+    * minima over the word `n`-gram shingles; all per-row work stays in
+    * projections (higher-order functions, no explode => no shuffle
+    * until banding).
     *
     * Lane family: each lane applies a fixed rotate-XOR permutation to
     * the ONE xxhash64 per shingle — bitwise ops only (ANSI-safe, no
     * overflow) and ~numHashes x cheaper than salting the string per
     * lane. */
-  def minhashSignature(textCol: Column, n: Int, numHashes: Int): Column =
-    minhashFromHashes(transform(shingles(textCol, n), s => xxhash64(s)), numHashes)
+  def minhashSignature(wordsCol: Column, n: Int, numHashes: Int): Column =
+    minhashFromHashes(
+      transform(shinglesFromWords(wordsCol, n), s => xxhash64(s)), numHashes)
 
   private def minhashFromHashes(baseHashes: Column, numHashes: Int): Column = {
     val rng = new scala.util.Random(0x5eed)
@@ -87,11 +96,15 @@ object Dedup {
                       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // materialize the per-shingle base hashes behind a projection
-    // boundary: every lane references the array, and re-inlining the
-    // shingle+hash expression per lane is a numHashes-fold slowdown
+    // two materialization boundaries: the words array FIRST (the
+    // shingle lambda would otherwise re-run split+regex per element —
+    // O(words^2) regex work on long docs), then the per-shingle base
+    // hashes (every lane references the array, and re-inlining the
+    // shingle+hash expression per lane is a numHashes-fold slowdown)
     val sig = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), n), s => xxhash64(s)).as("__h"))
+      normalizedWords(col(textCol)).as("__w"))
+      .select(col("id"),
+        transform(shinglesFromWords(col("__w"), n), s => xxhash64(s)).as("__h"))
       .select(col("id"), minhashFromHashes(col("__h"), numHashes).as("sig"))
 
     val banded = sig.select(col("id"), col("sig"),
@@ -175,21 +188,25 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
+      normalizedWords(col(textCol)).as("__w")) // words materialized first
+      .select(col("id"),
+        array_distinct(shinglesFromWords(col("__w"), n)).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val prunedRaw =
-      if (maxDf == Int.MaxValue) sh // unbounded: skip the df-count shuffle
+    // repartition BEFORE the df-count branch: the count aggregate, the
+    // prune join, and both self-join sides all reuse this one exchange
+    // (ReuseExchange), so the shingle+normalize expression — the
+    // dominant per-row cost — evaluates ONCE. Aggregate and joins above
+    // it are exchange-free (data already hash-clustered on `s`).
+    val parted = sh.repartition(col("s"))
+    val pruned =
+      if (maxDf == Int.MaxValue) parted // unbounded: skip the df count
       else {
-        // df counts via groupBy + join (map-side combine, no per-key
-        // sort — a windowed count would sort every shingle partition)
-        val small = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+        // df counts via groupBy + join (no per-key sort — a windowed
+        // count would sort every shingle partition)
+        val small = parted.groupBy("s").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).drop("__df")
-        sh.join(small, "s")
+        parted.join(small, "s")
       }
-    // materialize the exploded index behind ONE exchange on the join
-    // key: both self-join sides then reuse it (ReuseExchange), instead
-    // of recomputing the shingle explosion twice
-    val pruned = prunedRaw.repartition(col("s"))
     val left = pruned.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val right = pruned.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
     left.join(right, "s")
@@ -207,10 +224,19 @@ object Dedup {
     * document appearing in some pair, with the cluster's canonical
     * (minimum) id. The standard step that turns pairwise near-dup hits
     * into "keep one per cluster" drop lists at corpus scale. */
+  /** Partition count for the CC graph, proportional to edge volume:
+    * Pregel runs ~graph-diameter supersteps, each a full stage over
+    * every partition — running a 590-edge graph on 32 partitions costs
+    * 20+ stages of near-empty tasks (pure scheduling overhead), while a
+    * billion-edge graph needs the width. */
+  private def ccPartitions(nEdges: Long): Int =
+    math.max(2, math.min(200, (nEdges / 500000L).toInt + 1))
+
   def dupClusters(pairs: DataFrame, idColA: String = "id_a",
                   idColB: String = "id_b"): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
     import spark.implicits._
     // row ordering belongs to the caller's query, not the operator (an
@@ -222,30 +248,52 @@ object Dedup {
         case _ => false
       })
     if (integral) {
-      val edges = pairs.select(col(idColA).cast("long"), col(idColB).cast("long"))
-        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-      Graph.fromEdges(edges, ()).connectedComponents().vertices
-        .toDF("id", "cluster_id")
+      // persist the (possibly expensive) pair table for the duration of
+      // the CC materialization, so edge-cache build reads it once
+      val edgeDf = pairs
+        .select(col(idColA).cast("long").as("a"), col(idColB).cast("long").as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nPairs = edgeDf.count()
+        val edges = edgeDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+          .coalesce(ccPartitions(nPairs))
+        val vertices = Graph.fromEdges(edges, ()).connectedComponents().vertices
+        vertices.count() // force CC while the pair cache is alive
+        vertices.toDF("id", "cluster_id")
+      } finally { edgeDf.unpersist(); () }
     } else {
       // arbitrary (string/uuid/decimal) ids: a cast to long would null
       // or collide silently — assign dense surrogate vertex ids via
       // zipWithUniqueId, run CC on the surrogate graph, then take the
       // minimum ORIGINAL id per component as the canonical label
-      val ids = pairs.select(col(idColA).cast("string").as("orig"))
-        .union(pairs.select(col(idColB).cast("string").as("orig")))
-        .distinct()
-      val mapping = ids.rdd.map(_.getString(0)).zipWithUniqueId().toDF("orig", "gid")
       val pa = pairs.select(col(idColA).cast("string").as("a"),
         col(idColB).cast("string").as("b"))
-      val edges = pa
-        .join(mapping.select(col("orig").as("a"), col("gid").as("ga")), "a")
-        .join(mapping.select(col("orig").as("b"), col("gid").as("gb")), "b")
-        .select("ga", "gb").rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-      val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
-        .toDF("gid", "cgid")
-      val withOrig = cc.join(mapping, "gid").select(col("orig").as("id"), col("cgid"))
-      val canon = withOrig.groupBy("cgid").agg(min(col("id")).as("cluster_id"))
-      withOrig.join(canon, "cgid").select(col("id"), col("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nPairs = pa.count()
+        val ids = pa.select(col("a").as("orig"))
+          .union(pa.select(col("b").as("orig")))
+          .distinct()
+        // zipWithUniqueId values depend on the physical partition
+        // layout, so the mapping MUST be pinned — an eager
+        // localCheckpoint makes every downstream read (edge build AND
+        // the post-CC join-back) see the SAME surrogate ids; a plain
+        // lazy recompute could silently renumber between the two uses
+        val mapping = ids.rdd.map(_.getString(0)).zipWithUniqueId()
+          .toDF("orig", "gid").localCheckpoint()
+        val edges = pa
+          .join(mapping.select(col("orig").as("a"), col("gid").as("ga")), "a")
+          .join(mapping.select(col("orig").as("b"), col("gid").as("gb")), "b")
+          .select("ga", "gb").rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+          .coalesce(ccPartitions(nPairs))
+        val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
+        cc.count() // force CC while the pair cache is alive
+        val ccDf = cc.toDF("gid", "cgid")
+        val withOrig = ccDf.join(mapping, "gid")
+          .select(col("orig").as("id"), col("cgid"))
+        val canon = withOrig.groupBy("cgid").agg(min(col("id")).as("cluster_id"))
+        withOrig.join(canon, "cgid").select(col("id"), col("cluster_id"))
+      } finally { pa.unpersist(); () }
     }
   }
 

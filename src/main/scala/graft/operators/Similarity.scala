@@ -3,8 +3,6 @@ package graft.operators
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -24,66 +22,123 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Bounded top-k accumulator over (score, id) rows, ordered by
-    * (score desc, id asc). Used through `functions.udaf`, so Spark runs
-    * it as an ObjectHashAggregate with a PARTIAL stage: every partition
-    * reduces its candidates to <= 2k rows map-side and only those tiny
-    * states shuffle — a per-query top-k never funnels the full corpus's
-    * candidate rows through one reducer (which is what a
-    * `row_number over (partition by query_id)` window would do). */
-  private final class TopKAgg(k: Int)
-      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    private def prune(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      if (s.length <= k) s else s.sortWith(better).take(k)
-    def zero: Seq[(Double, Long)] = Vector.empty
-    def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] = {
-      val b = buf :+ row
-      if (b.length >= 2 * k) prune(b) else b
-    }
-    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      prune(a ++ b)
-    def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      prune(buf).sortWith(better)
-    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
-      ExpressionEncoder()
-    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
-      ExpressionEncoder()
-  }
-
-  /** Two-phase top-k: per-partition bounded partial aggregation, then a
-    * tiny merge of <= 2k-row states per query. Emits
-    * (query_id, rank, neighbor_id, score) with rank 1..k by
-    * (score desc, neighbor_id asc) — identical contract to a window
-    * row_number, without the per-query funnel. */
+  /** Two-phase top-k: a per-partition bounded heap keeps at most k
+    * candidates per query (primitive arrays, no per-row allocation),
+    * then a tiny window ranks the <= partitions x k survivors per
+    * query. Emits (query_id, rank, neighbor_id, score) with rank 1..k
+    * by (score desc, neighbor_id asc) — the same contract as a global
+    * `row_number` window, but the full corpus's candidate rows never
+    * funnel through one reducer: only heap survivors shuffle. The
+    * survivor set is a function of each partition's row SET (top-k
+    * under a total order), so the final result is layout-independent. */
   private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
-    val agg = udaf(new TopKAgg(k), ExpressionEncoder[(Double, Long)]())
-    scored.groupBy("query_id")
-      .agg(agg(col("score"), col("neighbor_id").cast("long")).as("tops"))
-      .select(col("query_id"), posexplode(col("tops")).as(Seq("r0", "t")))
-      .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
-        col("t._2").as("neighbor_id"), col("t._1").as("score"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val qType = scored.schema("query_id").dataType
+    val partial = scored
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("score").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // (score asc, id desc) min-heap: root = current worst kept
+        val ord = new Ordering[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        val heaps = scala.collection.mutable.LongMap
+          .empty[java.util.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, id, s) =>
+          val h = heaps.getOrNull(q) match {
+            case null =>
+              val nh = new java.util.PriorityQueue[(Double, Long)](k + 1, ord)
+              heaps(q) = nh; nh
+            case x => x
+          }
+          h.add((s, id))
+          if (h.size > k) h.poll()
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator().asScala.map(t => (q, t._2, t._1))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score")
+    partial
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast(qType).as("query_id"), col("rank"),
+        col("neighbor_id"), col("score"))
   }
 
-  /** Exact top-k by cosine: broadcast-join queries x corpus, two-phase
-    * top-k per query. `queries`/`corpus` need (idCol, vecCol). */
+  /** Exact top-k by cosine: the query set (driver-sized by contract) is
+    * collected, L2-normalized, and broadcast; ONE narrow pass over the
+    * corpus scores every (query, row) pair with primitive-array dot
+    * products and keeps per-partition top-k heaps. No corpus shuffle,
+    * no per-pair expression evaluation — the quadratic stage is a tight
+    * loop, and only heap survivors (<= partitions x |q| x k rows) move.
+    * Correct at ANY corpus size; |queries| bounds driver memory.
+    *
+    * The arithmetic (left-fold sum of squares, divide, left-fold dot)
+    * matches `VectorFunctions.normalize`/`dot` exactly, so scores are
+    * bit-identical to the expression form. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
-    // normalize each side once; the quadratic stage is then a bare dot.
-    // (Measured: for wide vectors the statically-unrolled dot loses to
-    // the HOF form once codegen splits the giant expression, so no dim
-    // fast path here.)
-    val q = queries.select(col(idCol).as("query_id"),
-      normalize(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      normalize(col(vecCol)).as("cv"))
-    val pairScore = dot(col("qv"), col("cv"))
-    val scored = c.join(broadcast(q),
-        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), pairScore.as("score"))
-    topKSelect(scored, k)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def normLocal(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else { val o = new Array[Double](v.length)
+        i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
+    }
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+      .map { case (id, v) => (id, normLocal(v)) }
+    val bc = spark.sparkContext.broadcast(qArr)
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val ord = new Ordering[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          new java.util.PriorityQueue[(Double, Long)](k + 1, ord))
+        it.foreach { case (nid, raw) =>
+          val cv = normLocal(raw)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (!(excludeSelf && qid == nid)) {
+              var s = 0.0; var j = 0
+              while (j < qv.length) { s += qv(j) * cv(j); j += 1 }
+              val h = heaps(qi)
+              h.add((s, nid))
+              if (h.size > k) { h.poll(); () }
+            }
+            qi += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator().asScala.map(t => (qs(qi)._1, t._2, t._1))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score")
+      .withColumn("query_id", col("query_id").cast(queries.schema(idCol).dataType))
+    topKSelect(partial, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer

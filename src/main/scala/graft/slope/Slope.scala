@@ -1,7 +1,7 @@
 package graft.slope
 
 import graft.slope.kernels.{LambdaSequence, Screening}
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector, Vectors}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{avg, col}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
@@ -217,31 +217,63 @@ object Slope {
 
   /** Content-order rows (label first, then features lexicographically):
     * a deterministic total preorder whose ties are exact-duplicate rows,
-    * making driver-local FP reductions independent of partition layout. */
+    * making driver-local FP reductions independent of partition layout.
+    * Label keys are materialized once (not per comparison), and vectors
+    * compare over merged active entries — O(nnz), no per-element
+    * binary search on sparse rows. */
   private def sortRowsInPlace(xs: Array[Vector], rawY: Array[Any]): Unit = {
-    val idx = Array.range(0, xs.length)
+    val n = xs.length
+    val labelKey = new Array[String](n)
+    var i = 0
+    while (i < n) { labelKey(i) = String.valueOf(rawY(i)); i += 1 }
+    val idx = Array.range(0, n)
     val ord = new Ordering[Int] {
       def compare(a: Int, b: Int): Int = {
-        val la = String.valueOf(rawY(a)); val lb = String.valueOf(rawY(b))
-        val c0 = la.compareTo(lb)
+        val c0 = labelKey(a).compareTo(labelKey(b))
         if (c0 != 0) return c0
-        val va = xs(a); val vb = xs(b)
-        val c1 = Integer.compare(va.size, vb.size)
-        if (c1 != 0) return c1
-        var j = 0
-        while (j < va.size) {
-          val c = java.lang.Double.compare(va(j), vb(j))
-          if (c != 0) return c
-          j += 1
-        }
-        0
+        val c1 = Integer.compare(xs(a).size, xs(b).size)
+        if (c1 != 0) c1 else compareVec(xs(a), xs(b))
       }
     }
     val sorted = idx.sorted(ord)
     val xs2 = sorted.map(xs)
     val ys2 = sorted.map(rawY)
-    System.arraycopy(xs2, 0, xs, 0, xs.length)
-    System.arraycopy(ys2, 0, rawY, 0, rawY.length)
+    System.arraycopy(xs2, 0, xs, 0, n)
+    System.arraycopy(ys2, 0, rawY, 0, n)
+  }
+
+  /** Elementwise lexicographic compare of equal-size vectors, walking
+    * merged active entries (implicit zeros included) — O(nnz_a+nnz_b). */
+  private def compareVec(va: Vector, vb: Vector): Int = (va, vb) match {
+    case (a: DenseVector, b: DenseVector) =>
+      val av = a.values; val bv = b.values
+      var j = 0
+      while (j < av.length) {
+        val c = java.lang.Double.compare(av(j), bv(j))
+        if (c != 0) return c
+        j += 1
+      }
+      0
+    case _ =>
+      def actives(v: Vector): (Array[Int], Array[Double]) = v match {
+        case s: SparseVector => (s.indices, s.values)
+        case d: DenseVector => (Array.range(0, d.size), d.values)
+      }
+      val (ai, av) = actives(va)
+      val (bi, bv) = actives(vb)
+      var ia = 0; var ib = 0
+      while (ia < ai.length || ib < bi.length) {
+        val ja = if (ia < ai.length) ai(ia) else Int.MaxValue
+        val jb = if (ib < bi.length) bi(ib) else Int.MaxValue
+        val j = math.min(ja, jb)
+        val x = if (ja == j) av(ia) else 0.0
+        val y = if (jb == j) bv(ib) else 0.0
+        val c = java.lang.Double.compare(x, y)
+        if (c != 0) return c
+        if (ja == j) ia += 1
+        if (jb == j) ib += 1
+      }
+      0
   }
 
   private def anyToDouble(a: Any): Double = a match {
