@@ -39,6 +39,9 @@ object SparkEntry {
 
   // shared knobs between queries and their oracle SQL
   private val MaxDfShipped = 1000 // > |documents| at oracle SF: drops nothing
+  // fan out small single-split document/embedding scans before the
+  // expensive per-row sketch expressions (see Dedup.spread)
+  private val OpParallelism = 32
   private val EmbDim = 64
   // the synthetic corpus's "near" dups are only ~63 degrees apart
   // (cosine 0.45-0.51), so recall needs many short bands; a production
@@ -265,7 +268,8 @@ object SparkEntry {
       // size, so it provably drops nothing here, and the oracle applies
       // the same df cut
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.05, maxDf = MaxDfShipped)
+        n = 3, threshold = 0.05, maxDf = MaxDfShipped,
+        parallelism = OpParallelism)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -273,7 +277,8 @@ object SparkEntry {
     "q_minhash_dedup" -> ((s, dir) => {
       // MinHash-LSH near-dup candidates (not SQL-expressible: xxhash64)
       Dedup.minhashDupPairs(docs(s, dir), "doc_id", "text",
-        n = 2, numHashes = 32, bands = 16, threshold = 0.3)
+        n = 2, numHashes = 32, bands = 16, threshold = 0.3,
+        parallelism = OpParallelism)
         .orderBy("id_a", "id_b")
     }),
 
@@ -282,13 +287,15 @@ object SparkEntry {
       // connected components; oracle = DuckDB recursive-CTE min-label
       // reachability over the same pair table)
       val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.05, maxDf = MaxDfShipped)
+        n = 3, threshold = 0.05, maxDf = MaxDfShipped,
+        parallelism = OpParallelism)
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
     "q_simhash_dedup" -> ((s, dir) => {
       // SimHash near-dup candidates (not SQL-expressible: xxhash64)
-      Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
+      Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 8,
+        parallelism = OpParallelism)
         .orderBy("id_a", "id_b")
     }),
 
@@ -310,7 +317,7 @@ object SparkEntry {
       // covers bucketing AND the cosine verify
       Dedup.embeddingDupPairs(emb(s, dir), "vec_id", "embedding",
         dim = EmbDim, threshold = 0.45, nBits = EmbBits, bands = EmbBands,
-        seed = EmbSeed)
+        seed = EmbSeed, parallelism = OpParallelism)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),

@@ -39,6 +39,16 @@ object Dedup {
     parted.join(small, Seq("band", "bucket"))
   }
 
+  /** Optional fan-out of a SMALL input before expensive per-row
+    * signature work: a sub-megabyte parquet file arrives as ONE scan
+    * partition, serializing all sketch computation onto a single task.
+    * `parallelism = 0` (default) leaves the scan layout alone — the
+    * right choice for large inputs, whose many splits already
+    * parallelize the map side. Round-robin, so it only moves the raw
+    * (id, text) rows, never computed signatures. */
+  private def spread(df: DataFrame, parallelism: Int): DataFrame =
+    if (parallelism > 0) df.repartition(parallelism) else df
+
   /** Exact-duplicate groups by content fingerprint: one row per
     * distinct normalized text with its cardinality and canonical
     * (minimum) id. Map-side combine via the single groupBy. */
@@ -93,15 +103,17 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+                      threshold: Double = 0.7, maxBucket: Int = 1000,
+                      parallelism: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val in = spread(df, parallelism)
     // two materialization boundaries: the words array FIRST (the
     // shingle lambda would otherwise re-run split+regex per element —
     // O(words^2) regex work on long docs), then the per-shingle base
     // hashes (every lane references the array, and re-inlining the
     // shingle+hash expression per lane is a numHashes-fold slowdown)
-    val sig = df.select(col(idCol).as("id"),
+    val sig = in.select(col(idCol).as("id"),
       normalizedWords(col(textCol)).as("__w"))
       .select(col("id"),
         transform(shinglesFromWords(col("__w"), n), s => xxhash64(s)).as("__h"))
@@ -150,10 +162,11 @@ object Dedup {
     * sharing any 16-bit band are candidates; verified by full Hamming
     * distance <= `maxHamming` (bit_count of xor). */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 1000,
+                      parallelism: Int = 0): DataFrame = {
     // word hashes materialized once; the 64 per-bit votes each reference
     // the array (same re-inlining hazard as the MinHash signature)
-    val sh = df.select(col(idCol).as("id"),
+    val sh = spread(df, parallelism).select(col(idCol).as("id"),
       transform(split(normalizeText(col(textCol)), " "), w => xxhash64(w)).as("__h"))
       .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
@@ -186,8 +199,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxDf: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+                        maxDf: Int = 1000, parallelism: Int = 0): DataFrame = {
+    val sh = spread(df, parallelism).select(col(idCol).as("id"),
       normalizedWords(col(textCol)).as("__w")) // words materialized first
       .select(col("id"),
         array_distinct(shinglesFromWords(col("__w"), n)).as("sh"))
@@ -315,11 +328,11 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double = 0.9,
                         nBits: Int = 8, bands: Int = 4, seed: Long = 42L,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 10000, parallelism: Int = 0): DataFrame = {
     // pre-normalize once per vector so the pairwise kernel is a single
     // dot product instead of dot + two norms (3x fewer HOF evaluations
     // on the quadratic stage)
-    val base = df.select(col(idCol).as("id"),
+    val base = spread(df, parallelism).select(col(idCol).as("id"),
       VectorFunctions.normalize(col(vecCol)).as("v"),
       col(vecCol).as("__raw"))
     val banded =
