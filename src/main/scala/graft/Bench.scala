@@ -1,9 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,17 +29,36 @@ object Bench {
       System.err.println(
         f"[bench] warmup(${warmDir}) ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // One timed run cannot tell a regression from a noisy neighbor (this
+    // box showed 40x swings on unchanged code between rounds). Each query
+    // runs `reps` times, round-robin across the whole suite so a
+    // multi-minute contention spike hits at most one rep per query, and
+    // the per-query figure is the MEDIAN (min/max kept for variance
+    // visibility).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map(
+      names.map(_ -> List.empty[Double]): _*)
+    for (rep <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2fs")
-      name -> dt
+      System.err.println(f"[bench] $name%-22s rep$rep $dt%8.2fs")
+      samples(name) = samples(name) :+ dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = names.map(n => (n, samples(n)))
+    def fmt(f: List[Double] => Double) = results
+      .map { case (k, xs) => s"\"" + k + "\":" + f(xs) }.mkString("{", ",", "}")
+    val qs = fmt(median)
+    val qmin = fmt(_.min)
+    val qmax = fmt(_.max)
+    val total = results.map { case (_, xs) => median(xs) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
