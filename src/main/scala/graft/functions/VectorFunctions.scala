@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise dot product in double precision. */
+  /** Elementwise dot product in double precision — the codegen'd
+    * [[DotProduct]] kernel (bit-identical to [[dotHof]], ~10x cheaper on
+    * pairwise verify stages where it runs once per candidate pair). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(DotProduct(
+      org.apache.spark.sql.graft.ColumnShim.expression(a),
+      org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
+  /** Higher-order-function formulation of [[dot]]; kept as the
+    * independent semantics anchor for the bit-identity test. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

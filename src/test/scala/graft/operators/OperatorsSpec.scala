@@ -101,6 +101,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen dot product is bit-identical to the HOF fold") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // adversarial values: magnitudes that make the fold order observable
+    // (1e16 + 1 rounds), NaN/Inf propagation, plus plain gaussians
+    val special = Seq(
+      (Array(1e16f, 1.0f, -1e16f), Array(1.0f, 1.0f, 1.0f)),
+      (Array(Float.NaN, 2.0f), Array(1.0f, 3.0f)),
+      (Array(Float.PositiveInfinity, 1.0f), Array(1.0f, -1.0f)),
+      (Array.empty[Float], Array.empty[Float]))
+    val rand = Seq.fill(200)((Array.fill(16)(rng.nextGaussian().toFloat),
+      Array.fill(16)(rng.nextGaussian().toFloat)))
+    val df = (special ++ rand).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+    // float inputs and double inputs (the hyperplane-literal case)
+    for (cast <- Seq(false, true)) {
+      val in = if (cast) df.select(col("id"), col("a").cast("array<double>"),
+        col("b").cast("array<double>")) else df
+      val rows = in.select(col("id"),
+        VectorFunctions.dot(col("a"), col("b")).as("native"),
+        VectorFunctions.dotHof(col("a"), col("b")).as("hof")).collect()
+      rows.foreach { r =>
+        val n = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+        val h = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+        assert((n == null && h == null) ||
+          java.lang.Double.doubleToRawLongBits(n) ==
+            java.lang.Double.doubleToRawLongBits(h),
+          s"id=${r.getLong(0)} cast=$cast native=$n hof=$h")
+      }
+    }
+    // length mismatch and null element -> null, matching zip_with padding
+    val edge = Seq((1L, Array(1.0f, 2.0f), Array(1.0f)),
+      (2L, Array(1.0f), Array(1.0f, 2.0f))).toDF("id", "a", "b")
+      .union(spark.sql(
+        "SELECT 3L, array(cast(1.0 as float), cast(null as float)), " +
+          "array(cast(1.0 as float), cast(2.0 as float))"))
+    val e = edge.select(VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hof")).collect()
+    e.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"expected nulls: $r"))
+  }
+
   test("lsh topk: high recall vs brute force on clustered data") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
