@@ -236,22 +236,27 @@ object Dedup {
     * connected components over the similarity graph, one row per
     * document appearing in some pair, with the cluster's canonical
     * (minimum) id. The standard step that turns pairwise near-dup hits
-    * into "keep one per cluster" drop lists at corpus scale. */
-  /** Partition count for the CC graph, proportional to edge volume:
-    * Pregel runs ~graph-diameter supersteps, each a full stage over
-    * every partition — running a 590-edge graph on 32 partitions costs
-    * 20+ stages of near-empty tasks (pure scheduling overhead), while a
-    * billion-edge graph needs the width. */
-  private def ccPartitions(nEdges: Long): Int =
-    math.max(2, math.min(200, (nEdges / 500000L).toInt + 1))
-
+    * into "keep one per cluster" drop lists at corpus scale.
+    *
+    * Algorithm: alternating large-star / small-star connected
+    * components (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) entirely in DataFrames — O(log n) rounds of two
+    * shuffles each, versus GraphX Pregel's one full stage per graph
+    * DIAMETER whose fixed per-superstep scheduling overhead dominated
+    * small graphs (15-89 s swings on a 590-edge graph) while a deep
+    * chain would need hundreds of supersteps at corpus scale. At the
+    * fixpoint every non-root node carries one edge to its component
+    * minimum. Ids of any orderable type work directly (integral ids
+    * widen to long, anything else clusters on its string form — no
+    * surrogate-id mapping needed, which the Pregel path required).
+    * Lineage is truncated per round with an eager localCheckpoint (on a
+    * multi-executor cluster prefer `sparkContext.setCheckpointDir` +
+    * `checkpoint()` for fault tolerance; the iteration structure is
+    * unchanged). */
   def dupClusters(pairs: DataFrame, idColA: String = "id_a",
                   idColB: String = "id_b"): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     import org.apache.spark.storage.StorageLevel
-    val spark = pairs.sparkSession
-    import spark.implicits._
     // row ordering belongs to the caller's query, not the operator (an
     // operator-baked orderBy would force a pointless global sort when
     // composed), so no orderBy here
@@ -260,54 +265,66 @@ object Dedup {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       })
-    if (integral) {
-      // persist the (possibly expensive) pair table for the duration of
-      // the CC materialization, so edge-cache build reads it once
-      val edgeDf = pairs
-        .select(col(idColA).cast("long").as("a"), col(idColB).cast("long").as("b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nPairs = edgeDf.count()
-        val edges = edgeDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-          .coalesce(ccPartitions(nPairs))
-        val vertices = Graph.fromEdges(edges, ()).connectedComponents().vertices
-        vertices.count() // force CC while the pair cache is alive
-        vertices.toDF("id", "cluster_id")
-      } finally { edgeDf.unpersist(); () }
-    } else {
-      // arbitrary (string/uuid/decimal) ids: a cast to long would null
-      // or collide silently — assign dense surrogate vertex ids via
-      // zipWithUniqueId, run CC on the surrogate graph, then take the
-      // minimum ORIGINAL id per component as the canonical label
-      val pa = pairs.select(col(idColA).cast("string").as("a"),
-        col(idColB).cast("string").as("b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nPairs = pa.count()
-        val ids = pa.select(col("a").as("orig"))
-          .union(pa.select(col("b").as("orig")))
-          .distinct()
-        // zipWithUniqueId values depend on the physical partition
-        // layout, so the mapping MUST be pinned — an eager
-        // localCheckpoint makes every downstream read (edge build AND
-        // the post-CC join-back) see the SAME surrogate ids; a plain
-        // lazy recompute could silently renumber between the two uses
-        val mapping = ids.rdd.map(_.getString(0)).zipWithUniqueId()
-          .toDF("orig", "gid").localCheckpoint()
-        val edges = pa
-          .join(mapping.select(col("orig").as("a"), col("gid").as("ga")), "a")
-          .join(mapping.select(col("orig").as("b"), col("gid").as("gb")), "b")
-          .select("ga", "gb").rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-          .coalesce(ccPartitions(nPairs))
-        val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
-        cc.count() // force CC while the pair cache is alive
-        val ccDf = cc.toDF("gid", "cgid")
-        val withOrig = ccDf.join(mapping, "gid")
-          .select(col("orig").as("id"), col("cgid"))
-        val canon = withOrig.groupBy("cgid").agg(min(col("id")).as("cluster_id"))
-        withOrig.join(canon, "cgid").select(col("id"), col("cluster_id"))
-      } finally { pa.unpersist(); () }
+    // a cast of arbitrary (uuid/decimal) ids to long would null or
+    // collide silently, so non-integral ids cluster on their exact
+    // string form; min() then picks the canonical id in the SAME
+    // ordering either way
+    val castT = if (integral) "long" else "string"
+    // persist the (possibly expensive — shingle pairing) pair table so
+    // the vertex set and the initial edge set each read it once
+    val pa = pairs.select(col(idColA).cast(castT).as("a"),
+      col(idColB).cast(castT).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = pa.select(col("a").as("id"))
+      .union(pa.select(col("b").as("id"))).distinct()
+      .localCheckpoint() // eager: pins vertices before pa unpersists
+    var edges = pa.filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    pa.unpersist()
+
+    // set equality proxy: row count + XOR of row hashes (order- and
+    // layout-independent, overflow-free under ANSI; the sets are always
+    // DISTINCT so XOR cancellation of repeated rows cannot occur)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+
+    var converged = signature(edges)._1 == 0L
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prevSig = signature(edges)
+      // large-star: every node links its LARGER neighbors to the
+      // minimum of its closed neighborhood — long chains contract
+      // geometrically
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val ls = sym.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star: orient larger -> smaller, then link each node and
+      // its smaller neighbors to their minimum — flattens local trees
+      // into stars
+      val oriented = ls.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val mins2 = oriented.groupBy("a").agg(min("b").as("m"))
+      val ss = oriented.join(mins2, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .union(mins2.select(col("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint()
+      edges = ss
+      converged = signature(ss) == prevSig
+      rounds += 1
+    }
+    // fixpoint edges are (member, componentMin); isolated vertices
+    // (self-pairs only) label themselves
+    val labels = edges.groupBy("a").agg(min("b").as("cluster_id"))
+      .select(col("a").as("id"), col("cluster_id"))
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Drop list from near-dup clusters: every non-canonical member. */

@@ -173,6 +173,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drops == Set(2L, 3L, 6L))
   }
 
+  test("dup clusters: star CC matches union-find on chains and random graphs") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+    // a 40-deep chain (the Pregel worst case) and three seeded random graphs
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val rng = new scala.util.Random(13)
+    val graphs = chain +: Seq.tabulate(3)(_ =>
+      Seq.fill(60)((rng.nextInt(50).toLong, rng.nextInt(50).toLong)))
+    for (edges <- graphs) {
+      val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(50, edges), s"edges=$edges")
+    }
+  }
+
   test("dup clusters: non-numeric (string/uuid) ids cluster on original ids") {
     import spark.implicits._
     // a long cast would null these out; the surrogate-id path must keep
