@@ -137,4 +137,45 @@ class MlApiSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("multinomial: unregularized fit matches MLlib softmax regression") {
+    // External anchor for the multinomial family (the reference checks
+    // against glmnet the same way: tests/testthat/test-multinomial.R:23-33
+    // fits lambda=0 and compares after subtracting the last class's
+    // coefficients). Softmax parameters are identified only up to a
+    // per-feature constant across classes, so both models are brought to
+    // the same gauge by the reference-class shift beta_k - beta_K before
+    // comparing; mild amplitude keeps the classes overlapping (a
+    // separable draw would make the unregularized optimum diverge).
+    import spark.implicits._
+    val gen = new SlopeFitSpec
+    val p = 4
+    val (xs, ys) = gen.randomProblem(17, 500, p, qSignal = 0.4,
+      amplitude = 1.0, family = "multinomial")
+    val fit = Slope.fitLocal(xs, ys, SlopeParams(family = "multinomial",
+      sigma = Some(Array(1e-6)), screening = false))
+    assert(fit.m == 2)
+
+    val df = xs.zip(ys).toSeq
+      .map { case (x, y) => (x, y.toString.drop(1).toDouble) }
+      .toDF("features", "label")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFamily("multinomial").setRegParam(0.0).setFitIntercept(true)
+      .setStandardization(false).setMaxIter(500).setTol(1e-10)
+    val anchor = lr.fit(df)
+    val cm = anchor.coefficientMatrix // K x p
+    val iv = anchor.interceptVector
+    val K = fit.m + 1
+    for (k <- 0 until fit.m) {
+      for (j <- 0 until p) {
+        val want = cm(k, j) - cm(K - 1, j)
+        val got = fit.coefs(0)(k * p + j)
+        assert(math.abs(got - want) < 1e-3,
+          s"class $k feature $j: graft $got vs mllib $want")
+      }
+      val wantB = iv(k) - iv(K - 1)
+      assert(math.abs(fit.intercepts(0)(k) - wantB) < 1e-3,
+        s"class $k intercept: graft ${fit.intercepts(0)(k)} vs mllib $wantB")
+    }
+  }
 }
