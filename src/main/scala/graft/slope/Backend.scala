@@ -30,8 +30,12 @@ trait SlopeBackend {
   def fitIntercept: Boolean
   final def pInt: Int = pRaw + (if (fitIntercept) 1 else 0)
 
-  /** Per-feature raw means (for centering), length pRaw. */
-  def featureMeans(): Array[Double]
+  /** Per-feature raw means (for centering, length pRaw) plus whether any
+    * row uses a sparse representation — detected exactly in the same
+    * aggregate (not a sample), since the flag steers the centering
+    * default. This pass also validates per-row vector lengths, so the
+    * later fused kernels can assume well-shaped rows. */
+  def featureMeansAndSparsity(): (Array[Double], Boolean)
 
   /** Scale statistic per feature given centers (0s if no centering):
     * "l1" | "l2" | "sd" | "max" | "none", reference `src/standardize.h`. */
@@ -265,17 +269,20 @@ class DistributedBackend(
 
   private def sc = rows.sparkContext
 
-  def featureMeans(): Array[Double] = {
+  def featureMeansAndSparsity(): (Array[Double], Boolean) = {
     val p = pRaw
-    val (sum, cnt) = rows.treeAggregate((new Array[Double](p), 0L))(
-      seqOp = { case ((acc, c), (x, _)) =>
+    val (sum, cnt, sparse) = rows.treeAggregate(
+      (new Array[Double](p), 0L, false))(
+      seqOp = { case ((acc, c, sp), (x, _)) =>
+        // row shapes were validated at ingest (Slope.fit's row mapper)
         x.foreachActive((j, v) => acc(j) += v)
-        (acc, c + 1)
+        (acc, c + 1, sp || x.isInstanceOf[SparseVector])
       },
-      combOp = { case ((a1, c1), (a2, c2)) =>
-        var j = 0; while (j < p) { a1(j) += a2(j); j += 1 }; (a1, c1 + c2)
+      combOp = { case ((a1, c1, s1), (a2, c2, s2)) =>
+        var j = 0; while (j < p) { a1(j) += a2(j); j += 1 }
+        (a1, c1 + c2, s1 || s2)
       }, depth = treeDepth)
-    sum.map(_ / cnt)
+    (sum.map(_ / cnt), sparse)
   }
 
   def scaleStats(center: Array[Double], scale: String): Array[Double] = {
@@ -481,13 +488,16 @@ class LocalBackend(
     xCenter = c; xScale = s
   }
 
-  def featureMeans(): Array[Double] = {
+  def featureMeansAndSparsity(): (Array[Double], Boolean) = {
     val sum = new Array[Double](pRaw)
+    var sparse = false
     var i = 0
     while (i < xs.length) {
-      xs(i).foreachActive((j, v) => sum(j) += v); i += 1
+      xs(i).foreachActive((j, v) => sum(j) += v)
+      sparse ||= xs(i).isInstanceOf[SparseVector]
+      i += 1
     }
-    sum.map(_ / n)
+    (sum.map(_ / n), sparse)
   }
 
   def scaleStats(center: Array[Double], scale: String): Array[Double] = {

@@ -348,27 +348,24 @@ object Slope {
 
     // ---- standardization (reference src/standardize.h, lazily folded
     // into the row kernels — the data itself is never rewritten) ----
-    val anySparse = backend match {
-      case l: LocalBackend => l.xs.exists(_.isInstanceOf[org.apache.spark.ml.linalg.SparseVector])
-      case d: DistributedBackend =>
-        // sample-based: cheap, and only steers the DEFAULT below. An
-        // explicit params.center always wins, and unlike the reference
-        // (which mutates X and must refuse center+sparse,
-        // R/owl.R:359-360) centering here is folded into the row
-        // kernels, so it is safe on sparse data either way.
-        d.rows.take(100).exists(_._1.isInstanceOf[org.apache.spark.ml.linalg.SparseVector])
-    }
+    // One moments pass always runs: it yields the means, validates row
+    // shapes, and detects sparse representation EXACTLY (the former
+    // 100-row sample could miss late sparse partitions and flip the
+    // centering default between runs). An explicit params.center still
+    // wins; unlike the reference (which mutates X and must refuse
+    // center+sparse, R/owl.R:359-360) centering here is folded into the
+    // row kernels, so it is safe on sparse data either way.
+    val (featMeans, anySparse) = backend.featureMeansAndSparsity()
     val center = params.center.getOrElse(!anySparse)
 
-    val xCenterRaw =
-      if (center) backend.featureMeans() else new Array[Double](p)
+    val xCenterRaw = if (center) featMeans else new Array[Double](p)
     // "sd" always measures spread about the mean even when the data is
     // not centered (reference sparse branch, standardize.h:56-58)
     val scaleCenters =
-      if (params.scale == "sd" && !center) backend.featureMeans() else xCenterRaw
+      if (params.scale == "sd" && !center) featMeans else xCenterRaw
     // NaN features poison the sums of the moments pass — detect here (one
     // free check on p-dimensional state; reference rejects NA, R/owl.R:350)
-    require(!xCenterRaw.exists(_.isNaN),
+    require(!featMeans.exists(_.isNaN),
       "missing (NaN) values in features are not allowed")
     val xScaleRaw = backend.scaleStats(scaleCenters, params.scale)
       .map(s => if (s == 0.0) 1.0 else s) // zero-variance guard

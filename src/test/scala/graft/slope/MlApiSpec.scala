@@ -138,6 +138,20 @@ class MlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed backend rejects ragged feature rows with a clear error") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), 1.0), (Array(1.0, 2.0), 2.0),
+      (Array(0.5, 1.5, 2.5), 3.0)).toDF("features", "label")
+    val e = intercept[Exception] {
+      Slope.fit(df, "features", "label",
+        SlopeParams(family = "gaussian", localCellLimit = 0))
+    }
+    // executor-side require surfaces wrapped in a SparkException chain
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("length 2 != expected 3"), msgs)
+  }
+
   test("multinomial: unregularized fit matches MLlib softmax regression") {
     // External anchor for the multinomial family (the reference checks
     // against glmnet the same way: tests/testthat/test-multinomial.R:23-33

@@ -220,6 +220,19 @@ class SlopeFitSpec extends AnyFunSuite {
       assert(maxAbsDiff(fd.coefs(s), fs.coefs(s)) < 1e-4, s"step $s")
   }
 
+  test("ragged feature rows fail fast with a descriptive error") {
+    val xs: Array[Vector] = Array(
+      Vectors.dense(1.0, 2.0, 3.0),
+      Vectors.dense(1.0, 2.0), // short row: would silently truncate dots
+      Vectors.dense(0.5, 1.5, 2.5))
+    val ys: Array[Any] = Array(1.0, 2.0, 3.0)
+    val e = intercept[IllegalArgumentException] {
+      Slope.fitLocal(xs, ys, SlopeParams(family = "gaussian"))
+    }
+    assert(e.getMessage.contains("length 2"), e.getMessage)
+    assert(e.getMessage.contains("3"), e.getMessage)
+  }
+
   test("path: first step is the null model, deviance ratio increases") {
     val (xs, ysAny) = randomProblem(8, 150, 10)
     val fit = Slope.fitLocal(xs, ysAny, SlopeParams(nSigma = 30))
