@@ -397,6 +397,53 @@ object SparkEntry {
     // `runMain graft.GoldenGen` after any solver change) ----
     "q_slope_fit" -> ((s, dir) => slopeFitQuery(s, dir)),
 
+    "q_slope_multitask" -> ((s, dir) => {
+      // multi-task gaussian (matrix response, m=2) — the reference's
+      // NCOL(y)>1 branch (R/preProcessResponse.R:10-13). The sorted-L1
+      // penalty runs jointly over all p*m coefficients; semantics are
+      // anchored by MultiTaskSpec (separability identity + joint
+      // duality-gap certificate).
+      val target2 = col("l_discount") * 40.0 - col("l_tax") * 3.0 +
+        col("l_extendedprice") / 50000.0
+      val df = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"),
+        array(signalLabel, target2).as("label"))
+      val m = Slope.fit(df, "features", "label",
+        SlopeParams(family = "gaussian", nSigma = 30))
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val rows = for {
+        step <- 0 until m.nSteps
+        k <- 0 until m.m
+        j <- 0 until m.p
+      } yield (step, r6(m.sigma(step)), k, Feats(j),
+        r6(m.coefs(step)(k * m.p + j)), r6(m.intercepts(step)(k)))
+      import s.implicits._
+      rows.toDF("step", "sigma", "target", "feature", "coefficient",
+        "intercept")
+        .orderBy("step", "target", "feature")
+    }),
+
+    "q_slope_tiny" -> ((s, dir) => {
+      // externally-anchored tiny path (n=20, p=5, LCG data): the SAME
+      // fit is certified in TinyCertificateSpec against an independent
+      // SLOPE duality-gap certificate and MLlib's lasso, so this
+      // golden's provenance does not rest on the engine's own kernels
+      // (the role of the reference's bundled-dataset anchors,
+      // tests/testthat/test-slope.R:4-23)
+      val (xs, ys) = graft.slope.TinyProblem.data()
+      val m = Slope.fitLocal(xs, ys.map(v => v: Any),
+        graft.slope.TinyProblem.pathParams)
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val rows = for {
+        step <- 0 until m.nSteps
+        j <- 0 until m.p
+      } yield (step, r6(m.sigma(step)), j, r6(m.coefs(step)(j)),
+        r6(m.devianceRatios(step)))
+      import s.implicits._
+      rows.toDF("step", "sigma", "j", "coefficient", "deviance_ratio")
+        .orderBy("step", "j")
+    }),
+
     "q_slope_wide" -> ((s, dir) => {
       // the reference's own differential-test shape (tests/testthat/
       // test-slope.R:4-23: n=1000 p=50 gaussian full path). Fixture
@@ -903,7 +950,7 @@ object SparkEntry {
     "q_slope_fit", "q_slope_wide", "q_slope_path_summary",
     "q_slope_predict", "q_slope_score", "q_slope_cv", "q_coef_interp",
     "q_diagnostics", "q_lambda_bh", "q_minhash_dedup", "q_simhash_dedup",
-    "q_ann_ivf", "q_ann_lsh")
+    "q_ann_ivf", "q_ann_lsh", "q_slope_multitask", "q_slope_tiny")
 
   private val GoldenDir = "/root/repo/golden"
 }

@@ -50,16 +50,30 @@ object Family {
   }
 }
 
-/** 0.5*||y - Xb||^2 (reference `src/families/gaussian.h:21-45`). */
+/** 0.5*||y - Xb||^2 (reference `src/families/gaussian.h:21-45`), summed
+  * over targets — m > 1 is the reference's multi-task matrix-response
+  * branch (`R/preProcessResponse.R:10-13`: gaussian y may be an n x m
+  * matrix; loss and penalty then run over the p x m coefficient matrix).
+  * For m = 1 the loops below reduce bit-for-bit to the scalar formulas.
+  */
 case object Gaussian extends Family {
   val name = "gaussian"
   def primalRow(y: Array[Double], lp: Array[Double]): Double = {
-    val r = y(0) - lp(0); 0.5 * r * r
+    var s = 0.0
+    var k = 0
+    while (k < y.length) { val r = y(k) - lp(k); s += 0.5 * r * r; k += 1 }
+    s
   }
-  def dualRow(y: Array[Double], lp: Array[Double]): Double =
-    0.5 * y(0) * y(0) - 0.5 * lp(0) * lp(0)
-  def pseudoGradientRow(y: Array[Double], lp: Array[Double], out: Array[Double]): Unit =
-    out(0) = lp(0) - y(0)
+  def dualRow(y: Array[Double], lp: Array[Double]): Double = {
+    var s = 0.0
+    var k = 0
+    while (k < y.length) { s += 0.5 * y(k) * y(k) - 0.5 * lp(k) * lp(k); k += 1 }
+    s
+  }
+  def pseudoGradientRow(y: Array[Double], lp: Array[Double], out: Array[Double]): Unit = {
+    var k = 0
+    while (k < y.length) { out(k) = lp(k) - y(k); k += 1 }
+  }
   def fitNullModel(yMeans: Array[Double]): Array[Double] = yMeans
 }
 

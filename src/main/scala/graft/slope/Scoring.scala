@@ -50,6 +50,13 @@ object SlopeScore {
   /** Per-row exploded (step, ...) frame feeding [[measureAgg]]. */
   private def explodedErrors(model: SlopeModel, scored: DataFrame,
                              labelCol: String): DataFrame = model.family match {
+    case "gaussian" if model.m > 1 =>
+      // multi-task: per-row length-m error vector; measures below
+      // average over all n*m cells (mean over the error matrix)
+      val y = col(labelCol).cast("array<double>")
+      scored.select(y.as("ya"), posexplode(col("linpred")).as(Seq("step", "lp")))
+        .select(col("step"),
+          zip_with(col("lp"), col("ya"), (l, t) => l - t).as("errs"))
     case "gaussian" | "poisson" =>
       val y = col(labelCol).cast("double")
       scored.select(y.as("y"), posexplode(col("linpred")).as(Seq("step", "lp")))
@@ -69,6 +76,12 @@ object SlopeScore {
     * frame (same formulas as [[score]]). */
   private def measureAgg(model: SlopeModel, measure: String)
     : org.apache.spark.sql.Column = model.family match {
+    case "gaussian" if model.m > 1 => measure match {
+      case "mse" => avg(aggregate(transform(col("errs"), e => e * e),
+        lit(0.0), (a, v) => a + v) / model.m)
+      case "mae" => avg(aggregate(transform(col("errs"), e => abs(e)),
+        lit(0.0), (a, v) => a + v) / model.m)
+    }
     case "gaussian" | "poisson" => measure match {
       case "mse" => avg(col("err") * col("err"))
       case "mae" => avg(abs(col("err")))

@@ -110,7 +110,10 @@ object SlopeServe {
     * is the full K-class softmax (implicit 0 logit appended). */
   private def responseOf(model: SlopeModel, lp: Column): Column =
     model.family match {
-      case "gaussian" => array(element_at(lp, 1))
+      // multi-task (m > 1): response IS the length-m linear predictor;
+      // the m = 1 form is kept verbatim so existing plans are unchanged
+      case "gaussian" =>
+        if (model.m == 1) array(element_at(lp, 1)) else lp
       case "poisson"  => array(exp(element_at(lp, 1)))
       case "binomial" => array(lit(1.0) / (lit(1.0) + exp(-element_at(lp, 1))))
       case "multinomial" =>

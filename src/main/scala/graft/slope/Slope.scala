@@ -108,13 +108,19 @@ case class SlopeModel(
 object Slope {
 
   /** Fit from a DataFrame with a features column (ml Vector or
-    * array<double>) and a label column (numeric, or string for
-    * classification families).
+    * array<double>) and a label column (numeric, string for
+    * classification families, or array<double> for the multi-task
+    * gaussian matrix-response branch — reference
+    * `R/preProcessResponse.R:10-13`, student dataset `R/data.R:151-155`).
     */
   def fit(df: DataFrame, featuresCol: String, labelCol: String,
           params: SlopeParams = SlopeParams()): SlopeModel = {
     val family = Family(params.family)
     val labelIsClass = params.family == "binomial" || params.family == "multinomial"
+    val labelIsArray = df.schema(labelCol).dataType.isInstanceOf[ArrayType]
+    require(!labelIsArray || params.family == "gaussian",
+      s"array-typed (multi-target) labels are only supported for " +
+        s"family=gaussian, got ${params.family}")
 
     val featExpr = df.schema(featuresCol).dataType match {
       case _: ArrayType => col(featuresCol).cast(ArrayType(DoubleType))
@@ -122,6 +128,7 @@ object Slope {
     }
     val labExpr =
       if (labelIsClass) col(labelCol).cast(StringType)
+      else if (labelIsArray) col(labelCol).cast(ArrayType(DoubleType))
       else col(labelCol).cast(DoubleType)
     val sel = df.select(featExpr.as("f"), labExpr.as("l"))
 
@@ -158,16 +165,26 @@ object Slope {
       // (fitLocal validates per-row feature lengths against xs(0))
     } else {
       // distributed path
+      val yDim =
+        if (labelIsArray) first(0).getAs[scala.collection.Seq[_]](1).length else 1
       val (classNames, yCenter) = params.family match {
+        case "gaussian" if labelIsArray =>
+          // per-target means in ONE aggregation (m is driver-sized)
+          val aggs = (0 until yDim)
+            .map(k => avg(org.apache.spark.sql.functions.element_at(col("l"), k + 1)))
+          (Array.empty[String],
+            sel.agg(aggs.head, aggs.tail: _*).head().toSeq
+              .map(_.asInstanceOf[Double]).toArray)
         case "gaussian" =>
-          (Array.empty[String], sel.agg(avg(col("l"))).head().getDouble(0))
+          (Array.empty[String], Array(sel.agg(avg(col("l"))).head().getDouble(0)))
         case "binomial" | "multinomial" =>
-          (sortClassNames(sel.select("l").distinct().collect().map(_.getString(0))), 0.0)
-        case _ => (Array.empty[String], 0.0)
+          (sortClassNames(sel.select("l").distinct().collect().map(_.getString(0))),
+            Array.empty[Double])
+        case _ => (Array.empty[String], Array.empty[Double])
       }
       val nClasses = if (classNames.nonEmpty) classNames.length else 1
       checkClasses(params.family, classNames)
-      val m = family.nTargets(nClasses)
+      val m = if (labelIsArray) yDim else family.nTargets(nClasses)
       val enc = responseEncoder(params.family, classNames, yCenter, m)
       val pExpected = p
       val rdd = sel.rdd.map { r =>
@@ -198,17 +215,38 @@ object Slope {
           "(all rows must have the same dimensionality)")
       vi += 1
     }
+    val labelIsArray = rawY(0) match {
+      case _: scala.collection.Seq[_] | _: Array[Double] => true
+      case _ => false
+    }
+    require(!labelIsArray || params.family == "gaussian",
+      s"array-typed (multi-target) labels are only supported for " +
+        s"family=gaussian, got ${params.family}")
     val (classNames, yCenter) = params.family match {
+      case "gaussian" if labelIsArray =>
+        val rows = rawY.map(anyToDoubleArray)
+        val w = rows(0).length
+        val sums = new Array[Double](w)
+        var i = 0
+        while (i < rows.length) {
+          require(rows(i).length == w,
+            s"label array length ${rows(i).length} at row $i != expected $w " +
+              "(all rows must have the same number of targets)")
+          var k = 0
+          while (k < w) { sums(k) += rows(i)(k); k += 1 }
+          i += 1
+        }
+        (Array.empty[String], sums.map(_ / rows.length))
       case "gaussian" =>
         val ys = rawY.map(anyToDouble)
-        (Array.empty[String], ys.sum / ys.length)
+        (Array.empty[String], Array(ys.sum / ys.length))
       case "binomial" | "multinomial" =>
-        (sortClassNames(rawY.map(_.toString).distinct), 0.0)
-      case _ => (Array.empty[String], 0.0)
+        (sortClassNames(rawY.map(_.toString).distinct), Array.empty[Double])
+      case _ => (Array.empty[String], Array.empty[Double])
     }
     val nClasses = if (classNames.nonEmpty) classNames.length else 1
     checkClasses(params.family, classNames)
-    val m = family.nTargets(nClasses)
+    val m = if (labelIsArray) yCenter.length else family.nTargets(nClasses)
     val enc = responseEncoder(params.family, classNames, yCenter, m)
     val ys = rawY.map(enc)
     val backend = new LocalBackend(xs, ys, p, m, params.fitIntercept)
@@ -225,7 +263,16 @@ object Slope {
     val n = xs.length
     val labelKey = new Array[String](n)
     var i = 0
-    while (i < n) { labelKey(i) = String.valueOf(rawY(i)); i += 1 }
+    while (i < n) {
+      // arrays/seqs (multi-task labels) key by CONTENT — Array.toString
+      // is an identity hash and Seq subclasses render differently
+      labelKey(i) = rawY(i) match {
+        case a: Array[Double] => a.mkString(",")
+        case s: scala.collection.Seq[_] => s.mkString(",")
+        case other => String.valueOf(other)
+      }
+      i += 1
+    }
     val idx = Array.range(0, n)
     val ord = new Ordering[Int] {
       def compare(a: Int, b: Int): Int = {
@@ -285,6 +332,14 @@ object Slope {
     case other => throw new IllegalArgumentException(s"non-numeric label: $other")
   }
 
+  /** Multi-target label row -> Array[Double] (Spark hands back Seq). */
+  private def anyToDoubleArray(a: Any): Array[Double] = a match {
+    case arr: Array[Double] => arr
+    case s: scala.collection.Seq[_] => s.map(anyToDouble).toArray
+    case other => throw new IllegalArgumentException(
+      s"expected an array-typed multi-target label, got: $other")
+  }
+
   /** Class names sorted the way R's `as.factor` levels sort: numerically
     * when every label parses as a number, lexically otherwise. */
   private def sortClassNames(names: Array[String]): Array[String] = {
@@ -305,15 +360,30 @@ object Slope {
     }
 
   /** Internal response coding (reference `R/preProcessResponse.R:1-104`):
-    * gaussian centered; binomial {-1,+1}; multinomial one-hot over the
-    * first K-1 classes; poisson raw nonnegative. */
+    * gaussian centered per target (scalar m=1 or matrix m>1, the
+    * reference's `NROW(y)`/`NCOL(y)` branch); binomial {-1,+1};
+    * multinomial one-hot over the first K-1 classes; poisson raw
+    * nonnegative. `yCenter` has length m for gaussian, 0 otherwise. */
   private def responseEncoder(family: String, classNames: Array[String],
-                              yCenter: Double, m: Int): Any => Array[Double] =
+                              yCenter: Array[Double], m: Int): Any => Array[Double] =
     family match {
+      case "gaussian" if m > 1 => (a: Any) => {
+        val row = anyToDoubleArray(a)
+        require(row.length == m,
+          s"label array length ${row.length} != expected $m targets")
+        val out = new Array[Double](m)
+        var k = 0
+        while (k < m) {
+          require(!row(k).isNaN, "missing (NaN) values in response are not allowed")
+          out(k) = row(k) - yCenter(k)
+          k += 1
+        }
+        out
+      }
       case "gaussian" => (a: Any) => {
         val v = anyToDouble(a)
         require(!v.isNaN, "missing (NaN) values in response are not allowed")
-        Array(v - yCenter)
+        Array(v - yCenter(0))
       }
       case "poisson" => (a: Any) => {
         val v = anyToDouble(a)
@@ -334,9 +404,11 @@ object Slope {
         }
     }
 
-  /** The path loop proper (mirrors `src/owl.cpp:88-394`). */
+  /** The path loop proper (mirrors `src/owl.cpp:88-394`). `yCenter` has
+    * one entry per gaussian target; empty for other families (their
+    * responses are not centered). */
   def fitBackend(backend: SlopeBackend, params: SlopeParams,
-                 yCenter: Double, classNames: Array[String],
+                 yCenter: Array[Double], classNames: Array[String],
                  nClasses: Int): SlopeModel = {
     val family = Family(params.family)
     val n = backend.n
@@ -488,7 +560,9 @@ object Slope {
       var i = 0
       while (i < nPen) { lamSig(i) = lambda(i) * sigK; i += 1 }
 
-      if (params.family == "gaussian" && a <= params.admmMaxActive) {
+      if (params.family == "gaussian" && m == 1 && a <= params.admmMaxActive) {
+        // (m > 1 runs FISTA: the sorted-L1 prox couples all p*m
+        // coefficients, and the z/u ADMM state here is single-target)
         val isFull = a == pInt
         val fact =
           if (isFull && fullFact != null) fullFact
@@ -657,9 +731,10 @@ object Slope {
         // prediction biased by mean(y) - sum(c_j b_j). We keep the
         // COEFFICIENTS reference-faithful but carry the offset in the
         // intercepts slot so linearPredictor/serving are unbiased.
+        val yC = if (kk < yCenter.length) yCenter(kk) else 0.0
         ic(kk) =
-          if (intercept) b(kk * pInt) / xScale(0) * yScaleArr(kk) + yCenter - xbarBeta
-          else yCenter - xbarBeta
+          if (intercept) b(kk * pInt) / xScale(0) * yScaleArr(kk) + yC - xbarBeta
+          else yC - xbarBeta
         kk += 1
       }
       interceptsOut(s) = ic
