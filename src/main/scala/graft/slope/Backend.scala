@@ -64,6 +64,13 @@ trait SlopeBackend {
     * and Xs_active^T y (|a| x m). One pass; |a| must be driver-sized. */
   def gramXty(active: Array[Int]): (Array[Double], Array[Double])
 
+  /** Standardized active matrix (row-major n x |a|) + Xs^T y, for the
+    * wide-ADMM Woodbury branch (m = 1 only). None when the rows are not
+    * driver-resident — the distributed backend keeps the Gram form so
+    * the cluster stays out of the ADMM inner loop. */
+  def activeMatrixXty(active: Array[Int])
+    : Option[(Array[Double], Array[Double])] = None
+
   /** Xs^T v over all pInt rows, where v_row = rowV(y_row) (length m).
     * Used by lambdaMax (`src/lambdaMax.h`). */
   def xtv(rowV: Array[Double] => Array[Double]): Array[Double]
@@ -646,6 +653,35 @@ class LocalBackend(
       }
     }
     BackendKernels.assembleGram(active, buf, a, m, n, fitIntercept, xCenter, xScale)
+  }
+
+  /** Rows are driver-resident: materialize the standardized active
+    * matrix directly (standardization folded in, same formulas as the
+    * row kernels). */
+  override def activeMatrixXty(active: Array[Int])
+    : Option[(Array[Double], Array[Double])] = {
+    val a = active.length
+    val nR = xs.length
+    val xmat = new Array[Double](nR * a)
+    val xty = new Array[Double](a)
+    val off = if (fitIntercept) 1 else 0
+    var i = 0
+    while (i < nR) {
+      val x = xs(i)
+      val y = ys(i)(0)
+      var s = 0
+      while (s < a) {
+        val row = active(s)
+        val v =
+          if (fitIntercept && row == 0) 1.0 / xScale(0)
+          else (x(row - off) - xCenter(row)) / xScale(row)
+        xmat(i * a + s) = v
+        xty(s) += v * y
+        s += 1
+      }
+      i += 1
+    }
+    Some((xmat, xty))
   }
 
   def xtv(rowV: Array[Double] => Array[Double]): Array[Double] = {

@@ -567,8 +567,16 @@ object Slope {
         val fact =
           if (isFull && fullFact != null) fullFact
           else {
-            val (gram, xty) = backend.gramXty(active)
-            val f = Admm.factorize(gram, xty, a, lambdaMaxSig)
+            // wide active set (n < |a|): Woodbury via the standardized
+            // rows when driver-resident (gaussian.h:88-92); otherwise
+            // the tall Gram form
+            val f = (if (n < a) backend.activeMatrixXty(active) else None) match {
+              case Some((xmat, xty)) =>
+                Admm.factorizeWide(xmat, n.toInt, a, xty, lambdaMaxSig)
+              case None =>
+                val (gram, xty) = backend.gramXty(active)
+                Admm.factorize(gram, xty, a, lambdaMaxSig)
+            }
             if (isFull) fullFact = f
             f
           }

@@ -186,9 +186,16 @@ object Fista {
   * prox — zero per-iteration cluster passes. This is the 100-TB fast
   * path for gaussian fits.
   *
-  * Only the "tall" (n >= |active|) normal-equation branch is exposed;
-  * the wide branch needs per-iteration n-dimensional products and is
-  * delegated to FISTA when data is distributed.
+  * Two x-update factorizations, as in the reference:
+  *  - tall (n >= |active|): Cholesky of (Gram + rho I), |a| x |a|
+  *    (`gaussian.h:93-96`);
+  *  - wide (n < |active|): Woodbury — factor (rho I + X X') at n x n and
+  *    solve (X'X + rho I)^-1 q = (q - X'((rho I + X X')^-1 X q)) / rho
+  *    (`gaussian.h:88-92`). Needs the standardized rows themselves, so it
+  *    is only offered by the driver-local backend; the distributed path
+  *    keeps the Gram form (one cluster pass, driver iterations) since a
+  *    per-iteration distributed X q product would put the cluster back in
+  *    the inner loop.
   */
 object Admm {
   private val alpha = 1.5
@@ -278,24 +285,75 @@ object Admm {
     if (r.isNaN || r <= 0 || r.isInfinity) 1.0 else r
   }
 
-  /** Factorization cache entry for one active set. Keeps the raw Gram so
-    * the final deviance ||y - Xz||^2 = y'y - 2 z'X'y + z'Gz is a pure
-    * driver-side computation (no extra cluster pass). */
+  /** Factorization cache entry for one active set.
+    *
+    * Tall form (`xmat == null`): `chol` is the |a| x |a| Cholesky of
+    * (Gram + rho I) and `gram` the raw Gram, so the final deviance
+    * ||y - Xz||^2 = y'y - 2 z'X'y + z'Gz is a pure driver-side
+    * computation (no extra cluster pass).
+    *
+    * Wide form: `chol` is the n x n Cholesky of (rho I + X X') and
+    * `xmat` the standardized active matrix (row-major n x |a|); solves
+    * go through the Woodbury identity and z'Gz = ||Xz||^2. */
   case class Factorization(chol: Array[Double], gram: Array[Double],
-                           xty: Array[Double], rho: Double) {
-    /** z' G z for the cached raw Gram. */
+                           xty: Array[Double], rho: Double,
+                           xmat: Array[Double] = null, nRows: Int = 0) {
+    /** x-update solve: (X'X + rho I)^-1 q. */
+    def solve(q: Array[Double]): Array[Double] = {
+      val a = q.length
+      if (xmat == null) return cholSolve(chol, a, q)
+      val n = nRows
+      val t = new Array[Double](n) // X q
+      var i = 0
+      while (i < n) {
+        var s = 0.0
+        var j = 0
+        while (j < a) { s += xmat(i * a + j) * q(j); j += 1 }
+        t(i) = s
+        i += 1
+      }
+      val w = cholSolve(chol, n, t) // (rho I + X X')^-1 X q
+      val out = new Array[Double](a)
+      var j = 0
+      while (j < a) { out(j) = q(j); j += 1 }
+      i = 0
+      while (i < n) {
+        val wi = w(i)
+        j = 0
+        while (j < a) { out(j) -= xmat(i * a + j) * wi; j += 1 }
+        i += 1
+      }
+      j = 0
+      while (j < a) { out(j) /= rho; j += 1 }
+      out
+    }
+
+    /** z' G z (tall: cached raw Gram; wide: ||X z||^2). */
     def gramQuad(zv: Array[Double]): Double = {
       val a = zv.length
-      var s = 0.0
-      var j = 0
-      while (j < a) {
+      if (xmat == null) {
+        var s = 0.0
+        var j = 0
+        while (j < a) {
+          var i = 0
+          var acc = 0.0
+          while (i < a) { acc += gram(j * a + i) * zv(i); i += 1 }
+          s += acc * zv(j)
+          j += 1
+        }
+        s
+      } else {
+        var s = 0.0
         var i = 0
-        var acc = 0.0
-        while (i < a) { acc += gram(j * a + i) * zv(i); i += 1 }
-        s += acc * zv(j)
-        j += 1
+        while (i < nRows) {
+          var lp = 0.0
+          var j = 0
+          while (j < a) { lp += xmat(i * a + j) * zv(j); j += 1 }
+          s += lp * lp
+          i += 1
+        }
+        s
       }
-      s
     }
   }
 
@@ -306,6 +364,31 @@ object Admm {
     var j = 0
     while (j < a) { g(j * a + j) += rho; j += 1 }
     Factorization(cholesky(g, a), gram, xty, rho)
+  }
+
+  /** Woodbury factorization for the wide (n < |active|) branch
+    * (`gaussian.h:88-92`): K = X X' at n x n shares the Gram's nonzero
+    * spectrum, so the rho heuristic is unchanged. */
+  def factorizeWide(xmat: Array[Double], n: Int, a: Int,
+                    xty: Array[Double], lambdaMaxSigma: Double): Factorization = {
+    val k = new Array[Double](n * n)
+    var i1 = 0
+    while (i1 < n) {
+      var i2 = i1
+      while (i2 < n) {
+        var s = 0.0
+        var j = 0
+        while (j < a) { s += xmat(i1 * a + j) * xmat(i2 * a + j); j += 1 }
+        k(i1 * n + i2) = s
+        k(i2 * n + i1) = s
+        i2 += 1
+      }
+      i1 += 1
+    }
+    val rho = rhoHeuristic(eigMax(k, n), lambdaMaxSigma)
+    var d = 0
+    while (d < n) { k(d * n + d) += rho; d += 1 }
+    Factorization(cholesky(k, n), null, xty, rho, xmat = xmat, nRows = n)
   }
 
   /** ADMM iterations, entirely on the driver.
@@ -337,7 +420,7 @@ object Admm {
       val q = new Array[Double](a)
       var i = 0
       while (i < a) { q(i) = fact.xty(i) + rho * (z(i) - u(i)); i += 1 }
-      beta = cholSolve(fact.chol, a, q)
+      beta = fact.solve(q)
 
       val zOld = z.clone()
       val betaHat = new Array[Double](a)
