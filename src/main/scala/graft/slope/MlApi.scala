@@ -92,8 +92,10 @@ class SlopeRegressionModel(override val uid: String, val slopeModel: SlopeModel)
     val step = if ($(predictionStep) < 0) slopeModel.nSteps else $(predictionStep) + 1
     slopeModel.family match {
       case "gaussian" =>
+        // multi-task (m > 1): prediction is the length-m array
+        val lpStep = element_at(col("linpred"), step)
         withAll.withColumn("prediction",
-          element_at(element_at(col("linpred"), step), 1))
+          if (slopeModel.m == 1) element_at(lpStep, 1) else lpStep)
       case "poisson" =>
         withAll.withColumn("prediction",
           exp(element_at(element_at(col("linpred"), step), 1)))

@@ -179,6 +179,60 @@ class MultiTaskSpec extends AnyFunSuite {
     assert(mse.head > mse.last, s"mse path should improve: ${mse.toList}")
   }
 
+  test("multi-task cross-validation runs end-to-end (m = 2)") {
+    import scala.jdk.CollectionConverters._
+    val (xs, ys) = problem(13, 240, 4)
+    val rows = xs.indices.map { i =>
+      org.apache.spark.sql.Row(xs(i).toArray.toSeq, ys(i).toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val cv = SlopeCv.trainSlope(df, "features", "label",
+      SlopeParams(family = "gaussian", nSigma = 6),
+      qs = Seq(0.2), number = 3, repeats = 1, measures = Seq("mse"))
+    assert(cv.summary.nonEmpty && cv.optima.nonEmpty)
+    // CV mse means must be finite and the optimum <= the null-step mean
+    assert(cv.summary.forall(c => !c.mean.isNaN && !c.mean.isInfinite))
+    val nullStep = cv.summary.maxBy(_.sigma)
+    assert(cv.optima.head.mean <= nullStep.mean + 1e-9,
+      s"optimum ${cv.optima.head.mean} worse than null ${nullStep.mean}")
+  }
+
+  test("ml Estimator: array prediction column and persistence at m = 2") {
+    import scala.jdk.CollectionConverters._
+    val (xs, ys) = problem(3, 200, 4)
+    val rows = xs.indices.map { i =>
+      org.apache.spark.sql.Row(xs(i).toArray.toSeq, ys(i).toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val model = new SlopeRegression().setFamily("gaussian").setNSigma(8).fit(df)
+    assert(model.slopeModel.m == 2)
+    val out = model.transform(df)
+    val pred = out.select("prediction").head()
+      .getSeq[Double](0)
+    assert(pred.length == 2, s"prediction must be length-2, got $pred")
+    // save/load preserves the multi-target cube
+    val dir = java.nio.file.Files.createTempDirectory("slope_mt").toString
+    SlopeModelIO.save(model.slopeModel, spark, dir)
+    val loaded = SlopeModelIO.load(spark, dir)
+    assert(loaded.m == 2 && loaded.p == 4)
+    for (s <- 0 until model.slopeModel.nSteps)
+      assert(loaded.coefs(s).sameElements(model.slopeModel.coefs(s)))
+  }
+
   test("array labels rejected for non-gaussian families") {
     val (xs, ys) = problem(1, 30, 3)
     val e = intercept[IllegalArgumentException] {
