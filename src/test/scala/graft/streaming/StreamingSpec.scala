@@ -75,6 +75,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getInt(3) == 2 && math.abs(r.getDouble(4) - 3.0) < 1e-12)
   }
 
+  test("streaming dedup map: single batch reproduces batch exactGroups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
+      (3L, "The quick  brown FOX"), // normalizes to doc 1's fingerprint
+      (4L, "lorem ipsum dolor"), (5L, "completely different text"))
+    val batchDf = docs.toDF("doc_id", "text")
+    val expected = graft.operators.Dedup.exactGroups(batchDf, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("cnt")).toMap
+
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingDupMap(
+      stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    stream.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("dedup_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    q.stop()
+
+    assert(got.length == docs.length, "every document must be mapped")
+    // keepers = batch canonicals; group sizes match exactGroups counts
+    val keepers = got.filter(!_._3).map(_._1).toSet
+    assert(keepers == expected.keySet, s"$keepers vs ${expected.keySet}")
+    got.groupBy(_._2).foreach { case (canon, rows) =>
+      assert(rows.length == expected(canon), s"group $canon size")
+      assert(rows.forall(r => r._3 == (r._1 != canon)))
+    }
+  }
+
+  test("streaming dedup map: later batches link to the original canonical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingDupMap(
+      stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_inc_test")
+      .outputMode("append").start()
+    stream.addData((10L, "alpha beta"), (11L, "gamma"))
+    q.processAllAvailable()
+    stream.addData((12L, "ALPHA   beta"), (13L, "delta")) // 12 dups 10
+    q.processAllAvailable()
+    val got = spark.table("dedup_inc_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    q.stop()
+    assert(got.toSeq == Seq((10L, 10L, false), (11L, 11L, false),
+      (12L, 10L, true), (13L, 13L, false)), got.toList.toString)
+  }
+
   test("batch sessionization: gap splits sessions correctly") {
     import spark.implicits._
     // user 1: two sessions (gap 3600 > 1800); user 2: one session
