@@ -152,6 +152,56 @@ class MlApiSpec extends AnyFunSuite {
     assert(msgs.contains("length 2 != expected 3"), msgs)
   }
 
+  test("binomial: unregularized fit matches MLlib logistic regression") {
+    // External-library anchor for the binomial family (complements the
+    // in-test IRLS oracle): MLlib models P(y=1) with +1 = the second
+    // sorted class, same convention as the {-1,+1} coding here.
+    import spark.implicits._
+    val gen = new SlopeFitSpec
+    val p = 4
+    val (xs, ys) = gen.randomProblem(19, 500, p, qSignal = 0.4,
+      amplitude = 1.0, family = "binomial")
+    val fit = Slope.fitLocal(xs, ys, SlopeParams(family = "binomial",
+      sigma = Some(Array(1e-7)), screening = false,
+      tolRelGap = 1e-9, tolInfeas = 1e-7))
+    val df = xs.zip(ys).toSeq
+      .map { case (x, y) => (x, if (y == "b") 1.0 else 0.0) }
+      .toDF("features", "label")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setRegParam(0.0).setFitIntercept(true)
+      .setStandardization(false).setMaxIter(500).setTol(1e-10)
+    val anchor = lr.fit(df)
+    for (j <- 0 until p)
+      assert(math.abs(fit.coefs(0)(j) - anchor.coefficients(j)) < 1e-3,
+        s"feature $j: graft ${fit.coefs(0)(j)} vs mllib ${anchor.coefficients(j)}")
+    assert(math.abs(fit.intercepts(0)(0) - anchor.intercept) < 1e-3,
+      s"intercept: graft ${fit.intercepts(0)(0)} vs mllib ${anchor.intercept}")
+  }
+
+  test("poisson: unregularized fit matches MLlib GLM poisson") {
+    // External-library anchor for the poisson family (complements the
+    // in-test Newton-IRLS oracle).
+    import spark.implicits._
+    val gen = new SlopeFitSpec
+    val p = 4
+    val (xs, ys) = gen.randomProblem(23, 400, p, family = "poisson")
+    val fit = Slope.fitLocal(xs, ys, SlopeParams(family = "poisson",
+      sigma = Some(Array(1e-7)), screening = false,
+      tolRelGap = 1e-9, tolInfeas = 1e-7))
+    val df = xs.zip(ys).toSeq
+      .map { case (x, y) => (x, y.asInstanceOf[Double]) }
+      .toDF("features", "label")
+    val glm = new org.apache.spark.ml.regression.GeneralizedLinearRegression()
+      .setFamily("poisson").setLink("log").setRegParam(0.0)
+      .setFitIntercept(true).setMaxIter(200).setTol(1e-10)
+    val anchor = glm.fit(df)
+    for (j <- 0 until p)
+      assert(math.abs(fit.coefs(0)(j) - anchor.coefficients(j)) < 1e-3,
+        s"feature $j: graft ${fit.coefs(0)(j)} vs mllib ${anchor.coefficients(j)}")
+    assert(math.abs(fit.intercepts(0)(0) - anchor.intercept) < 1e-3,
+      s"intercept: graft ${fit.intercepts(0)(0)} vs mllib ${anchor.intercept}")
+  }
+
   test("multinomial: unregularized fit matches MLlib softmax regression") {
     // External anchor for the multinomial family (the reference checks
     // against glmnet the same way: tests/testthat/test-multinomial.R:23-33
