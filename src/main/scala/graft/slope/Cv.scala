@@ -75,13 +75,64 @@ object SlopeCv {
       q <- qs; rep <- 0 until repeats; fold <- 0 until number
     } yield (q, rep, fold)
 
+    // Collect-once cell path: when the training data is driver-sized
+    // (the same n*p gate Slope.fit applies per fit), pull the folded
+    // rows ONE time and slice per cell instead of re-collecting the
+    // train split number*repeats*|qs| times. Each slice is re-sorted by
+    // content (Slope.sortRowsInPlace — the same order Slope.fit
+    // imposes), and a cell's train multiset is identical either way, so
+    // the fitted values are bit-for-bit unchanged. Above the gate every
+    // cell fit stays fully distributed.
+    def toVec(a: Any): org.apache.spark.ml.linalg.Vector = a match {
+      case v: org.apache.spark.ml.linalg.Vector => v
+      case s: scala.collection.Seq[_] =>
+        org.apache.spark.ml.linalg.Vectors.dense(
+          s.map(_.asInstanceOf[Double]).toArray)
+      case other => throw new IllegalArgumentException(
+        s"unsupported features type: ${other.getClass}")
+    }
+    val headRow = withFolds.take(1)
+    require(headRow.nonEmpty, "empty input")
+    val pFeat = toVec(headRow(0).get(0)).size
+    // project through the SAME casts Slope.fit applies before its own
+    // collect, so slice values (and the content-sort keys derived from
+    // them) are identical to what a per-cell fit would see
+    val featCast = df.schema(featuresCol).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        col(featuresCol).cast("array<double>")
+      case _ => col(featuresCol)
+    }
+    val labCast = params.family match {
+      case "binomial" | "multinomial" => col(labelCol).cast("string")
+      case _ => df.schema(labelCol).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          col(labelCol).cast("array<double>")
+        case _ => col(labelCol).cast("double")
+      }
+    }
+    val localRows: Array[org.apache.spark.sql.Row] =
+      if (withFolds.count() * pFeat.toLong <= params.localCellLimit)
+        withFolds.select(
+          (featCast +: labCast +:
+            (0 until repeats).map(r => col(s"__fold_$r"))): _*).collect()
+      else null
+
     def runCell(cell: (Double, Int, Int)): Seq[((Double, String), Array[Double])] = {
       val (q, rep, fold) = cell
       val foldCol = col(s"__fold_$rep")
-      val train = withFolds.filter(foldCol =!= fold)
       val test = withFolds.filter(foldCol === fold)
-      val m = Slope.fit(train, featuresCol, labelCol,
-        params.copy(q = Some(q), sigma = Some(sigma)))
+      val cellParams = params.copy(q = Some(q), sigma = Some(sigma))
+      val m =
+        if (localRows != null) {
+          val sel = localRows.filter(_.getInt(2 + rep) != fold)
+          val xs = sel.map(r => toVec(r.get(0)))
+          val ys: Array[Any] = sel.map(_.get(1))
+          Slope.sortRowsInPlace(xs, ys)
+          Slope.fitLocal(xs, ys, cellParams)
+        } else {
+          Slope.fit(withFolds.filter(foldCol =!= fold), featuresCol, labelCol,
+            cellParams)
+        }
       val scores = SlopeScore.scoreMany(m, test, featuresCol, labelCol, ms)
       ms.map(measure => ((q, measure), scores(measure)))
     }

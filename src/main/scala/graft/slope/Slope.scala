@@ -258,8 +258,10 @@ object Slope {
     * making driver-local FP reductions independent of partition layout.
     * Label keys are materialized once (not per comparison), and vectors
     * compare over merged active entries — O(nnz), no per-element
-    * binary search on sparse rows. */
-  private def sortRowsInPlace(xs: Array[Vector], rawY: Array[Any]): Unit = {
+    * binary search on sparse rows. (`private[slope]`: SlopeCv's
+    * collect-once cell path sorts its slices with the same order, so a
+    * sliced fit is bit-identical to a per-cell `Slope.fit`.) */
+  private[slope] def sortRowsInPlace(xs: Array[Vector], rawY: Array[Any]): Unit = {
     val n = xs.length
     val labelKey = new Array[String](n)
     var i = 0
