@@ -423,6 +423,30 @@ object SparkEntry {
         .orderBy("step", "target", "feature")
     }),
 
+    "q_slope_pwide" -> ((s, dir) => {
+      // p > n gaussian path: the active set (p+1=201 rows) outgrows
+      // n=80, so every ADMM step runs the Woodbury x-update
+      // (gaussian.h:88-92 branch; WideAdmmSpec certifies it against the
+      // normal-equation form and FISTA). Pinned slices keep the randn
+      // draws — and thus the content-sorted local fit — a pure function
+      // of the seed.
+      val gen = graft.slope.RandomProblem.generate(s, n = 80, p = 200,
+        qSignal = 0.05, amplitude = 3.0, family = "gaussian",
+        seed = 7L, slices = 8)
+      val m = Slope.fit(gen.df, "features", "label",
+        SlopeParams(family = "gaussian", nSigma = 8, screening = false))
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val rows = for {
+        step <- 0 until m.nSteps
+        j <- 0 until m.p
+        if m.coefs(step)(j) != 0.0 || step == 0 && j < 5
+      } yield (step, r6(m.sigma(step)), j, r6(m.coefs(step)(j)),
+        r6(m.devianceRatios(step)))
+      import s.implicits._
+      rows.toDF("step", "sigma", "j", "coefficient", "deviance_ratio")
+        .orderBy("step", "j")
+    }),
+
     "q_slope_tiny" -> ((s, dir) => {
       // externally-anchored tiny path (n=20, p=5, LCG data): the SAME
       // fit is certified in TinyCertificateSpec against an independent
@@ -950,7 +974,8 @@ object SparkEntry {
     "q_slope_fit", "q_slope_wide", "q_slope_path_summary",
     "q_slope_predict", "q_slope_score", "q_slope_cv", "q_coef_interp",
     "q_diagnostics", "q_lambda_bh", "q_minhash_dedup", "q_simhash_dedup",
-    "q_ann_ivf", "q_ann_lsh", "q_slope_multitask", "q_slope_tiny")
+    "q_ann_ivf", "q_ann_lsh", "q_slope_multitask", "q_slope_tiny",
+    "q_slope_pwide")
 
   private val GoldenDir = "/root/repo/golden"
 }
