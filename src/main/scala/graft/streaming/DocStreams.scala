@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextFunctions
+import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -57,6 +58,97 @@ object DocStreams {
             i += 1
           }
           out.iterator
+      }.toDF()
+  }
+
+  case class BucketMembers(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  case class PairOut(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Streaming MinHash-LSH near-dup pairs: the stream-side of
+    * `Dedup.minhashDupPairs`, emitting each qualifying (id_a, id_b,
+    * est_jaccard) exactly once as the later document arrives.
+    *
+    * Two stateful stages, both sharded by their natural key:
+    *  1. keyed by (band, bucket): state is the bucket's member
+    *     signatures; an arriving doc is scored against the stored
+    *     members (same matching-slots/numHashes estimate as batch) and
+    *     appended. Buckets are capped at `maxBucket` members — the
+    *     prospective analog of the batch path's retroactive mega-bucket
+    *     drop (boilerplate buckets stop accumulating state and stop
+    *     producing pairs, rather than quadratically exploding).
+    *  2. keyed by the pair: a one-bit first-seen filter that removes
+    *     the cross-band duplicates batch handles with `distinct()`.
+    *
+    * Fed as one batch in ascending id order, the emitted pair set and
+    * estimates equal `minhashDupPairs` on the same data (tested) as
+    * long as no bucket overflows `maxBucket` — past the cap the two
+    * prune different pairs (prospective vs retroactive), both bounded.
+    */
+  def streamingMinhashDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                               textCol: String = "text", n: Int = 3,
+                               numHashes: Int = 32, bands: Int = 8,
+                               threshold: Double = 0.7,
+                               maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // identical signature + banding expressions to the batch plan
+    val sig = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.normalizedWords(col(textCol)).as("__w"))
+      .select(col("id"),
+        Dedup.minhashSignature(col("__w"), n, numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket"))))
+        .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"), col("sig"))
+      .as[(Long, Int, Long, Seq[Long])]
+
+    val candidates = banded.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketMembers, PairOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BucketMembers]) =>
+          var members = state.getOption.getOrElse(BucketMembers(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[PairOut]()
+          // ascend by id within the micro-batch (deterministic, and a
+          // single-batch run then matches the batch id_a < id_b pairs)
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, _, sg) =>
+            if (members.ids.length < maxBucket) {
+              var i = 0
+              while (i < members.ids.length) {
+                val other = members.ids(i)
+                if (other != id) {
+                  val os = members.sigs(i)
+                  var m = 0
+                  var k = 0
+                  while (k < numHashes) {
+                    if (os(k) == sg(k)) m += 1
+                    k += 1
+                  }
+                  val est = m.toDouble / numHashes
+                  if (est >= threshold)
+                    out += PairOut(math.min(id, other), math.max(id, other), est)
+                }
+                i += 1
+              }
+              members = BucketMembers(members.ids :+ id, members.sigs :+ sg)
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+
+    // cross-band dedup: first occurrence of each pair wins (the batch
+    // path's distinct()); state is one unit per EMITTED pair
+    candidates.groupByKey(p => (p.id_a, p.id_b))
+      .flatMapGroupsWithState[Boolean, PairOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator(rows.next()) }
       }.toDF()
   }
 }

@@ -126,6 +126,53 @@ class StreamingSpec extends AnyFunSuite {
       (12L, 10L, true), (13L, 13L, false)), got.toList.toString)
   }
 
+  test("streaming minhash near-dup pairs == batch minhashDupPairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet village and children play near the old mill"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tonight"), // near-dup of 1
+      (3L, "completely different content about spark catalyst plans " +
+        "and whole stage code generation for columnar execution"),
+      (4L, base + " tonight"), // exact dup of 2, near-dup of 1
+      (5L, "unrelated short text"),
+      (6L, "completely different content about spark catalyst plans " +
+        "and whole stage code generation for columnar execution today"))
+    val params = (3, 32, 8, 0.5) // n, numHashes, bands, threshold
+    val batchDf = docs.toDF("doc_id", "text")
+    val expected = graft.operators.Dedup.minhashDupPairs(batchDf, "doc_id",
+      "text", n = params._1, numHashes = params._2, bands = params._3,
+      threshold = params._4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSet
+    assert(expected.nonEmpty, "fixture must produce near-dup pairs")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingMinhashDupPairs(
+      stream.toDF().toDF("doc_id", "text"), n = params._1,
+      numHashes = params._2, bands = params._3, threshold = params._4)
+      .writeStream.format("memory").queryName("mh_stream_test")
+      .outputMode("append").start()
+    stream.addData(docs: _*)
+    q.processAllAvailable()
+    val got1 = spark.table("mh_stream_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9))).toSet
+    assert(got1 == expected, s"single-batch parity: $got1 vs $expected")
+
+    // incremental: a late near-dup of doc 1 links against stored state,
+    // and an exact repeat of doc 3's content pairs up too
+    stream.addData((7L, base + " tonight"))
+    q.processAllAvailable()
+    val got2 = spark.table("mh_stream_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got2.contains((2L, 7L)) && got2.contains((4L, 7L)),
+      s"late arrival must pair with stored members: $got2")
+  }
+
   test("batch sessionization: gap splits sessions correctly") {
     import spark.implicits._
     // user 1: two sessions (gap 3600 > 1800); user 2: one session
