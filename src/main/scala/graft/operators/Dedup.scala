@@ -289,10 +289,14 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var converged = signature(edges)._1 == 0L
+    // one signature job per round: the signature computed on ss at the
+    // end of round r IS edges' signature in round r+1, so carry it
+    // instead of recomputing (the recompute doubled the fixpoint cost)
+    var curSig = signature(edges)
+    var converged = curSig._1 == 0L
     var rounds = 0
     while (!converged && rounds < 50) {
-      val prevSig = signature(edges)
+      val prevSig = curSig
       // large-star: every node links its LARGER neighbors to the
       // minimum of its closed neighborhood — long chains contract
       // geometrically
@@ -316,7 +320,8 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       edges = ss
-      converged = signature(ss) == prevSig
+      curSig = signature(ss)
+      converged = curSig == prevSig
       rounds += 1
     }
     // fixpoint edges are (member, componentMin); isolated vertices

@@ -111,17 +111,28 @@ object DocStreams {
       .flatMapGroupsWithState[BucketMembers, PairOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (_, rows, state: GroupState[BucketMembers]) =>
-          var members = state.getOption.getOrElse(BucketMembers(Nil, Nil))
+          val stored = state.getOption.getOrElse(BucketMembers(Nil, Nil))
+          // List head-prepends keep every member insertion O(1) (a
+          // `Seq :+` append copied the whole member list per arrival —
+          // O(B^2) over a bucket's lifetime); the stored Seq is
+          // converted once per micro-batch, not once per arrival.
+          // Member order (newest-first) does not affect the pair SET:
+          // each arrival is scored against every stored member and the
+          // pair is min/max-normalized.
+          var ids: List[Long] = stored.ids.toList
+          var sigs: List[Seq[Long]] = stored.sigs.toList
+          var nMembers = ids.length
           val out = scala.collection.mutable.ArrayBuffer[PairOut]()
           // ascend by id within the micro-batch (deterministic, and a
           // single-batch run then matches the batch id_a < id_b pairs)
           rows.toSeq.sortBy(_._1).foreach { case (id, _, _, sg) =>
-            if (members.ids.length < maxBucket) {
-              var i = 0
-              while (i < members.ids.length) {
-                val other = members.ids(i)
+            if (nMembers < maxBucket) {
+              var idIt = ids
+              var sgIt = sigs
+              while (idIt.nonEmpty) {
+                val other = idIt.head
                 if (other != id) {
-                  val os = members.sigs(i)
+                  val os = sgIt.head
                   var m = 0
                   var k = 0
                   while (k < numHashes) {
@@ -132,12 +143,15 @@ object DocStreams {
                   if (est >= threshold)
                     out += PairOut(math.min(id, other), math.max(id, other), est)
                 }
-                i += 1
+                idIt = idIt.tail
+                sgIt = sgIt.tail
               }
-              members = BucketMembers(members.ids :+ id, members.sigs :+ sg)
+              ids = id :: ids
+              sigs = sg :: sigs
+              nMembers += 1
             }
           }
-          state.update(members)
+          state.update(BucketMembers(ids, sigs))
           out.iterator
       }
 

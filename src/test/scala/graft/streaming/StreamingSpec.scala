@@ -173,6 +173,35 @@ class StreamingSpec extends AnyFunSuite {
       s"late arrival must pair with stored members: $got2")
   }
 
+  test("streaming minhash: bucket state freezes at the maxBucket cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet village and children play near the old mill"
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingMinhashDupPairs(
+      stream.toDF().toDF("doc_id", "text"), n = 3, numHashes = 32,
+      bands = 8, threshold = 0.5, maxBucket = 2)
+      .writeStream.format("memory").queryName("mh_cap_test")
+      .outputMode("append").start()
+    // three identical docs share every (band, bucket); with cap 2 the
+    // third neither pairs nor joins the bucket
+    stream.addData((1L, base), (2L, base), (3L, base))
+    q.processAllAvailable()
+    val got1 = spark.table("mh_cap_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1 == Set((1L, 2L)),
+      s"cap=2: only the first two members may pair: $got1")
+    // past the cap the bucket is frozen across batches: an identical
+    // late arrival must not emit or grow state
+    stream.addData((4L, base))
+    q.processAllAvailable()
+    val got2 = spark.table("mh_cap_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got2 == got1, s"frozen bucket must not emit new pairs: $got2")
+  }
+
   test("batch sessionization: gap splits sessions correctly") {
     import spark.implicits._
     // user 1: two sessions (gap 3600 > 1800); user 2: one session
