@@ -178,20 +178,19 @@ object SparkEntry {
     "q_auc" -> ((s, dir) => {
       // midrank (Mann-Whitney) AUC, R/score.R:137-166. Scalable form:
       // aggregate per distinct score first (mid-rank of a tie group =
-      // count-before + (n+1)/2), so the only ordered window runs over
-      // |distinct scores| rows, not n — a global rank over raw rows
-      // would funnel 100 TB through one partition.
+      // count-before + (n+1)/2), then a range-bucketed two-pass prefix
+      // sum (graft.functions.PrefixSum) for the running count — with
+      // continuous scores |distinct| ≈ n, so even the per-distinct
+      // window must never run on one task at 100 TB.
       val score = col("l_discount") * 3.0 + col("l_quantity") * 0.02
       val grouped = li(s, dir).select(
         when(col("l_returnflag") === "A", 1.0).otherwise(0.0).as("y"),
         score.as("score"))
         .groupBy("score")
         .agg(count(lit(1)).as("n"), sum("y").as("n1"))
-      val wOrd = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grouped
+      graft.functions.PrefixSum.inclusive(grouped, Nil, "score", "n", "cn")
         .select(col("n"), col("n1"),
-          (sum(col("n")).over(wOrd) - col("n") + (col("n") + 1.0) / 2.0).as("mr"))
+          (col("cn") - col("n") + (col("n") + 1.0) / 2.0).as("mr"))
         .agg(round(
           (sum(col("n1") * col("mr")) - sum(col("n1")) * (sum(col("n1")) + 1.0) / 2.0) /
             (sum(col("n1")) * (sum(col("n")) - sum(col("n1")))), 6).as("auc"))
@@ -398,8 +397,9 @@ object SparkEntry {
     "q_slope_fit" -> ((s, dir) => slopeFitQuery(s, dir)),
 
     "q_slope_multitask" -> ((s, dir) => {
-      // multi-task gaussian (matrix response, m=2) — the reference's
-      // NCOL(y)>1 branch (R/preProcessResponse.R:10-13). The sorted-L1
+      // multi-task gaussian (matrix response, m=2) — an EXTENSION
+      // beyond the reference, which rejects NCOL(y)>1 gaussian
+      // responses (R/preProcessResponse.R:7-8). The sorted-L1
       // penalty runs jointly over all p*m coefficients; semantics are
       // anchored by MultiTaskSpec (separability identity + joint
       // duality-gap certificate).

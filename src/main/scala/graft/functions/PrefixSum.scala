@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Scale-safe ordered prefix sum.
+  *
+  * `Window.orderBy(x)` with no partition key funnels the WHOLE frame
+  * through one task — the classic cumulative-sum scaling trap (fine at
+  * sf0.1, a single-reducer wall at 100 TB). This helper computes the
+  * identical inclusive running sum as a range-bucketed two-pass plan:
+  *
+  *  1. bucket every row by deterministic order-value quantile boundaries
+  *     (an approx-quantile pass; boundaries become plan LITERALS, so
+  *     bucketing is a pure function of the order value and correctness
+  *     never depends on where the cuts landed — only load balance does);
+  *  2. per-(group, bucket) local cumulative sums — an ordinary
+  *     partitioned window, hash-sharded across the cluster;
+  *  3. per-bucket subtotals, collected to the driver (≤ groups×buckets
+  *     rows), turned into exclusive bucket offsets, and broadcast-joined
+  *     back: prefix = bucket offset + local cumsum.
+  *
+  * The arithmetic is identical to the single-window form whenever the
+  * summed values are exact in double (counts, integer weights — every
+  * engine call site), so results are bit-equal to the naive plan.
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = inclusive running sum of `valueCol` over rows
+    * ordered by `orderCol` (ascending) within each `partCols` group.
+    * `orderCol` must be numeric and distinct per (group, row) — the
+    * engine's call sites all pre-aggregate per distinct order value,
+    * which any caller of a cumulative sum should do anyway (ties in a
+    * running sum are order-ambiguous).
+    */
+  def inclusive(df: DataFrame, partCols: Seq[String], orderCol: String,
+                valueCol: String, outCol: String,
+                buckets: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val bCol = "__ps_b"
+    val lcCol = "__ps_lc"
+    val offCol = "__ps_off"
+    val totCol = "__ps_tot"
+
+    // deterministic global boundaries; duplicates collapse (skewed
+    // order values simply yield fewer, fatter buckets)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (buckets <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    val bucketExpr: Column =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(lit(bounds), b => col(orderCol) > b))
+
+    val withB = df.withColumn(bCol, bucketExpr)
+    val keyCols = partCols :+ bCol
+
+    // pass 1: per-bucket subtotals -> driver -> exclusive offsets.
+    // Row count is ≤ |groups| * buckets — driver-tiny by construction.
+    val totRows = withB.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valueCol)).cast(DoubleType).as(totCol))
+      .collect()
+    val offRows: Seq[Row] = totRows
+      .groupBy(r => partCols.map(c => r.getAs[Any](c)))
+      .valuesIterator.flatMap { rs =>
+        var acc = 0.0
+        rs.sortBy(_.getAs[Int](bCol)).map { r =>
+          val out = Row.fromSeq(r.toSeq.dropRight(1) :+ acc)
+          acc += r.getAs[Double](totCol)
+          out
+        }
+      }.toSeq
+    val offSchema = StructType(
+      withB.select(keyCols.map(col): _*).schema.fields.toSeq :+
+        StructField(offCol, DoubleType))
+    val offDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(offRows).asJava), offSchema)
+
+    // pass 2: local cumsum within each (group, bucket) — partitioned
+    // window, sharded by hash(keyCols); plus the broadcast offset
+    val localW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn(lcCol, sum(col(valueCol)).over(localW))
+      .join(broadcast(offDf), keyCols)
+      .withColumn(outCol, col(offCol) + col(lcCol))
+      .drop(bCol, lcCol, offCol)
+  }
+}

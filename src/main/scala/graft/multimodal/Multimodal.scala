@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
   * equivalent of `mapInPandas`: one iterator per partition, batch-shaped
   * work inside) so adding a real codec later only swaps the kernel.
   *
-  * The decode kernel itself is a STUB — this container has no
-  * image/audio codecs. [[DecodeStub]] produces deterministic fake
-  * features derived from the payload bytes so the schema, partitioning
-  * and batch plumbing are real and testable end-to-end.
+  * Images decode for REAL through `javax.imageio` (PNG/JPEG/BMP/GIF —
+  * [[decodeImageStats]]); audio/video remain STUBS ([[DecodeStub]]:
+  * deterministic fake features derived from the payload bytes) because
+  * this container carries no media codecs — the schema, partitioning
+  * and batch plumbing around them are real and tested end-to-end, and a
+  * deployment swaps only the kernel. Undecodable payloads route to a
+  * quarantine side ([[routeUndecodable]]) instead of failing the job.
   */
 object Multimodal {
 
@@ -125,6 +128,33 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Quarantine routing: annotate with decode results, then split into
+    * (decoded, quarantined). A corrupt or truncated payload — inevitable
+    * at 100 TB — must never fail the job OR silently poison downstream
+    * stats; it routes to the quarantine side for reprocessing/audit.
+    * The split is two filters over ONE decode plan: persist the
+    * annotated frame (or write it once and filter the table) on a real
+    * cluster so the codec pass runs once, not twice. */
+  def routeUndecodable(df: DataFrame, payloadCol: String)
+    : (DataFrame, DataFrame) = {
+    val annotated = withImageStats(df, payloadCol)
+    (annotated.filter(col("width").isNotNull),
+      annotated.filter(col("width").isNull)
+        .select(df.columns.map(col): _*))
+  }
+
+  /** Deterministic synthetic JPEG for id: same pixel formula as
+    * [[syntheticPng]] but JPEG-encoded. Lossy — decoded stats are
+    * near, not equal to, the closed-form means (dims stay exact), so
+    * JPEG is test-anchored with a tolerance rather than oracle-hashed. */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val png = syntheticPng(id)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
   }
 
   /** Deterministic synthetic PNG for id: size (8 + id%5) x (6 + id%4),

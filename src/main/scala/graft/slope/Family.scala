@@ -51,10 +51,12 @@ object Family {
 }
 
 /** 0.5*||y - Xb||^2 (reference `src/families/gaussian.h:21-45`), summed
-  * over targets — m > 1 is the reference's multi-task matrix-response
-  * branch (`R/preProcessResponse.R:10-13`: gaussian y may be an n x m
-  * matrix; loss and penalty then run over the p x m coefficient matrix).
-  * For m = 1 the loops below reduce bit-for-bit to the scalar formulas.
+  * over targets. m > 1 (multi-task matrix response) is an EXTENSION
+  * beyond the reference, which rejects matrix gaussian responses
+  * (`R/preProcessResponse.R:7-8`); loss and penalty here run jointly
+  * over the p x m coefficient matrix, anchored by `MultiTaskSpec`'s
+  * engine-independent certificates. For m = 1 the loops below reduce
+  * bit-for-bit to the scalar formulas.
   */
 case object Gaussian extends Family {
   val name = "gaussian"

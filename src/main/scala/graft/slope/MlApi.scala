@@ -70,7 +70,13 @@ class SlopeRegression(override val uid: String)
 /** Fitted model: `transform` adds linpred / response / predicted_class
   * columns plus a scalar `prediction` from the LAST path step (most
   * regularized-to-least; pick another sigma via `predictionStep` or
-  * interpolation through [[SlopeServe.coefAt]]). */
+  * interpolation through [[SlopeServe.coefAt]]).
+  *
+  * Multi-task gaussian (m > 1) emits `predictions` — an
+  * `array<double>` of length m — INSTEAD of `prediction`, so the
+  * DoubleType contract of the standard column (assumed by e.g.
+  * `RegressionEvaluator`) is never silently broken by a type change
+  * under the same name. */
 class SlopeRegressionModel(override val uid: String, val slopeModel: SlopeModel)
     extends Model[SlopeRegressionModel] {
 
@@ -92,10 +98,12 @@ class SlopeRegressionModel(override val uid: String, val slopeModel: SlopeModel)
     val step = if ($(predictionStep) < 0) slopeModel.nSteps else $(predictionStep) + 1
     slopeModel.family match {
       case "gaussian" =>
-        // multi-task (m > 1): prediction is the length-m array
+        // multi-task (m > 1): length-m array under a DIFFERENT name so
+        // `prediction` stays DoubleType wherever it exists (see class doc)
         val lpStep = element_at(col("linpred"), step)
-        withAll.withColumn("prediction",
-          if (slopeModel.m == 1) element_at(lpStep, 1) else lpStep)
+        if (slopeModel.m == 1)
+          withAll.withColumn("prediction", element_at(lpStep, 1))
+        else withAll.withColumn("predictions", lpStep)
       case "poisson" =>
         withAll.withColumn("prediction",
           exp(element_at(element_at(col("linpred"), step), 1)))

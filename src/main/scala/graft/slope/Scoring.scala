@@ -129,9 +129,11 @@ object SlopeScore {
     * oracle-checkable). `weights = 1` reduces exactly to the unweighted
     * midrank AUC.
     *
-    * Scalable shape: aggregate per DISTINCT score first, so the only
-    * ordered window runs over |distinct scores| rows — never a global
-    * row rank. Returns a 1-row frame with column `auc_w`. */
+    * Scalable shape: aggregate per DISTINCT score first, then a
+    * range-bucketed two-pass prefix sum ([[graft.functions.PrefixSum]])
+    * for the cumulative negative weight — no single-reducer window
+    * anywhere, even with continuous scores where |distinct| ≈ n.
+    * Returns a 1-row frame with column `auc_w`. */
   def weightedAuc(df: DataFrame, labelCol: String, scoreCol: String,
                   weightCol: String): DataFrame = {
     val g = df.select(col(labelCol).cast("double").as("y"),
@@ -139,28 +141,26 @@ object SlopeScore {
       .groupBy("s")
       .agg(sum(when(col("y") === 1.0, col("w")).otherwise(0.0)).as("w1"),
         sum(when(col("y") === 1.0, 0.0).otherwise(col("w"))).as("w0"))
-    val wOrd = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.select(col("w1"), col("w0"),
-      (sum("w0").over(wOrd) - col("w0")).as("cw0"))
+    graft.functions.PrefixSum.inclusive(g, Nil, "s", "w0", "cw0i")
+      .select(col("w1"), col("w0"), (col("cw0i") - col("w0")).as("cw0"))
       .agg((sum(col("w1") * (col("cw0") + col("w0") / 2)) /
         (sum("w1") * sum("w0"))).as("auc_w"))
   }
 
   /** Scalable midrank AUC per step: aggregate per distinct probability
-    * first (midrank of a tie group = count-before + (n+1)/2), so the
-    * only ordered window runs over |distinct probs| rows — never a
-    * global row rank (R/score.R:137-150 rank form). */
+    * first (midrank of a tie group = count-before + (n+1)/2), then a
+    * per-step range-bucketed prefix sum for the running count
+    * ([[graft.functions.PrefixSum]]) — a step's |distinct probs| ≈ n
+    * rows never funnel through one task (R/score.R:137-150 rank form). */
   private def scoreAuc(model: SlopeModel, df: DataFrame, featuresCol: String,
                        labelCol: String): Array[Double] = {
     val scored = SlopeServe.predictions(model, df, featuresCol, Seq("response"))
     val e = explodedErrors(model, scored, labelCol)
     val g = e.groupBy("step", "p")
       .agg(count(lit(1)).as("n"), sum("y2").as("n1"))
-    val w = Window.partitionBy("step").orderBy("p")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.select(col("step"), col("n"), col("n1"),
-      (sum("n").over(w) - col("n") + (col("n") + 1.0) / 2.0).as("mr"))
+    graft.functions.PrefixSum.inclusive(g, Seq("step"), "p", "n", "cn")
+      .select(col("step"), col("n"), col("n1"),
+        (col("cn") - col("n") + (col("n") + 1.0) / 2.0).as("mr"))
       .groupBy("step")
       .agg(((sum(col("n1") * col("mr")) -
         sum("n1") * (sum("n1") + 1.0) / 2.0) /

@@ -110,8 +110,14 @@ object Slope {
   /** Fit from a DataFrame with a features column (ml Vector or
     * array<double>) and a label column (numeric, string for
     * classification families, or array<double> for the multi-task
-    * gaussian matrix-response branch — reference
-    * `R/preProcessResponse.R:10-13`, student dataset `R/data.R:151-155`).
+    * gaussian matrix response). Multi-task gaussian is an EXTENSION
+    * beyond the reference surface: the reference rejects matrix
+    * gaussian responses outright (`R/preProcessResponse.R:7-8`,
+    * "response for Gaussian regression must be one-dimensional"; its
+    * multi-target machinery is multinomial-only). This engine accepts
+    * them — a documented behavioral divergence — with semantics
+    * certified independently by `MultiTaskSpec` (constant-λ
+    * separability + joint duality-gap certificate).
     */
   def fit(df: DataFrame, featuresCol: String, labelCol: String,
           params: SlopeParams = SlopeParams()): SlopeModel = {
@@ -331,6 +337,10 @@ object Slope {
     case i: Int => i.toDouble
     case l: Long => l.toDouble
     case s: String => s.toDouble
+    // a length-1 array<double> label infers m = 1 and lands on the
+    // scalar encoder; unwrap it instead of failing mid-job
+    case s: scala.collection.Seq[_] if s.length == 1 => anyToDouble(s.head)
+    case arr: Array[Double] if arr.length == 1 => arr(0)
     case other => throw new IllegalArgumentException(s"non-numeric label: $other")
   }
 

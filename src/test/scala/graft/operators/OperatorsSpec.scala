@@ -302,4 +302,35 @@ class OperatorsSpec extends AnyFunSuite {
     val junkStats = mm.withImageStats(junk, "payload").collect()
     assert(junkStats.forall(r => r.isNullAt(r.fieldIndex("width"))))
   }
+
+  test("multimodal: JPEG decodes through the same codec path") {
+    val mm = graft.multimodal.Multimodal
+    val id = 3L
+    val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+    val px = for { y <- 0 until h; x <- 0 until w } yield
+      ((7 * x + 13 * y) % 256, (11 * x + 3 * y + 50) % 256, (5 * x + y + 100) % 256)
+    val Some((dw, dh, mr, mg, mb)) = mm.decodeImageStats(mm.syntheticJpeg(id))
+    // dims survive the lossy roundtrip exactly; channel means only to a
+    // compression tolerance (high-frequency synthetic content -> loose)
+    assert(dw == w && dh == h)
+    assert(math.abs(mr - px.map(_._1).sum.toDouble / (w * h)) < 32.0)
+    assert(math.abs(mg - px.map(_._2).sum.toDouble / (w * h)) < 32.0)
+    assert(math.abs(mb - px.map(_._3).sum.toDouble / (w * h)) < 32.0)
+  }
+
+  test("multimodal: undecodable payloads route to quarantine, not failure") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    val good = mm.syntheticPngMedia((0L until 4L).toDF("doc_id"), "doc_id")
+    val jpeg = Seq((100L, mm.syntheticJpeg(100L))).toDF("media_id", "payload")
+    val bad = Seq((200L, Array[Byte](9, 9, 9, 9)),
+      (201L, null)).toDF("media_id", "payload")
+    val mixed = good.union(jpeg).union(bad).repartition(3)
+    val (ok, quarantine) = mm.routeUndecodable(mixed, "payload")
+    assert(ok.count() == 5, "4 PNGs + 1 JPEG decode")
+    val qIds = quarantine.select("media_id").collect().map(_.getLong(0)).toSet
+    assert(qIds == Set(200L, 201L), s"quarantined: $qIds")
+    // quarantine keeps the ORIGINAL columns (payload intact for audit)
+    assert(quarantine.columns.toSeq == mixed.columns.toSeq)
+  }
 }

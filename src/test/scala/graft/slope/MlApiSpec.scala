@@ -26,6 +26,38 @@ class MlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("MLlib CrossValidator tunes SlopeRegression via ParamGridBuilder") {
+    // the caret-adapter role (reference R/caretOwl.R:15-269): hyper-
+    // parameter tuning must work through the STOCK MLlib tooling, which
+    // exercises defaultCopy/fit(paramMap) and the DoubleType prediction
+    // contract end-to-end
+    import org.apache.spark.ml.evaluation.RegressionEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val gen = RandomProblem.generate(spark, 400, 5, family = "gaussian",
+      seed = 21)
+    val est = new SlopeRegression().setFamily("gaussian").setNSigma(8)
+    val grid = new ParamGridBuilder()
+      .addGrid(est.q, Array(0.1, 0.2))
+      .addGrid(est.scale, Array("l2", "sd"))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(est)
+      .setEvaluator(new RegressionEvaluator().setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2)
+      .setSeed(42L)
+    val cvModel = cv.fit(gen.df)
+    assert(cvModel.avgMetrics.length == 4)
+    assert(cvModel.avgMetrics.forall(m => !m.isNaN && m > 0))
+    val best = cvModel.bestModel.asInstanceOf[SlopeRegressionModel]
+    assert(best.slopeModel.nSteps > 1)
+    // the tuned model serves predictions through the standard surface
+    val out = cvModel.transform(gen.df)
+    val corrV = out.select(corr(col("prediction"), col("label")))
+      .head().getDouble(0)
+    assert(corrV > 0.8, s"corr $corrV")
+  }
+
   test("binomial estimator predicts class labels") {
     val gen = RandomProblem.generate(spark, 600, 4, family = "binomial", seed = 9)
     val model = new SlopeRegression().setFamily("binomial").setNSigma(10)

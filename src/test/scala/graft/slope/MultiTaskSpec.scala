@@ -3,13 +3,14 @@ package graft.slope
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multi-task gaussian (matrix response, m > 1) — the reference's
-  * `NCOL(y) > 1` branch (`R/preProcessResponse.R:10-13`; exercised by the
-  * bundled `student` dataset, `R/data.R:151-155`). The SLOPE penalty runs
-  * over all p*m coefficients jointly; with a CONSTANT lambda sequence the
-  * penalty separates per target, so the multi-task fit must equal the
-  * per-target single-task fits stacked — that separability identity is the
-  * external semantic anchor here.
+/** Multi-task gaussian (matrix response, m > 1) — an EXTENSION beyond
+  * the reference, which rejects matrix gaussian responses
+  * (`R/preProcessResponse.R:7-8`: "response for Gaussian regression
+  * must be one-dimensional"). Because there is no reference behavior to
+  * differ against, the anchors here are engine-independent: with a
+  * CONSTANT lambda sequence the joint p*m sorted-L1 penalty separates
+  * per target, so the multi-task fit must equal the per-target
+  * single-task fits stacked; plus a joint duality-gap certificate.
   */
 class MultiTaskSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -221,9 +222,13 @@ class MultiTaskSpec extends AnyFunSuite {
     val model = new SlopeRegression().setFamily("gaussian").setNSigma(8).fit(df)
     assert(model.slopeModel.m == 2)
     val out = model.transform(df)
-    val pred = out.select("prediction").head()
+    // m > 1 emits `predictions` (array<double>), never a non-double
+    // `prediction` column (MlApi class doc)
+    assert(!out.columns.contains("prediction"),
+      "multi-task must not emit a non-double 'prediction' column")
+    val pred = out.select("predictions").head()
       .getSeq[Double](0)
-    assert(pred.length == 2, s"prediction must be length-2, got $pred")
+    assert(pred.length == 2, s"predictions must be length-2, got $pred")
     // save/load preserves the multi-target cube
     val dir = java.nio.file.Files.createTempDirectory("slope_mt").toString
     SlopeModelIO.save(model.slopeModel, spark, dir)
@@ -231,6 +236,20 @@ class MultiTaskSpec extends AnyFunSuite {
     assert(loaded.m == 2 && loaded.p == 4)
     for (s <- 0 until model.slopeModel.nSteps)
       assert(loaded.coefs(s).sameElements(model.slopeModel.coefs(s)))
+  }
+
+  test("length-1 array<double> labels fit like scalar labels (m = 1)") {
+    val (xs, ys) = problem(7, 80, 4)
+    val y1 = ys.map(_(0))
+    val p = SlopeParams(family = "gaussian", nSigma = 5)
+    val scalar = Slope.fitLocal(xs, y1.map(v => v: Any), p)
+    val wrapped = Slope.fitLocal(xs, y1.map(v => Array(v): Any), p)
+    assert(wrapped.m == 1)
+    assert(wrapped.nSteps == scalar.nSteps)
+    for (s <- 0 until scalar.nSteps) {
+      assert(maxAbsDiff(wrapped.coefs(s), scalar.coefs(s)) < 1e-10)
+      assert(maxAbsDiff(wrapped.intercepts(s), scalar.intercepts(s)) < 1e-10)
+    }
   }
 
   test("array labels rejected for non-gaussian families") {

