@@ -67,6 +67,19 @@ object SparkEntry {
   /** Long-form coefficient path of a gaussian SLOPE fit over lineitem
     * numeric features (the engine's flagship ML operator; not
     * SQL-expressible — validated by the differential test suite). */
+  /** Max |a_i - b_i|; length mismatch counts as infinite divergence. */
+  private def maxAbsDiff(a: Array[Double], b: Array[Double]): Double =
+    if (a.length != b.length) Double.MaxValue
+    else if (a.isEmpty) 0.0
+    else {
+      var m = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = math.abs(a(i) - b(i)); if (d > m) m = d; i += 1
+      }
+      m
+    }
+
   private def slopeFitQuery(s: SparkSession, dir: String): DataFrame = {
     val df = li(s, dir).select(
       array(Feats.map(col): _*).as("features"),
@@ -551,6 +564,80 @@ object SparkEntry {
         .orderBy("q", "measure", "sigma")
     }),
 
+    // ---- distributed solver path: forced treeAggregate backend ----
+    // Every other SLOPE bench query at sf0.1 fits under the
+    // localCellLimit driver gate, so the cluster-scale path the engine
+    // exists for would have no recorded cost. Each _dist query forces
+    // localCellLimit = 0, PINS the path length (early stopping
+    // disabled: tolDevChange = 0, tolDevRatio = 2 never trigger) so
+    // the output shape is closed-form, and certifies the distributed
+    // fit against the driver-local fit of the SAME problem — its BENCH
+    // row records the distributed cost and its CORRECTNESS row is a
+    // real local≡distributed equivalence check. The row also pays for
+    // the local fit; graft.BenchDistributed isolates the dist-only
+    // cost with Spark-job and FISTA-pass counts (bench_distributed
+    // .json, PERF_DISTRIBUTED.md).
+    "q_slope_fit_dist" -> ((s, dir) => {
+      val df = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"), signalLabel.as("label"))
+      val pp = SlopeParams(family = "gaussian", nSigma = 20,
+        tolDevChange = 0.0, tolDevRatio = 2.0)
+      val dist = Slope.fit(df, "features", "label", pp.copy(localCellLimit = 0))
+      val loc = Slope.fit(df, "features", "label", pp)
+      import s.implicits._
+      val shapeOk = dist.nSteps == 20 && loc.nSteps == 20
+      (0 until 20).map { st =>
+        val d = if (!shapeOk) Double.MaxValue
+          else math.max(maxAbsDiff(dist.coefs(st), loc.coefs(st)),
+            maxAbsDiff(dist.intercepts(st), loc.intercepts(st)))
+        (st.toLong, d <= 1e-4)
+      }.toDF("step", "dist_matches_local").orderBy("step")
+    }),
+
+    "q_slope_binom_dist" -> ((s, dir) => {
+      // non-gaussian: every FISTA pass is a distributed treeAggregate
+      // job (1-2 jobs/pass) — THE cost that decides non-gaussian
+      // feasibility at 100 TB; see PERF_DISTRIBUTED.md for the budget
+      val base = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"),
+        when(col("l_returnflag") === "A", "A").otherwise("other").as("label"))
+      val pp = SlopeParams(family = "binomial", nSigma = 6,
+        tolDevChange = 0.0, tolDevRatio = 2.0)
+      val dist = Slope.fit(base, "features", "label", pp.copy(localCellLimit = 0))
+      val loc = Slope.fit(base, "features", "label", pp)
+      import s.implicits._
+      val shapeOk = dist.nSteps == 6 && loc.nSteps == 6
+      (0 until 6).map { st =>
+        val d = if (!shapeOk) Double.MaxValue
+          else math.max(maxAbsDiff(dist.coefs(st), loc.coefs(st)),
+            maxAbsDiff(dist.intercepts(st), loc.intercepts(st)))
+        (st.toLong, d <= 1e-4)
+      }.toDF("step", "dist_matches_local").orderBy("step")
+    }),
+
+    "q_slope_cv_dist" -> ((s, dir) => {
+      // repeated-CV over the distributed cell path (the withFolds
+      // branch above the driver gate): summary must match the
+      // driver-local collect-once slicing to 1e-4 relative
+      val df = li(s, dir).select(
+        array(Feats.map(col): _*).as("features"), signalLabel.as("label"))
+      val pp = SlopeParams(family = "gaussian", nSigma = 6,
+        tolDevChange = 0.0, tolDevRatio = 2.0)
+      def run(p: SlopeParams) = SlopeCv.trainSlope(df, "features", "label",
+        p, qs = Seq(0.1, 0.2), number = 3, repeats = 1,
+        measures = Seq("mse", "mae"), parallelism = 2)
+      val dCells = run(pp.copy(localCellLimit = 0)).summary
+      val lCells = run(pp).summary
+      val ok = dCells.length == lCells.length &&
+        dCells.zip(lCells).forall { case (a, b) =>
+          a.q == b.q && a.measure == b.measure &&
+            math.abs(a.sigma - b.sigma) <= 1e-9 * math.max(1.0, b.sigma) &&
+            math.abs(a.mean - b.mean) <= 1e-4 * math.max(1.0, math.abs(b.mean))
+        }
+      import s.implicits._
+      Seq((dCells.length.toLong, ok)).toDF("n_cells", "dist_matches_local")
+    }),
+
     "q_coef_interp" -> ((s, dir) => {
       // coef() with off-path interpolation (R/coef.R,
       // interpolatePenalty.R) AND the exact=TRUE refit branch
@@ -746,6 +833,16 @@ object SparkEntry {
              FROM g)
            SELECT round(sum(w1*(cw0 + w0/2)) / (sum(w1)*sum(w0)), 6) AS auc_w
            FROM c""",
+
+      // the _dist queries certify distributed≡local inside the query
+      // (pinned path length, 1e-4 tolerance), so the oracle is the
+      // closed-form expected certificate
+      "q_slope_fit_dist" ->
+        "SELECT range::BIGINT AS step, true AS dist_matches_local FROM range(20) ORDER BY step",
+      "q_slope_binom_dist" ->
+        "SELECT range::BIGINT AS step, true AS dist_matches_local FROM range(6) ORDER BY step",
+      "q_slope_cv_dist" ->
+        "SELECT 24::BIGINT AS n_cells, true AS dist_matches_local",
 
       "q_cv_cells" ->
         s"""SELECT l_orderkey % 5 AS fold, count(*)::BIGINT AS n_obs,
