@@ -44,11 +44,17 @@ object BenchDistributed {
         col("l_extendedprice") / 20000.0).as("label"))
     val binomDf = li.select(array(feats.map(col): _*).as("features"),
       when(col("l_returnflag") === "A", "A").otherwise("other").as("label"))
+    val poisDf = li.select(array(Seq("l_discount", "l_tax").map(col): _*)
+      .as("features"), col("l_quantity").as("label"))
+    val multiDf = li.select(array(feats.map(col): _*).as("features"),
+      col("l_returnflag").as("label")) // 3 classes: A | N | R
     // pinned full-length paths (early stopping off), dist backend forced
     val gaussP = SlopeParams(family = "gaussian", nSigma = 20,
       tolDevChange = 0.0, tolDevRatio = 2.0, localCellLimit = 0)
     val binomP = SlopeParams(family = "binomial", nSigma = 6,
       tolDevChange = 0.0, tolDevRatio = 2.0, localCellLimit = 0)
+    val poisP = binomP.copy(family = "poisson")
+    val multiP = binomP.copy(family = "multinomial")
 
     // each scenario returns (passesTotal, steps)
     val scenarios: Seq[(String, () => (Int, Int))] = Seq(
@@ -58,6 +64,14 @@ object BenchDistributed {
       }),
       "binomial_fit_dist" -> (() => {
         val m = Slope.fit(binomDf, "features", "label", binomP)
+        (m.passes.sum, m.nSteps)
+      }),
+      "poisson_fit_dist" -> (() => {
+        val m = Slope.fit(poisDf, "features", "label", poisP)
+        (m.passes.sum, m.nSteps)
+      }),
+      "multinomial_fit_dist" -> (() => {
+        val m = Slope.fit(multiDf, "features", "label", multiP)
         (m.passes.sum, m.nSteps)
       }),
       "gaussian_cv_dist" -> (() => {

@@ -252,9 +252,18 @@ object Dedup {
     * Lineage is truncated per round with an eager localCheckpoint (on a
     * multi-executor cluster prefer `sparkContext.setCheckpointDir` +
     * `checkpoint()` for fault tolerance; the iteration structure is
-    * unchanged). */
+    * unchanged).
+    *
+    * Driver gate (same design as the solver's `localCellLimit`): a
+    * near-dup pair graph is usually TINY relative to its corpus — the
+    * iterative rounds' fixed scheduling cost dominates below a few
+    * million edges even on a cluster. Under `localEdgeLimit` edges the
+    * component labels come from a driver-side union-find (min-id root,
+    * identical labels to the fixpoint) in one collect; above it the
+    * O(log n) distributed loop runs unchanged. */
   def dupClusters(pairs: DataFrame, idColA: String = "id_a",
-                  idColB: String = "id_b"): DataFrame = {
+                  idColB: String = "id_b",
+                  localEdgeLimit: Long = 4L * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     import org.apache.spark.storage.StorageLevel
     // row ordering belongs to the caller's query, not the operator (an
@@ -293,6 +302,48 @@ object Dedup {
     // end of round r IS edges' signature in round r+1, so carry it
     // instead of recomputing (the recompute doubled the fixpoint cost)
     var curSig = signature(edges)
+
+    if (curSig._1 > 0 && curSig._1 <= localEdgeLimit) {
+      // driver union-find (root = component min, so labels are
+      // identical to the distributed fixpoint): one collect replaces
+      // ~log(n) rounds of keyed shuffles whose fixed scheduling cost
+      // dominates small pair graphs
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val lt: (Any, Any) => Boolean =
+        if (integral) (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+        else (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != null && p != x) { x = p; p = parent.get(x) }
+        var c = x0 // path compression
+        while (c != x) { val n = parent.get(c); parent.put(c, x); c = n }
+        x
+      }
+      val collected = edges.collect()
+      collected.foreach { r =>
+        val ra = find(r.get(0))
+        val rb = find(r.get(1))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val labelRows = new java.util.ArrayList[Row](parent.size())
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        labelRows.add(Row(v, find(v)))
+      }
+      val dt = if (integral)
+        org.apache.spark.sql.types.LongType else StringType
+      val labels = pairs.sparkSession.createDataFrame(labelRows,
+        StructType(Seq(StructField("id", dt), StructField("cluster_id", dt))))
+      return verts.join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    }
+
     var converged = curSig._1 == 0L
     var rounds = 0
     while (!converged && rounds < 50) {

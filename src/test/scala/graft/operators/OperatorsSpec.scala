@@ -194,9 +194,17 @@ class OperatorsSpec extends AnyFunSuite {
     val graphs = chain +: Seq.tabulate(3)(_ =>
       Seq.fill(60)((rng.nextInt(50).toLong, rng.nextInt(50).toLong)))
     for (edges <- graphs) {
+      val expected = unionFind(50, edges)
+      // default: driver union-find gate (small pair graph)
       val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == unionFind(50, edges), s"edges=$edges")
+      assert(got == expected, s"gate path, edges=$edges")
+      // localEdgeLimit = 0 forces the distributed large/small-star
+      // loop — both paths must produce identical labels
+      val gotDist = Dedup.dupClusters(edges.toDF("id_a", "id_b"),
+        localEdgeLimit = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == expected, s"distributed path, edges=$edges")
     }
   }
 
