@@ -265,6 +265,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_repetition" -> ((s, dir) => {
+      // repetition-quality signal (Gopher-style filter input): distinct
+      // vs total words on the normalized text + the keep/drop flag a
+      // pipeline would threshold on
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.wordCount(TextFunctions.normalizeText(t)).as("n_words"),
+        round(TextFunctions.uniqueWordRatio(t), 6).as("unique_ratio"),
+        (TextFunctions.uniqueWordRatio(t) >= 0.3).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrubbing pass (standard pre-release step for training
+      // corpora). The fixture texts carry no PII, so deterministic
+      // synthetic PII is planted per doc_id in-query; counts audit the
+      // plant, md5 certifies the scrubbed text byte-for-byte. Patterns
+      // live in the Java∩RE2 subset so DuckDB replays them exactly.
+      val aug = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com call 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 192.168."), (col("doc_id") % 256).cast("string"),
+        lit(".7"))
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.piiCount(aug, TextFunctions.EmailPattern)
+          .cast("int").as("n_email"),
+        TextFunctions.piiCount(aug, TextFunctions.PhonePattern)
+          .cast("int").as("n_phone"),
+        TextFunctions.piiCount(aug, TextFunctions.Ipv4Pattern)
+          .cast("int").as("n_ip"),
+        md5(TextFunctions.redactPii(aug)).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- pipeline extensions: dedup ----
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -881,6 +916,46 @@ object SparkEntry {
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id",
+
+      "q_repetition" ->
+        s"""WITH n AS (
+             SELECT doc_id, $NormSql AS norm FROM documents),
+           w AS (
+             SELECT doc_id,
+               CASE WHEN length(norm) = 0 THEN 0
+                 ELSE len(string_split(norm, ' ')) END AS wc,
+               CASE WHEN length(norm) = 0 THEN 0
+                 ELSE len(list_distinct(string_split(norm, ' '))) END AS uc
+             FROM n)
+           SELECT doc_id, wc::INT AS n_words,
+             round(CASE WHEN wc = 0 THEN 0.0 ELSE uc::DOUBLE / wc END, 6)
+               AS unique_ratio,
+             (CASE WHEN wc = 0 THEN 0.0 ELSE uc::DOUBLE / wc END) >= 0.3
+               AS keep
+           FROM w ORDER BY doc_id""",
+
+      "q_pii_redact" -> {
+        val em = graft.functions.TextFunctions.EmailPattern
+        val ip = graft.functions.TextFunctions.Ipv4Pattern
+        val ssn = graft.functions.TextFunctions.SsnPattern
+        val ph = graft.functions.TextFunctions.PhonePattern
+        s"""WITH a AS (
+             SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                 || '@example.com call 555-123-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7' AS aug
+             FROM documents)
+           SELECT doc_id,
+             len(regexp_extract_all(aug, '$em'))::INT AS n_email,
+             len(regexp_extract_all(aug, '$ph'))::INT AS n_phone,
+             len(regexp_extract_all(aug, '$ip'))::INT AS n_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               aug, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+               '$ssn', '<SSN>', 'g'), '$ph', '<PHONE>', 'g')) AS redacted_md5
+           FROM a ORDER BY doc_id"""
+      },
 
       "q_dedup_exact" ->
         s"""SELECT md5($NormSql) AS fp, count(*)::BIGINT AS cnt,

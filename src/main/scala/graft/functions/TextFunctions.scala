@@ -96,6 +96,47 @@ object TextFunctions {
     * normalization + md5 on any engine => join-able across systems. */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
 
+  /** Distinct-word / total-word ratio on the normalized text — the
+    * cheap repetition signal (boilerplate, keyword stuffing and
+    * degenerate generations score low; Gopher-style filters threshold
+    * it). 0.0 for empty docs. */
+  def uniqueWordRatio(c: Column): Column = {
+    val norm = normalizeText(c)
+    val words = split(norm, " ")
+    // guard on the NORMALIZED text: punctuation-only docs normalize to
+    // "" where split yields [""] and the ratio would read 1.0
+    when(length(norm) === 0, lit(0.0))
+      .otherwise(size(array_distinct(words)).cast("double") / size(words))
+  }
+
+  // ---- PII redaction ----
+  // Patterns restricted to the Java-regex ∩ RE2 common subset (char
+  // classes, bounded quantifiers, \b — no backrefs or lookaround), so
+  // Spark (java.util.regex) and the DuckDB oracle (RE2) match and
+  // replace IDENTICALLY. Redaction order is fixed (email → IPv4 → SSN
+  // → phone) — the later patterns cannot match inside earlier
+  // placeholders, so the chain is confluent and oracle-stable.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhonePattern = "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}"
+
+  /** Redact common PII shapes with typed placeholders — the standard
+    * scrubbing pass before training-data release. Pure regexp_replace
+    * chain: codegen'd, pushdown-safe, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        SsnPattern, "<SSN>"),
+      PhonePattern, "<PHONE>")
+
+  /** Non-overlapping match count for one PII pattern (audit metric). */
+  def piiCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern))
+
   /** Word n-gram shingles from a words-array column (array of strings).
     * Documents with at most n words yield a single whole-text shingle.
     *

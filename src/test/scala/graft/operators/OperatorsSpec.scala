@@ -311,6 +311,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(junkStats.forall(r => r.isNullAt(r.fieldIndex("width"))))
   }
 
+  test("unique word ratio: repetition scores low, empty/punct-only is 0") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "every word here is completely different"),
+      (3L, "!!! ... ???"),
+      (4L, "")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextFunctions.uniqueWordRatio(col("text")).as("r"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.25) < 1e-12) // {buy, now} / 8
+    assert(got(2L) == 1.0)
+    assert(got(3L) == 0.0 && got(4L) == 0.0)
+  }
+
+  test("pii redaction: typed placeholders, counts, non-PII untouched") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "mail a.smith+x@sub.example.org or call (555) 123-4567 now"),
+      (2L, "server 10.0.200.7 leaked ssn 123-45-6789 and 555.867.5309"),
+      (3L, "version 1.2 costs $3.50 on 2024-01-15, no pii here")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.redactPii(col("text")).as("red"),
+      TextFunctions.piiCount(col("text"), TextFunctions.EmailPattern).as("ne"),
+      TextFunctions.piiCount(col("text"), TextFunctions.Ipv4Pattern).as("ni"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) ==
+      "mail <EMAIL> or call <PHONE> now")
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 0)
+    assert(out(1).getString(1) == "server <IP> leaked ssn <SSN> and <PHONE>")
+    assert(out(1).getInt(3) == 1)
+    // dates, versions, prices must survive (false-positive guard)
+    assert(out(2).getString(1) ==
+      "version 1.2 costs $3.50 on 2024-01-15, no pii here")
+  }
+
   test("multimodal: JPEG decodes through the same codec path") {
     val mm = graft.multimodal.Multimodal
     val id = 3L
