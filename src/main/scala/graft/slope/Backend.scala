@@ -60,6 +60,24 @@ trait SlopeBackend {
                          family: Family): Double =
     evalActive(active, betaActive, family, needDual = false, needGrad = false)._1
 
+  /** Fused TWO-POINT pass for the speculative FISTA step: primal at
+    * the line-search candidate `candActive` PLUS the full
+    * (primal, dual, gradient) at the momentum point `nextActive`, so
+    * the accepted-step case costs ONE data scan per pass instead of
+    * two. Values are identical to composing [[primalActive]] +
+    * [[evalActive]] (each accumulator sums the same per-row terms in
+    * the same order); the default does exactly that — distributed
+    * backends override with one fused aggregation.
+    * Returns (gCand, gNext, dualNext, gradNext). */
+  def evalPairActive(active: Array[Int], candActive: Array[Double],
+                     nextActive: Array[Double], family: Family)
+    : (Double, Double, Double, Array[Double]) = {
+    val gCand = primalActive(active, candActive, family)
+    val (gNext, dualNext, gradNext) =
+      evalActive(active, nextActive, family, needDual = true, needGrad = true)
+    (gCand, gNext, dualNext, gradNext)
+  }
+
   /** Gram matrix of standardized active columns (|a| x |a|, column-major)
     * and Xs_active^T y (|a| x m). One pass; |a| must be driver-sized. */
   def gramXty(active: Array[Int]): (Array[Double], Array[Double])
@@ -413,6 +431,67 @@ class DistributedBackend(
       BackendKernels.standardizeGrad(active, rawA, s0, mm, fi, xCenter, xScale)
     } else new Array[Double](0)
     (result(0), result(1), grad)
+  }
+
+  /** ONE treeAggregate for the speculative FISTA step: candidate primal
+    * + full next-point evaluation share the row scan (the per-pass job
+    * count drops from 2 to 1 — at 100 TB that halves both scheduling
+    * latency AND data I/O for every non-gaussian solver pass). Each
+    * accumulator slot sums exactly the per-row terms the two separate
+    * jobs would, so results are bit-identical to the composed form. */
+  override def evalPairActive(active: Array[Int], candActive: Array[Double],
+                              nextActive: Array[Double], family: Family)
+    : (Double, Double, Double, Array[Double]) = {
+    val a = active.length
+    val mm = m
+    val (wc, bc) = BackendKernels.effectiveWeights(
+      active, candActive, mm, pRaw, fitIntercept, xCenter, xScale)
+    val (wn, bn) = BackendKernels.effectiveWeights(
+      active, nextActive, mm, pRaw, fitIntercept, xCenter, xScale)
+    val bcWc = sc.broadcast(wc)
+    val bcBc = sc.broadcast(bc)
+    val bcWn = sc.broadcast(wn)
+    val bcBn = sc.broadcast(bn)
+    val fi = fitIntercept
+    val bcSlot = sc.broadcast(BackendKernels.slotMap(active, pRaw, fi))
+
+    // buffer: [gCand, gNext, dualNext, s0(m), A(a*m)]  (grad terms at next)
+    val bufLen = 3 + mm + a * mm
+    val result = rows.treeAggregate(new Array[Double](bufLen))(
+      { (buf, row) =>
+        val (x, y) = row
+        val lp = new Array[Double](mm)
+        BackendKernels.linPred(x, bcWc.value, bcBc.value, lp)
+        buf(0) += family.primalRow(y, lp)
+        BackendKernels.linPred(x, bcWn.value, bcBn.value, lp)
+        buf(1) += family.primalRow(y, lp)
+        buf(2) += family.dualRow(y, lp)
+        val pg = new Array[Double](mm)
+        family.pseudoGradientRow(y, lp, pg)
+        var k = 0
+        while (k < mm) { buf(3 + k) += pg(k); k += 1 }
+        val slots = bcSlot.value
+        x.foreachActive { (j, v) =>
+          val slot = slots(j)
+          if (slot >= 0) {
+            var kk = 0
+            while (kk < mm) { buf(3 + mm + kk * a + slot) += v * pg(kk); kk += 1 }
+          }
+        }
+        buf
+      },
+      { (b1, b2) =>
+        var i = 0; while (i < bufLen) { b1(i) += b2(i); i += 1 }; b1
+      }, depth = treeDepth)
+
+    bcWc.destroy(); bcBc.destroy(); bcWn.destroy(); bcBn.destroy()
+    bcSlot.destroy()
+
+    val s0 = java.util.Arrays.copyOfRange(result, 3, 3 + mm)
+    val rawA = java.util.Arrays.copyOfRange(result, 3 + mm, bufLen)
+    val grad = BackendKernels.standardizeGrad(active, rawA, s0, mm, fi,
+      xCenter, xScale)
+    (result(0), result(1), result(2), grad)
   }
 
   def gramXty(active: Array[Int]): (Array[Double], Array[Double]) = {

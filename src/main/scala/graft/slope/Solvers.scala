@@ -62,12 +62,58 @@ object Fista {
       out
     }
 
+    // one evaluation carried across iterations: primed here, then
+    // refreshed by the fused speculative pass at each accepted step —
+    // steady state is ONE data scan per pass (was two: gradient pass +
+    // line-search primal pass), with identical iterates
+    var carried: (Double, Double, Array[Double]) =
+      backend.evalActive(active, beta, family, needDual = true, needGrad = true)
+
+    /** prox(beta - lr*grad) with the tail-only sorted-L1 prox. */
+    def proxStep(grad: Array[Double], lr: Double): Array[Double] = {
+      val cand = new Array[Double](a * m)
+      var j = 0
+      while (j < a * m) { cand(j) = beta(j) - lr * grad(j); j += 1 }
+      val tailVec = new Array[Double](pTail * m)
+      var k = 0
+      while (k < m) {
+        var r = off
+        while (r < a) { tailVec(k * pTail + (r - off)) = cand(k * a + r); r += 1 }
+        k += 1
+      }
+      val lamLr = new Array[Double](lambda.length)
+      j = 0
+      while (j < lambda.length) { lamLr(j) = lambda(j) * lr; j += 1 }
+      val proxed = Prox.sortedL1(tailVec, lamLr)
+      k = 0
+      while (k < m) {
+        var r = off
+        while (r < a) { cand(k * a + r) = proxed(k * pTail + (r - off)); r += 1 }
+        k += 1
+      }
+      cand
+    }
+
+    /** Line-search majorization bound at `cand` given g(beta) = gOld. */
+    def searchBound(cand: Array[Double], grad: Array[Double], gOld: Double,
+                    lr: Double): Double = {
+      var dDotGrad = 0.0
+      var dNormSq = 0.0
+      var j = 0
+      while (j < a * m) {
+        val d = cand(j) - beta(j)
+        dDotGrad += d * grad(j)
+        dNormSq += d * d
+        j += 1
+      }
+      gOld + dDotGrad + dNormSq / (2.0 * lr)
+    }
+
     var passes = 0
     var lastPrimal = 0.0
     var done = false
     while (passes < maxPasses && !done) {
-      val (g0, dual, grad) =
-        backend.evalActive(active, beta, family, needDual = true, needGrad = true)
+      val (g0, dual, grad) = carried
       lastPrimal = g0
 
       // sorted-L1 penalty at current beta
@@ -107,60 +153,59 @@ object Fista {
         betaTildeOld = betaTilde
         val gOld = g0
         val tOld = t
+        // t / momentum depend only on tOld — compute up front so the
+        // speculative pass can evaluate the momentum point
+        val tNew = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * tOld * tOld))
+        val mom = (tOld - 1.0) / tNew
 
-        // backtracking line search (reference family.h:177-201)
-        var searching = true
-        while (searching) {
-          val cand = new Array[Double](a * m)
+        def momentumPoint(cand: Array[Double]): Array[Double] = {
+          val next = new Array[Double](a * m)
           var j = 0
-          while (j < a * m) { cand(j) = beta(j) - learningRate * grad(j); j += 1 }
-          // prox on penalized tail only
-          val tailVec = new Array[Double](pTail * m)
-          var k = 0
-          while (k < m) {
-            var r = off
-            while (r < a) { tailVec(k * pTail + (r - off)) = cand(k * a + r); r += 1 }
-            k += 1
-          }
-          val lamLr = new Array[Double](lambda.length)
-          j = 0
-          while (j < lambda.length) { lamLr(j) = lambda(j) * learningRate; j += 1 }
-          val proxed = Prox.sortedL1(tailVec, lamLr)
-          k = 0
-          while (k < m) {
-            var r = off
-            while (r < a) { cand(k * a + r) = proxed(k * pTail + (r - off)); r += 1 }
-            k += 1
-          }
-
-          val g = backend.primalActive(active, cand, family)
-          var dDotGrad = 0.0
-          var dNormSq = 0.0
-          j = 0
           while (j < a * m) {
-            val d = cand(j) - beta(j)
-            dDotGrad += d * grad(j)
-            dNormSq += d * d
+            next(j) = cand(j) + mom * (cand(j) - betaTildeOld(j))
             j += 1
           }
-          val q = gOld + dDotGrad + dNormSq / (2.0 * learningRate)
-          if (q >= g * (1.0 - 1e-12)) {
-            betaTilde = cand
-            searching = false
+          next
+        }
+
+        // backtracking line search (reference family.h:177-201). First
+        // try is SPECULATIVE: the candidate's line-search primal and the
+        // momentum point's full evaluation fuse into one backend pass —
+        // on acceptance (the warm-started common case) the pass is done;
+        // a rejection falls back to single-point probes and pays one
+        // extra evaluation, exactly the pre-fusion cost.
+        var searching = true
+        var firstTry = true
+        while (searching) {
+          val cand = proxStep(grad, learningRate)
+          if (firstTry) {
+            firstTry = false
+            val nextSpec = momentumPoint(cand)
+            val (gCand, gNext, dualNext, gradNext) =
+              backend.evalPairActive(active, cand, nextSpec, family)
+            if (searchBound(cand, grad, gOld, learningRate) >= gCand * (1.0 - 1e-12)) {
+              betaTilde = cand
+              beta = nextSpec
+              carried = (gNext, dualNext, gradNext)
+              searching = false
+            } else {
+              learningRate *= eta
+            }
           } else {
-            learningRate *= eta
+            val g = backend.primalActive(active, cand, family)
+            if (searchBound(cand, grad, gOld, learningRate) >= g * (1.0 - 1e-12)) {
+              betaTilde = cand
+              beta = momentumPoint(cand)
+              carried = backend.evalActive(active, beta, family,
+                needDual = true, needGrad = true)
+              searching = false
+            } else {
+              learningRate *= eta
+            }
           }
         }
 
-        t = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * tOld * tOld))
-        val mom = (tOld - 1.0) / t
-        val next = new Array[Double](a * m)
-        var j = 0
-        while (j < a * m) {
-          next(j) = betaTilde(j) + mom * (betaTilde(j) - betaTildeOld(j))
-          j += 1
-        }
-        beta = next
+        t = tNew
         passes += 1
       }
     }
