@@ -438,7 +438,9 @@ class DistributedBackend(
     * count drops from 2 to 1 — at 100 TB that halves both scheduling
     * latency AND data I/O for every non-gaussian solver pass). Each
     * accumulator slot sums exactly the per-row terms the two separate
-    * jobs would, so results are bit-identical to the composed form. */
+    * jobs would; values agree with the composed form up to
+    * treeAggregate's combine-order noise (sub-ULP), the same variance
+    * any two runs of the separate jobs already have. */
   override def evalPairActive(active: Array[Int], candActive: Array[Double],
                               nextActive: Array[Double], family: Family)
     : (Double, Double, Double, Array[Double]) = {

@@ -28,36 +28,57 @@ object DocStreams {
     * over an unbounded corpus would bound state with a TTL
     * (`GroupStateTimeout.EventTimeTimeout` + document timestamps, the
     * `dropDuplicatesWithinWatermark` contract); the documents fixture
-    * carries no event time, so state here is exact and unbounded.
+    * carries no event time, so the default here is exact and unbounded.
+    *
+    * `stateTtlMs` bounds state for unbounded corpora: a fingerprint
+    * idle longer than the TTL is evicted (processing-time timeout), so
+    * a duplicate arriving after the window re-canonicalizes — the
+    * standard bounded-state dedup contract. None = exact, unbounded.
+    * TTL mode REQUIRES a processing-time trigger interval on the
+    * query: Spark's ProcessingTimeTimeout reports
+    * `shouldRunAnotherBatch = true` unconditionally, so the default
+    * ASAP trigger busy-loops no-data micro-batches; an interval
+    * trigger turns that into one eviction sweep per interval.
     */
   def streamingDupMap(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      stateTtlMs: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val typed = docs.select(col(idCol).cast("long").as("id"),
       TextFunctions.fingerprint(col(textCol)).as("fp"))
       .as[(Long, String)]
+    val timeoutConf = if (stateTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._2)
       .flatMapGroupsWithState[Long, DupMapOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[Long]) =>
-          // ascend by id: deterministic within a micro-batch, and the
-          // canonical of a fresh fingerprint is the batch-minimum id
-          val ids = rows.map(_._1).toArray.sorted
-          var canon = state.getOption.getOrElse(-1L)
-          val out = new Array[DupMapOut](ids.length)
-          var i = 0
-          while (i < ids.length) {
-            if (canon < 0) {
-              canon = ids(i)
-              state.update(canon)
-              out(i) = DupMapOut(ids(i), canon, is_duplicate = false)
-            } else {
-              out(i) = DupMapOut(ids(i), canon, is_duplicate = true)
+          if (state.hasTimedOut) {
+            // idle past TTL: evict (groups receiving data in this batch
+            // are invoked with hasTimedOut = false instead)
+            state.remove()
+            Iterator.empty
+          } else {
+            // ascend by id: deterministic within a micro-batch, and the
+            // canonical of a fresh fingerprint is the batch-minimum id
+            val ids = rows.map(_._1).toArray.sorted
+            var canon = state.getOption.getOrElse(-1L)
+            val out = new Array[DupMapOut](ids.length)
+            var i = 0
+            while (i < ids.length) {
+              if (canon < 0) {
+                canon = ids(i)
+                state.update(canon)
+                out(i) = DupMapOut(ids(i), canon, is_duplicate = false)
+              } else {
+                out(i) = DupMapOut(ids(i), canon, is_duplicate = true)
+              }
+              i += 1
             }
-            i += 1
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          out.iterator
       }.toDF()
   }
 

@@ -95,6 +95,38 @@ class MlApiSpec extends AnyFunSuite {
     }
   }
 
+  test("fused evalPairActive == composed primal + eval (distributed)") {
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.storage.StorageLevel
+    val rng = new scala.util.Random(41)
+    val n = 300; val p = 4
+    val rows = Array.fill(n)((
+      Vectors.dense(Array.fill(p)(rng.nextGaussian())).asInstanceOf[org.apache.spark.ml.linalg.Vector],
+      Array(if (rng.nextBoolean()) 1.0 else -1.0)))
+    val rdd = spark.sparkContext.parallelize(rows.toSeq, 4)
+    val backend = new DistributedBackend(rdd, p, 1, true, knownN = n)
+    try {
+      backend.setStandardization(new Array[Double](p + 1),
+        Array.fill(p + 1)(1.0))
+      val active = (0 to p).toArray
+      val cand = Array.tabulate(p + 1)(j => 0.1 * (j + 1))
+      val next = Array.tabulate(p + 1)(j => -0.05 * (j + 1))
+      val fam = Family("binomial")
+      val (gc, gn, dn, grn) = backend.evalPairActive(active, cand, next, fam)
+      // identical per-row terms; only treeAggregate's combine order can
+      // differ between runs (task completion races), so compare to
+      // relative ULP-scale tolerance — the same bound two separate
+      // primalActive calls satisfy against each other
+      def close(x: Double, y: Double): Boolean =
+        math.abs(x - y) <= 1e-12 * math.max(1.0, math.abs(y))
+      assert(close(gc, backend.primalActive(active, cand, fam)))
+      val (g2, d2, gr2) = backend.evalActive(active, next, fam,
+        needDual = true, needGrad = true)
+      assert(close(gn, g2) && close(dn, d2))
+      assert(grn.indices.forall(i => close(grn(i), gr2(i))))
+    } finally backend.unpersist()
+  }
+
   test("distributed backend binomial == local binomial") {
     val gen = RandomProblem.generate(spark, 400, 3, family = "binomial", seed = 13)
     val p = SlopeParams(family = "binomial", nSigma = 6)

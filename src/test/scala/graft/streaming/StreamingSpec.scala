@@ -126,6 +126,45 @@ class StreamingSpec extends AnyFunSuite {
       (12L, 10L, true), (13L, 13L, false)), got.toList.toString)
   }
 
+  test("streaming dedup map: TTL mode links duplicates within the window") {
+    // inside the TTL window the bounded-state mode must behave exactly
+    // like the unbounded default (wall-clock expiry is not
+    // deterministically testable in-process; the eviction branch is a
+    // state.remove() on hasTimedOut)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    // ProcessingTimeTimeout makes Spark re-batch continuously under the
+    // default ASAP trigger (shouldRunAnotherBatch is always true) — a
+    // trigger interval is REQUIRED with TTLs, here and in production
+    val q = DocStreams.streamingDupMap(
+      stream.toDF().toDF("doc_id", "text"),
+      stateTtlMs = Some(30L * 60 * 1000))
+      .writeStream.format("memory").queryName("dedup_ttl_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+      .outputMode("append").start()
+    // processAllAvailable never settles under ProcessingTimeTimeout
+    // (the engine always has another timeout sweep pending) — poll the
+    // sink instead
+    def awaitRows(n: Int): Array[org.apache.spark.sql.Row] = {
+      val deadline = System.currentTimeMillis + 60000
+      var rows = spark.table("dedup_ttl_test").collect()
+      while (rows.length < n && System.currentTimeMillis < deadline) {
+        Thread.sleep(200)
+        rows = spark.table("dedup_ttl_test").collect()
+      }
+      rows
+    }
+    stream.addData((1L, "alpha beta"), (2L, "gamma"))
+    assert(awaitRows(2).length == 2, "first batch must commit")
+    stream.addData((3L, "ALPHA   beta")) // dup of 1, within TTL
+    val got = awaitRows(3)
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    q.stop()
+    assert(got.toSeq == Seq((1L, 1L, false), (2L, 2L, false),
+      (3L, 1L, true)), got.toList.toString)
+  }
+
   test("streaming minhash near-dup pairs == batch minhashDupPairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
