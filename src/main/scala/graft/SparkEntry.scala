@@ -339,6 +339,20 @@ object SparkEntry {
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // quality-aware canonicalization: keep the LONGEST member of each
+      // near-dup cluster (ties -> min id) — composes pair generation,
+      // connected components and scoring in one declarative plan
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.05, maxDf = MaxDfShipped,
+        parallelism = OpParallelism)
+      val scores = d.select(col("doc_id").as("id"),
+        TextFunctions.wordCount(col("text")).as("score"))
+      Dedup.keepBestPerCluster(Dedup.dupClusters(pairs), scores)
+        .orderBy("cluster_id")
+    }),
+
     "q_simhash_dedup" -> ((s, dir) => {
       // SimHash near-dup candidates (not SQL-expressible: xxhash64)
       Dedup.simhashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 8,
@@ -777,6 +791,34 @@ object SparkEntry {
   private val wcSql =
     "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
 
+  /** Shared recursive-CTE prefix: exact n-gram-jaccard pair graph →
+    * min-label reachability (the DuckDB mirror of ngramJaccardPairs +
+    * dupClusters). Ends after `reach`; append the final SELECT. */
+  private lazy val DupClusterCte =
+    s"""WITH RECURSIVE norm AS (
+         SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS sh
+         FROM norm),
+       d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+       e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+       keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= $MaxDfShipped),
+       e AS (SELECT e0.* FROM e0 JOIN keep USING (s)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.05),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       reach AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT re.id, ed.dst AS r FROM reach re JOIN edges ed ON ed.src = re.r)"""
+
   def oracleSql: Map[String, String] = {
     val featRows = Feats.map { f =>
       s"""SELECT '$f' AS feature, round(avg($f), 6) AS mean_v,
@@ -981,30 +1023,19 @@ object SparkEntry {
            ORDER BY id_a, id_b""",
 
       "q_dup_clusters" ->
-        s"""WITH RECURSIVE norm AS (
-             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w FROM documents),
-           sh AS (
-             SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS sh
-             FROM norm),
-           d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
-           e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
-           keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= $MaxDfShipped),
-           e AS (SELECT e0.* FROM e0 JOIN keep USING (s)),
-           pairs AS (
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-             GROUP BY a.doc_id, b.doc_id
-             HAVING count(*)::DOUBLE / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.05),
-           edges AS (
-             SELECT id_a AS src, id_b AS dst FROM pairs
-             UNION SELECT id_b, id_a FROM pairs),
-           nodes AS (SELECT DISTINCT src AS id FROM edges),
-           reach AS (
-             SELECT id, id AS r FROM nodes
-             UNION
-             SELECT re.id, ed.dst AS r FROM reach re JOIN edges ed ON ed.src = re.r)
+        s"""$DupClusterCte
            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+      "q_dedup_keep_best" ->
+        s"""$DupClusterCte,
+           clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           scored AS (
+             SELECT c.cluster_id, c.id AS keep_id, ($wcSql)::INT AS keep_score,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY ($wcSql) DESC, c.id) AS rn
+             FROM clusters c JOIN documents ON doc_id = c.id)
+           SELECT cluster_id, keep_id, keep_score FROM scored
+           WHERE rn = 1 ORDER BY cluster_id""",
 
       "q_ann_cosine" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -387,6 +387,26 @@ object Dedup {
   def dupDropList(pairs: DataFrame): DataFrame =
     dupClusters(pairs).filter(col("id") =!= col("cluster_id")).select("id")
 
+  /** Quality-aware canonical selection: keep the highest-`scoreCol`
+    * member of each near-dup cluster (ties break to the smallest id) —
+    * the "keep the best copy" policy training pipelines use instead of
+    * [[dupDropList]]'s min-id policy. `clusters` is [[dupClusters]]
+    * output; `scores` maps `idCol` -> `scoreCol` (e.g. a quality or
+    * length score). The window partitions on cluster_id — near-dup
+    * clusters are bounded fan-in groups, so no single-reducer risk. */
+  def keepBestPerCluster(clusters: DataFrame, scores: DataFrame,
+                         idCol: String = "id",
+                         clusterCol: String = "cluster_id",
+                         scoreCol: String = "score"): DataFrame = {
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(scores, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(clusterCol), col(idCol).as("keep_id"),
+        col(scoreCol).as("keep_score"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= `threshold` among
     * candidates sharing a sign-bit LSH bucket in ANY of `bands`
     * independent bucket tables (`nBits` hyperplanes each, seeded

@@ -208,6 +208,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBestPerCluster: argmax score per cluster, ties to min id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 10), (2L, 30), (3L, 30), (5L, 7), (6L, 7))
+      .toDF("id", "score")
+    val got = graft.operators.Dedup.keepBestPerCluster(clusters, scores)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // cluster 1: 2 and 3 tie at 30 -> min id 2; cluster 5: tie -> 5
+    assert(got.toSeq == Seq((1L, 2L, 30), (5L, 5L, 7)), got.toList.toString)
+  }
+
   test("dup clusters: non-numeric (string/uuid) ids cluster on original ids") {
     import spark.implicits._
     // a long cast would null these out; the surrogate-id path must keep
