@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 import graft.slope.{Slope, SlopeCv, SlopeParams, SlopeScore, SlopeServe}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -337,6 +337,19 @@ object SparkEntry {
         n = 3, threshold = 0.05, maxDf = MaxDfShipped,
         parallelism = OpParallelism)
       Dedup.dupClusters(pairs).orderBy("id")
+    }),
+
+    "q_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment by content hash (no
+      // rand(): a doc's split survives reruns and corpus growth — the
+      // contamination-audit property). Dyadic fractions so the
+      // cumulative boundaries are binary-exact in BOTH engines
+      Sampling.hashSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")
     }),
 
     "q_dedup_keep_best" -> ((s, dir) => {
@@ -1025,6 +1038,18 @@ object SparkEntry {
       "q_dup_clusters" ->
         s"""$DupClusterCte
            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+      "q_split" ->
+        """WITH b AS (
+             SELECT doc_id,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT)::DOUBLE
+                 / 4294967296.0 AS u
+             FROM documents)
+           SELECT CASE WHEN u < 0.75 THEN 'train'
+                       WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split,
+             count(*)::BIGINT AS n_docs,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+           FROM b GROUP BY 1 ORDER BY split""",
 
       "q_dedup_keep_best" ->
         s"""$DupClusterCte,

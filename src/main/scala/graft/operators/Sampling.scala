@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting / sampling for training pipelines.
+  *
+  * Everything here assigns by CONTENT HASH, never `rand()`: a row's
+  * split is a pure function of its key, so it survives reruns, engine
+  * swaps, partition-layout changes, and corpus growth — the property
+  * that makes train/test contamination auditable. The hash is the
+  * first 32 bits of md5 (available identically in any engine, which
+  * keeps the assignment DuckDB-oracle-checkable), mapped to [0, 1).
+  */
+object Sampling {
+
+  /** Uniform [0,1) bucket from the key + salt (md5-based, engine-portable). */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Adds a `split` column assigning each row to one of `splits`
+    * (name -> fraction) by hash bucket; fractions carve cumulative
+    * ranges of [0,1) in order, any remainder joins the LAST split.
+    * Same key + salt => same split, forever. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)],
+                salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0), "fractions must be >= 0")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions sum ${splits.map(_._2).sum} > 1")
+    val bucket = hashBucket(col(keyCol), salt)
+    var acc = 0.0
+    val cums = splits.map { case (name, f) => acc += f; (name, acc) }
+    var assign: Column = null
+    cums.foreach { case (name, c) =>
+      assign = if (assign == null) when(bucket < c, name)
+        else assign.when(bucket < c, name)
+    }
+    df.withColumn("split", coalesce(assign, lit(splits.last._1)))
+  }
+
+  /** Deterministic subsample: keep rows whose hash bucket falls below
+    * `fraction` — the rerun-stable form of `df.sample(fraction)`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = "graft"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    df.filter(hashBucket(col(keyCol), salt) < fraction)
+  }
+}

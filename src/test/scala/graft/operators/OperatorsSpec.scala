@@ -208,6 +208,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashSplit: deterministic, exhaustive, near-requested fractions") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val a = Sampling.hashSplit(df, "id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one split
+    assert(a.values.sum == 2000L)
+    // law of large numbers: within ±5 points of the requested fraction
+    splits.foreach { case (name, f) =>
+      val got = a.getOrElse(name, 0L).toDouble / 2000
+      assert(math.abs(got - f) < 0.05, s"$name: $got vs $f")
+    }
+    // rerun-stable: identical assignment, different salt reshuffles
+    val b = Sampling.hashSplit(df, "id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val c = Sampling.hashSplit(df, "id", splits, salt = "other")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c.values.sum == 2000L && c != a, "salt must reshuffle")
+    // hashSample keeps the hashSplit-train rows' complement semantics
+    val n = Sampling.hashSample(df, "id", 0.25).count()
+    assert(math.abs(n / 2000.0 - 0.25) < 0.05, s"sample kept $n")
+  }
+
   test("keepBestPerCluster: argmax score per cluster, ties to min id") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
