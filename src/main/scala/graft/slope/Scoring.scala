@@ -1,7 +1,6 @@
 package graft.slope
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model scoring over a DataFrame (reference `R/score.R`): per-path-step
