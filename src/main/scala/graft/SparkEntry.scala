@@ -339,6 +339,22 @@ object SparkEntry {
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
+    "q_contamination" -> ((s, dir) => {
+      // benchmark decontamination: training docs (id >= 20) sharing
+      // >= 2 distinct trigrams with a benchmark item (ids < 20 stand
+      // in for an eval set); containment fraction flags embedded
+      // benchmark text inside longer training docs
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      Dedup.contamination(d.filter(col("doc_id") >= 20), bench,
+        "doc_id", "text", "bid", "btext",
+        n = 3, minShared = 2, maxDf = MaxDfShipped)
+        .select(col("doc_id"), col("bench_id"), col("shared_ngrams"),
+          round(col("overlap_frac"), 6).as("overlap_frac"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     "q_split" -> ((s, dir) => {
       // deterministic train/val/test assignment by content hash (no
       // rand(): a doc's split survives reruns and corpus growth — the
@@ -1038,6 +1054,28 @@ object SparkEntry {
       "q_dup_clusters" ->
         s"""$DupClusterCte
            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+      "q_contamination" ->
+        s"""WITH norm AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w FROM documents),
+           sh AS (
+             SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS sh
+             FROM norm),
+           d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+           e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+           keep AS (SELECT s FROM e0 WHERE doc_id >= 20 GROUP BY s
+                    HAVING count(*) <= $MaxDfShipped),
+           tr AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)
+                  WHERE e0.doc_id >= 20),
+           be AS (SELECT doc_id AS bench_id, n_sh AS n_b, s FROM e0
+                  WHERE doc_id < 20)
+           SELECT tr.doc_id, be.bench_id, count(*)::BIGINT AS shared_ngrams,
+             round(count(*)::DOUBLE / any_value(be.n_b), 6) AS overlap_frac
+           FROM tr JOIN be USING (s)
+           GROUP BY tr.doc_id, be.bench_id
+           HAVING count(*) >= 2
+           ORDER BY doc_id, bench_id""",
 
       "q_split" ->
         """WITH b AS (

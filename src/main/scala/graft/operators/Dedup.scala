@@ -232,6 +232,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: training docs sharing >= `minShared`
+    * distinct word n-grams with any benchmark item — the overlap check
+    * run before training so eval sets are not memorized verbatim.
+    * Returns (doc_id, bench_id, shared_ngrams, overlap_frac) where
+    * overlap_frac = shared / |benchmark item's n-grams| (containment,
+    * not jaccard: a benchmark question embedded in a long doc must
+    * still flag).
+    *
+    * Scale shape: inverted-index join keyed on the shingle, identical
+    * to [[ngramJaccardPairs]] but cross-corpus — the benchmark side is
+    * tiny relative to training corpora, so its shingle index behaves
+    * like a semi-broadcast filter; the training side never self-joins.
+    * High-df shingles (boilerplate) are dropped from BOTH sides before
+    * the join — the same skew guard, and contamination on boilerplate
+    * alone is noise anyway. */
+  def contamination(docs: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    benchIdCol: String, benchTextCol: String,
+                    n: Int = 3, minShared: Int = 2,
+                    maxDf: Int = 1000): DataFrame = {
+    def shingled(df: DataFrame, id: String, text: String, out: String) =
+      df.select(col(id).as(out),
+        normalizedWords(col(text)).as("__w"))
+        .select(col(out),
+          array_distinct(shinglesFromWords(col("__w"), n)).as("sh"))
+        .select(col(out), size(col("sh")).as(s"n_$out"),
+          explode(col("sh")).as("s"))
+    val d = shingled(docs, idCol, textCol, "doc_id")
+    val b = shingled(bench, benchIdCol, benchTextCol, "bench_id")
+    val parted = d.repartition(col("s"))
+    val keep = parted.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).drop("__df")
+    parted.join(keep, "s")
+      .join(b.repartition(col("s")), "s")
+      .groupBy("doc_id", "bench_id", "n_bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("shared_ngrams"),
+        (col("shared_ngrams").cast("double") / col("n_bench_id"))
+          .as("overlap_frac"))
+  }
+
   /** Near-duplicate clusters from a candidate-pair table (id_a, id_b):
     * connected components over the similarity graph, one row per
     * document appearing in some pair, with the cluster's canonical

@@ -208,6 +208,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: embedded benchmark text flags, clean docs don't") {
+    import spark.implicits._
+    val benchText = "what is the capital city of france paris obviously"
+    val bench = Seq((100L, benchText)).toDF("bid", "btext")
+    val docs = Seq(
+      // benchmark text verbatim inside a longer training doc
+      (1L, "some preamble here " + benchText + " and a long trailer section"),
+      (2L, "entirely unrelated content about spark catalyst optimizers"),
+      // shares only ONE trigram -> below minShared
+      (3L, "the capital city bakery sells excellent bread every day"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.contamination(docs, bench,
+      "doc_id", "text", "bid", "btext", n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.length == 1, s"only doc 1 is contaminated: ${got.toList}")
+    val (docId, benchId, shared, frac) = got.head
+    assert(docId == 1L && benchId == 100L)
+    // all 7 of the benchmark's trigrams appear in doc 1 -> containment 1.0
+    assert(shared == 7L && frac == 1.0, s"shared=$shared frac=$frac")
+  }
+
   test("hashSplit: deterministic, exhaustive, near-requested fractions") {
     import spark.implicits._
     import graft.operators.Sampling
