@@ -339,6 +339,22 @@ object SparkEntry {
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
+    "q_dataset_card" -> ((s, dir) => {
+      // dataset-card rollup: doc + token totals per (language, split) —
+      // the release-summary table a corpus ships with; composes
+      // language ID, deterministic hash split and token counting in
+      // one declarative plan (no intermediate materialization)
+      val base = Sampling.hashSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      base.select(col("split"),
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.wsTokenCount(col("text")).as("toks"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast("long")).as("total_tokens"))
+        .orderBy("lang", "split")
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // benchmark decontamination: training docs (id >= 20) sharing
       // >= 2 distinct trigrams with a benchmark item (ids < 20 stand
@@ -1054,6 +1070,27 @@ object SparkEntry {
       "q_dup_clusters" ->
         s"""$DupClusterCte
            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+      "q_dataset_card" ->
+        s"""WITH n AS (
+             SELECT doc_id, text, ' ' || $NormSql || ' ' AS pad FROM documents),
+           sc AS (
+             SELECT doc_id, text,
+               ${langScoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")}
+             FROM n),
+           mxd AS (SELECT *, $maxExpr AS mx FROM sc),
+           lg AS (SELECT doc_id, text, $argmax AS lang FROM mxd),
+           b AS (
+             SELECT lang, text,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT)::DOUBLE
+                 / 4294967296.0 AS u
+             FROM lg)
+           SELECT lang,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split,
+             count(*)::BIGINT AS n_docs,
+             sum($wcSql)::BIGINT AS total_tokens
+           FROM b GROUP BY 1, 2 ORDER BY lang, split""",
 
       "q_contamination" ->
         s"""WITH norm AS (
