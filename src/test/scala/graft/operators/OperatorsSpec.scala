@@ -208,6 +208,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("operator error paths: bad split fractions, empty benchmark") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = Seq((1L, "x")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.8, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(df, "id", 1.5)
+    }
+    // empty benchmark: no contamination rows, no failure
+    val emptyBench = Seq.empty[(Long, String)].toDF("bid", "btext")
+    assert(graft.operators.Dedup.contamination(df, emptyBench,
+      "id", "text", "bid", "btext").count() == 0)
+  }
+
   test("contamination: embedded benchmark text flags, clean docs don't") {
     import spark.implicits._
     val benchText = "what is the capital city of france paris obviously"
