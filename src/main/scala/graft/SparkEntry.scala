@@ -339,6 +339,32 @@ object SparkEntry {
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
+    "q_lang_confusion" -> ((s, dir) => {
+      // language-ID EVALUATION against the fixture's ground-truth lang
+      // column: the confusion table that decides whether the heuristic
+      // is good enough to route filtering decisions
+      docs(s, dir).select(col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    "q_source_stats" -> ((s, dir) => {
+      // per-source curation rollup: the "which sources are junk" table
+      // (doc counts, token mass, mean quality) a corpus pipeline
+      // reviews before mixing sources
+      val t = col("text")
+      docs(s, dir).select(col("source"),
+        TextFunctions.wsTokenCount(t).as("toks"),
+        TextFunctions.qualityScore(t).as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast("long")).as("total_tokens"),
+          round(avg(col("q")), 6).as("mean_quality"))
+        .orderBy("source")
+    }),
+
     "q_dataset_card" -> ((s, dir) => {
       // dataset-card rollup: doc + token totals per (language, split) —
       // the release-summary table a corpus ships with; composes
@@ -1070,6 +1096,34 @@ object SparkEntry {
       "q_dup_clusters" ->
         s"""$DupClusterCte
            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+      "q_lang_confusion" ->
+        s"""WITH n AS (
+             SELECT doc_id, lang, ' ' || $NormSql || ' ' AS pad FROM documents),
+           sc AS (
+             SELECT doc_id, lang,
+               ${langScoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")}
+             FROM n),
+           mxd AS (SELECT *, $maxExpr AS mx FROM sc)
+           SELECT lang, $argmax AS lang_pred, count(*)::BIGINT AS n_docs
+           FROM mxd GROUP BY 1, 2 ORDER BY lang, lang_pred""",
+
+      "q_source_stats" ->
+        s"""WITH n AS (
+             SELECT source, text, $NormSql AS norm,
+                    ' ' || $NormSql || ' ' AS pad,
+                    $wcSql AS wc
+             FROM documents),
+           qd AS (
+             SELECT source, wc,
+               round(least(wc::DOUBLE/50.0, 1.0)*0.4
+                 + (CASE WHEN (CASE WHEN wc = 0 THEN 0.0 ELSE (length(norm) - (wc - 1))::DOUBLE / wc END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)*0.3
+                 + least((CASE WHEN wc = 0 THEN 0.0 ELSE ($stopHits)::DOUBLE / wc END)*4.0, 1.0)*0.3, 6) AS quality
+             FROM n)
+           SELECT source, count(*)::BIGINT AS n_docs,
+             sum(wc)::BIGINT AS total_tokens,
+             round(avg(quality), 6) AS mean_quality
+           FROM qd GROUP BY source ORDER BY source""",
 
       "q_dataset_card" ->
         s"""WITH n AS (
