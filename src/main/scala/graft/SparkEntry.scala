@@ -339,6 +339,24 @@ object SparkEntry {
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
+    "q_dup_rate_by_source" -> ((s, dir) => {
+      // redundancy per source: share of docs that exact-duplicate an
+      // earlier doc (fingerprint group minimum = canonical) — the
+      // dedup column of the source-review table. Window partitions on
+      // the fingerprint: duplicate groups are bounded, no global sort.
+      val w = Window.partitionBy("fp")
+      docs(s, dir).select(col("source"), col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .withColumn("canon", min("doc_id").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("canon"), 1L).otherwise(0L))
+            .as("n_dups"),
+          round(avg(when(col("doc_id") =!= col("canon"), 1.0)
+            .otherwise(0.0)), 6).as("dup_rate"))
+        .orderBy("source")
+    }),
+
     "q_lang_confusion" -> ((s, dir) => {
       // language-ID EVALUATION against the fixture's ground-truth lang
       // column: the confusion table that decides whether the heuristic
@@ -1096,6 +1114,17 @@ object SparkEntry {
       "q_dup_clusters" ->
         s"""$DupClusterCte
            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+      "q_dup_rate_by_source" ->
+        s"""WITH f AS (
+             SELECT source, doc_id, md5($NormSql) AS fp FROM documents),
+           c AS (
+             SELECT f.*, min(doc_id) OVER (PARTITION BY fp) AS canon FROM f)
+           SELECT source, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN doc_id != canon THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+             round(avg(CASE WHEN doc_id != canon THEN 1.0 ELSE 0.0 END), 6)
+               AS dup_rate
+           FROM c GROUP BY source ORDER BY source""",
 
       "q_lang_confusion" ->
         s"""WITH n AS (
