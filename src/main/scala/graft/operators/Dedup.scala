@@ -139,8 +139,12 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
           when(a === b, 1).otherwise(0)), v => v === 1)).cast("double") /
           size(col("sig_a"))).as("est_jaccard"))
-      .distinct()
+      // filter BEFORE distinct: est_jaccard is a pure function of the
+      // signatures, so the threshold rejects the same rows either way —
+      // but rejecting first shrinks the distinct's shuffle by the
+      // reject fraction (large at high thresholds)
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** Per-bit sign votes folded to the 64-bit fingerprint; expects an
@@ -184,8 +188,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct (same reasoning as minhashDupPairs):
+      // hamming is a pure function of the fingerprints, so filtering
+      // first shrinks the distinct's shuffle with identical output
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact word n-gram Jaccard similarity for all pairs reaching

@@ -22,6 +22,48 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** L2-normalize a double vector in place-free loop form. The
+    * arithmetic (left-fold sum of squares, then divide) matches
+    * `VectorFunctions.normalize` on a cast-to-double array exactly, so
+    * downstream dot-product scores are bit-identical to the expression
+    * form. Shared by the brute-force and IVF kernels. */
+  private def normLocal(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else { val o = new Array[Double](v.length)
+      i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
+  }
+
+  /** Indices of the `m` nearest centroids by squared L2, ascending
+    * (ties break to the smaller cell index — the same total order as
+    * `array_sort` over (dist, cell) structs, and the same sequential
+    * left-fold arithmetic as `VectorFunctions.l2Sq`). Selection scan:
+    * O(nLists * m) after the O(nLists * dim) distance pass — both
+    * primitive-array loops, so per-row cost is flat in plan size. */
+  private def nearestCells(cs: Array[Array[Double]], v: Array[Double],
+                           m: Int): Array[Int] = {
+    val n = cs.length
+    val d = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var s = 0.0; var j = 0
+      val cc = cs(c)
+      while (j < v.length) { val t = v(j) - cc(j); s += t * t; j += 1 }
+      d(c) = s; c += 1
+    }
+    val out = new Array[Int](math.min(m, n))
+    val used = new Array[Boolean](n)
+    var i = 0
+    while (i < out.length) {
+      var best = -1; var bd = Double.MaxValue
+      c = 0
+      while (c < n) { if (!used(c) && d(c) < bd) { bd = d(c); best = c }; c += 1 }
+      used(best) = true; out(i) = best; i += 1
+    }
+    out
+  }
+
   /** Two-phase top-k: a per-partition bounded heap keeps at most k
     * candidates per query (primitive arrays, no per-row allocation),
     * then a tiny window ranks the <= partitions x k survivors per
@@ -90,13 +132,6 @@ object Similarity {
                      excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def normLocal(v: Array[Double]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0.0) v else { val o = new Array[Double](v.length)
-        i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
-    }
     val qArr = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
@@ -212,25 +247,46 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val centers = trainQuantizer(corpus, idCol, vecCol, nLists)
-
-    def cellDists(v: Column): Column = array(centers.zipWithIndex.map {
-      case (c, i) =>
-        struct(l2Sq(v, array(c.map(lit(_)): _*)).as("d"), lit(i).as("cell"))
-    }: _*)
-
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      normalize(col(vecCol)).as("cv"),
-      element_at(array_sort(cellDists(col(vecCol))), 1).getField("cell").as("cell"))
-    val q = queries.select(col(idCol).as("query_id"),
-      normalize(col(vecCol)).as("qv"),
-      explode(transform(slice(array_sort(cellDists(col(vecCol))), 1, nProbe),
-        s => s.getField("cell"))).as("cell"))
+    // broadcast the centroid matrix and assign cells in a tight
+    // primitive-array argmin per partition: plan size and per-row cost
+    // stay O(1) in nLists (the previous form inlined nLists x dim
+    // literals into the expression tree and array_sort'ed 10^4 structs
+    // per row at production IVF scale — plan compilation blew up before
+    // data cost mattered). Cell choice and normalized vectors are
+    // bit-identical to the expression form (see normLocal/nearestCells).
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val qType = queries.schema(idCol).dataType
+    val c = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCenters.value
+        it.map { case (id, raw) =>
+          (id, normLocal(raw), nearestCells(cs, raw, 1)(0))
+        }
+      }
+      .toDF("neighbor_id", "cv", "cell")
+    val q = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCenters.value
+        it.flatMap { case (id, raw) =>
+          val qv = normLocal(raw)
+          nearestCells(cs, raw, nProbe).iterator.map(cell => (id, qv, cell))
+        }
+      }
+      .toDF("query_id", "qv", "cell")
+    // no distinct needed: each corpus vector lives in exactly one cell
+    // and a query's probe cells are distinct, so a (query, neighbor)
+    // candidate appears at most once
     val scored = q.join(c, "cell")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id").cast(qType).as("query_id"), col("neighbor_id"),
         dot(col("qv"), col("cv")).as("score"))
-      .distinct()
     topKSelect(scored, k)
   }
 

@@ -322,6 +322,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ivf recall $recall too low")
   }
 
+  test("ivf topk: nLists=256 stays cheap (broadcast centroids) and keeps recall") {
+    // production-ish quantizer scale: with the old plan-literal cell
+    // assignment this inlined 256 x 24 literals into the expression tree
+    // and array_sort'ed 256 structs per row; the broadcast+mapPartitions
+    // form keeps the plan O(1) in nLists. Recall is the behavior check.
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val centers = Array.fill(16)(Array.fill(24)(rng.nextGaussian() * 3))
+    val vecs = (0L until 2000L).map { i =>
+      val c = centers(rng.nextInt(16))
+      (i, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val t0 = System.nanoTime()
+    val ivf = Similarity.ivfTopK(queries, df, "vec_id", "embedding", 5,
+      nLists = 256, nProbe = 32)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ivf@256 recall $recall too low")
+    // generous wall bound: catches a return to plan-size-in-nLists
+    // compilation (minutes), not scheduler noise
+    assert(secs < 60.0, s"ivf@256 took ${secs}s — plan likely scales with nLists")
+  }
+
   test("text functions: tokenization, ratios, langid markers") {
     import spark.implicits._
     val df = Seq(
