@@ -34,6 +34,23 @@ object PrefixSum {
     * engine's call sites all pre-aggregate per distinct order value,
     * which any caller of a cumulative sum should do anyway (ties in a
     * running sum are order-ambiguous).
+    *
+    * PRECONDITION: `partCols` and `orderCol` values must be non-null.
+    * The naive window would keep a null partition and sort nulls first;
+    * here a null partition value is dropped by the final inner join and
+    * a null order value buckets to 0 — so the bit-equality claim only
+    * covers non-null keys (every engine call site groups by non-null
+    * aggregation keys, which guarantees this).
+    *
+    * Execution cost: the input plan is executed three times (the
+    * quantile action, the subtotal collect, and the caller's execution
+    * of the returned frame). `inclusive` persists the input at
+    * MEMORY_AND_DISK for the two internal actions, so an expensive
+    * upstream (a model-scored corpus, say) is computed once, not three
+    * times; the cache is released after the internal actions, so the
+    * caller's final execution recomputes upstream once more — callers
+    * with a very expensive input can persist it themselves before
+    * calling and keep the cache through their own action.
     */
   def inclusive(df: DataFrame, partCols: Seq[String], orderCol: String,
                 valueCol: String, outCol: String,
@@ -44,17 +61,25 @@ object PrefixSum {
     val offCol = "__ps_off"
     val totCol = "__ps_tot"
 
+    // cache the input across the two internal driver actions (quantile
+    // pass + subtotal collect) — without this an expensive upstream
+    // plan runs once per action. Respect a caller-managed cache.
+    val callerCached =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val in = if (callerCached) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // deterministic global boundaries; duplicates collapse (skewed
     // order values simply yield fewer, fatter buckets)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds =
       if (buckets <= 1) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+      else in.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
     val bucketExpr: Column =
       if (bounds.isEmpty) lit(0)
       else size(filter(lit(bounds), b => col(orderCol) > b))
 
-    val withB = df.withColumn(bCol, bucketExpr)
+    val withB = in.withColumn(bCol, bucketExpr)
     val keyCols = partCols :+ bCol
 
     // pass 1: per-bucket subtotals -> driver -> exclusive offsets.
@@ -84,10 +109,15 @@ object PrefixSum {
     val localW = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB
+    val out = withB
       .withColumn(lcCol, sum(col(valueCol)).over(localW))
       .join(broadcast(offDf), keyCols)
       .withColumn(outCol, col(offCol) + col(lcCol))
       .drop(bCol, lcCol, offCol)
+    // internal actions are done; release the cache (non-blocking).
+    // The caller's execution of `out` re-scans upstream once — see the
+    // scaladoc for the pre-persist escape hatch.
+    if (!callerCached) in.unpersist(false)
+    out
   }
 }

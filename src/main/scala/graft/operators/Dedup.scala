@@ -309,7 +309,12 @@ object Dedup {
     * million edges even on a cluster. Under `localEdgeLimit` edges the
     * component labels come from a driver-side union-find (min-id root,
     * identical labels to the fixpoint) in one collect; above it the
-    * O(log n) distributed loop runs unchanged. */
+    * O(log n) distributed loop runs unchanged. The gate is sized in
+    * driver HEAP, not just edge count: integral ids collect at ~16
+    * bytes/edge (4M edges ≈ 64 MB of longs), but string/uuid ids are
+    * ~8x heavier with Row+String overhead, so the effective limit for
+    * non-integral ids is `localEdgeLimit / 8` (default 500k edges ≈
+    * same byte budget). Pass a larger `localEdgeLimit` to widen both. */
   def dupClusters(pairs: DataFrame, idColA: String = "id_a",
                   idColB: String = "id_b",
                   localEdgeLimit: Long = 4L * 1000 * 1000): DataFrame = {
@@ -352,7 +357,11 @@ object Dedup {
     // instead of recomputing (the recompute doubled the fixpoint cost)
     var curSig = signature(edges)
 
-    if (curSig._1 > 0 && curSig._1 <= localEdgeLimit) {
+    // byte-aware gate: string ids cost ~8x a long per collected edge
+    // (Row + String object overhead), so shrink the edge budget to keep
+    // the DRIVER HEAP bound constant across id types
+    val effectiveEdgeLimit = if (integral) localEdgeLimit else localEdgeLimit / 8
+    if (curSig._1 > 0 && curSig._1 <= effectiveEdgeLimit) {
       // driver union-find (root = component min, so labels are
       // identical to the distributed fixpoint): one collect replaces
       // ~log(n) rounds of keyed shuffles whose fixed scheduling cost

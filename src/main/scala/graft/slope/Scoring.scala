@@ -132,7 +132,14 @@ object SlopeScore {
     * range-bucketed two-pass prefix sum ([[graft.functions.PrefixSum]])
     * for the cumulative negative weight — no single-reducer window
     * anywhere, even with continuous scores where |distinct| ≈ n.
-    * Returns a 1-row frame with column `auc_w`. */
+    * Returns a 1-row frame with column `auc_w`.
+    *
+    * Determinism caveat: PrefixSum's bit-equality-with-the-naive-window
+    * claim holds when the summed weights are exact in double (integer
+    * or dyadic weights — the engine's call sites). Arbitrary fractional
+    * weights reorder FP additions versus the single-window form, so
+    * results can drift in the last ULP; treat them as correct to ~1e-15
+    * relative, not bit-reproducible across plans. */
   def weightedAuc(df: DataFrame, labelCol: String, scoreCol: String,
                   weightCol: String): DataFrame = {
     val g = df.select(col(labelCol).cast("double").as("y"),
