@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] = 32 executor threads + driver-local fits + RDD/DF caches
   // in ONE heap; 8g thrashed GC on the sf0.1 bench (the box has 128g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Catalyst column->expression conversion recurses per tree node: a
+  // p-term linear predictor is a depth-p Add chain, and p ~ 300
+  // overflows the 1m default stack long before plan size is a problem
+  "-Xss16m",
 )

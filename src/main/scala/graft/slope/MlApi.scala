@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -195,7 +195,22 @@ object SlopeModelIO {
 /** Port of the reference's fixture factory `randomProblem`
   * (`R/utils.R:15-76`) as a distributed generator: X ~ N(0,1) via
   * seeded `randn` columns, planted +-amplitude coefficients, per-family
-  * response simulation — all inside Spark expressions (no driver data). */
+  * response simulation — all inside Spark expressions (no driver data).
+  *
+  * Design knobs from the reference:
+  *  - `density < 1`: sparse X — each cell independently nonzero with
+  *    probability `density`, N(0,1) value when nonzero (the distributed
+  *    analogue of `Matrix::rsparsematrix`, whose cells are iid-sparse
+  *    up to its exact-nnz draw).
+  *  - `rho > 0`: equicorrelated design — the reference adds ONE shared
+  *    N(0,1) draw per row, scaled by sqrt(rho/(1-rho)), to every
+  *    column (`utils.R:37-38`), giving pairwise column correlation rho.
+  *    Same construction here: one extra randn column mixed into all
+  *    features; no Cholesky needed for the equicorrelated case.
+  *  - `family = "multinomial"`: `nTargets` classes, beta of length
+  *    p*nTargets, softmax probabilities, label sampled by inverse-CDF
+  *    on a seeded uniform (`utils.R:57-62`). Labels are 1.0..m.
+  */
 object RandomProblem {
 
   case class Generated(df: DataFrame, beta: Array[Double], nonzero: Array[Int])
@@ -203,20 +218,42 @@ object RandomProblem {
   /** `slices > 0` pins the range partitioning: `randn(seed)` draws are a
     * function of (seed, partition, offset), so a fixed slice count makes
     * the generated fixture identical regardless of default parallelism —
-    * required when the fixture feeds a golden-file comparison. */
+    * required when the fixture feeds a golden-file comparison. Default
+    * knobs (`density = 1, rho = 0`) produce expressions identical to the
+    * pre-knob generator, so existing goldens built on it are unchanged. */
   def generate(spark: SparkSession, n: Long, p: Int, qSignal: Double = 0.2,
                amplitude: Double = 3.0, family: String = "gaussian",
-               seed: Long = 42L, slices: Int = 0): Generated = {
+               seed: Long = 42L, slices: Int = 0,
+               density: Double = 1.0, rho: Double = 0.0,
+               nTargets: Int = 3): Generated = {
+    require(density > 0 && density <= 1, s"density $density outside (0,1]")
+    require(rho >= 0 && rho < 1, s"rho $rho outside [0,1)")
+    val m = if (family == "multinomial") nTargets else 1
     val rng = new scala.util.Random(seed)
-    val beta = new Array[Double](p)
-    val k = math.max(1, (qSignal * p).toInt)
-    val idx = rng.shuffle((0 until p).toList).take(k).toArray
+    val beta = new Array[Double](p * m)
+    val k = math.max(1, (qSignal * p * m).toInt)
+    val idx = rng.shuffle((0 until p * m).toList).take(k).toArray
     idx.foreach(j => beta(j) = (if (rng.nextBoolean()) 1 else -1) * amplitude)
 
+    // iid N(0,1) cells; density < 1 zeroes each cell independently
+    // (mask seeds disjoint from the value seeds: seed+p+2+j)
+    def cell(j: Int): Column = {
+      val v = randn(seed + j + 1)
+      if (density >= 1.0) v
+      else when(rand(seed + p + 2 + j) < density, v).otherwise(lit(0.0))
+    }
+    // equicorrelated mix: one shared draw per row across all columns
+    val sharedSeed = seed + 2L * p + 7
+    def feat(j: Int): Column =
+      if (rho > 0)
+        cell(j) + randn(sharedSeed) * math.sqrt(rho / (1 - rho))
+      else cell(j)
+
     val base = (if (slices > 0) spark.range(0, n, 1, slices) else spark.range(n))
-      .select(col("id") +: (0 until p)
-        .map(j => randn(seed + j + 1).as(s"x$j")): _*)
-    val lp = (0 until p).map(j => col(s"x$j") * beta(j)).reduce(_ + _)
+      .select(col("id") +: (0 until p).map(j => feat(j).as(s"x$j")): _*)
+    def lpFor(t: Int): Column =
+      (0 until p).map(j => col(s"x$j") * beta(t * p + j)).reduce(_ + _)
+    val lp = lpFor(0)
     val noise = randn(seed + p + 1)
     val withLabel = family match {
       case "gaussian" => base.withColumn("label", lp + noise)
@@ -226,6 +263,21 @@ object RandomProblem {
         // inverse-CDF-free approximation: rounded exp-rate (fixture only)
         base.withColumn("label",
           greatest(round(exp(lp * 0.2) + noise * 0.5), lit(0.0)))
+      case "multinomial" =>
+        // softmax probabilities over m classes, inverse-CDF sample on a
+        // seeded uniform (reference utils.R:57-62); max-shift for
+        // numerical stability of the exp
+        val lps = (0 until m).map(lpFor)
+        val mx = greatest(lps: _*)
+        val es = lps.map(l => exp(l - mx))
+        val tot = es.reduce(_ + _)
+        val cums = es.scanLeft(lit(0.0))(_ + _).drop(1).map(_ / tot)
+        val u = rand(seed + 3L * p + 13)
+        val label = cums.init.zipWithIndex.foldRight(
+          lit(m.toDouble): Column) { case ((c, i), acc) =>
+          when(u <= c, lit(i + 1.0)).otherwise(acc)
+        }
+        base.withColumn("label", label)
       case other => throw new IllegalArgumentException(s"family $other")
     }
     val df = withLabel.select(

@@ -58,6 +58,38 @@ class MlApiSpec extends AnyFunSuite {
     assert(corrV > 0.8, s"corr $corrV")
   }
 
+  test("multi-task estimator emits array predictions under a distinct name") {
+    // m > 1 must NOT silently retype the scalar `prediction` column:
+    // the standard DoubleType contract (RegressionEvaluator et al.)
+    // stays intact because multi-task output lands in `predictions`
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val rows = (1 to 300).map { _ =>
+      val x = Array.fill(4)(rng.nextGaussian())
+      (x, Array(2.0 * x(0) - x(1) + rng.nextGaussian() * 0.1,
+        x(2) * 3.0 + rng.nextGaussian() * 0.1))
+    }
+    val df = rows.toDF("features", "label")
+    val model = new SlopeRegression().setFamily("gaussian").setNSigma(8)
+      .fit(df)
+    assert(model.slopeModel.m == 2)
+    val out = model.transform(df)
+    assert(!out.columns.contains("prediction"),
+      "scalar prediction must not exist for m > 1")
+    assert(out.columns.contains("predictions"))
+    assert(out.schema("predictions").dataType == ArrayType(DoubleType, false) ||
+      out.schema("predictions").dataType.isInstanceOf[ArrayType])
+    val first = out.select("predictions").head().getSeq[Double](0)
+    assert(first.length == 2, s"expected length-2 predictions, got $first")
+    // each task's prediction tracks its own target
+    val corr0 = out.select(corr(element_at(col("predictions"), 1),
+      element_at(col("label"), 1))).head().getDouble(0)
+    val corr1 = out.select(corr(element_at(col("predictions"), 2),
+      element_at(col("label"), 2))).head().getDouble(0)
+    assert(corr0 > 0.8 && corr1 > 0.8, s"per-task corr $corr0 / $corr1")
+  }
+
   test("binomial estimator predicts class labels") {
     val gen = RandomProblem.generate(spark, 600, 4, family = "binomial", seed = 9)
     val model = new SlopeRegression().setFamily("binomial").setNSigma(10)
@@ -81,6 +113,52 @@ class MlApiSpec extends AnyFunSuite {
     }
     assert(loaded.sigma.sameElements(m.sigma))
     assert(loaded.devianceRatios.sameElements(m.devianceRatios))
+  }
+
+  test("randomProblem design knobs: density, rho, multinomial response") {
+    import spark.implicits._
+    // density: cell-level sparsity matches the knob (reference
+    // rsparsematrix analogue — iid Bernoulli(density) mask)
+    val sp = RandomProblem.generate(spark, 2000, 20, family = "gaussian",
+      seed = 31, density = 0.3)
+    val cells = sp.df.select(explode(col("features")).as("v"))
+    val frac = cells.select(avg(when(col("v") =!= 0.0, 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(math.abs(frac - 0.3) < 0.02, s"nonzero fraction $frac != 0.3")
+    // nonzero cells keep the N(0,1) value distribution
+    val nzSd = cells.filter(col("v") =!= 0.0)
+      .select(stddev(col("v"))).head().getDouble(0)
+    assert(math.abs(nzSd - 1.0) < 0.05, s"nonzero sd $nzSd")
+
+    // rho: pairwise column correlation ~ rho (equicorrelated design,
+    // reference utils.R:37-38), and variance inflates to 1/(1-rho)
+    val co = RandomProblem.generate(spark, 4000, 6, family = "gaussian",
+      seed = 33, rho = 0.5)
+    val wide = co.df.select((0 until 6).map(j =>
+      element_at(col("features"), j + 1).as(s"c$j")): _*)
+    val corrs = for (a <- 0 until 6; b <- a + 1 until 6) yield
+      wide.select(corr(col(s"c$a"), col(s"c$b"))).head().getDouble(0)
+    val meanCorr = corrs.sum / corrs.size
+    assert(math.abs(meanCorr - 0.5) < 0.05, s"mean column corr $meanCorr != 0.5")
+    val v0 = wide.select(variance(col("c0"))).head().getDouble(0)
+    assert(math.abs(v0 - 2.0) < 0.2, s"variance $v0 != 1/(1-rho) = 2")
+
+    // multinomial: labels span 1..m, every class occupied, and the
+    // planted beta drives class separation (a fit beats chance)
+    val mn = RandomProblem.generate(spark, 3000, 6, family = "multinomial",
+      seed = 35, qSignal = 0.3, amplitude = 2.0, nTargets = 3)
+    assert(mn.beta.length == 18)
+    val counts = mn.df.groupBy("label").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1.0, 2.0, 3.0), s"labels: ${counts.keySet}")
+    assert(counts.values.forall(_ > 100), s"class counts: $counts")
+    val fit = Slope.fit(mn.df, "features", "label",
+      SlopeParams(family = "multinomial", nSigma = 10))
+    val pred = SlopeServe.predictions(fit, mn.df, "features", Seq("class"))
+    val acc = pred.select(avg(when(
+      element_at(col("predicted_class"), fit.nSteps) ===
+        col("label").cast("string"), 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(acc > 0.55, s"multinomial fixture accuracy $acc not above chance")
   }
 
   test("distributed backend == local backend on the same data") {
