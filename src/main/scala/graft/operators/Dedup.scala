@@ -104,7 +104,27 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7, maxBucket: Int = 1000,
-                      parallelism: Int = 0): DataFrame = {
+                      parallelism: Int = 0): DataFrame =
+    minhashCandidates(df, idCol, textCol, n, numHashes, bands, maxBucket,
+      parallelism)
+      // filter BEFORE distinct: est_jaccard is a pure function of the
+      // signatures, so the threshold rejects the same rows either way —
+      // but rejecting first shrinks the distinct's shuffle by the
+      // reject fraction (large at high thresholds)
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+
+  /** The candidate stage of [[minhashDupPairs]] — every within-bucket
+    * pair (one row per band collision, pre-verify, pre-distinct).
+    * Exposed package-private so skew tests can measure the quadratic
+    * volume the `maxBucket` guard admits: with each (band, bucket)
+    * group capped at `maxBucket`, candidate rows are bounded by
+    * bands * n * (maxBucket - 1) / 2. */
+  private[graft] def minhashCandidates(df: DataFrame, idCol: String,
+                                       textCol: String, n: Int,
+                                       numHashes: Int, bands: Int,
+                                       maxBucket: Int,
+                                       parallelism: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val in = spread(df, parallelism)
@@ -139,12 +159,6 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
           when(a === b, 1).otherwise(0)), v => v === 1)).cast("double") /
           size(col("sig_a"))).as("est_jaccard"))
-      // filter BEFORE distinct: est_jaccard is a pure function of the
-      // signatures, so the threshold rejects the same rows either way —
-      // but rejecting first shrinks the distinct's shuffle by the
-      // reject fraction (large at high thresholds)
-      .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** Per-bit sign votes folded to the 64-bit fingerprint; expects an
@@ -167,7 +181,20 @@ object Dedup {
     * distance <= `maxHamming` (bit_count of xor). */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 1000,
-                      parallelism: Int = 0): DataFrame = {
+                      parallelism: Int = 0): DataFrame =
+    simhashCandidates(df, idCol, textCol, maxBucket, parallelism)
+      // filter BEFORE distinct (same reasoning as minhashDupPairs):
+      // hamming is a pure function of the fingerprints, so filtering
+      // first shrinks the distinct's shuffle with identical output
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Candidate stage of [[simhashDupPairs]] (one row per band
+    * collision, pre-verify, pre-distinct); package-private for skew
+    * tests. Bound with the guard: 4 * n * (maxBucket - 1) / 2. */
+  private[graft] def simhashCandidates(df: DataFrame, idCol: String,
+                                       textCol: String, maxBucket: Int,
+                                       parallelism: Int = 0): DataFrame = {
     // word hashes materialized once; the 64 per-bit votes each reference
     // the array (same re-inlining hazard as the MinHash signature)
     val sh = spread(df, parallelism).select(col(idCol).as("id"),
@@ -188,11 +215,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      // filter BEFORE distinct (same reasoning as minhashDupPairs):
-      // hamming is a pure function of the fingerprints, so filtering
-      // first shrinks the distinct's shuffle with identical output
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Exact word n-gram Jaccard similarity for all pairs reaching
@@ -206,7 +228,23 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxDf: Int = 1000, parallelism: Int = 0): DataFrame = {
+                        maxDf: Int = 1000, parallelism: Int = 0): DataFrame =
+    ngramCandidates(df, idCol, textCol, n, maxDf, parallelism)
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Candidate stage of [[ngramJaccardPairs]] — one row per shared
+    * kept shingle per pair (the quadratic join output, pre-aggregation);
+    * package-private for skew tests. With the `maxDf` cut every kept
+    * shingle has df <= maxDf, so candidate rows are bounded by
+    * keptPostings * (maxDf - 1) / 2. */
+  private[graft] def ngramCandidates(df: DataFrame, idCol: String,
+                                     textCol: String, n: Int, maxDf: Int,
+                                     parallelism: Int = 0): DataFrame = {
     val sh = spread(df, parallelism).select(col(idCol).as("id"),
       normalizedWords(col(textCol)).as("__w")) // words materialized first
       .select(col("id"),
@@ -231,12 +269,6 @@ object Dedup {
     val right = pruned.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
     left.join(right, "s")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("common"))
-      .select(col("id_a"), col("id_b"),
-        (col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Benchmark decontamination: training docs sharing >= `minShared`
@@ -479,7 +511,20 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double = 0.9,
                         nBits: Int = 8, bands: Int = 4, seed: Long = 42L,
-                        maxBucket: Int = 10000, parallelism: Int = 0): DataFrame = {
+                        maxBucket: Int = 10000, parallelism: Int = 0): DataFrame =
+    embeddingCandidates(df, idCol, vecCol, dim, nBits, bands, seed,
+      maxBucket, parallelism)
+      .filter(col("cosine") >= threshold)
+      .distinct()
+
+  /** Candidate stage of [[embeddingDupPairs]] (one row per band
+    * collision, pre-verify, pre-distinct); package-private for skew
+    * tests. Bound with the guard: bands * n * (maxBucket - 1) / 2. */
+  private[graft] def embeddingCandidates(df: DataFrame, idCol: String,
+                                         vecCol: String, dim: Int,
+                                         nBits: Int, bands: Int, seed: Long,
+                                         maxBucket: Int,
+                                         parallelism: Int = 0): DataFrame = {
     // pre-normalize once per vector so the pairwise kernel is a single
     // dot product instead of dot + two norms (3x fewer HOF evaluations
     // on the quadratic stage)
@@ -504,7 +549,5 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.dot(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }

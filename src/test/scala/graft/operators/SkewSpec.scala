@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.slope.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-skew evidence for the pair generators' quadratic guards.
+  *
+  * Every shipped fixture is sized so `maxBucket`/`maxDf` provably drop
+  * nothing; these tests construct the corpus shape the guards exist
+  * for — a boilerplate block shared by a large fraction of documents,
+  * which collapses into one mega-bucket (LSH) / high-df shingles
+  * (inverted index) — and assert, per operator:
+  *
+  *  (a) BOUND: with the guard binding, the candidate volume (rows into
+  *      the verify/aggregate stage) stays under its closed-form bound,
+  *      while the unguarded volume demonstrably blows past it;
+  *  (b) RECALL: the guard's cost is quantified — pairs found with the
+  *      guard are a subset of pairs found without it, every planted
+  *      NON-boilerplate near-dup pair survives, and the only losses
+  *      are boilerplate-internal pairs (the pairs one deliberately
+  *      spends: at 100 TB they are the quadratic blowup itself).
+  *
+  * Measured numbers are recorded in SKEW.md.
+  */
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---- adversarial corpus ----------------------------------------
+  // 120 boilerplate docs: identical 40-word body + 1 unique marker word
+  //   (pairwise jaccard ~0.9 -> every boilerplate pair is a true
+  //   near-dup AND they all share LSH buckets: the mega-bucket).
+  // 20 planted pairs: per-pair private 30-word content, second doc
+  //   differs in 1 word (~0.8 3-gram jaccard) — true near-dups that
+  //   must SURVIVE the guard (their buckets are tiny).
+  // 60 unique docs: private random words — no pairs expected.
+  val nBoiler = 120
+  val boilerIds: Set[Long] = (0L until nBoiler.toLong).toSet
+  lazy val docs: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(1234)
+    val body = (0 until 40).map(i => s"common$i").mkString(" ")
+    val boiler = (0 until nBoiler).map(i => (i.toLong, s"$body marker$i"))
+    val pairs = (0 until 20).flatMap { p =>
+      val words = Array.tabulate(30)(i => s"p${p}w$i")
+      val a = words.mkString(" ")
+      val b = { val w = words.clone(); w(7) = s"p${p}alt"; w.mkString(" ") }
+      Seq((1000L + 2 * p, a), (1001L + 2 * p, b))
+    }
+    val unique = (0 until 60).map { d =>
+      (2000L + d, Array.tabulate(30)(i => s"u${d}w${rng.nextInt(100000)}").mkString(" "))
+    }
+    boiler ++ pairs ++ unique
+  }
+  lazy val df = { import spark.implicits._; docs.toDF("doc_id", "text") }
+  val nDocs = 220 // 120 + 40 + 60
+  val plantedPairs: Set[(Long, Long)] =
+    (0 until 20).map(p => (1000L + 2 * p, 1001L + 2 * p)).toSet
+
+  def pairSet(out: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    out.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  def isBoilerPair(p: (Long, Long)): Boolean =
+    boilerIds(p._1) && boilerIds(p._2)
+
+  test("minhash: maxBucket bounds candidate volume; only boilerplate recall spent") {
+    val bands = 8; val maxBucket = 10
+    val guarded = Dedup.minhashCandidates(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = bands, maxBucket = maxBucket).count()
+    val unguarded = Dedup.minhashCandidates(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = bands, maxBucket = Int.MaxValue).count()
+    // closed form: each doc sits in ONE bucket per band; a kept bucket
+    // has <= maxBucket members, so per band each doc pairs with <
+    // maxBucket others => total < bands * n * (maxBucket - 1) / 2
+    val bound = bands.toLong * nDocs * (maxBucket - 1) / 2
+    assert(guarded <= bound, s"guarded candidates $guarded > bound $bound")
+    // the mega-bucket dominates the unguarded volume (~bands * 120*119/2)
+    assert(unguarded > bound * 2,
+      s"fixture not adversarial enough: unguarded $unguarded vs bound $bound")
+
+    val pg = pairSet(Dedup.minhashDupPairs(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = bands, threshold = 0.7,
+      maxBucket = maxBucket))
+    val pu = pairSet(Dedup.minhashDupPairs(df, "doc_id", "text",
+      n = 3, numHashes = 32, bands = bands, threshold = 0.7,
+      maxBucket = Int.MaxValue))
+    assert(pg.subsetOf(pu), "guard must only remove pairs, never invent them")
+    val lost = pu -- pg
+    assert(lost.forall(isBoilerPair),
+      s"guard lost non-boilerplate pairs: ${lost.filterNot(isBoilerPair)}")
+    // every planted pair the UNGUARDED run finds must survive the
+    // guard (the 32-hash estimate can miss a ~0.81-jaccard pair at
+    // threshold 0.7 — that is LSH estimation noise, not the guard)
+    assert((pu & plantedPairs).subsetOf(pg),
+      s"guard lost planted pairs: ${(pu & plantedPairs) -- pg}")
+    assert((pu & plantedPairs).size >= 15,
+      s"fixture too hard: only ${(pu & plantedPairs).size}/20 planted visible")
+    val recall = if (pu.isEmpty) 1.0 else pg.size.toDouble / pu.size
+    info(f"minhash: candidates $guarded/$unguarded (bound $bound), " +
+      f"recall $recall%.3f, lost ${lost.size} (all boilerplate-internal)")
+  }
+
+  test("simhash: maxBucket bounds candidate volume; only boilerplate recall spent") {
+    val maxBucket = 10
+    val guarded = Dedup.simhashCandidates(df, "doc_id", "text",
+      maxBucket = maxBucket).count()
+    val unguarded = Dedup.simhashCandidates(df, "doc_id", "text",
+      maxBucket = Int.MaxValue).count()
+    val bound = 4L * nDocs * (maxBucket - 1) / 2 // 4 fixed bands
+    assert(guarded <= bound, s"guarded candidates $guarded > bound $bound")
+    assert(unguarded > bound * 2,
+      s"fixture not adversarial enough: unguarded $unguarded vs bound $bound")
+
+    val pg = pairSet(Dedup.simhashDupPairs(df, "doc_id", "text",
+      maxHamming = 3, maxBucket = maxBucket))
+    val pu = pairSet(Dedup.simhashDupPairs(df, "doc_id", "text",
+      maxHamming = 3, maxBucket = Int.MaxValue))
+    assert(pg.subsetOf(pu))
+    val lost = pu -- pg
+    assert(lost.forall(isBoilerPair),
+      s"guard lost non-boilerplate pairs: ${lost.filterNot(isBoilerPair)}")
+    // planted pairs that the UNGUARDED run finds must all survive the
+    // guard (simhash's hamming<=3 may not catch every planted pair —
+    // that is LSH estimation, not the guard's doing)
+    assert((pu & plantedPairs).subsetOf(pg))
+    info(s"simhash: candidates $guarded/$unguarded (bound $bound), " +
+      s"lost ${lost.size} of ${pu.size} (all boilerplate-internal)")
+  }
+
+  test("ngram jaccard: maxDf bounds candidate volume; only boilerplate recall spent") {
+    val maxDf = 20
+    val guarded = Dedup.ngramCandidates(df, "doc_id", "text",
+      n = 3, maxDf = maxDf).count()
+    val unguarded = Dedup.ngramCandidates(df, "doc_id", "text",
+      n = 3, maxDf = Int.MaxValue).count()
+    // closed form: every kept shingle has df <= maxDf, so it emits
+    // <= maxDf*(maxDf-1)/2 pair rows; postings <= nDocs * maxShingles
+    val maxShinglesPerDoc = 39 // 41-word boiler docs have 39 3-grams
+    val keptShingles = nDocs.toLong * maxShinglesPerDoc // ultra-safe cap
+    val bound = keptShingles * maxDf * (maxDf - 1) / 2
+    assert(guarded <= bound, s"guarded candidates $guarded > bound $bound")
+    // tighter demonstration: the guard removed the df=80 boilerplate
+    // shingles' 80*79/2 pair rows each
+    assert(unguarded - guarded >= 38L * (nBoiler.toLong * (nBoiler - 1) / 2),
+      s"boilerplate shingles not pruned: $unguarded -> $guarded")
+
+    val pg = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.7, maxDf = maxDf)
+    val pgSet = pairSet(pg)
+    val puSet = pairSet(Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.7, maxDf = Int.MaxValue))
+    assert(pgSet.subsetOf(puSet))
+    val lost = puSet -- pgSet
+    assert(lost.forall(isBoilerPair),
+      s"guard lost non-boilerplate pairs: ${lost.filterNot(isBoilerPair)}")
+    assert(plantedPairs.subsetOf(pgSet),
+      s"planted pairs lost: ${plantedPairs -- pgSet}")
+    // planted-pair jaccard is UNCHANGED by the cut (their shingles all
+    // have df 2 <= maxDf): exactness survives for surviving pairs
+    val jg = pg.filter(col("id_a") === 1000L).select("jaccard").head().getDouble(0)
+    assert(math.abs(jg - 25.0 / 31.0) < 1e-12,
+      s"surviving pair's jaccard drifted: $jg")
+    info(s"ngram: candidates $guarded/$unguarded, lost ${lost.size} of " +
+      s"${puSet.size} (all boilerplate-internal)")
+  }
+
+  test("embedding LSH: maxBucket bounds candidate volume; planted pairs survive") {
+    import spark.implicits._
+    val dim = 16; val bands = 4; val nBits = 8; val maxBucket = 10
+    val rng = new scala.util.Random(555)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 120 IDENTICAL vectors (same bucket in every band: the mega-bucket),
+    // 20 planted near-parallel pairs (cos ~0.98), 60 unique directions
+    val shared = unit()
+    val boiler = (0L until 120L).map(i => (i, shared.clone()))
+    val pairs = (0 until 20).flatMap { p =>
+      val a = unit()
+      val b = a.zipWithIndex.map { case (x, i) =>
+        (x + (if (i == 0) 0.15f else 0.0f)) }
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      Seq((1000L + 2 * p, a), (1001L + 2 * p, b.map(x => (x / nb).toFloat)))
+    }
+    val unique = (0 until 60).map(d => (2000L + d, unit()))
+    val vdf = (boiler ++ pairs ++ unique).toDF("vec_id", "embedding")
+
+    val guarded = Dedup.embeddingCandidates(vdf, "vec_id", "embedding",
+      dim = dim, nBits = nBits, bands = bands, seed = 42L,
+      maxBucket = maxBucket).count()
+    val unguarded = Dedup.embeddingCandidates(vdf, "vec_id", "embedding",
+      dim = dim, nBits = nBits, bands = bands, seed = 42L,
+      maxBucket = Int.MaxValue).count()
+    val bound = bands.toLong * 220 * (maxBucket - 1) / 2
+    assert(guarded <= bound, s"guarded candidates $guarded > bound $bound")
+    assert(unguarded > bound * 2,
+      s"fixture not adversarial enough: unguarded $unguarded vs bound $bound")
+
+    val pg = pairSet(Dedup.embeddingDupPairs(vdf, "vec_id", "embedding",
+      dim = dim, threshold = 0.9, nBits = nBits, bands = bands,
+      maxBucket = maxBucket))
+    val pu = pairSet(Dedup.embeddingDupPairs(vdf, "vec_id", "embedding",
+      dim = dim, threshold = 0.9, nBits = nBits, bands = bands,
+      maxBucket = Int.MaxValue))
+    assert(pg.subsetOf(pu))
+    val lost = pu -- pg
+    assert(lost.forall(isBoilerPair),
+      s"guard lost non-boilerplate pairs: ${lost.filterNot(isBoilerPair)}")
+    assert((pu & plantedPairs).subsetOf(pg))
+    // the planted pairs must actually be discoverable in this fixture
+    assert((pu & plantedPairs).size >= 15,
+      s"fixture too hard: only ${(pu & plantedPairs).size}/20 planted pairs visible")
+    info(s"embedding: candidates $guarded/$unguarded (bound $bound), " +
+      s"lost ${lost.size} of ${pu.size} (all boilerplate-internal)")
+  }
+}
