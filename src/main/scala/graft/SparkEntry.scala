@@ -863,6 +863,21 @@ object SparkEntry {
           round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"))
         .orderBy("media_id")
+    }),
+
+    "q_audio_decode" -> ((s, dir) => {
+      // REAL audio codec end-to-end: deterministic 16-bit PCM WAVs
+      // encoded AND decoded partition-parallel via javax.sound.sampled;
+      // the oracle recomputes per-channel mean |amplitude| from the
+      // integer sample formula in closed form (audio analogue of
+      // q_multimodal_decode)
+      val ids = docs(s, dir).filter(col("doc_id") < 48).select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.syntheticWavMedia(ids, "doc_id")
+      graft.multimodal.Multimodal.withAudioStats(media, "payload")
+        .select(col("media_id"), col("channels"), col("sample_rate"),
+          col("n_frames"), col("channel"),
+          round(col("mean_abs"), 6).as("mean_abs"))
+        .orderBy("media_id", "channel")
     })
   )
 
@@ -1320,6 +1335,23 @@ object SparkEntry {
              round(avg((11*x + 3*y + 50) % 256), 6) AS mean_g,
              round(avg((5*x + y + 100) % 256), 6) AS mean_b
            FROM px GROUP BY media_id ORDER BY media_id""",
+
+      "q_audio_decode" ->
+        """WITH d AS (
+             SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch,
+               400 + (doc_id % 5) * 40 AS nf
+             FROM documents WHERE doc_id < 48),
+           ts AS (SELECT unnest(range(560)) AS t),
+           cs AS (SELECT unnest(range(2)) AS c),
+           samples AS (
+             SELECT media_id, ch, nf, c,
+               ((31*t + 17*c + 7*media_id) % 4001) - 2000 AS v
+             FROM d, ts, cs WHERE t < nf AND c < ch)
+           SELECT media_id, any_value(ch)::INT AS channels,
+             8000 AS sample_rate, any_value(nf)::BIGINT AS n_frames,
+             c::INT AS channel, round(avg(abs(v)), 6) AS mean_abs
+           FROM samples GROUP BY media_id, c
+           ORDER BY media_id, c""",
 
       "q_sessionize" ->
         """WITH e AS (

@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
   * work inside) so adding a real codec later only swaps the kernel.
   *
   * Images decode for REAL through `javax.imageio` (PNG/JPEG/BMP/GIF —
-  * [[decodeImageStats]]); audio/video remain STUBS ([[DecodeStub]]:
-  * deterministic fake features derived from the payload bytes) because
-  * this container carries no media codecs — the schema, partitioning
-  * and batch plumbing around them are real and tested end-to-end, and a
-  * deployment swaps only the kernel. Undecodable payloads route to a
-  * quarantine side ([[routeUndecodable]]) instead of failing the job.
+  * [[decodeImageStats]]) and audio decodes for REAL through
+  * `javax.sound.sampled` (WAV/PCM — [[decodeWavStats]]); video remains
+  * a STUB ([[DecodeStub]]: deterministic fake features derived from the
+  * payload bytes) because this container carries no video codecs — the
+  * schema, partitioning and batch plumbing around it are real and
+  * tested end-to-end, and a deployment swaps only the kernel.
+  * Undecodable payloads route to a quarantine side
+  * ([[routeUndecodable]]) instead of failing the job.
   */
 object Multimodal {
 
@@ -143,6 +145,126 @@ object Multimodal {
     (annotated.filter(col("width").isNotNull),
       annotated.filter(col("width").isNull)
         .select(df.columns.map(col): _*))
+  }
+
+  /** REAL audio codec: decode a WAV payload via `javax.sound.sampled`
+    * and return (channels, sampleRate, frames, per-channel mean |s|
+    * over the raw signed-16-bit samples). Integer sums, so the stats
+    * are exact rationals — oracle-checkable the same way the PNG pixel
+    * means are. Returns None for null / undecodable / non-16-bit-PCM
+    * payloads (quarantine-routed by callers, never a job failure). */
+  def decodeWavStats(payload: Array[Byte])
+    : Option[(Int, Int, Long, Array[Double])] = {
+    if (payload == null) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val channels = fmt.getChannels
+        val bytes = ais.readAllBytes()
+        val frames = bytes.length / (2 * channels)
+        if (frames == 0) return None
+        val sums = new Array[Long](channels)
+        var t = 0; var i = 0
+        while (t < frames) {
+          var c = 0
+          while (c < channels) {
+            val v: Short =
+              if (fmt.isBigEndian)
+                (((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)).toShort
+              else (((bytes(i + 1) & 0xFF) << 8) | (bytes(i) & 0xFF)).toShort
+            sums(c) += math.abs(v.toLong)
+            i += 2; c += 1
+          }
+          t += 1
+        }
+        Some((channels, math.round(fmt.getSampleRate), frames.toLong,
+          sums.map(_.toDouble / frames)))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-parallel REAL audio decode: one output row per channel
+    * (channels / sample_rate / n_frames / channel / mean_abs) from the
+    * binary WAV payload. Same mapPartitions batch shape as the image
+    * path; undecodable rows emit a single all-null stats row so
+    * quarantine routing works identically. */
+  def withAudioStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("channel", IntegerType),
+      StructField("mean_abs", DoubleType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWavStats(r.getAs[Array[Byte]](idx)) match {
+          case Some((ch, sr, nf, means)) =>
+            means.iterator.zipWithIndex.map { case (m, c) =>
+              Row.fromSeq(r.toSeq ++ Seq[Any](ch, sr, nf, c, m))
+            }
+          case None =>
+            Iterator.single(
+              Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic WAV for id: PCM signed 16-bit
+    * little-endian, 8 kHz, `1 + id % 2` channels,
+    * `400 + (id % 5) * 40` frames; sample (t, c) =
+    * `((31t + 17c + 7 id) % 4001) - 2000`. The integer formula is
+    * reproducible in closed-form SQL, so decoded per-channel mean
+    * amplitudes check end-to-end through the REAL codec — the audio
+    * analogue of [[syntheticPng]]. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val channels = (1 + id % 2).toInt
+    val frames = (400 + (id % 5) * 40).toInt
+    val data = new Array[Byte](frames * channels * 2)
+    var t = 0; var i = 0
+    while (t < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = ((31L * t + 17L * c + 7L * id) % 4001L - 2000L).toShort
+        data(i) = (v & 0xFF).toByte
+        data(i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 2; c += 1
+      }
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels,
+      true, false) // signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Ingest-shaped synthetic audio table: one deterministic WAV per id,
+    * encoded partition-parallel (no driver-side generation) — the audio
+    * analogue of [[syntheticPngMedia]]. */
+  def syntheticWavMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, syntheticWav(id))
+      }
+    }(enc)
   }
 
   /** Deterministic synthetic JPEG for id: same pixel formula as

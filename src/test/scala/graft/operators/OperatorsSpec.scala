@@ -477,6 +477,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(mb - px.map(_._3).sum.toDouble / (w * h)) < 32.0)
   }
 
+  test("multimodal: real WAV codec roundtrips the sample formula exactly") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // driver-side roundtrip: encode then decode one stereo WAV, check
+    // exact against the closed-form per-channel mean |amplitude|
+    val id = 7L // 2 channels, 480 frames
+    val ch = (1 + id % 2).toInt; val nf = (400 + (id % 5) * 40).toInt
+    def meanAbs(c: Int): Double =
+      (0 until nf).map(t => math.abs((31L * t + 17L * c + 7L * id) % 4001L
+        - 2000L)).sum.toDouble / nf
+    val Some((dch, dsr, dnf, means)) = mm.decodeWavStats(mm.syntheticWav(id))
+    assert(dch == ch && dsr == 8000 && dnf == nf)
+    assert(means.length == ch)
+    (0 until ch).foreach(c => assert(means(c) == meanAbs(c),
+      s"channel $c: ${means(c)} vs ${meanAbs(c)}"))
+    // distributed: encode + decode through mapPartitions, one row per
+    // channel; junk payloads yield a single all-null stats row
+    val ids = (0L until 10L).toDF("doc_id")
+    val media = mm.syntheticWavMedia(ids, "doc_id").repartition(3)
+    val stats = mm.withAudioStats(media, "payload").collect()
+    assert(stats.length == (0L until 10L).map(i => 1 + (i % 2).toInt).sum)
+    stats.foreach { r =>
+      val i = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("channels") == (1 + i % 2).toInt)
+      assert(r.getAs[Long]("n_frames") == 400 + (i % 5) * 40)
+    }
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("media_id", "payload")
+    val junkStats = mm.withAudioStats(junk, "payload").collect()
+    assert(junkStats.length == 2)
+    assert(junkStats.forall(r => r.isNullAt(r.fieldIndex("channels"))))
+  }
+
   test("multimodal: undecodable payloads route to quarantine, not failure") {
     import spark.implicits._
     val mm = graft.multimodal.Multimodal
