@@ -878,6 +878,22 @@ object SparkEntry {
           col("n_frames"), col("channel"),
           round(col("mean_abs"), 6).as("mean_abs"))
         .orderBy("media_id", "channel")
+    }),
+
+    "q_video_frames" -> ((s, dir) => {
+      // REAL video codec end-to-end: deterministic animated GIFs
+      // (indexed-gray -> lossless) encoded AND decoded partition-
+      // parallel via javax.imageio's multi-frame reader, with stride-2
+      // frame sampling INSIDE the decode kernel; the oracle recomputes
+      // each sampled frame's mean gray from the pixel formula in
+      // closed form (video analogue of q_multimodal_decode)
+      val ids = docs(s, dir).filter(col("doc_id") < 48).select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.syntheticGifMedia(ids, "doc_id")
+      graft.multimodal.Multimodal.withVideoFrameStats(media, "payload", stride = 2)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -1352,6 +1368,23 @@ object SparkEntry {
              c::INT AS channel, round(avg(abs(v)), 6) AS mean_abs
            FROM samples GROUP BY media_id, c
            ORDER BY media_id, c""",
+
+      "q_video_frames" ->
+        """WITH d AS (
+             SELECT doc_id AS media_id, 8 + doc_id % 5 AS w,
+               6 + doc_id % 4 AS h, 2 + doc_id % 3 AS nf
+             FROM documents WHERE doc_id < 48),
+           fs AS (SELECT unnest(range(4)) AS f),
+           xs AS (SELECT unnest(range(12)) AS x),
+           ys AS (SELECT unnest(range(9)) AS y),
+           px AS (SELECT media_id, w, h, nf, f, x, y FROM d, fs, xs, ys
+                  WHERE f < nf AND f % 2 = 0 AND x < w AND y < h)
+           SELECT media_id, any_value(nf)::INT AS n_frames,
+             f::INT AS frame_idx, any_value(w)::INT AS width,
+             any_value(h)::INT AS height,
+             round(avg((7*x + 13*y + 29*f) % 256), 6) AS mean_luma
+           FROM px GROUP BY media_id, f
+           ORDER BY media_id, f""",
 
       "q_sessionize" ->
         """WITH e AS (

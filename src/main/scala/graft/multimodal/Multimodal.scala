@@ -14,14 +14,16 @@ import org.apache.spark.sql.types._
   * work inside) so adding a real codec later only swaps the kernel.
   *
   * Images decode for REAL through `javax.imageio` (PNG/JPEG/BMP/GIF —
-  * [[decodeImageStats]]) and audio decodes for REAL through
-  * `javax.sound.sampled` (WAV/PCM — [[decodeWavStats]]); video remains
-  * a STUB ([[DecodeStub]]: deterministic fake features derived from the
-  * payload bytes) because this container carries no video codecs — the
-  * schema, partitioning and batch plumbing around it are real and
-  * tested end-to-end, and a deployment swaps only the kernel.
-  * Undecodable payloads route to a quarantine side
-  * ([[routeUndecodable]]) instead of failing the job.
+  * [[decodeImageStats]]), audio decodes for REAL through
+  * `javax.sound.sampled` (WAV/PCM — [[decodeWavStats]]), and video
+  * decodes for REAL for the animated-GIF container
+  * ([[decodeGifFrameStats]] / [[withVideoFrameStats]]: multi-frame
+  * decode + stride frame-sampling through `javax.imageio`'s GIF
+  * reader). MP4/WebM and other codec-heavy containers still go through
+  * [[DecodeStub]] (this container carries no ffmpeg); the schema,
+  * partitioning and batch plumbing are identical, so a deployment
+  * swaps only the kernel. Undecodable payloads route to a quarantine
+  * side ([[routeUndecodable]]) instead of failing the job.
   */
 object Multimodal {
 
@@ -263,6 +265,167 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idx)
         Row(id, syntheticWav(id))
+      }
+    }(enc)
+  }
+
+  /** REAL video codec (animated-GIF container): decode every frame via
+    * `javax.imageio`'s multi-frame GIF reader and return per-frame
+    * (width, height, mean gray level). GIF is palette-indexed and
+    * lossless, so for grayscale frames the mean is an exact rational —
+    * oracle-checkable like the PNG/WAV paths. Returns None for null /
+    * undecodable payloads (quarantine-routed by callers). */
+  def decodeGifFrameStats(payload: Array[Byte])
+    : Option[Array[(Int, Int, Double)]] = {
+    if (payload == null) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val out = new Array[(Int, Int, Double)](n)
+        var f = 0
+        while (f < n) {
+          // read(f) returns the raw frame, not a composite — our frames
+          // are full-size (no GIF sub-rectangle optimization), so this
+          // IS the frame
+          val img = reader.read(f)
+          val w = img.getWidth
+          val h = img.getHeight
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s += img.getRGB(x, y) & 0xFF // gray: any channel
+              x += 1
+            }
+            y += 1
+          }
+          out(f) = (w, h, s.toDouble / (w.toLong * h))
+          f += 1
+        }
+        Some(out)
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-parallel REAL video decode + FRAME SAMPLING: one output
+    * row per sampled frame (`frame_idx % stride == 0`) with
+    * n_frames / frame_idx / width / height / mean_luma. The sampling
+    * happens inside the decode kernel — at 100 TB you never materialize
+    * the frames you are about to drop. Same mapPartitions batch shape
+    * as the image/audio paths; undecodable rows emit one all-null
+    * stats row so quarantine routing works identically. */
+  def withVideoFrameStats(df: DataFrame, payloadCol: String,
+                          stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeGifFrameStats(r.getAs[Array[Byte]](idx)) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.collect {
+              case ((w, h, m), f) if f % stride == 0 =>
+                Row.fromSeq(r.toSeq ++ Seq[Any](frames.length, f, w, h, m))
+            }
+          case None =>
+            Iterator.single(
+              Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+        }
+      }
+    }(enc)
+  }
+
+  /** 256-entry grayscale palette: index i -> rgb(i,i,i). A GIF local
+    * color table holds exactly this, so indexed-gray frames round-trip
+    * the GIF encode/decode losslessly. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Deterministic synthetic animated GIF for id: `2 + id % 3` frames
+    * of size (8 + id%5) x (6 + id%4), gray level at (x, y, frame f) =
+    * `(7x + 13y + 29f) % 256`, 40 ms/frame. Indexed-gray frames make
+    * the GIF encode lossless, so the formula is reproducible in
+    * closed-form SQL and the decoded per-frame means check end-to-end
+    * through the REAL multi-frame codec — the video analogue of
+    * [[syntheticPng]] / [[syntheticWav]]. */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (6 + id % 4).toInt
+    val nFrames = (2 + id % 3).toInt
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (7 * x + 13 * y + 29 * f) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        val params = writer.getDefaultWriteParam
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), params)
+        val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = new javax.imageio.metadata.IIOMetadataNode(
+          "GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", "4") // centiseconds -> 40 ms/frame
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), params)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Ingest-shaped synthetic video table: one deterministic animated
+    * GIF per id, encoded partition-parallel — the video analogue of
+    * [[syntheticPngMedia]] / [[syntheticWavMedia]]. */
+  def syntheticGifMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, syntheticGif(id))
       }
     }(enc)
   }

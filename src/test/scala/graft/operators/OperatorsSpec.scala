@@ -510,6 +510,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(junkStats.forall(r => r.isNullAt(r.fieldIndex("channels"))))
   }
 
+  test("multimodal: real GIF video codec roundtrips per-frame formula exactly") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // driver-side roundtrip: the indexed-gray frames make the GIF
+    // encode lossless, so every sampled frame mean is exact
+    val id = 4L // 3 frames, 12x6
+    val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+    val nf = (2 + id % 3).toInt
+    def meanGray(f: Int): Double =
+      (for { y <- 0 until h; x <- 0 until w }
+        yield (7 * x + 13 * y + 29 * f) % 256).sum.toDouble / (w * h)
+    val Some(frames) = mm.decodeGifFrameStats(mm.syntheticGif(id))
+    assert(frames.length == nf)
+    frames.zipWithIndex.foreach { case ((dw, dh, m), f) =>
+      assert(dw == w && dh == h)
+      assert(m == meanGray(f), s"frame $f: $m vs ${meanGray(f)}")
+    }
+    // distributed: encode + decode + stride-2 frame sampling through
+    // mapPartitions; junk payloads yield a single all-null stats row
+    val ids = (0L until 12L).toDF("doc_id")
+    val media = mm.syntheticGifMedia(ids, "doc_id").repartition(3)
+    val stats = mm.withVideoFrameStats(media, "payload", stride = 2).collect()
+    // frames per id: 2 + id%3 in {2,3,4}; stride-2 samples {0} or {0,2}
+    val expected = (0L until 12L).map(i => if (2 + i % 3 >= 3) 2 else 1).sum
+    assert(stats.length == expected)
+    stats.foreach { r =>
+      val i = r.getAs[Long]("media_id")
+      val f = r.getAs[Int]("frame_idx")
+      assert(f % 2 == 0)
+      assert(r.getAs[Int]("n_frames") == (2 + i % 3).toInt)
+      assert(r.getAs[Double]("mean_luma") ==
+        (for { y <- 0 until (6 + i % 4).toInt; x <- 0 until (8 + i % 5).toInt }
+          yield (7 * x + 13 * y + 29 * f) % 256).sum.toDouble
+          / ((8 + i % 5) * (6 + i % 4)))
+    }
+    val junk = Seq((1L, Array[Byte](9, 9, 9)), (2L, null))
+      .toDF("media_id", "payload")
+    val junkStats = mm.withVideoFrameStats(junk, "payload").collect()
+    assert(junkStats.length == 2)
+    assert(junkStats.forall(r => r.isNullAt(r.fieldIndex("n_frames"))))
+  }
+
   test("multimodal: undecodable payloads route to quarantine, not failure") {
     import spark.implicits._
     val mm = graft.multimodal.Multimodal
