@@ -619,6 +619,57 @@ object SparkEntry {
         .orderBy("step", "j")
     }),
 
+    // ---- real-data anchors: the reference's five bundled datasets,
+    // loaded from its .rda files by graft.sources.RdaReader and
+    // committed as golden/datasets/*.parquet (RdaExport). These are the
+    // reference's own small-data fit surfaces (R/data.R,
+    // data-raw/datasets.R) — abalone (poisson) and student (multi-task)
+    // are covered in RdaSourceSpec ----
+    "q_bodyfat_path" -> ((s, dir) => {
+      // gaussian path on bodyfat (n=252, p=13), the reference's
+      // flagship example dataset (R/data.R:1-28)
+      val df = s.read.parquet(s"$GoldenDir/datasets/bodyfat.parquet")
+      val feats = df.columns.filter(c => c != "row_id" && c != "label")
+      val m = Slope.fit(
+        df.select(array(feats.map(col): _*).as("features"), col("label")),
+        "features", "label", SlopeParams(family = "gaussian", nSigma = 20))
+      SlopeServe.pathSummary(m, s)
+        .select(col("step"), round(col("sigma"), 6).as("sigma"),
+          round(col("deviance_ratio"), 6).as("deviance_ratio"),
+          col("n_nonzero"))
+        .orderBy("step")
+    }),
+
+    "q_heart_binomial" -> ((s, dir) => {
+      // binomial path on heart (n=270, p=18): REAL sparse dummy-coded
+      // design (the rda stores a dgCMatrix, R/data.R:57-101) — the
+      // sparse-detection path runs on genuine data, not a fixture
+      val df = s.read.parquet(s"$GoldenDir/datasets/heart.parquet")
+      val feats = df.columns.filter(c => c != "row_id" && c != "label")
+      val m = Slope.fit(
+        df.select(array(feats.map(col): _*).as("features"), col("label")),
+        "features", "label", SlopeParams(family = "binomial", nSigma = 10))
+      SlopeServe.pathSummary(m, s)
+        .select(col("step"), round(col("sigma"), 6).as("sigma"),
+          round(col("deviance_ratio"), 6).as("deviance_ratio"),
+          col("n_nonzero"))
+        .orderBy("step")
+    }),
+
+    "q_wine_multinomial" -> ((s, dir) => {
+      // 3-class multinomial path on wine (n=178, p=13, R/data.R:103-134)
+      val df = s.read.parquet(s"$GoldenDir/datasets/wine.parquet")
+      val feats = df.columns.filter(c => c != "row_id" && c != "label")
+      val m = Slope.fit(
+        df.select(array(feats.map(col): _*).as("features"), col("label")),
+        "features", "label", SlopeParams(family = "multinomial", nSigma = 10))
+      SlopeServe.pathSummary(m, s)
+        .select(col("step"), round(col("sigma"), 6).as("sigma"),
+          round(col("deviance_ratio"), 6).as("deviance_ratio"),
+          col("n_nonzero"))
+        .orderBy("step")
+    }),
+
     "q_slope_wide" -> ((s, dir) => {
       // the reference's own differential-test shape (tests/testthat/
       // test-slope.R:4-23: n=1000 p=50 gaussian full path). Fixture
@@ -1426,7 +1477,8 @@ object SparkEntry {
     "q_slope_predict", "q_slope_score", "q_slope_cv", "q_coef_interp",
     "q_diagnostics", "q_lambda_bh", "q_minhash_dedup", "q_simhash_dedup",
     "q_ann_ivf", "q_ann_lsh", "q_slope_multitask", "q_slope_tiny",
-    "q_slope_pwide")
+    "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
+    "q_wine_multinomial")
 
   private val GoldenDir = "/root/repo/golden"
 }
