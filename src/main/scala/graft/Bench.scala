@@ -58,7 +58,28 @@ object Bench {
     val qmin = fmt(_.min)
     val qmax = fmt(_.max)
     val total = results.map { case (_, xs) => median(xs) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"reps":$reps,"sf":"$sfDir"}"""
+    // dedup scaling curve (1x/3x/10x corpus, min of SCALING_REPS —
+    // min is the spike-robust statistic for a log-log fit; a single
+    // contention spike would otherwise bend the exponent): ~1 linear,
+    // >1.2 flags a super-linear operator. Skippable for quick local
+    // runs with SPARK_GRAFT_SCALING_REPS=0.
+    val scalingReps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
+    val scalingJson = if (scalingReps <= 0) "{}" else {
+      val curves = BenchScaling.run(spark, sfDir, Seq(1, 3, 10), scalingReps)
+      curves.map { c =>
+        val by = c.secByScale.map { case (k, t) => s""""${k}x":$t""" }
+          .mkString(",")
+        f""""${c.op}":{$by,"exponent":${c.exp}%.2f}"""
+      }.mkString("{", ",", "}")
+    }
+    // streaming throughput (MemoryStream-driven, fixed batch plan);
+    // skippable with SPARK_GRAFT_STREAM_BENCH=0
+    val streamJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
+      else BenchStreaming.run(spark).map { r =>
+        f""""${r.name}":{"rows":${r.rows},"batches":${r.batches},"sec":${r.sec}%.2f,"rows_per_sec":${r.rowsPerSec}%.0f,"state_rows":${r.stateRows}}"""
+      }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"streaming":$streamJson}"""
     println(json)
     // stdout can be truncated by the harness (BENCH_r04 lost the first
     // ~12 query medians); the file is the machine-complete artifact

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-throughput bench: drives the two stateful streaming
+  * operators with a deterministic in-memory source and reports
+  * rows/sec plus the state-store row count they sustain it at.
+  *
+  * MemoryStream (not the wall-clock `rate` source) so batch sizes and
+  * contents are exact and reproducible: each `addData` +
+  * `processAllAvailable` round is one micro-batch, which is the
+  * steady-state shape of a real trigger-interval deployment. Rates
+  * here are single-box micro-batch machinery + state-op throughput —
+  * the per-batch overhead amortizes with batch size, so the figure to
+  * watch across rounds is rows/sec at FIXED batch count/size, not the
+  * absolute number.
+  */
+object BenchStreaming {
+
+  case class Result(name: String, rows: Long, batches: Int, sec: Double,
+                    rowsPerSec: Double, stateRows: Long)
+
+  private def stateRowsOf(q: StreamingQuery): Long = {
+    val p = q.lastProgress
+    if (p == null || p.stateOperators.isEmpty) -1L
+    else p.stateOperators.map(_.numRowsTotal).sum
+  }
+
+  /** Gap-sessionization throughput at a fixed user-state size:
+    * `users` sessions stay open the whole run (event times advance
+    * within the gap), so every event is one keyed state update. */
+  def benchSessionize(spark: SparkSession, users: Int, batches: Int,
+                      batchSize: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.streaming.EventStreams
+      .sessionizeStream(events, gapSec = 3600)
+      .writeStream.format("memory").queryName("bench_sessionize")
+      .outputMode("append").start()
+    try {
+      var k = 0L
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        val batch = Array.tabulate(batchSize) { i =>
+          val g = k + i
+          val user = g % users
+          val sec = (g / users) * 5 // within-gap: sessions never close
+          (g, sec * 1000000000L, user, "click", 1.0)
+        }
+        k += batchSize
+        stream.addData(batch.toIndexedSeq)
+        out.processAllAvailable()
+        b += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = batches.toLong * batchSize
+      Result("sessionize_stream", rows, batches, dt, rows / dt, stateRowsOf(out))
+    } finally { out.stop(); spark.sql("DROP TABLE IF EXISTS bench_sessionize") }
+  }
+
+  /** Deterministic pseudo-text for doc id: ~`wordsPerDoc` words drawn
+    * from a vocabulary small enough that LSH buckets get real members
+    * but no bucket degenerates (the guards' fixtures cover that case). */
+  private def docText(id: Long, wordsPerDoc: Int): String = {
+    val sb = new StringBuilder
+    var x = id * 0x9E3779B97F4A7C15L + 1
+    var i = 0
+    while (i < wordsPerDoc) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      sb.append("w").append(java.lang.Long.remainderUnsigned(x, 5000))
+      sb.append(' ')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** MinHash-LSH near-dup pair stream throughput: every doc is
+    * signatured (n-gram shingles -> 32 hashes), banded into 8 bucket
+    * states, scored against stored members. ~6% of docs are exact
+    * re-emissions of an earlier doc so the pair path does real work. */
+  def benchMinhash(spark: SparkSession, batches: Int,
+                   batchSize: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.DocStreams
+      .streamingMinhashDupPairs(docs)
+      .writeStream.format("memory").queryName("bench_minhash")
+      .outputMode("append").start()
+    try {
+      var k = 0L
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        val batch = Array.tabulate(batchSize) { i =>
+          val g = k + i
+          // every 16th doc repeats an earlier doc's text -> near-dup hit
+          val src = if (g % 16 == 15 && g >= 16) g - 16 else g
+          (g, docText(src, 30))
+        }
+        k += batchSize
+        stream.addData(batch.toIndexedSeq)
+        out.processAllAvailable()
+        b += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = batches.toLong * batchSize
+      Result("minhash_pairs_stream", rows, batches, dt, rows / dt,
+        stateRowsOf(out))
+    } finally { out.stop(); spark.sql("DROP TABLE IF EXISTS bench_minhash") }
+  }
+
+  /** Run both benches (one small warm-up each, then the timed run). */
+  def run(spark: SparkSession): Seq[Result] = {
+    benchSessionize(spark, users = 50, batches = 2, batchSize = 500) // warm
+    val s = benchSessionize(spark, users = 500, batches = 20, batchSize = 5000)
+    benchMinhash(spark, batches = 2, batchSize = 50) // warm
+    val m = benchMinhash(spark, batches = 10, batchSize = 200)
+    Seq(s, m)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark).foreach { r =>
+      println(f"""{"name":"${r.name}","rows":${r.rows},"batches":${r.batches},"sec":${r.sec}%.2f,"rows_per_sec":${r.rowsPerSec}%.0f,"state_rows":${r.stateRows}}""")
+    }
+    spark.stop()
+  }
+}
