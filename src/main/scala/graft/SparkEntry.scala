@@ -300,6 +300,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_span_dedup" -> ((s, dir) => {
+      // intra-document repetition removal (RefinedWeb-style "drop
+      // repeated lines within a doc", adapted to delimiter-free text
+      // as 8-word spans). The fixture has no natural intra-doc
+      // repetition, so each doc is deterministically doctored
+      // in-query: its own first 24 normalized words are prefixed, so
+      // for docs with >= 24 words spans 4-6 exactly repeat spans 1-3
+      // and the dedup must remove them (the oracle applies the same
+      // doctoring). Pure per-row codegen'd projection — no shuffle.
+      val w = TextFunctions.normalizedWords(col("text"))
+      val doctored = array_join(concat(slice(w, 1, 24), w), " ")
+      docs(s, dir).select(col("doc_id"),
+        size(TextFunctions.spanArray(doctored, 8)).as("n_spans"),
+        size(array_distinct(TextFunctions.spanArray(doctored, 8)))
+          .as("n_unique_spans"),
+        md5(TextFunctions.dedupSpans(doctored, 8)).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q_pseudo_ppl" -> ((s, dir) => {
+      // unigram-LM pseudo-perplexity quality score (CCNet-style LM
+      // gate, unigram so it stays declarative): LM = one groupBy over
+      // exploded words; scoring = one keyed join + per-doc agg
+      val out = graft.operators.LanguageModel.pseudoPerplexity(
+        docs(s, dir), "doc_id", "text")
+      out.select(col("doc_id"), col("n_words"),
+        round(col("pseudo_ppl"), 6).as("pseudo_ppl"))
+        .orderBy("doc_id")
+    }),
+
     // ---- pipeline extensions: dedup ----
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -1146,6 +1176,40 @@ object SparkEntry {
              (CASE WHEN wc = 0 THEN 0.0 ELSE uc::DOUBLE / wc END) >= 0.3
                AS keep
            FROM w ORDER BY doc_id""",
+
+      "q_span_dedup" ->
+        s"""WITH n AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           d AS (SELECT doc_id, w[1:24] || w AS dw FROM n),
+           s AS (
+             SELECT doc_id, len(dw) AS nw,
+               list_transform(range((len(dw) + 7) // 8),
+                 i -> struct_pack(ord := i,
+                   span := array_to_string(dw[i*8+1:i*8+8], ' '))) AS sp
+             FROM d),
+           e AS (SELECT doc_id, len(sp) AS n_spans, unnest(sp) AS s FROM s),
+           f AS (
+             SELECT doc_id, n_spans, s.ord AS ord, s.span AS span FROM e
+             QUALIFY row_number() OVER (
+               PARTITION BY doc_id, span ORDER BY ord) = 1)
+           SELECT doc_id, any_value(n_spans)::INT AS n_spans,
+             count(*)::INT AS n_unique_spans,
+             md5(string_agg(span, ' ' ORDER BY ord)) AS clean_md5
+           FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_pseudo_ppl" ->
+        s"""WITH t AS (
+             SELECT doc_id, unnest(regexp_split_to_array($NormSql, ' ')) AS word
+             FROM documents),
+           tw AS (SELECT * FROM t WHERE length(word) > 0),
+           c AS (SELECT word, count(*)::DOUBLE AS cnt FROM tw GROUP BY word),
+           tot AS (SELECT sum(cnt) AS total FROM c),
+           lm AS (SELECT word, ln(cnt) - ln(total) AS logp FROM c, tot)
+           SELECT doc_id, count(*)::BIGINT AS n_words,
+             round(exp(-avg(logp)), 6) AS pseudo_ppl
+           FROM tw JOIN lm USING (word)
+           GROUP BY doc_id ORDER BY doc_id""",
 
       "q_pii_redact" -> {
         val em = graft.functions.TextFunctions.EmailPattern

@@ -165,6 +165,31 @@ object TextFunctions {
   /** Normalized word array — the canonical shingling input. */
   def normalizedWords(c: Column): Column = split(normalizeText(c), " ")
 
+  /** Consecutive `spanWords`-word windows of the normalized text —
+    * the span decomposition behind [[dedupSpans]]. The tail span may
+    * be shorter; empty/blank text yields an empty array (guarded:
+    * Spark's `sequence(0, -1)` would DESCEND, not return empty). */
+  def spanArray(c: Column, spanWords: Int): Column = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val words = normalizedWords(c)
+    val nSpans = ceil(size(words).cast("double") / spanWords).cast("int")
+    when(length(normalizeText(c)) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " ")))
+  }
+
+  /** Intra-document span dedup (the RefinedWeb/Gopher-style "remove
+    * repeated lines/paragraphs within a document" cleanup, adapted to
+    * delimiter-free text): drop exact repeats of `spanWords`-word
+    * windows, keeping the FIRST occurrence in document order
+    * (`array_distinct` preserves first-seen order). For text with
+    * natural paragraph boundaries, split on the delimiter upstream
+    * and feed each paragraph as a span instead. Pure codegen'd
+    * built-ins — per-row work, no shuffle, pushes down like any
+    * projection. */
+  def dedupSpans(c: Column, spanWords: Int): Column =
+    array_join(array_distinct(spanArray(c, spanWords)), " ")
+
   /** Stopword marker lists for the language-ID heuristic. Tiny
     * per-language function-word sets — the classic n-gram/stopword
     * profile trick at its smallest. */

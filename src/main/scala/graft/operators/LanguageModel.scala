@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus unigram language model + pseudo-perplexity quality scoring —
+  * the cheap LM-based quality filter of the classic training-data
+  * pipelines (CCNet-style: score every document against a language
+  * model and gate on the score), with a unigram model so the whole
+  * thing stays declarative and engine-checkable.
+  *
+  * 100-TB shape: the LM is ONE groupBy over exploded words (map-side
+  * combined); scoring is ONE keyed equi-join (word) + per-doc
+  * aggregation. Nothing driver-side, no UDFs, vocabulary never needs
+  * to fit anywhere but a shuffle partition. At trillion-token scale
+  * the LM side is still tiny next to the corpus (vocab ~10^7 rows),
+  * so Spark/AQE broadcasts it when it fits and sort-merges when not —
+  * both correct.
+  */
+object LanguageModel {
+
+  /** Unigram log-probabilities of the corpus: (word, logp) with
+    * logp = ln(count / total). Deterministic: counts are exact longs
+    * and the log runs per-word. */
+  def unigramLogProbs(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs
+      .select(explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("word"),
+        (log(col("cnt").cast("double")) - log(col("total").cast("double")))
+          .as("logp"))
+  }
+
+  /** Pseudo-perplexity of every document under the corpus unigram LM:
+    * ppl = exp(-mean logp over the doc's words). Low = stereotypical
+    * (high-frequency vocabulary), high = rare/garbled vocabulary —
+    * the gate signal. `lm` defaults to a model built from `docs`
+    * itself (no OOV by construction); pass an external LM plus
+    * `oovLogp` (a floor log-probability) to score a corpus against a
+    * reference corpus, where unseen words must not drop rows. */
+  def pseudoPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                       lm: Option[DataFrame] = None,
+                       oovLogp: Double = math.log(1e-9)): DataFrame = {
+    val model = lm.getOrElse(unigramLogProbs(docs, textCol))
+    val tokens = docs
+      .select(col(idCol),
+        explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    tokens.join(model, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        avg(coalesce(col("logp"), lit(oovLogp))).as("mean_logp"))
+      .select(col(idCol), col("n_words"),
+        exp(-col("mean_logp")).as("pseudo_ppl"))
+  }
+}

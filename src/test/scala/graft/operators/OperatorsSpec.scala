@@ -510,6 +510,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(junkStats.forall(r => r.isNullAt(r.fieldIndex("channels"))))
   }
 
+  test("span dedup: repeats drop, first occurrence and order survive") {
+    import spark.implicits._
+    val t = graft.functions.TextFunctions
+    // 2-word spans: "a b|c d|a b|e f" -> repeated "a b" removed
+    val df = Seq(
+      (1L, "a b c d a b e f"),
+      (2L, "x y"),        // shorter than one span
+      (3L, ""),           // empty -> empty
+      (4L, "p q r")       // ragged tail span "r"
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      t.dedupSpans(col("text"), 2).as("clean"),
+      size(t.spanArray(col("text"), 2)).as("n"),
+      size(array_distinct(t.spanArray(col("text"), 2))).as("u"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "a b c d e f")
+    assert(out(0).getInt(2) == 4 && out(0).getInt(3) == 3)
+    assert(out(1).getString(1) == "x y" && out(1).getInt(2) == 1)
+    assert(out(2).getString(1) == "" && out(2).getInt(2) == 0)
+    assert(out(3).getString(1) == "p q r" && out(3).getInt(2) == 2)
+    // order preservation with an interleaved repeat
+    val o2 = df.filter(col("id") === 1).select(
+      t.dedupSpans(concat(lit("z z "), col("text")), 2)).head.getString(0)
+    assert(o2 == "z z a b c d e f")
+  }
+
+  test("pseudo-perplexity: uniform corpus ppl equals vocab size; rare words raise it") {
+    import spark.implicits._
+    val lmOps = graft.operators.LanguageModel
+    // uniform unigram LM: every word appears exactly once -> p = 1/V,
+    // ppl = exp(-mean ln(1/V)) = V exactly, for every doc
+    val uniform = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val up = lmOps.pseudoPerplexity(uniform, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    up.foreach(r => assert(math.abs(r.getAs[Double]("pseudo_ppl") - 5.0) < 1e-9))
+    // skewed corpus: a doc of corpus-common words scores LOWER than a
+    // doc of corpus-rare words (the gate's decision direction)
+    val skewed = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "zyx wvu")).toDF("doc_id", "text")
+    val sp = lmOps.pseudoPerplexity(skewed, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(sp(0).getAs[Double]("pseudo_ppl") < sp(1).getAs[Double]("pseudo_ppl"))
+    // external LM + OOV floor: unseen words hit oovLogp, rows survive
+    val lm = lmOps.unigramLogProbs(uniform, "text")
+    val scored = lmOps.pseudoPerplexity(
+      Seq((9L, "alpha UNSEEN")).toDF("doc_id", "text"), "doc_id", "text",
+      lm = Some(lm), oovLogp = math.log(1e-6))
+      .collect()
+    assert(scored.length == 1 && scored(0).getAs[Long]("n_words") == 2)
+    val expected = math.exp(-(math.log(1.0 / 5) + math.log(1e-6)) / 2)
+    assert(math.abs(scored(0).getAs[Double]("pseudo_ppl") - expected) < 1e-6)
+  }
+
   test("multimodal: real GIF video codec roundtrips per-frame formula exactly") {
     import spark.implicits._
     val mm = graft.multimodal.Multimodal
