@@ -330,6 +330,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_seq_pack" -> ((s, dir) => {
+      // concat-and-chunk sequence packing (the pretraining data
+      // layout): each doc's offset in the packed 512-token stream and
+      // the sequence ids it occupies. The global ordered cumsum runs
+      // through PrefixSum — no single-partition exchange (the oracle's
+      // window form IS that trap, which is fine in DuckDB at sf0.01)
+      graft.operators.Packing.packOffsets(docs(s, dir), "doc_id", "text",
+        seqLen = 512)
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+          col("first_seq"), col("last_seq"))
+        .orderBy("doc_id")
+    }),
+
     // ---- pipeline extensions: dedup ----
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -1210,6 +1223,21 @@ object SparkEntry {
              round(exp(-avg(logp)), 6) AS pseudo_ppl
            FROM tw JOIN lm USING (word)
            GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_seq_pack" ->
+        s"""WITH t AS (
+             SELECT doc_id, ($wcSql)::BIGINT AS n_tokens FROM documents),
+           c AS (
+             SELECT doc_id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS token_offset
+             FROM t)
+           SELECT doc_id, n_tokens, token_offset,
+             (token_offset // 512)::BIGINT AS first_seq,
+             ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
+               AS last_seq
+           FROM c ORDER BY doc_id""",
 
       "q_pii_redact" -> {
         val em = graft.functions.TextFunctions.EmailPattern

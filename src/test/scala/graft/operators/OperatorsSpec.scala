@@ -565,6 +565,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(scored(0).getAs[Double]("pseudo_ppl") - expected) < 1e-6)
   }
 
+  test("sequence packing: offsets, straddles, manifest, no single-partition plan") {
+    import spark.implicits._
+    val p = graft.operators.Packing
+    // token counts 3,4,2,5 at seqLen=4 -> offsets 0,3,7,9
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i"), (4L, "j k l m n"))
+      .toDF("doc_id", "text").repartition(3)
+    val off = p.packOffsets(docs, "doc_id", "text", seqLen = 4)
+      .orderBy("doc_id").collect()
+    val got = off.map(r => (r.getAs[Long]("token_offset"),
+      r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq")))
+    assert(got.toSeq == Seq((0L, 0L, 0L), (3L, 0L, 1L), (7L, 1L, 2L),
+      (9L, 2L, 3L)))
+    val man = p.packManifest(docs, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_straddling")))
+    assert(man.toSeq == Seq((0L, 2L, 1L), (1L, 2L, 2L), (2L, 2L, 2L),
+      (3L, 1L, 1L)))
+    // the 100-TB claim: the global cumsum never funnels through one task
+    val plan = p.packOffsets(docs, "doc_id", "text", seqLen = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "packing plan contains a single-partition exchange")
+    // empty doc: zero tokens, occupies (not advances) the cursor
+    val withEmpty = docs.union(Seq((5L, "")).toDF("doc_id", "text"))
+    val e = p.packOffsets(withEmpty, "doc_id", "text", seqLen = 4)
+      .filter(col("doc_id") === 5L).head
+    assert(e.getAs[Long]("n_tokens") == 0L &&
+      e.getAs[Long]("token_offset") == 14L &&
+      e.getAs[Long]("first_seq") == 3L && e.getAs[Long]("last_seq") == 3L)
+  }
+
   test("multimodal: real GIF video codec roundtrips per-frame formula exactly") {
     import spark.implicits._
     val mm = graft.multimodal.Multimodal
