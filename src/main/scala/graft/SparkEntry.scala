@@ -699,6 +699,38 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    "q_abalone_poisson" -> ((s, dir) => {
+      // poisson path on abalone rings (n=211, p=9, R/data.R:30-55)
+      val df = s.read.parquet(s"$GoldenDir/datasets/abalone.parquet")
+      val feats = df.columns.filter(c => c != "row_id" && c != "label")
+      val m = Slope.fit(
+        df.select(array(feats.map(col): _*).as("features"), col("label")),
+        "features", "label", SlopeParams(family = "poisson", nSigma = 10))
+      SlopeServe.pathSummary(m, s)
+        .select(col("step"), round(col("sigma"), 6).as("sigma"),
+          round(col("deviance_ratio"), 6).as("deviance_ratio"),
+          col("n_nonzero"))
+        .orderBy("step")
+    }),
+
+    "q_student_multitask" -> ((s, dir) => {
+      // joint math+portugese grade path on student (n=382, p=21, m=2,
+      // R/data.R:136-191) — the reference models these separately; the
+      // multi-task joint fit is the documented extension exercised on
+      // its real dataset (n_nonzero counts all p*m coefficients)
+      val df = s.read.parquet(s"$GoldenDir/datasets/student.parquet")
+      val feats = df.columns.filter(c => c != "row_id" && !c.startsWith("label_"))
+      val m = Slope.fit(
+        df.select(array(feats.map(col): _*).as("features"),
+          array(col("label_math"), col("label_portugese")).as("label")),
+        "features", "label", SlopeParams(family = "gaussian", nSigma = 10))
+      SlopeServe.pathSummary(m, s)
+        .select(col("step"), round(col("sigma"), 6).as("sigma"),
+          round(col("deviance_ratio"), 6).as("deviance_ratio"),
+          col("n_nonzero"))
+        .orderBy("step")
+    }),
+
     "q_wine_multinomial" -> ((s, dir) => {
       // 3-class multinomial path on wine (n=178, p=13, R/data.R:103-134)
       val df = s.read.parquet(s"$GoldenDir/datasets/wine.parquet")
@@ -1570,7 +1602,7 @@ object SparkEntry {
     "q_diagnostics", "q_lambda_bh", "q_minhash_dedup", "q_simhash_dedup",
     "q_ann_ivf", "q_ann_lsh", "q_slope_multitask", "q_slope_tiny",
     "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
-    "q_wine_multinomial")
+    "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask")
 
   private val GoldenDir = "/root/repo/golden"
 }

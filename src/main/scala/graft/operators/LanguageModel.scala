@@ -41,15 +41,29 @@ object LanguageModel {
     * the gate signal. `lm` defaults to a model built from `docs`
     * itself (no OOV by construction); pass an external LM plus
     * `oovLogp` (a floor log-probability) to score a corpus against a
-    * reference corpus, where unseen words must not drop rows. */
+    * reference corpus, where unseen words must not drop rows.
+    *
+    * Execution cost in self-LM mode: the normalize+explode subtree is
+    * evaluated twice (LM aggregation and scoring join) — Spark cannot
+    * reuse a non-identical subtree. At 100 TB either persist the raw
+    * corpus once for the two scans, or build the LM once with
+    * [[unigramLogProbs]], write it out, and pass it via `lm` — the LM
+    * is vocabulary-sized, millions of times smaller than the corpus. */
   def pseudoPerplexity(docs: DataFrame, idCol: String, textCol: String,
                        lm: Option[DataFrame] = None,
                        oovLogp: Double = math.log(1e-9)): DataFrame = {
-    val model = lm.getOrElse(unigramLogProbs(docs, textCol))
     val tokens = docs
       .select(col(idCol),
         explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
+    val model = lm.getOrElse {
+      val counts = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("word"),
+          (log(col("cnt").cast("double")) - log(col("total").cast("double")))
+            .as("logp"))
+    }
     tokens.join(model, Seq("word"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),

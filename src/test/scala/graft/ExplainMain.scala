@@ -7,7 +7,7 @@ object ExplainMain {
       .config("spark.sql.legacy.parquet.nanosAsLong","true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q_moments", "q_ann_cosine", "q_dedup_exact")) {
+    for (q <- sys.env.get("SPARK_GRAFT_EXPLAIN").map(_.split(",").toSeq).getOrElse(Seq("q_moments", "q_ann_cosine", "q_dedup_exact"))) {
       println(s"===== $q =====")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       // surface scan + join lines only
