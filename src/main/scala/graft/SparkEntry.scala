@@ -330,6 +330,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_length_quantiles" -> ((s, dir) => {
+      // per-source token-length distribution (the sequence-length
+      // planning input): EXACT quantiles via the histogram reduction —
+      // the window runs over distinct lengths per source, never over
+      // documents, so the plan survives sources with billions of docs
+      graft.operators.CorpusStats.lengthQuantiles(
+        docs(s, dir), "source", "text", Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("source")
+    }),
+
     "q_seq_pack" -> ((s, dir) => {
       // concat-and-chunk sequence packing (the pretraining data
       // layout): each doc's offset in the packed 512-token stream and
@@ -1255,6 +1265,23 @@ object SparkEntry {
              round(exp(-avg(logp)), 6) AS pseudo_ppl
            FROM tw JOIN lm USING (word)
            GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_length_quantiles" ->
+        s"""WITH t AS (
+             SELECT source, ($wcSql)::BIGINT AS len FROM documents),
+           h AS (SELECT source, len, count(*) AS cnt FROM t GROUP BY 1, 2),
+           c AS (
+             SELECT source, len, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY len
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS n
+             FROM h)
+           SELECT source, max(n)::BIGINT AS n_docs,
+             min(CASE WHEN cum >= ceil(0.25 * n) THEN len END)::BIGINT AS p25,
+             min(CASE WHEN cum >= ceil(0.5 * n) THEN len END)::BIGINT AS p50,
+             min(CASE WHEN cum >= ceil(0.9 * n) THEN len END)::BIGINT AS p90,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN len END)::BIGINT AS p99
+           FROM c GROUP BY source ORDER BY source""",
 
       "q_seq_pack" ->
         s"""WITH t AS (

@@ -565,6 +565,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(scored(0).getAs[Double]("pseudo_ppl") - expected) < 1e-6)
   }
 
+  test("length quantiles: histogram type-1 order statistics, exact") {
+    import spark.implicits._
+    // src a: lengths 1..10 (one word each count) -> q(p) = ceil(10p)-th
+    // value = ceil(10p); src b: heavy tie mass at 5
+    val docs = ((1 to 10).map(n => ("a", Seq.fill(n)("w").mkString(" "))) ++
+      Seq.fill(9)(("b", "w w w w w")) :+ ("b", "w"))
+      .toDF("source", "text").repartition(3)
+    val q = graft.operators.CorpusStats
+      .lengthQuantiles(docs, "source", "text", Seq(0.25, 0.5, 0.9, 0.99))
+      .orderBy("source").collect()
+    val a = q(0)
+    assert(a.getAs[Long]("n_docs") == 10 && a.getAs[Long]("p25") == 3 &&
+      a.getAs[Long]("p50") == 5 && a.getAs[Long]("p90") == 9 &&
+      a.getAs[Long]("p99") == 10)
+    val b = q(1)
+    // cum: len1 -> 1, len5 -> 10; ceil(.25*10)=3 lands in the tie mass
+    assert(b.getAs[Long]("p25") == 5 && b.getAs[Long]("p50") == 5 &&
+      b.getAs[Long]("p99") == 5)
+  }
+
   test("sequence packing: offsets, straddles, manifest, no single-partition plan") {
     import spark.implicits._
     val p = graft.operators.Packing
