@@ -1026,8 +1026,8 @@ object SparkEntry {
       val ids = docs(s, dir).filter(col("doc_id") < 48).select(col("doc_id"))
       val media = graft.multimodal.Multimodal.syntheticGifMedia(ids, "doc_id")
       graft.multimodal.Multimodal.withVideoFrameStats(media, "payload", stride = 2)
-        .select(col("media_id"), col("n_frames"), col("frame_idx"),
-          col("width"), col("height"),
+        .select(col("media_id"), col("n_frames"), col("duration_ms"),
+          col("frame_idx"), col("width"), col("height"),
           round(col("mean_luma"), 6).as("mean_luma"))
         .orderBy("media_id", "frame_idx")
     })
@@ -1582,6 +1582,7 @@ object SparkEntry {
            px AS (SELECT media_id, w, h, nf, f, x, y FROM d, fs, xs, ys
                   WHERE f < nf AND f % 2 = 0 AND x < w AND y < h)
            SELECT media_id, any_value(nf)::INT AS n_frames,
+             (any_value(nf) * 40)::BIGINT AS duration_ms,
              f::INT AS frame_idx, any_value(w)::INT AS width,
              any_value(h)::INT AS height,
              round(avg((7*x + 13*y + 29*f) % 256), 6) AS mean_luma

@@ -269,14 +269,20 @@ object Multimodal {
     }(enc)
   }
 
+  /** One decoded GIF frame: dims, mean gray level, and the frame's
+    * display delay from its GraphicControlExtension (real metadata,
+    * not a fabricated duration). */
+  final case class GifFrame(width: Int, height: Int, meanGray: Double,
+                            delayMs: Int)
+
   /** REAL video codec (animated-GIF container): decode every frame via
     * `javax.imageio`'s multi-frame GIF reader and return per-frame
-    * (width, height, mean gray level). GIF is palette-indexed and
-    * lossless, so for grayscale frames the mean is an exact rational —
-    * oracle-checkable like the PNG/WAV paths. Returns None for null /
-    * undecodable payloads (quarantine-routed by callers). */
+    * (width, height, mean gray level, delay). GIF is palette-indexed
+    * and lossless, so for grayscale frames the mean is an exact
+    * rational — oracle-checkable like the PNG/WAV paths. Returns None
+    * for null / undecodable payloads (quarantine-routed by callers). */
   def decodeGifFrameStats(payload: Array[Byte])
-    : Option[Array[(Int, Int, Double)]] = {
+    : Option[Array[GifFrame]] = {
     if (payload == null) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -288,7 +294,7 @@ object Multimodal {
         reader.setInput(iis, false)
         val n = reader.getNumImages(true)
         if (n <= 0) return None
-        val out = new Array[(Int, Int, Double)](n)
+        val out = new Array[GifFrame](n)
         var f = 0
         while (f < n) {
           // read(f) returns the raw frame, not a composite — our frames
@@ -307,7 +313,20 @@ object Multimodal {
             }
             y += 1
           }
-          out(f) = (w, h, s.toDouble / (w.toLong * h))
+          // frame delay (centiseconds) from the GraphicControlExtension
+          val meta = reader.getImageMetadata(f)
+          val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+          var delayCs = 0
+          val kids = root.getChildNodes
+          var k = 0
+          while (k < kids.getLength) {
+            val node = kids.item(k)
+            if (node.getNodeName == "GraphicControlExtension")
+              delayCs = node.getAttributes.getNamedItem("delayTime")
+                .getNodeValue.toInt
+            k += 1
+          }
+          out(f) = GifFrame(w, h, s.toDouble / (w.toLong * h), delayCs * 10)
           f += 1
         }
         Some(out)
@@ -317,16 +336,18 @@ object Multimodal {
 
   /** Partition-parallel REAL video decode + FRAME SAMPLING: one output
     * row per sampled frame (`frame_idx % stride == 0`) with
-    * n_frames / frame_idx / width / height / mean_luma. The sampling
-    * happens inside the decode kernel — at 100 TB you never materialize
-    * the frames you are about to drop. Same mapPartitions batch shape
-    * as the image/audio paths; undecodable rows emit one all-null
-    * stats row so quarantine routing works identically. */
+    * n_frames / duration_ms (sum of real per-frame delays) /
+    * frame_idx / width / height / mean_luma. The sampling happens
+    * inside the decode kernel — at 100 TB you never materialize the
+    * frames you are about to drop. Same mapPartitions batch shape as
+    * the image/audio paths; undecodable rows emit one all-null stats
+    * row so quarantine routing works identically. */
   def withVideoFrameStats(df: DataFrame, payloadCol: String,
                           stride: Int = 1): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
       StructField("frame_idx", IntegerType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
@@ -338,13 +359,15 @@ object Multimodal {
       rows.flatMap { r =>
         decodeGifFrameStats(r.getAs[Array[Byte]](idx)) match {
           case Some(frames) =>
+            val duration = frames.map(_.delayMs.toLong).sum
             frames.iterator.zipWithIndex.collect {
-              case ((w, h, m), f) if f % stride == 0 =>
-                Row.fromSeq(r.toSeq ++ Seq[Any](frames.length, f, w, h, m))
+              case (fr, f) if f % stride == 0 =>
+                Row.fromSeq(r.toSeq ++ Seq[Any](frames.length, duration, f,
+                  fr.width, fr.height, fr.meanGray))
             }
           case None =>
-            Iterator.single(
-              Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+            Iterator.single(Row.fromSeq(
+              r.toSeq ++ Seq(null, null, null, null, null, null)))
         }
       }
     }(enc)

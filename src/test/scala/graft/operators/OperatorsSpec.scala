@@ -631,9 +631,11 @@ class OperatorsSpec extends AnyFunSuite {
         yield (7 * x + 13 * y + 29 * f) % 256).sum.toDouble / (w * h)
     val Some(frames) = mm.decodeGifFrameStats(mm.syntheticGif(id))
     assert(frames.length == nf)
-    frames.zipWithIndex.foreach { case ((dw, dh, m), f) =>
-      assert(dw == w && dh == h)
-      assert(m == meanGray(f), s"frame $f: $m vs ${meanGray(f)}")
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      assert(fr.width == w && fr.height == h)
+      assert(fr.meanGray == meanGray(f), s"frame $f: ${fr.meanGray} vs ${meanGray(f)}")
+      // real metadata roundtrip: the encoder wrote 4 cs = 40 ms/frame
+      assert(fr.delayMs == 40)
     }
     // distributed: encode + decode + stride-2 frame sampling through
     // mapPartitions; junk payloads yield a single all-null stats row
@@ -648,6 +650,7 @@ class OperatorsSpec extends AnyFunSuite {
       val f = r.getAs[Int]("frame_idx")
       assert(f % 2 == 0)
       assert(r.getAs[Int]("n_frames") == (2 + i % 3).toInt)
+      assert(r.getAs[Long]("duration_ms") == (2 + i % 3) * 40L)
       assert(r.getAs[Double]("mean_luma") ==
         (for { y <- 0 until (6 + i % 4).toInt; x <- 0 until (8 + i % 5).toInt }
           yield (7 * x + 13 * y + 29 * f) % 256).sum.toDouble
