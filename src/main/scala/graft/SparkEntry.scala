@@ -481,6 +481,24 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "q_mixture_sample" -> ((s, dir) => {
+      // deterministic source mixing: per-source keep fractions (the
+      // data-mixing step that rebalances dominant sources before
+      // training). Explicit dyadic weights (k%4+1)/8 so the hash
+      // threshold is binary-exact in both engines; the
+      // temperature-derived weights path is unit-tested
+      // (temperatureFractions) — the fixture's sources are uniform,
+      // which would make temperature weights vacuously 1.0 here
+      val fr = (0 until 20).map(k => s"src$k" -> ((k % 4) + 1) / 8.0).toMap
+      val kept = Sampling.mixtureSample(docs(s, dir), "doc_id", "source", fr)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     "q_dedup_keep_best" -> ((s, dir) => {
       // quality-aware canonicalization: keep the LONGEST member of each
       // near-dup cluster (ties -> min id) — composes pair generation,
@@ -1441,6 +1459,17 @@ object SparkEntry {
              count(*)::BIGINT AS n_docs,
              min(doc_id) AS min_id, max(doc_id) AS max_id
            FROM b GROUP BY 1 ORDER BY split""",
+
+      "q_mixture_sample" ->
+        """WITH b AS (
+             SELECT source,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT)::DOUBLE
+                 / 4294967296.0 AS u,
+               (CAST(substr(source, 4) AS INT) % 4 + 1) / 8.0 AS frac
+             FROM documents)
+           SELECT source, count(*)::BIGINT AS n_docs,
+             (count(*) FILTER (WHERE u < frac))::BIGINT AS n_kept
+           FROM b GROUP BY source ORDER BY source""",
 
       "q_dedup_keep_best" ->
         s"""$DupClusterCte,

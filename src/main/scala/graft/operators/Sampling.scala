@@ -48,4 +48,43 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
     df.filter(hashBucket(col(keyCol), salt) < fraction)
   }
+
+  /** Temperature keep-fractions for source mixing (the multilingual-LM
+    * convention): target mixture p_g ∝ n_g^alpha, so the keep rate of
+    * group g is r_g ∝ n_g^(alpha-1), normalized to max 1 (filtering
+    * can only downsample — the dominant source keeps everything,
+    * smaller sources keep proportionally more of their share).
+    * alpha = 1 keeps every group whole; alpha = 0 equalizes expected
+    * kept counts. Fractions are floored to the 1/4096 dyadic grid so
+    * the [0,1) threshold compare is binary-exact in every engine —
+    * same trick as [[hashSplit]]'s dyadic boundaries. Driver-side
+    * math: the input is one count per GROUP, never per row. */
+  def temperatureFractions(counts: Map[String, Long],
+                           alpha: Double): Map[String, Double] = {
+    require(counts.nonEmpty && counts.values.forall(_ > 0))
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    val raw = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha - 1) }
+    val mx = raw.values.max
+    raw.map { case (g, r) =>
+      g -> math.floor(r / mx * 4096.0) / 4096.0
+    }
+  }
+
+  /** Deterministic source-mixture sampling: keep each row iff its hash
+    * bucket < fraction(its group); groups missing from the map keep
+    * `defaultFraction` of their rows. Composes [[hashBucket]] with a
+    * per-group threshold, so the kept set is a pure function of
+    * (key, salt, fractions) — rerun/engine/layout-stable like every
+    * sampler here, and a pure filter at the scan (no shuffle). */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+                    fractions: Map[String, Double],
+                    defaultFraction: Double = 1.0,
+                    salt: String = "graft"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0 && f <= 1), "fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (g, f)) => when(col(groupCol) === g, f).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) < frac)
+  }
 }

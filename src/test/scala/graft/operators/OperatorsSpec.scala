@@ -565,6 +565,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(scored(0).getAs[Double]("pseudo_ppl") - expected) < 1e-6)
   }
 
+  test("mixture sampling: temperature fractions + deterministic keep set") {
+    import spark.implicits._
+    val s = graft.operators.Sampling
+    // alpha = 0 equalizes expected kept counts: r_g ∝ 1/n_g, max -> 1
+    val f0 = s.temperatureFractions(Map("big" -> 1000L, "small" -> 100L), 0.0)
+    assert(f0("small") == 1.0)
+    assert(math.abs(f0("big") - 0.1) < 1.0 / 4096, s"got ${f0("big")}")
+    // alpha = 1 keeps everything
+    val f1 = s.temperatureFractions(Map("big" -> 1000L, "small" -> 100L), 1.0)
+    assert(f1.values.forall(_ == 1.0))
+    // alpha = 0.5: r_big/r_small = sqrt(100/1000) ~ 0.316
+    val fh = s.temperatureFractions(Map("big" -> 1000L, "small" -> 100L), 0.5)
+    assert(math.abs(fh("big") - math.sqrt(0.1)) < 1.0 / 4096)
+    // deterministic keep set: same rows kept on reruns and layouts;
+    // expected counts track the fractions
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i < 1600) "big" else "small")).toDF("doc_id", "source")
+    val fr = Map("big" -> 0.25, "small" -> 1.0)
+    val k1 = s.mixtureSample(docs, "doc_id", "source", fr)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val k2 = s.mixtureSample(docs.repartition(7), "doc_id", "source", fr)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(k1.toSeq == k2.toSeq, "kept set depends on layout")
+    val keptBig = k1.count(_ < 1600)
+    assert(math.abs(keptBig - 400) < 80, s"big kept $keptBig, expect ~400")
+    assert(k1.count(_ >= 1600) == 400, "small keeps every row at frac 1.0")
+  }
+
   test("length quantiles: histogram type-1 order statistics, exact") {
     import spark.implicits._
     // src a: lengths 1..10 (one word each count) -> q(p) = ceil(10p)-th
