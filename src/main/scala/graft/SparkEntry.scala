@@ -481,6 +481,23 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "q_data_checks" -> ((s, dir) => {
+      // declarative quality audit over lineitem: every expectation
+      // evaluates in ONE aggregate pass (one conditional sum per
+      // check), so the audit costs one scan however many rules run
+      import graft.operators.Checks.Check
+      graft.operators.Checks.audit(li(s, dir), Seq(
+        Check("qty_in_range", col("l_quantity").between(1, 50)),
+        Check("discount_in_range", col("l_discount").between(0.0, 0.1)),
+        Check("price_positive", col("l_extendedprice") > 0),
+        Check("orderkey_nonnull", col("l_orderkey").isNotNull),
+        Check("flag_known", col("l_returnflag").isin("A", "N", "R")),
+        Check("tax_cap", col("l_tax") <= 0.05)))
+        .select(col("check"), col("n_rows"), col("n_violations"),
+          round(col("violation_rate"), 6).as("violation_rate"))
+        .orderBy("check")
+    }),
+
     "q_mixture_sample" -> ((s, dir) => {
       // deterministic source mixing: per-source keep fractions (the
       // data-mixing step that rebalances dominant sources before
@@ -1459,6 +1476,28 @@ object SparkEntry {
              count(*)::BIGINT AS n_docs,
              min(doc_id) AS min_id, max(doc_id) AS max_id
            FROM b GROUP BY 1 ORDER BY split""",
+
+      "q_data_checks" ->
+        """WITH t AS (SELECT
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END)::BIGINT AS qty_in_range,
+             sum(CASE WHEN coalesce(l_discount BETWEEN 0.0 AND 0.1, false) THEN 0 ELSE 1 END)::BIGINT AS discount_in_range,
+             sum(CASE WHEN coalesce(l_extendedprice > 0, false) THEN 0 ELSE 1 END)::BIGINT AS price_positive,
+             sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS orderkey_nonnull,
+             sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), false) THEN 0 ELSE 1 END)::BIGINT AS flag_known,
+             sum(CASE WHEN coalesce(l_tax <= 0.05, false) THEN 0 ELSE 1 END)::BIGINT AS tax_cap
+           FROM lineitem),
+           u AS (
+             SELECT 'qty_in_range' AS check_name, qty_in_range AS v, n FROM t
+             UNION ALL SELECT 'discount_in_range', discount_in_range, n FROM t
+             UNION ALL SELECT 'price_positive', price_positive, n FROM t
+             UNION ALL SELECT 'orderkey_nonnull', orderkey_nonnull, n FROM t
+             UNION ALL SELECT 'flag_known', flag_known, n FROM t
+             UNION ALL SELECT 'tax_cap', tax_cap, n FROM t)
+           SELECT check_name AS "check", n AS n_rows, v AS n_violations,
+             round(CASE WHEN n = 0 THEN 0.0 ELSE v::DOUBLE / n END, 6)
+               AS violation_rate
+           FROM u ORDER BY "check"""",
 
       "q_mixture_sample" ->
         """WITH b AS (

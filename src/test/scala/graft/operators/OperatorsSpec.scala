@@ -565,6 +565,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(scored(0).getAs[Double]("pseudo_ppl") - expected) < 1e-6)
   }
 
+  test("data checks: one-pass audit counts false AND null as violations") {
+    import spark.implicits._
+    import graft.operators.Checks.Check
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, -1.0), (3L, null), (null, 2.0))
+      .toDF("id", "v").repartition(3)
+    val out = graft.operators.Checks.audit(df, Seq(
+      Check("v_positive", col("v") > 0),        // -1 false, null null -> 2
+      Check("id_nonnull", col("id").isNotNull), // one null id -> 1
+      Check("always", lit(true))))
+      .orderBy("check").collect()
+    val m = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"))).toMap
+    assert(m("v_positive") == (4L, 2L), s"got ${m("v_positive")}")
+    assert(m("id_nonnull") == (4L, 1L))
+    assert(m("always") == (4L, 0L))
+    val rates = out.map(r => r.getString(0) -> r.getAs[Double]("violation_rate")).toMap
+    assert(rates("v_positive") == 0.5 && rates("always") == 0.0)
+  }
+
   test("mixture sampling: temperature fractions + deterministic keep set") {
     import spark.implicits._
     val s = graft.operators.Sampling
