@@ -353,6 +353,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pack_manifest" -> ((s, dir) => {
+      // per-sequence packing manifest: docs contributing to each
+      // 512-token sequence and how many straddle a boundary (the
+      // packing-quality readout over q_seq_pack's offsets)
+      graft.operators.Packing.packManifest(docs(s, dir), "doc_id", "text",
+        seqLen = 512)
+        .select(col("seq_id"), col("n_docs"), col("n_straddling"))
+        .orderBy("seq_id")
+    }),
+
     // ---- pipeline extensions: dedup ----
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -1332,6 +1342,28 @@ object SparkEntry {
              ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
                AS last_seq
            FROM c ORDER BY doc_id""",
+
+      "q_pack_manifest" ->
+        s"""WITH t AS (
+             SELECT doc_id, ($wcSql)::BIGINT AS n_tokens FROM documents),
+           c AS (
+             SELECT doc_id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS off
+             FROM t),
+           s AS (
+             SELECT doc_id, off // 512 AS first_seq,
+               (off + greatest(n_tokens, 1) - 1) // 512 AS last_seq
+             FROM c WHERE n_tokens > 0),
+           e AS (
+             SELECT doc_id, first_seq, last_seq,
+               unnest(range(first_seq, last_seq + 1)) AS seq_id
+             FROM s)
+           SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)::BIGINT
+               AS n_straddling
+           FROM e GROUP BY seq_id ORDER BY seq_id""",
 
       "q_pii_redact" -> {
         val em = graft.functions.TextFunctions.EmailPattern
