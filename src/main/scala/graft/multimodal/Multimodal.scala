@@ -280,7 +280,14 @@ object Multimodal {
     * (width, height, mean gray level, delay). GIF is palette-indexed
     * and lossless, so for grayscale frames the mean is an exact
     * rational — oracle-checkable like the PNG/WAV paths. Returns None
-    * for null / undecodable payloads (quarantine-routed by callers). */
+    * for null / undecodable payloads (quarantine-routed by callers).
+    *
+    * `read(f)` returns the RAW per-frame patch, not a composite: a GIF
+    * using sub-rectangle/disposal optimization would yield patch-sized
+    * dims and a wrong mean. Such frames are DETECTED (ImageDescriptor
+    * offset != 0, or dims below the logical screen) and the whole
+    * payload routes to quarantine rather than returning silently wrong
+    * stats — stats here are exact or absent, never approximate. */
   def decodeGifFrameStats(payload: Array[Byte])
     : Option[Array[GifFrame]] = {
     if (payload == null) return None
@@ -294,12 +301,30 @@ object Multimodal {
         reader.setInput(iis, false)
         val n = reader.getNumImages(true)
         if (n <= 0) return None
+        // logical screen size from the stream metadata: the reference
+        // frame geometry every frame must fill for read(f) to be exact
+        var screenW = -1
+        var screenH = -1
+        val smeta = reader.getStreamMetadata
+        if (smeta != null) {
+          val sroot = smeta.getAsTree(smeta.getNativeMetadataFormatName)
+          val skids = sroot.getChildNodes
+          var sk = 0
+          while (sk < skids.getLength) {
+            val node = skids.item(sk)
+            if (node.getNodeName == "LogicalScreenDescriptor") {
+              val at = node.getAttributes
+              screenW = at.getNamedItem("logicalScreenWidth")
+                .getNodeValue.toInt
+              screenH = at.getNamedItem("logicalScreenHeight")
+                .getNodeValue.toInt
+            }
+            sk += 1
+          }
+        }
         val out = new Array[GifFrame](n)
         var f = 0
         while (f < n) {
-          // read(f) returns the raw frame, not a composite — our frames
-          // are full-size (no GIF sub-rectangle optimization), so this
-          // IS the frame
           val img = reader.read(f)
           val w = img.getWidth
           val h = img.getHeight
@@ -313,10 +338,13 @@ object Multimodal {
             }
             y += 1
           }
-          // frame delay (centiseconds) from the GraphicControlExtension
+          // frame delay (centiseconds) from the GraphicControlExtension,
+          // and the ImageDescriptor placement for the sub-rectangle check
           val meta = reader.getImageMetadata(f)
           val root = meta.getAsTree(meta.getNativeMetadataFormatName)
           var delayCs = 0
+          var left = 0
+          var top = 0
           val kids = root.getChildNodes
           var k = 0
           while (k < kids.getLength) {
@@ -324,8 +352,18 @@ object Multimodal {
             if (node.getNodeName == "GraphicControlExtension")
               delayCs = node.getAttributes.getNamedItem("delayTime")
                 .getNodeValue.toInt
+            if (node.getNodeName == "ImageDescriptor") {
+              val at = node.getAttributes
+              left = at.getNamedItem("imageLeftPosition").getNodeValue.toInt
+              top = at.getNamedItem("imageTopPosition").getNodeValue.toInt
+            }
             k += 1
           }
+          // sub-rectangle-optimized frame: read(f) is a patch, not the
+          // frame — quarantine the payload instead of reporting patch
+          // stats as frame stats
+          if (left != 0 || top != 0 ||
+            (screenW > 0 && (w != screenW || h != screenH))) return None
           out(f) = GifFrame(w, h, s.toDouble / (w.toLong * h), delayCs * 10)
           f += 1
         }

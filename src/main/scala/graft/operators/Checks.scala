@@ -18,19 +18,29 @@ object Checks {
 
   /** One row per check: rows scanned, violations (predicate false OR
     * null — a null comparison means the value could not vouch for the
-    * rule, which an audit must count, not skip), violation rate. */
+    * rule, which an audit must count, not skip), violation rate.
+    *
+    * Fully LAZY: one aggregate pass (conditional sums, map-side
+    * combined) whose single row is pivoted to |checks| rows with an
+    * `inline` over a literal struct array — no action inside the
+    * operator, so audits compose into larger pipelines like every
+    * other operator here. */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be distinct")
+    require(!checks.exists(_.name == "__n"), "check name '__n' is reserved")
     val agg = checks.map(c =>
-      sum(when(coalesce(c.predicate, lit(false)), 0L).otherwise(1L))
-        .as(c.name))
-    val one = df.agg(count(lit(1)).as("__n"), agg: _*).head
-    val n = one.getAs[Long]("__n")
-    val spark = df.sparkSession
-    import spark.implicits._
-    checks.map { c =>
-      val v = one.getAs[Long](c.name)
-      (c.name, n, v, if (n == 0) 0.0 else v.toDouble / n)
-    }.toDF("check", "n_rows", "n_violations", "violation_rate")
+      coalesce(sum(when(coalesce(c.predicate, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(c.name))
+    val one = df.agg(count(lit(1)).as("__n"), agg: _*)
+    val rows = array(checks.map(c =>
+      struct(lit(c.name).as("check"), col(c.name).as("n_violations"))): _*)
+    one.select(col("__n").as("n_rows"), explode(rows).as("kv"))
+      .select(col("kv.check").as("check"), col("n_rows"),
+        col("kv.n_violations").as("n_violations"),
+        when(col("n_rows") === 0, 0.0)
+          .otherwise(col("kv.n_violations").cast("double") / col("n_rows"))
+          .as("violation_rate"))
   }
 }

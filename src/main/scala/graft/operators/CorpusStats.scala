@@ -25,6 +25,9 @@ object CorpusStats {
   def lengthQuantiles(docs: DataFrame, groupCol: String, textCol: String,
                       probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    val names = probs.map(p => "p" + math.round(p * 100))
+    require(names.distinct.size == names.size,
+      s"quantile probs round to duplicate column names: ${names.mkString(",")}")
     val hist = docs
       .select(col(groupCol),
         TextFunctions.wsTokenCount(col(textCol)).cast("long").as("len"))

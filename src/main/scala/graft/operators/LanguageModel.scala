@@ -43,19 +43,29 @@ object LanguageModel {
     * `oovLogp` (a floor log-probability) to score a corpus against a
     * reference corpus, where unseen words must not drop rows.
     *
-    * Execution cost in self-LM mode: the normalize+explode subtree is
-    * evaluated twice (LM aggregation and scoring join) — Spark cannot
-    * reuse a non-identical subtree. At 100 TB either persist the raw
-    * corpus once for the two scans, or build the LM once with
-    * [[unigramLogProbs]], write it out, and pass it via `lm` — the LM
-    * is vocabulary-sized, millions of times smaller than the corpus. */
+    * Execution cost in self-LM mode: the plan references the
+    * normalize+explode subtree twice (LM aggregation and scoring
+    * join) — Spark cannot reuse a non-identical subtree — so the
+    * token frame is persisted (MEMORY_AND_DISK, lazily: it fills on
+    * the caller's first action) and both sides read the cache; the
+    * corpus text is tokenized ONCE. The cache has no internal release
+    * point (this operator runs no action), so it lives until LRU
+    * eviction or the caller's `spark.catalog.clearCache()` — it is
+    * exploded-words-sized, the price of not scanning the corpus
+    * twice. External-LM mode touches the corpus once and persists
+    * nothing. */
   def pseudoPerplexity(docs: DataFrame, idCol: String, textCol: String,
                        lm: Option[DataFrame] = None,
                        oovLogp: Double = math.log(1e-9)): DataFrame = {
-    val tokens = docs
+    val tokensRaw = docs
       .select(col(idCol),
         explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
+    // self-LM mode scans tokens twice -> cache them (lazy persist);
+    // external-LM mode scans once -> no cache needed
+    val tokens = if (lm.isEmpty)
+      tokensRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tokensRaw
     val model = lm.getOrElse {
       val counts = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
       val total = counts.agg(sum("cnt").as("total"))

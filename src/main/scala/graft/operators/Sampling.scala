@@ -57,8 +57,13 @@ object Sampling {
     * alpha = 1 keeps every group whole; alpha = 0 equalizes expected
     * kept counts. Fractions are floored to the 1/4096 dyadic grid so
     * the [0,1) threshold compare is binary-exact in every engine —
-    * same trick as [[hashSplit]]'s dyadic boundaries. Driver-side
-    * math: the input is one count per GROUP, never per row. */
+    * same trick as [[hashSplit]]'s dyadic boundaries, but clamped UP
+    * to the smallest nonzero grid step: every group's true rate is
+    * > 0 (counts are positive), so flooring a dominant group to
+    * exactly 0.0 under extreme skew (ratio beyond 4096^(1/(1-alpha)))
+    * would silently drop the whole source — a floor-to-zero is a grid
+    * artifact, never the requested mixture. Driver-side math: the
+    * input is one count per GROUP, never per row. */
   def temperatureFractions(counts: Map[String, Long],
                            alpha: Double): Map[String, Double] = {
     require(counts.nonEmpty && counts.values.forall(_ > 0))
@@ -66,7 +71,7 @@ object Sampling {
     val raw = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha - 1) }
     val mx = raw.values.max
     raw.map { case (g, r) =>
-      g -> math.floor(r / mx * 4096.0) / 4096.0
+      g -> math.max(1.0 / 4096.0, math.floor(r / mx * 4096.0) / 4096.0)
     }
   }
 

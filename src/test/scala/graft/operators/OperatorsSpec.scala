@@ -726,4 +726,91 @@ class OperatorsSpec extends AnyFunSuite {
     // quarantine keeps the ORIGINAL columns (payload intact for audit)
     assert(quarantine.columns.toSeq == mixed.columns.toSeq)
   }
+
+  test("GIF sub-rectangle/optimized frames quarantine, not silent patch stats") {
+    val mm = graft.multimodal.Multimodal
+    // hand-built 2-frame GIF whose second frame is a smaller patch than
+    // the logical screen (what inter-frame optimization produces):
+    // frame stats for it would be patch stats — must decode to None
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      Seq((8, 6), (3, 2)).foreach { case (w, h) =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null,
+          writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img),
+            writer.getDefaultWriteParam)), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    assert(mm.decodeGifFrameStats(baos.toByteArray).isEmpty,
+      "sub-rectangle frame must route to quarantine")
+    // full-frame synthetic GIFs still decode exactly
+    assert(mm.decodeGifFrameStats(mm.syntheticGif(7L)).isDefined)
+  }
+
+  test("temperature fractions: extreme skew clamps to grid step, never zero") {
+    val s = graft.operators.Sampling
+    // alpha = 0 with 10^5:1 skew: raw big fraction = 10^-5 < 1/4096 —
+    // the floor would hit exactly 0.0 and silently drop the dominant
+    // source; the clamp keeps the smallest nonzero grid step instead
+    val f = s.temperatureFractions(
+      Map("big" -> 100000L, "small" -> 1L), 0.0)
+    assert(f("small") == 1.0)
+    assert(f("big") == 1.0 / 4096.0, s"got ${f("big")}")
+    // the clamp never inflates fractions already on the grid
+    val f2 = s.temperatureFractions(Map("a" -> 1000L, "b" -> 100L), 0.0)
+    assert(math.abs(f2("a") - 0.1) < 1.0 / 4096)
+  }
+
+  test("data checks: lazy plan (no job until action), name validation") {
+    import spark.implicits._
+    import graft.operators.Checks.Check
+    val acc = spark.sparkContext.longAccumulator("checks_probe")
+    val probe = udf { (v: Double) => acc.add(1); v > 0 }
+    val df = Seq((1L, 5.0), (2L, -1.0)).toDF("id", "v")
+    val out = graft.operators.Checks.audit(df, Seq(Check("p", probe(col("v")))))
+    assert(acc.value == 0L, "audit ran a job eagerly")
+    val row = out.collect().head
+    assert(acc.value > 0L && row.getAs[Long]("n_violations") == 1L)
+    // audits compose like any other plan
+    assert(out.filter(col("violation_rate") > 0.4).count() == 1)
+    intercept[IllegalArgumentException] {
+      graft.operators.Checks.audit(df,
+        Seq(Check("a", lit(true)), Check("a", lit(false))))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Checks.audit(df, Seq(Check("__n", lit(true))))
+    }
+  }
+
+  test("length quantiles: duplicate rounded names rejected up front") {
+    import spark.implicits._
+    val docs = Seq(("a", "w w")).toDF("source", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusStats
+        .lengthQuantiles(docs, "source", "text", Seq(0.25, 0.254))
+    }
+  }
+
+  test("pseudo-perplexity self-LM mode tokenizes the corpus once (cache)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.LanguageModel
+      .pseudoPerplexity(docs, "doc_id", "text")
+    out.collect()
+    // both the LM-build side and the scoring join read the persisted
+    // token frame: the executed plan scans the cache, not the corpus
+    // twice
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected cached token scans in:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
