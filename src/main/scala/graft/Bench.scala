@@ -38,13 +38,26 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map(
       names.map(_ -> List.empty[Double]): _*)
+    // per-rep GC-time delta (ms) alongside each wall time: when a whole
+    // session drifts (r5->r6 showed a uniform 1.36x), the GC column is
+    // what says "heap pressure" vs "the operator" without a re-run
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val gcSamples = scala.collection.mutable.Map(
+      names.map(_ -> List.empty[Long]): _*)
     for (rep <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s rep$rep $dt%8.2fs")
+      val gc = gcMillis - g0
+      System.err.println(f"[bench] $name%-22s rep$rep $dt%8.2fs gc=${gc}ms")
       samples(name) = samples(name) :+ dt
+      gcSamples(name) = gcSamples(name) :+ gc
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -57,6 +70,12 @@ object Bench {
     val qs = fmt(median)
     val qmin = fmt(_.min)
     val qmax = fmt(_.max)
+    val qreps = results.map { case (k, xs) =>
+      s"\"" + k + "\":" + xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qgc = names.map(n =>
+      s"\"" + n + "\":" + gcSamples(n).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
     val total = results.map { case (_, xs) => median(xs) }.sum
     // dedup scaling curve (1x/3x/10x corpus, min of SCALING_REPS —
     // min is the spike-robust statistic for a log-log fit; a single
@@ -79,7 +98,19 @@ object Bench {
       else BenchStreaming.run(spark).map { r =>
         f""""${r.name}":{"rows":${r.rows},"batches":${r.batches},"sec":${r.sec}%.2f,"rows_per_sec":${r.rowsPerSec}%.0f,"state_rows":${r.stateRows}}"""
       }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"streaming":$streamJson}"""
+    // isolated fresh-JVM re-measures (graft.BenchOne appends one JSON
+    // line per query to bench_isolation.json) ride along so the round
+    // artifact carries the session-drift adjudication data
+    val isolationJson = {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH1_OUT", "/root/repo/bench_isolation.json"))
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala
+          .filter(_.trim.nonEmpty).mkString("[", ",", "]")
+      } else "[]"
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"streaming":$streamJson,"isolation":$isolationJson}"""
     println(json)
     // stdout can be truncated by the harness (BENCH_r04 lost the first
     // ~12 query medians); the file is the machine-complete artifact
