@@ -353,6 +353,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_seq_pack_bpe" -> ((s, dir) => {
+      // same packing plan, SUBWORD token counts: greedy longest-match
+      // against the committed BPE vocab (what a real pretraining
+      // pipeline packs — ws and subword counts differ enough to move
+      // every offset). The oracle replays the exact segmentation with
+      // a recursive CTE over the inlined vocab.
+      graft.operators.Packing.packOffsets(docs(s, dir), "doc_id", "text",
+        seqLen = 512, tokenCount = graft.functions.Subword.subwordTokenCount)
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+          col("first_seq"), col("last_seq"))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_manifest" -> ((s, dir) => {
       // per-sequence packing manifest: docs contributing to each
       // 512-token sequence and how many straddle a boundary (the
@@ -1342,6 +1355,49 @@ object SparkEntry {
              ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
                AS last_seq
            FROM c ORDER BY doc_id""",
+
+      "q_seq_pack_bpe" -> {
+        // greedy longest-match segmentation as a recursive CTE: from
+        // position pos in a word, advance by the LONGEST vocab piece
+        // matching there (max(len(piece)) over matches), else 1 char;
+        // the terminal row's step count is the word's token count.
+        // The committed vocab is inlined as VALUES — both engines see
+        // the identical piece set.
+        val vocabValues = graft.functions.Subword.vocabSorted
+          .map(p => s"('$p')").mkString(",")
+        s"""WITH RECURSIVE
+           vocab(piece) AS (VALUES $vocabValues),
+           n AS (SELECT doc_id, $NormSql AS nt FROM documents),
+           w0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM n),
+           w AS (SELECT doc_id, word FROM w0 WHERE length(word) > 0),
+           dw AS (SELECT DISTINCT word FROM w),
+           seg AS (
+             SELECT word, 0 AS pos, 0 AS toks FROM dw
+             UNION ALL
+             SELECT word,
+               pos + coalesce((SELECT max(length(piece)) FROM vocab
+                 WHERE piece = substr(word, pos + 1, length(piece))), 1),
+               toks + 1
+             FROM seg WHERE pos < length(word)),
+           wtok AS (SELECT word, max(toks) AS n_tok FROM seg GROUP BY word),
+           dsum AS (
+             SELECT w.doc_id, sum(n_tok) AS n_tokens
+             FROM w JOIN wtok USING (word) GROUP BY w.doc_id),
+           t AS (
+             SELECT d.doc_id, coalesce(dsum.n_tokens, 0)::BIGINT AS n_tokens
+             FROM documents d LEFT JOIN dsum USING (doc_id)),
+           c AS (
+             SELECT doc_id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS token_offset
+             FROM t)
+           SELECT doc_id, n_tokens, token_offset,
+             (token_offset // 512)::BIGINT AS first_seq,
+             ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
+               AS last_seq
+           FROM c ORDER BY doc_id"""
+      },
 
       "q_pack_manifest" ->
         s"""WITH t AS (

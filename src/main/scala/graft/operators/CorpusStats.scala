@@ -21,16 +21,22 @@ object CorpusStats {
 
   /** Per-`groupCol` exact token-length quantiles at `probs`
     * (type-1/lower order statistic). Output: groupCol, n_docs, and one
-    * `p{percent}` long column per requested probability. */
+    * `p{percent}` long column per requested probability. `tokenCount`
+    * picks the tokenizer (whitespace default; pass
+    * [[graft.functions.Subword.subwordTokenCount]] for subword
+    * lengths — the count a sequence-length planner actually needs). */
   def lengthQuantiles(docs: DataFrame, groupCol: String, textCol: String,
-                      probs: Seq[Double]): DataFrame = {
+                      probs: Seq[Double],
+                      tokenCount: org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column =
+                        TextFunctions.wsTokenCount): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
     val names = probs.map(p => "p" + math.round(p * 100))
     require(names.distinct.size == names.size,
       s"quantile probs round to duplicate column names: ${names.mkString(",")}")
     val hist = docs
       .select(col(groupCol),
-        TextFunctions.wsTokenCount(col(textCol)).cast("long").as("len"))
+        tokenCount(col(textCol)).cast("long").as("len"))
       .groupBy(groupCol, "len").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(groupCol).orderBy("len")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

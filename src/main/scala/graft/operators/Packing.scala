@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * plan (no `Exchange SinglePartition` anywhere), and the per-doc
   * sequence span is pure arithmetic on the offset. Token counts are
   * integers, so the prefix sum is bit-equal to the naive window form.
+  *
+  * Both operators are parameterized by the TOKENIZER (`tokenCount`, a
+  * text-column => count-column function): whitespace words by default,
+  * [[graft.functions.Subword.subwordTokenCount]] for BPE-style subword
+  * counts — a real pretraining pipeline packs subword tokens, and the
+  * two counts differ enough (1.3-1.7×) to shift every offset and
+  * straddle statistic. The plan shape is identical either way; only
+  * the count expression changes.
   */
 object Packing {
 
@@ -29,10 +37,13 @@ object Packing {
     * their offset). `last_seq - first_seq > 0` marks docs straddling a
     * cut — the rows an attention-masking or no-split policy needs. */
   def packOffsets(docs: DataFrame, idCol: String, textCol: String,
-                  seqLen: Int): DataFrame = {
+                  seqLen: Int,
+                  tokenCount: org.apache.spark.sql.Column =>
+                    org.apache.spark.sql.Column =
+                    TextFunctions.wsTokenCount): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     val counted = docs.select(col(idCol),
-      TextFunctions.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val cum = PrefixSum.inclusive(counted, Seq.empty, idCol,
       "n_tokens", "__cum")
     cum
@@ -51,8 +62,11 @@ object Packing {
     * exploding each doc's [first_seq, last_seq] span; a doc touches
     * len/seqLen + 2 sequences at most, so the explode is bounded. */
   def packManifest(docs: DataFrame, idCol: String, textCol: String,
-                   seqLen: Int): DataFrame = {
-    val off = packOffsets(docs, idCol, textCol, seqLen)
+                   seqLen: Int,
+                   tokenCount: org.apache.spark.sql.Column =>
+                     org.apache.spark.sql.Column =
+                     TextFunctions.wsTokenCount): DataFrame = {
+    val off = packOffsets(docs, idCol, textCol, seqLen, tokenCount)
       .filter(col("n_tokens") > 0)
     off
       .select(col(idCol), col("first_seq"), col("last_seq"),

@@ -754,6 +754,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mm.decodeGifFrameStats(mm.syntheticGif(7L)).isDefined)
   }
 
+  test("subword tokenizer: greedy longest-match, vocab loads, packing plugs in") {
+    import spark.implicits._
+    val sw = graft.functions.Subword
+    // greedy longest-match semantics against a hand vocab (the same
+    // cases the DuckDB recursive-CTE oracle replays)
+    val v = Set("th", "the", "qu", "er", "ing")
+    val ml = 3
+    assert(sw.segmentCount("thequering", v, ml) == 4) // the|qu|er|ing
+    assert(sw.segmentCount("a", v, ml) == 1)          // char fallback
+    assert(sw.segmentCount("zz", v, ml) == 2)
+    assert(sw.segmentCount("thth", v, ml) == 2)       // th|th
+    // committed vocab is non-trivial and loads from the classpath
+    assert(sw.vocab.nonEmpty && sw.vocab.forall(_.length >= 2))
+    // column form sums per-word counts over normalized words; exact
+    // driver-side replay with the full committed vocab
+    val docs = Seq((1L, "The Quick batch-value!"), (2L, ""), (3L, "zzz qq"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      sw.subwordTokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val mlFull = sw.vocab.map(_.length).max
+    def oracle(t: String): Long = t.toLowerCase
+      .replaceAll("[^a-z0-9]", " ").trim.replaceAll(" +", " ")
+      .split(" ").filter(_.nonEmpty)
+      .map(w => sw.segmentCount(w, sw.vocab, mlFull).toLong).sum
+    assert(got.toSeq == Seq(1L -> oracle("The Quick batch-value!"),
+      2L -> 0L, 3L -> oracle("zzz qq")))
+    // packing accepts the pluggable tokenizer: n_tokens are subword
+    // counts and offsets remain an exact exclusive prefix sum
+    val off = graft.operators.Packing
+      .packOffsets(docs, "doc_id", "text", seqLen = 4,
+        tokenCount = sw.subwordTokenCount)
+      .orderBy("doc_id").collect()
+    var acc = 0L
+    off.foreach { r =>
+      assert(r.getAs[Long]("token_offset") == acc)
+      acc += r.getAs[Long]("n_tokens")
+    }
+    assert(off.map(_.getAs[Long]("n_tokens")).toSeq ==
+      docs.orderBy("doc_id").collect()
+        .map(r => oracle(r.getString(1))).toSeq)
+  }
+
   test("temperature fractions: extreme skew clamps to grid step, never zero") {
     val s = graft.operators.Sampling
     // alpha = 0 with 10^5:1 skew: raw big fraction = 10^-5 < 1/4096 —
