@@ -89,16 +89,27 @@ object DocStreams {
     * `Dedup.minhashDupPairs`, emitting each qualifying (id_a, id_b,
     * est_jaccard) exactly once as the later document arrives.
     *
-    * Two stateful stages, both sharded by their natural key:
-    *  1. keyed by (band, bucket): state is the bucket's member
-    *     signatures; an arriving doc is scored against the stored
-    *     members (same matching-slots/numHashes estimate as batch) and
-    *     appended. Buckets are capped at `maxBucket` members — the
-    *     prospective analog of the batch path's retroactive mega-bucket
-    *     drop (boilerplate buckets stop accumulating state and stop
-    *     producing pairs, rather than quadratically exploding).
-    *  2. keyed by the pair: a one-bit first-seen filter that removes
-    *     the cross-band duplicates batch handles with `distinct()`.
+    * ONE stateful stage, keyed by (band, bucket): state is the
+    * bucket's member signatures; an arriving doc is scored against the
+    * stored members (same matching-slots/numHashes estimate as batch)
+    * and appended. Buckets are capped at `maxBucket` members — the
+    * prospective analog of the batch path's retroactive mega-bucket
+    * drop (boilerplate buckets stop accumulating state and stop
+    * producing pairs, rather than quadratically exploding).
+    *
+    * Exactly-once emission WITHOUT a second stateful stage: a pair
+    * colliding in k bands is scored in all k buckets, but each bucket
+    * holds BOTH full signatures, so every bucket computes the same
+    * "minimum colliding band" (first band whose signature slices are
+    * equal) locally, and only the bucket at that band emits. This
+    * replaces the previous pair-keyed first-seen filter: one stateful
+    * exchange per micro-batch instead of two (the per-trigger floor
+    * the round-6 bench flagged), and the state bound DROPS from
+    * docs×bands + emitted-pairs to docs×bands. If no band's slices
+    * truly match (the pair met the threshold only through an xxhash64
+    * bucket collision), the scoring bucket emits directly — duplicate
+    * emission then needs TWO such hash collisions for one pair,
+    * probability ~2^-64 per band pair.
     *
     * Fed as one batch in ascending id order, the emitted pair set and
     * estimates equal `minhashDupPairs` on the same data (tested) as
@@ -128,10 +139,30 @@ object DocStreams {
       .select(col("id"), col("bk.band"), col("bk.bucket"), col("sig"))
       .as[(Long, Int, Long, Seq[Long])]
 
-    val candidates = banded.groupByKey(r => (r._2, r._3))
+    banded.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[BucketMembers, PairOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[BucketMembers]) =>
+        case (key, rows, state: GroupState[BucketMembers]) =>
+          val myBand = key._1
+          // first band whose signature slices are equal — every bucket
+          // holding both members computes the same value, so exactly
+          // one (that band's bucket) emits the pair; -1 = none (pure
+          // bucket-hash collision), where the scoring bucket emits
+          def minCollidingBand(a: Seq[Long], b: Seq[Long]): Int = {
+            var j = 0
+            while (j < bands) {
+              var k = j * rowsPerBand
+              val end = k + rowsPerBand
+              var eq = true
+              while (eq && k < end) {
+                if (a(k) != b(k)) eq = false
+                k += 1
+              }
+              if (eq) return j
+              j += 1
+            }
+            -1
+          }
           val stored = state.getOption.getOrElse(BucketMembers(Nil, Nil))
           // List head-prepends keep every member insertion O(1) (a
           // `Seq :+` append copied the whole member list per arrival —
@@ -161,8 +192,11 @@ object DocStreams {
                     k += 1
                   }
                   val est = m.toDouble / numHashes
-                  if (est >= threshold)
-                    out += PairOut(math.min(id, other), math.max(id, other), est)
+                  if (est >= threshold) {
+                    val mb = minCollidingBand(os, sg)
+                    if (mb == myBand || mb < 0)
+                      out += PairOut(math.min(id, other), math.max(id, other), est)
+                  }
                 }
                 idIt = idIt.tail
                 sgIt = sgIt.tail
@@ -174,16 +208,6 @@ object DocStreams {
           }
           state.update(BucketMembers(ids, sigs))
           out.iterator
-      }
-
-    // cross-band dedup: first occurrence of each pair wins (the batch
-    // path's distinct()); state is one unit per EMITTED pair
-    candidates.groupByKey(p => (p.id_a, p.id_b))
-      .flatMapGroupsWithState[Boolean, PairOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (_, rows, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else { state.update(true); Iterator(rows.next()) }
       }.toDF()
   }
 }
