@@ -1074,6 +1074,19 @@ object SparkEntry {
         .orderBy("media_id", "channel")
     }),
 
+    "q_video_meta" -> ((s, dir) => {
+      // REAL MP4 container metadata: ISO-BMFF box walk (ftyp brand,
+      // mvhd duration, tkhd 16.16 dims) — pure big-endian struct
+      // reads, no codec; the oracle recomputes every field in closed
+      // form from the id (the synthetic boxes encode exactly these)
+      val ids = docs(s, dir).filter(col("doc_id") < 40).select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.syntheticMp4Media(ids, "doc_id")
+      graft.multimodal.Multimodal.withVideoMeta(media, "payload")
+        .select(col("media_id"), col("brand"), col("duration_ms"),
+          col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+
     "q_video_frames" -> ((s, dir) => {
       // REAL video codec end-to-end: deterministic animated GIFs
       // (indexed-gray -> lossless) encoded AND decoded partition-
@@ -1726,6 +1739,13 @@ object SparkEntry {
              c::INT AS channel, round(avg(abs(v)), 6) AS mean_abs
            FROM samples GROUP BY media_id, c
            ORDER BY media_id, c""",
+
+      "q_video_meta" ->
+        """SELECT doc_id AS media_id, 'isom' AS brand,
+             (1000 + 37 * (doc_id % 97))::BIGINT AS duration_ms,
+             (16 + doc_id % 8)::INT AS width,
+             (9 + doc_id % 5)::INT AS height
+           FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
 
       "q_video_frames" ->
         """WITH d AS (

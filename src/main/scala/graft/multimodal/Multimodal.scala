@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
   * decodes for REAL for the animated-GIF container
   * ([[decodeGifFrameStats]] / [[withVideoFrameStats]]: multi-frame
   * decode + stride frame-sampling through `javax.imageio`'s GIF
-  * reader). MP4/WebM and other codec-heavy containers still go through
-  * [[DecodeStub]] (this container carries no ffmpeg); the schema,
-  * partitioning and batch plumbing are identical, so a deployment
-  * swaps only the kernel. Undecodable payloads route to a quarantine
-  * side ([[routeUndecodable]]) instead of failing the job.
+  * reader). MP4 container METADATA is real too ([[parseMp4Meta]] /
+  * [[withVideoMeta]]: ISO-BMFF box walk — brand, duration, track
+  * dims — pure big-endian struct reads, no codec needed); only
+  * MP4/WebM frame/sample decode still goes through [[DecodeStub]]
+  * (this container carries no ffmpeg). The schema, partitioning and
+  * batch plumbing are identical across real and stubbed kernels, so a
+  * deployment swaps only the kernel. Undecodable payloads route to a
+  * quarantine side ([[routeUndecodable]]) instead of failing the job.
   */
 object Multimodal {
 
@@ -562,6 +565,194 @@ object Multimodal {
         val feats = if (payload == null) new Array[Float](dim)
           else DecodeStub.features(payload, dim)
         Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Parsed MP4 container metadata (no codec touched). */
+  final case class Mp4Meta(brand: String, durationMs: Long,
+                           width: Int, height: Int)
+
+  /** REAL MP4 metadata decode: walk the ISO-BMFF box tree (pure
+    * big-endian struct reads per the public ISO/IEC 14496-12 layout —
+    * no codec, no ffmpeg) and return the container's major brand
+    * (`ftyp`), presentation duration (`moov/mvhd` duration/timescale),
+    * and the first visual track's pixel dimensions (`moov/trak/tkhd`
+    * 16.16 fixed-point width/height). This makes `media_meta` REAL for
+    * mp4 payloads; only frame/sample decode remains stubbed (that
+    * genuinely needs a codec). Returns None — quarantine — only for
+    * payloads that are not a parseable BMFF box tree with ftyp+mvhd. */
+  def parseMp4Meta(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (payload == null || payload.length < 16) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    // returns (boxType, payloadStart, payloadEnd) or null past `end`
+    def box(at: Int, end: Int): (String, Int, Int) = {
+      if (at + 8 > end) return null
+      var size = buf.getInt(at).toLong & 0xFFFFFFFFL
+      val tpe = new String(payload, at + 4, 4, "ISO-8859-1")
+      var hdr = 8
+      if (size == 1) { // 64-bit largesize
+        if (at + 16 > end) return null
+        size = buf.getLong(at + 8)
+        hdr = 16
+      } else if (size == 0) size = (end - at).toLong // box runs to end
+      if (size < hdr || at + size > end) return null
+      (tpe, at + hdr, at + size.toInt)
+    }
+    try {
+      var brand: String = null
+      var durationMs = -1L
+      var width = -1
+      var height = -1
+      var at = 0
+      val end = payload.length
+      while (at < end) {
+        val b = box(at, end)
+        if (b == null) return None
+        val (tpe, ps, pe) = b
+        tpe match {
+          case "ftyp" =>
+            if (pe - ps < 8) return None
+            brand = new String(payload, ps, 4, "ISO-8859-1")
+          case "moov" =>
+            var ct = ps
+            while (ct < pe) {
+              val c = box(ct, pe)
+              if (c == null) return None
+              c._1 match {
+                case "mvhd" =>
+                  val v = buf.get(c._2) & 0xFF
+                  // v0: ver/flags(4) creation(4) mod(4) timescale(4)
+                  //     duration(4); v1 widens times to 8 bytes
+                  val (ts, dur) =
+                    if (v == 1) (buf.getInt(c._2 + 20).toLong & 0xFFFFFFFFL,
+                      buf.getLong(c._2 + 24))
+                    else (buf.getInt(c._2 + 12).toLong & 0xFFFFFFFFL,
+                      buf.getInt(c._2 + 16).toLong & 0xFFFFFFFFL)
+                  if (ts <= 0) return None
+                  durationMs = dur * 1000L / ts
+                case "trak" =>
+                  var tt = c._2
+                  while (tt < c._3) {
+                    val t = box(tt, c._3)
+                    if (t == null) return None
+                    if (t._1 == "tkhd" && width < 0) {
+                      val v = buf.get(t._2) & 0xFF
+                      // width/height: last 8 payload bytes, 16.16 fixed
+                      // (v0: 4 verflags + 20 times/ids + 8 + 8 + 36
+                      // matrix = 76; v1 widens the two times by 8)
+                      val wOff = t._2 + (if (v == 1) 88 else 76)
+                      val w = buf.getInt(wOff) >>> 16
+                      val h = buf.getInt(wOff + 4) >>> 16
+                      if (w > 0 && h > 0) { width = w; height = h }
+                    }
+                    tt = t._3
+                  }
+                case _ => ()
+              }
+              ct = c._3
+            }
+          case _ => () // mdat/free/skip/...: opaque, skip
+        }
+        at = pe
+      }
+      if (brand == null || durationMs < 0) None
+      else Some(Mp4Meta(brand, durationMs, math.max(width, 0),
+        math.max(height, 0)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal MP4 for id (ftyp + moov{mvhd, trak{tkhd}}):
+    * brand isom, timescale 1000, duration_ms = 1000 + 37·(id%97),
+    * width 16+id%8, height 9+id%5 — closed-form values the oracle
+    * recomputes from the id. Box layout follows the public ISO BMFF
+    * spec byte-for-byte, so [[parseMp4Meta]] exercises the same reads
+    * a real mp4 needs. */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val w = (16 + id % 8).toInt
+    val h = (9 + id % 5).toInt
+    val durMs = 1000 + 37 * (id % 97)
+    val out = java.nio.ByteBuffer.allocate(20 + 216)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    // ftyp (20): major isom, minor 0x200, compatible mp42
+    out.putInt(20).put("ftyp".getBytes("ISO-8859-1"))
+      .put("isom".getBytes("ISO-8859-1")).putInt(0x200)
+      .put("mp42".getBytes("ISO-8859-1"))
+    // moov (216) = header(8) + mvhd(108) + trak(100)
+    out.putInt(216).put("moov".getBytes("ISO-8859-1"))
+    // mvhd v0 (108)
+    out.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0)              // version 0 + flags
+      .putInt(0).putInt(0)    // creation / modification
+      .putInt(1000)           // timescale
+      .putInt(durMs.toInt)    // duration (in timescale units = ms)
+      .putInt(0x00010000)     // rate 1.0
+      .putShort(0x0100.toShort).putShort(0)  // volume, reserved
+      .putLong(0)             // reserved
+    putIdentityMatrix(out)
+    var i = 0
+    while (i < 6) { out.putInt(0); i += 1 } // pre_defined
+    out.putInt(2)             // next_track_ID
+    // trak (100) = header(8) + tkhd(92)
+    out.putInt(100).put("trak".getBytes("ISO-8859-1"))
+    out.putInt(92).put("tkhd".getBytes("ISO-8859-1"))
+      .putInt(7)              // version 0, flags: enabled|in_movie|in_preview
+      .putInt(0).putInt(0)    // creation / modification
+      .putInt(1)              // track_ID
+      .putInt(0)              // reserved
+      .putInt(durMs.toInt)    // duration
+      .putLong(0)             // reserved
+      .putShort(0).putShort(0)// layer, alternate_group
+      .putShort(0).putShort(0)// volume (visual track: 0), reserved
+    putIdentityMatrix(out)
+    out.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dims
+    out.array()
+  }
+
+  private def putIdentityMatrix(b: java.nio.ByteBuffer): Unit = {
+    b.putInt(0x00010000).putInt(0).putInt(0)
+    b.putInt(0).putInt(0x00010000).putInt(0)
+    b.putInt(0).putInt(0).putInt(0x40000000)
+  }
+
+  /** (media_id, payload) frame of deterministic synthetic MP4s. */
+  def syntheticMp4Media(ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, syntheticMp4(id))
+      }
+    }(enc)
+  }
+
+  /** Partition-parallel MP4 metadata extraction: adds brand /
+    * duration_ms / width / height parsed from the container boxes;
+    * unparseable payloads yield all-null columns (quarantine routing,
+    * same contract as every decode kernel here). */
+  def withVideoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("brand", StringType),
+      StructField("duration_ms", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        parseMp4Meta(r.getAs[Array[Byte]](idx)) match {
+          case Some(m) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](m.brand, m.durationMs,
+              m.width, m.height))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        }
       }
     }(enc)
   }

@@ -797,6 +797,32 @@ class OperatorsSpec extends AnyFunSuite {
         .map(r => oracle(r.getString(1))).toSeq)
   }
 
+  test("mp4 metadata: box walk reads brand/duration/dims; junk quarantines") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // closed-form round-trip through the real box layout
+    val m = mm.parseMp4Meta(mm.syntheticMp4(13L)).get
+    assert(m.brand == "isom")
+    assert(m.durationMs == 1000 + 37 * (13 % 97))
+    assert(m.width == 16 + 13 % 8 && m.height == 9 + 13 % 5)
+    // v1 boxes (64-bit times) parse too: widen the synthetic by hand
+    // is covered by offsets in parseMp4Meta; here assert the junk path
+    assert(mm.parseMp4Meta(null).isEmpty)
+    assert(mm.parseMp4Meta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(mm.parseMp4Meta(Array.fill[Byte](64)(0x41)).isEmpty)
+    // truncated real payload (box size past end) quarantines, not throws
+    assert(mm.parseMp4Meta(mm.syntheticMp4(3L).take(40)).isEmpty)
+    // partition-parallel operator: meta columns for good payloads,
+    // nulls for junk
+    val media = mm.syntheticMp4Media((0L until 4L).toDF("doc_id"), "doc_id")
+      .union(Seq((99L, Array[Byte](9, 9, 9))).toDF("media_id", "payload"))
+    val out = mm.withVideoMeta(media, "payload").orderBy("media_id").collect()
+    assert(out.length == 5)
+    assert(out.take(4).forall(r => r.getString(2) == "isom" &&
+      r.getLong(3) == 1000 + 37 * (r.getLong(0) % 97)))
+    assert(out(4).isNullAt(2) && out(4).isNullAt(3))
+  }
+
   test("temperature fractions: extreme skew clamps to grid step, never zero") {
     val s = graft.operators.Sampling
     // alpha = 0 with 10^5:1 skew: raw big fraction = 10^-5 < 1/4096 —
