@@ -110,7 +110,15 @@ object Bench {
           .filter(_.trim.nonEmpty).mkString("[", ",", "]")
       } else "[]"
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"streaming":$streamJson,"isolation":$isolationJson}"""
+    // non-dedup 10x scale point (graft.BenchScale10 writes it; rides
+    // along like the isolation data)
+    val scale10Json = {
+      val p = java.nio.file.Paths.get("/root/repo/scaling_nondedup.json")
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else "{}"
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"isolation":$isolationJson}"""
     println(json)
     // stdout can be truncated by the harness (BENCH_r04 lost the first
     // ~12 query medians); the file is the machine-complete artifact

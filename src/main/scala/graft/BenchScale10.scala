@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale point for the NON-dedup headline queries (the dedup
+  * family already has its 1×/3×/10× curve in BenchScaling): generate
+  * an sf1-shaped directory by deterministic 10× replication of sf0.1,
+  * then time the same `SparkEntry.queries` entries against both dirs
+  * and report the log-log exponent.
+  *
+  * Replication mirrors natural growth per table:
+  *  - lineitem/orders/customer: keys offset per replica (FK-consistent
+  *    across the star join); value columns unchanged, so slope/AUC see
+  *    10× rows from the same distribution.
+  *  - nation/region: copied once — dimensions don't grow with fact
+  *    data, which is exactly why the star join broadcasts them.
+  *  - documents: ids offset AND words replica-prefixed (BenchScaling's
+  *    trick), so exact-dup structure is scale-invariant and the
+  *    pipeline's dedup does 10× the work, not 10×-duplicates work.
+  *  - embeddings: vec_id offset in lockstep with doc_id.
+  *  - events: event ids and user ids offset — 10× users at the same
+  *    session length, the shape of real traffic growth.
+  *
+  * The generated dir lives under /tmp (regenerable scratch, never
+  * committed); generation is skipped when it already exists. Timing:
+  * round-robin reps, MIN per cell (spike-robust, matches BenchScaling),
+  * exponent = log(t10/t1)/log(10). Results land in
+  * scaling_nondedup.json, which graft.Bench embeds in the round
+  * artifact.
+  */
+object BenchScale10 {
+
+  val Queries = Seq("q_slope_fit_dist", "q_slope_binom_dist", "q_auc",
+    "q_pipeline", "q_sessionize", "q_star_join")
+
+  private val KeyOff = 100000000L
+
+  private def withOffsets(df: DataFrame, cols: Seq[String],
+                          off: Long): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + off))
+
+  /** Write the 10× replicated sf1-shaped dir (skip if present). */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+               k: Int): Unit = {
+    val done = java.nio.file.Paths.get(s"$outDir/region.parquet")
+    if (java.nio.file.Files.exists(done)) {
+      System.err.println(s"[scale10] $outDir exists, skipping generation")
+      return
+    }
+    def t(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def reps(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(r => if (r == 0) base else f(base, r)).reduce(_ union _)
+
+    reps(t("lineitem")) { (d, r) =>
+      withOffsets(d, Seq("l_orderkey"), r * KeyOff)
+    }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    reps(t("orders")) { (d, r) =>
+      withOffsets(d, Seq("o_orderkey", "o_custkey"), r * KeyOff)
+    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    reps(t("customer")) { (d, r) =>
+      withOffsets(d, Seq("c_custkey"), r * KeyOff)
+    }.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    reps(t("documents")) { (d, r) =>
+      withOffsets(d, Seq("doc_id"), r * KeyOff)
+        .withColumn("text", array_join(transform(split(col("text"), " "),
+          w => concat(lit(s"r$r"), w)), " "))
+    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    reps(t("embeddings")) { (d, r) =>
+      withOffsets(d, Seq("vec_id"), r * KeyOff)
+    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    reps(t("events")) { (d, r) =>
+      withOffsets(d, Seq("event_id", "user_id"), r * KeyOff)
+    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // dimensions: fixed cardinality at any fact scale
+    t("nation").write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    t("region").write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    System.err.println(s"[scale10] generated ${k}x replication at $outDir")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE10_DIR",
+      "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, sfDir, outDir, k = 10)
+    // JIT/codegen warmup at the small scale
+    Queries.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    val cells = scala.collection.mutable.Map[(String, String), List[Double]]()
+      .withDefaultValue(Nil)
+    for (rep <- 1 to reps; dir <- Seq(sfDir, outDir); q <- Queries) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale10] $q%-20s ${dir}%-22s rep$rep $dt%8.2fs")
+      cells((q, dir)) = cells((q, dir)) :+ dt
+    }
+    val json = Queries.map { q =>
+      val t1 = cells((q, sfDir)).min
+      val t10 = cells((q, outDir)).min
+      val exp = math.log(t10 / t1) / math.log(10.0)
+      f""""$q":{"sf0.1_sec":$t1%.2f,"sf1_sec":$t10%.2f,"exponent":$exp%.2f}"""
+    }.mkString("{", ",", "}")
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/scaling_nondedup.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
