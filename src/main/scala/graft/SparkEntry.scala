@@ -1087,6 +1087,20 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q_webm_meta" -> ((s, dir) => {
+      // WebM sibling of q_video_meta: EBML element walk (DocType,
+      // Info duration x timestamp scale, Video track pixel dims) —
+      // same no-codec struct-read approach, different binary grammar
+      // (vint IDs/sizes vs fixed boxes); a MIXED corpus goes through
+      // the same withVideoMeta sniffing kernel
+      val ids = docs(s, dir).filter(col("doc_id") < 40).select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.syntheticWebmMedia(ids, "doc_id")
+      graft.multimodal.Multimodal.withVideoMeta(media, "payload")
+        .select(col("media_id"), col("brand"), col("duration_ms"),
+          col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+
     "q_video_frames" -> ((s, dir) => {
       // REAL video codec end-to-end: deterministic animated GIFs
       // (indexed-gray -> lossless) encoded AND decoded partition-
@@ -1745,6 +1759,13 @@ object SparkEntry {
              (1000 + 37 * (doc_id % 97))::BIGINT AS duration_ms,
              (16 + doc_id % 8)::INT AS width,
              (9 + doc_id % 5)::INT AS height
+           FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
+
+      "q_webm_meta" ->
+        """SELECT doc_id AS media_id, 'webm' AS brand,
+             (1500 + 53 * (doc_id % 89))::BIGINT AS duration_ms,
+             (32 + doc_id % 16)::INT AS width,
+             (18 + doc_id % 9)::INT AS height
            FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
 
       "q_video_frames" ->

@@ -19,10 +19,11 @@ import org.apache.spark.sql.types._
   * decodes for REAL for the animated-GIF container
   * ([[decodeGifFrameStats]] / [[withVideoFrameStats]]: multi-frame
   * decode + stride frame-sampling through `javax.imageio`'s GIF
-  * reader). MP4 container METADATA is real too ([[parseMp4Meta]] /
-  * [[withVideoMeta]]: ISO-BMFF box walk — brand, duration, track
-  * dims — pure big-endian struct reads, no codec needed); only
-  * MP4/WebM frame/sample decode still goes through [[DecodeStub]]
+  * reader). MP4 and WebM container METADATA are real too
+  * ([[parseMp4Meta]]: ISO-BMFF box walk; [[parseWebmMeta]]: EBML
+  * element walk; [[withVideoMeta]] sniffs and routes — brand,
+  * duration, track dims from pure struct reads, no codec needed);
+  * only MP4/WebM frame/sample decode still goes through [[DecodeStub]]
   * (this container carries no ffmpeg). The schema, partitioning and
   * batch plumbing are identical across real and stubbed kernels, so a
   * deployment swaps only the kernel. Undecodable payloads route to a
@@ -716,6 +717,157 @@ object Multimodal {
     b.putInt(0).putInt(0).putInt(0x40000000)
   }
 
+  /** REAL WebM/Matroska metadata decode: walk the EBML element tree
+    * (public Matroska/EBML spec — variable-length-integer IDs/sizes,
+    * big-endian payloads, no codec) and return the DocType ("webm" /
+    * "matroska", reported in `brand`), the Segment/Info presentation
+    * duration (Duration float × TimestampScale, default scale 1 ms),
+    * and the first video track's PixelWidth/PixelHeight. The WebM
+    * sibling of [[parseMp4Meta]]; together they close the container-
+    * metadata gap for both stubbed video formats. Returns None for
+    * anything that is not a parseable EBML tree with DocType+Info. */
+  def parseWebmMeta(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (payload == null || payload.length < 8) return None
+    // EBML variable-length integer at `at`: (value, bytesUsed);
+    // keepMarker for element IDs (IDs compare with the marker bit in)
+    def vint(at: Int, keepMarker: Boolean): (Long, Int) = {
+      if (at >= payload.length) return null
+      val first = payload(at) & 0xFF
+      if (first == 0) return null
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (at + len > payload.length) return null
+      var v = if (keepMarker) first.toLong
+        else first.toLong & ((1L << (8 - len)) - 1)
+      var i = 1
+      while (i < len) { v = (v << 8) | (payload(at + i) & 0xFF); i += 1 }
+      (v, len)
+    }
+    def uintAt(ps: Int, pe: Int): Long = {
+      var v = 0L
+      var i = ps
+      while (i < pe) { v = (v << 8) | (payload(i) & 0xFF); i += 1 }
+      v
+    }
+    def floatAt(ps: Int, pe: Int): Double = {
+      val buf = java.nio.ByteBuffer.wrap(payload, ps, pe - ps)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      if (pe - ps == 4) buf.getFloat.toDouble
+      else if (pe - ps == 8) buf.getDouble
+      else Double.NaN
+    }
+    // walk children of [from, to): f(elementId, payloadStart, payloadEnd)
+    def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Boolean = {
+      var at = from
+      while (at < to) {
+        val id = vint(at, keepMarker = true)
+        if (id == null) return false
+        val sz = vint(at + id._2, keepMarker = false)
+        if (sz == null) return false
+        val ps = at + id._2 + sz._2
+        val pe = ps + sz._1.toInt
+        if (sz._1 < 0 || pe > to) return false
+        f(id._1, ps, pe)
+        at = pe
+      }
+      true
+    }
+    try {
+      var docType: String = null
+      var timestampScale = 1000000L // EBML default: 1 ms
+      var duration = Double.NaN
+      var width = -1
+      var height = -1
+      val ok = walk(0, payload.length) { (id, ps, pe) =>
+        id match {
+          case 0x1A45DFA3L => // EBML header
+            walk(ps, pe) { (hid, hs, he) =>
+              if (hid == 0x4282L) // DocType
+                docType = new String(payload, hs, he - hs, "ISO-8859-1")
+            }
+          case 0x18538067L => // Segment
+            walk(ps, pe) { (sid, ss, se) =>
+              sid match {
+                case 0x1549A966L => // Info
+                  walk(ss, se) { (iid, is, ie) =>
+                    if (iid == 0x2AD7B1L) timestampScale = uintAt(is, ie)
+                    if (iid == 0x4489L) duration = floatAt(is, ie)
+                  }
+                case 0x1654AE6BL => // Tracks
+                  walk(ss, se) { (tid, ts, te) =>
+                    if (tid == 0xAEL) // TrackEntry
+                      walk(ts, te) { (eid, es, ee) =>
+                        if (eid == 0xE0L && width < 0) // Video
+                          walk(es, ee) { (vid, vs, ve) =>
+                            if (vid == 0xB0L) width = uintAt(vs, ve).toInt
+                            if (vid == 0xBAL) height = uintAt(vs, ve).toInt
+                          }
+                      }
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (!ok || docType == null || duration.isNaN || timestampScale <= 0)
+        None
+      else Some(Mp4Meta(docType,
+        math.round(duration * timestampScale / 1e6),
+        math.max(width, 0), math.max(height, 0)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal WebM for id (EBML header{DocType webm} +
+    * Segment{Info{TimestampScale 1e6, Duration}, Tracks{TrackEntry{
+    * Video{PixelWidth, PixelHeight}}}}): duration_ms = 1500 +
+    * 53·(id%89), width 32+id%16, height 18+id%9 — closed-form values
+    * for the oracle, distinct from the mp4 formulas so a mixed corpus
+    * can't pass by accident. Duration is a 4-byte float (exact for
+    * these magnitudes); scale is the 1 ms default written explicitly. */
+  def syntheticWebm(id: Long): Array[Byte] = {
+    val w = (32 + id % 16).toInt
+    val h = (18 + id % 9).toInt
+    val durMs = 1500 + 53 * (id % 89)
+    def el(idBytes: Array[Int], body: Array[Byte]): Array[Byte] = {
+      require(body.length < 0x4000)
+      val size = // 2-byte VINT: 0x40xx
+        Array((0x40 | (body.length >> 8)).toByte, (body.length & 0xFF).toByte)
+      idBytes.map(_.toByte) ++ size ++ body
+    }
+    def uint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+    }
+    val f = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).putFloat(durMs.toFloat).array()
+    val ebml = el(Array(0x1A, 0x45, 0xDF, 0xA3),
+      el(Array(0x42, 0x82), "webm".getBytes("ISO-8859-1")))
+    val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+      el(Array(0x2A, 0xD7, 0xB1), uint(1000000L)) ++
+        el(Array(0x44, 0x89), f))
+    val video = el(Array(0xE0),
+      el(Array(0xB0), uint(w)) ++ el(Array(0xBA), uint(h)))
+    val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B), el(Array(0xAE), video))
+    val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    ebml ++ segment
+  }
+
+  /** (media_id, payload) frame of deterministic synthetic WebMs. */
+  def syntheticWebmMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, syntheticWebm(id))
+      }
+    }(enc)
+  }
+
   /** (media_id, payload) frame of deterministic synthetic MP4s. */
   def syntheticMp4Media(ids: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
@@ -731,10 +883,20 @@ object Multimodal {
     }(enc)
   }
 
-  /** Partition-parallel MP4 metadata extraction: adds brand /
-    * duration_ms / width / height parsed from the container boxes;
-    * unparseable payloads yield all-null columns (quarantine routing,
-    * same contract as every decode kernel here). */
+  /** Partition-parallel video-container metadata extraction: sniffs
+    * the container (ISO-BMFF 'ftyp' at offset 4 → [[parseMp4Meta]];
+    * EBML magic 0x1A45DFA3 at offset 0 → [[parseWebmMeta]]) and adds
+    * brand / duration_ms / width / height; unparseable payloads yield
+    * all-null columns (quarantine routing, same contract as every
+    * decode kernel here). */
+  def parseVideoMeta(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (payload == null || payload.length < 8) None
+    else if (payload(0) == 0x1A.toByte && payload(1) == 0x45.toByte &&
+      payload(2) == 0xDF.toByte && payload(3) == 0xA3.toByte)
+      parseWebmMeta(payload)
+    else parseMp4Meta(payload)
+  }
+
   def withVideoMeta(df: DataFrame, payloadCol: String): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("brand", StringType),
@@ -746,7 +908,7 @@ object Multimodal {
       .encoderFor(schema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        parseMp4Meta(r.getAs[Array[Byte]](idx)) match {
+        parseVideoMeta(r.getAs[Array[Byte]](idx)) match {
           case Some(m) =>
             Row.fromSeq(r.toSeq ++ Seq[Any](m.brand, m.durationMs,
               m.width, m.height))

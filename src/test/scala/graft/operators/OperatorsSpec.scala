@@ -823,6 +823,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4).isNullAt(2) && out(4).isNullAt(3))
   }
 
+  test("webm metadata: EBML walk reads doctype/duration/dims; sniffing routes") {
+    val mm = graft.multimodal.Multimodal
+    val m = mm.parseWebmMeta(mm.syntheticWebm(21L)).get
+    assert(m.brand == "webm")
+    assert(m.durationMs == 1500 + 53 * (21 % 89))
+    assert(m.width == 32 + 21 % 16 && m.height == 18 + 21 % 9)
+    // junk and truncation quarantine
+    assert(mm.parseWebmMeta(Array[Byte](0x1A, 0x45)).isEmpty)
+    assert(mm.parseWebmMeta(mm.syntheticWebm(3L).take(20)).isEmpty)
+    // the sniffing kernel routes both containers and rejects neither's
+    // payloads as the other's
+    assert(mm.parseVideoMeta(mm.syntheticWebm(5L)).get.brand == "webm")
+    assert(mm.parseVideoMeta(mm.syntheticMp4(5L)).get.brand == "isom")
+  }
+
   test("temperature fractions: extreme skew clamps to grid step, never zero") {
     val s = graft.operators.Sampling
     // alpha = 0 with 10^5:1 skew: raw big fraction = 10^-5 < 1/4096 —
