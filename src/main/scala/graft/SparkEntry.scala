@@ -353,6 +353,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_length_quantiles_bpe" -> ((s, dir) => {
+      // the same histogram-quantile plan over SUBWORD lengths (the
+      // count a sequence-length planner actually needs) — the
+      // pluggable tokenCount param exercised in its second operator
+      graft.operators.CorpusStats.lengthQuantiles(
+        docs(s, dir), "source", "text", Seq(0.25, 0.5, 0.9, 0.99),
+        tokenCount = graft.functions.Subword.subwordTokenCount)
+        .orderBy("source")
+    }),
+
+    "q_tokenizer_stats" -> ((s, dir) => {
+      // tokenizer fertility / compression by source (the dataset-card
+      // diagnostic every pretraining corpus ships): whitespace words,
+      // subword tokens, fertility = subwords per word, chars per
+      // subword token. One scan, one groupBy — both counters are
+      // per-row expressions
+      val t = graft.functions.TextFunctions
+      val sw = graft.functions.Subword
+      docs(s, dir)
+        .select(col("source"),
+          t.wsTokenCount(col("text")).cast("long").as("ws"),
+          sw.subwordTokenCount(col("text")).as("sub"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("n_words"),
+          sum("sub").as("n_subwords"),
+          round(sum("sub").cast("double") / sum("ws"), 6).as("fertility"),
+          round(sum("chars").cast("double") / sum("sub"), 6)
+            .as("chars_per_token"))
+        .orderBy("source")
+    }),
+
     "q_seq_pack_bpe" -> ((s, dir) => {
       // same packing plan, SUBWORD token counts: greedy longest-match
       // against the committed BPE vocab (what a real pretraining
@@ -1126,6 +1159,35 @@ object SparkEntry {
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** Shared recursive-CTE prefix replaying Subword's greedy
+    * longest-match segmentation (vocab inlined as VALUES): ends with
+    * `dsub(doc_id, n_sub)` = per-doc subword token count (0 for empty
+    * docs). Append after `WITH RECURSIVE`. */
+  private lazy val SubwordCte: String = {
+    val vocabValues = graft.functions.Subword.vocabSorted
+      .map(p => s"('$p')").mkString(",")
+    s"""vocab(piece) AS (VALUES $vocabValues),
+       __n AS (SELECT doc_id, $NormSql AS nt FROM documents),
+       __w0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM __n),
+       __w AS (SELECT doc_id, word FROM __w0 WHERE length(word) > 0),
+       __dw AS (SELECT DISTINCT word FROM __w),
+       __seg AS (
+         SELECT word, 0 AS pos, 0 AS toks FROM __dw
+         UNION ALL
+         SELECT word,
+           pos + coalesce((SELECT max(length(piece)) FROM vocab
+             WHERE piece = substr(word, pos + 1, length(piece))), 1),
+           toks + 1
+         FROM __seg WHERE pos < length(word)),
+       __wtok AS (SELECT word, max(toks) AS n_tok FROM __seg GROUP BY word),
+       __ds AS (
+         SELECT __w.doc_id, sum(n_tok) AS n_sub
+         FROM __w JOIN __wtok USING (word) GROUP BY __w.doc_id),
+       dsub AS (
+         SELECT d.doc_id, coalesce(__ds.n_sub, 0)::BIGINT AS n_sub
+         FROM documents d LEFT JOIN __ds USING (doc_id))"""
+  }
+
   private def occSql(padded: String, term: String): String =
     s"((length($padded) - length(replace($padded, ' $term ', ''))) // ${term.length + 2})"
 
@@ -1383,36 +1445,15 @@ object SparkEntry {
                AS last_seq
            FROM c ORDER BY doc_id""",
 
-      "q_seq_pack_bpe" -> {
-        // greedy longest-match segmentation as a recursive CTE: from
-        // position pos in a word, advance by the LONGEST vocab piece
-        // matching there (max(len(piece)) over matches), else 1 char;
-        // the terminal row's step count is the word's token count.
-        // The committed vocab is inlined as VALUES — both engines see
-        // the identical piece set.
-        val vocabValues = graft.functions.Subword.vocabSorted
-          .map(p => s"('$p')").mkString(",")
-        s"""WITH RECURSIVE
-           vocab(piece) AS (VALUES $vocabValues),
-           n AS (SELECT doc_id, $NormSql AS nt FROM documents),
-           w0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM n),
-           w AS (SELECT doc_id, word FROM w0 WHERE length(word) > 0),
-           dw AS (SELECT DISTINCT word FROM w),
-           seg AS (
-             SELECT word, 0 AS pos, 0 AS toks FROM dw
-             UNION ALL
-             SELECT word,
-               pos + coalesce((SELECT max(length(piece)) FROM vocab
-                 WHERE piece = substr(word, pos + 1, length(piece))), 1),
-               toks + 1
-             FROM seg WHERE pos < length(word)),
-           wtok AS (SELECT word, max(toks) AS n_tok FROM seg GROUP BY word),
-           dsum AS (
-             SELECT w.doc_id, sum(n_tok) AS n_tokens
-             FROM w JOIN wtok USING (word) GROUP BY w.doc_id),
-           t AS (
-             SELECT d.doc_id, coalesce(dsum.n_tokens, 0)::BIGINT AS n_tokens
-             FROM documents d LEFT JOIN dsum USING (doc_id)),
+      // greedy longest-match segmentation as a recursive CTE
+      // (SubwordCte): from position pos in a word, advance by the
+      // LONGEST vocab piece matching there (max(len(piece)) over
+      // matches), else 1 char; the terminal row's step count is the
+      // word's token count. The committed vocab is inlined as VALUES —
+      // both engines see the identical piece set.
+      "q_seq_pack_bpe" ->
+        s"""WITH RECURSIVE $SubwordCte,
+           t AS (SELECT doc_id, n_sub AS n_tokens FROM dsub),
            c AS (
              SELECT doc_id, n_tokens,
                (sum(n_tokens) OVER (ORDER BY doc_id
@@ -1423,8 +1464,38 @@ object SparkEntry {
              (token_offset // 512)::BIGINT AS first_seq,
              ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
                AS last_seq
-           FROM c ORDER BY doc_id"""
-      },
+           FROM c ORDER BY doc_id""",
+
+      "q_length_quantiles_bpe" ->
+        s"""WITH RECURSIVE $SubwordCte,
+           t AS (
+             SELECT d.source, s.n_sub AS len
+             FROM documents d JOIN dsub s USING (doc_id)),
+           h AS (SELECT source, len, count(*) AS cnt FROM t GROUP BY 1, 2),
+           c AS (
+             SELECT source, len, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY len
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS n
+             FROM h)
+           SELECT source, max(n)::BIGINT AS n_docs,
+             min(CASE WHEN cum >= ceil(0.25 * n) THEN len END)::BIGINT AS p25,
+             min(CASE WHEN cum >= ceil(0.5 * n) THEN len END)::BIGINT AS p50,
+             min(CASE WHEN cum >= ceil(0.9 * n) THEN len END)::BIGINT AS p90,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN len END)::BIGINT AS p99
+           FROM c GROUP BY source ORDER BY source""",
+
+      "q_tokenizer_stats" ->
+        s"""WITH RECURSIVE $SubwordCte,
+           t AS (
+             SELECT d.source, ($wcSql)::BIGINT AS ws, s.n_sub AS sub,
+               length(d.text)::BIGINT AS chars
+             FROM documents d JOIN dsub s USING (doc_id))
+           SELECT source, count(*)::BIGINT AS n_docs,
+             sum(ws)::BIGINT AS n_words, sum(sub)::BIGINT AS n_subwords,
+             round(sum(sub)::DOUBLE / sum(ws), 6) AS fertility,
+             round(sum(chars)::DOUBLE / sum(sub), 6) AS chars_per_token
+           FROM t GROUP BY source ORDER BY source""",
 
       "q_pack_manifest" ->
         s"""WITH t AS (
