@@ -115,12 +115,21 @@ object DocStreams {
     * estimates equal `minhashDupPairs` on the same data (tested) as
     * long as no bucket overflows `maxBucket` — past the cap the two
     * prune different pairs (prospective vs retroactive), both bounded.
-    */
+    *
+    * `stateTtlMs` bounds state for unbounded corpora (same contract as
+    * [[streamingDupMap]]): a BUCKET idle longer than the TTL is
+    * evicted, so a near-dup arriving after the window pairs only with
+    * members seen since — the standard bounded-state windowed-dedup
+    * semantic, applied per bucket. None = exact, unbounded. TTL mode
+    * REQUIRES a processing-time trigger interval on the query
+    * (ProcessingTimeTimeout busy-loops under the default ASAP
+    * trigger). */
   def streamingMinhashDupPairs(docs: DataFrame, idCol: String = "doc_id",
                                textCol: String = "text", n: Int = 3,
                                numHashes: Int = 32, bands: Int = 8,
                                threshold: Double = 0.7,
-                               maxBucket: Int = 1000): DataFrame = {
+                               maxBucket: Int = 1000,
+                               stateTtlMs: Option[Long] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val spark = docs.sparkSession
@@ -139,9 +148,17 @@ object DocStreams {
       .select(col("id"), col("bk.band"), col("bk.bucket"), col("sig"))
       .as[(Long, Int, Long, Seq[Long])]
 
+    val timeoutConf = if (stateTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     banded.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[BucketMembers, PairOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
+        case (key, rows, state: GroupState[BucketMembers])
+          if state.hasTimedOut =>
+          // bucket idle past TTL: evict its members (buckets receiving
+          // data this batch are invoked with hasTimedOut = false)
+          state.remove()
+          Iterator.empty
         case (key, rows, state: GroupState[BucketMembers]) =>
           val myBand = key._1
           // first band whose signature slices are equal — every bucket
@@ -207,6 +224,7 @@ object DocStreams {
             }
           }
           state.update(BucketMembers(ids, sigs))
+          stateTtlMs.foreach(state.setTimeoutDuration)
           out.iterator
       }.toDF()
   }

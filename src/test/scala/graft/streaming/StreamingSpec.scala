@@ -257,6 +257,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getLong(0) == 1L && out(1).getLong(3) == 1)
     assert(out(2).getLong(0) == 2L && out(2).getLong(3) == 1)
   }
+
+  test("streaming minhash: TTL mode pairs within the window") {
+    // within the TTL window the bounded-bucket mode must behave exactly
+    // like the unbounded default (wall-clock eviction itself is not
+    // deterministically testable in-process; the eviction branch is a
+    // state.remove() on hasTimedOut — same contract as the dedup map)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet village and children play near the old mill"
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingMinhashDupPairs(
+      stream.toDF().toDF("doc_id", "text"), n = 3, numHashes = 32,
+      bands = 8, threshold = 0.5, stateTtlMs = Some(30L * 60 * 1000))
+      .writeStream.format("memory").queryName("mh_ttl_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+      .outputMode("append").start()
+    // ProcessingTimeTimeout: poll the sink, never processAllAvailable
+    def awaitRows(n: Int): Array[org.apache.spark.sql.Row] = {
+      val deadline = System.currentTimeMillis + 60000
+      var rows = spark.table("mh_ttl_test").collect()
+      while (rows.length < n && System.currentTimeMillis < deadline) {
+        Thread.sleep(200)
+        rows = spark.table("mh_ttl_test").collect()
+      }
+      rows
+    }
+    stream.addData((1L, base), (2L, "completely unrelated words entirely"))
+    stream.addData((3L, base + " tonight")) // near-dup of 1, within TTL
+    val got = awaitRows(1).map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got.contains((1L, 3L)),
+      s"near-dup within TTL must pair against stored bucket state: $got")
+  }
 }
 
 /** Small indirection so the streaming test compiles without importing
