@@ -767,6 +767,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sw.segmentCount("thth", v, ml) == 2)       // th|th
     // committed vocab is non-trivial and loads from the classpath
     assert(sw.vocab.nonEmpty && sw.vocab.forall(_.length >= 2))
+    // trainer determinism incl. the lexicographic tie-break: counts
+    // (a,a)=5,(a,b)=3 -> merge "aa"; then (aa,a)=2 ties (a,b)=2 and
+    // ("a","b") < ("aa","a") lexicographically -> merge "ab"
+    assert(sw.train(Map("aaab" -> 2L, "aab" -> 1L), 2) == Seq("aa", "ab"))
+    assert(sw.train(Map("aaab" -> 2L, "aab" -> 1L), 2) ==
+      sw.train(Map("aaab" -> 2L, "aab" -> 1L), 2))
     // column form sums per-word counts over normalized words; exact
     // driver-side replay with the full committed vocab
     val docs = Seq((1L, "The Quick batch-value!"), (2L, ""), (3L, "zzz qq"))
