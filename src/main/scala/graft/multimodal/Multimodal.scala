@@ -764,8 +764,10 @@ object Multimodal {
         val sz = vint(at + id._2, keepMarker = false)
         if (sz == null) return false
         val ps = at + id._2 + sz._2
+        // Long-domain bound check BEFORE narrowing: a hostile 64-bit
+        // element size must not wrap toInt past the buffer guard
+        if (sz._1 < 0 || sz._1 > (to - ps).toLong) return false
         val pe = ps + sz._1.toInt
-        if (sz._1 < 0 || pe > to) return false
         f(id._1, ps, pe)
         at = pe
       }

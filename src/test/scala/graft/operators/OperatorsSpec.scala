@@ -838,6 +838,10 @@ class OperatorsSpec extends AnyFunSuite {
     // junk and truncation quarantine
     assert(mm.parseWebmMeta(Array[Byte](0x1A, 0x45)).isEmpty)
     assert(mm.parseWebmMeta(mm.syntheticWebm(3L).take(20)).isEmpty)
+    // hostile 64-bit element size (would wrap a naive toInt) quarantines
+    val hostile = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte,
+      0x01) ++ Array.fill[Byte](7)(0xFF.toByte) ++ Array.fill[Byte](8)(0)
+    assert(mm.parseWebmMeta(hostile).isEmpty)
     // the sniffing kernel routes both containers and rejects neither's
     // payloads as the other's
     assert(mm.parseVideoMeta(mm.syntheticWebm(5L)).get.brand == "webm")
