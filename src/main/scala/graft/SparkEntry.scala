@@ -524,6 +524,44 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    "q_contamination_bloom" -> ((s, dir) => {
+      // SAME contract as q_contamination (identical oracle SQL!) via
+      // the broadcast-Bloom prefilter: the hash match proves the
+      // bloom path is exact, not approximate — no false negatives,
+      // false positives killed by the exact verify join
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      Dedup.bloomContamination(d.filter(col("doc_id") >= 20), bench,
+        "doc_id", "text", "bid", "btext",
+        n = 3, minShared = 2, maxDf = MaxDfShipped, fpp = 0.01)
+        .select(col("doc_id"), col("bench_id"), col("shared_ngrams"),
+          round(col("overlap_frac"), 6).as("overlap_frac"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    "q_top_tokens" -> ((s, dir) =>
+      // corpus-level exact heavy hitters: two-phase top-k, the full
+      // vocabulary never funnels through one task
+      graft.operators.CorpusStats.topTokens(docs(s, dir), "text", k = 30)
+        .orderBy("rank")),
+
+    "q_approx_distinct" -> ((s, dir) => {
+      // per-source distinct-document counts: exact (the oracle-checked
+      // number) plus an HLL++ within-5% certificate — the O(1)-memory
+      // estimator a 100-TB profiler runs INSTEAD of countDistinct,
+      // certified against the exact count at oracle scale
+      val d = docs(s, dir).select(col("source"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      d.groupBy("source")
+        .agg(countDistinct(col("fp")).as("n_exact"),
+          approx_count_distinct(col("fp"), 0.02).as("__hll"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("__hll") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("hll_within_5pct"))
+        .orderBy("source")
+    }),
+
     "q_split" -> ((s, dir) => {
       // deterministic train/val/test assignment by content hash (no
       // rand(): a doc's split survives reruns and corpus growth — the
@@ -634,6 +672,29 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
+    }),
+
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: k-means-partitioned exact-cosine near-dup pairs —
+      // the density-following alternative to random-hyperplane LSH
+      // (golden oracle; determinism rests on the hash-ordered
+      // quantizer sample + tie-to-lower-index argmin)
+      Dedup.semanticDupPairs(emb(s, dir), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.4, parallelism = OpParallelism)
+        .select(col("id_a"), col("id_b"), col("cluster"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_kmeans_clusters" -> ((s, dir) => {
+      // embedding-space k-means summary: sizes + inertia per cluster
+      // (the partition map a semantic-dedup / curriculum planner reads)
+      Similarity.kmeansClusterStats(emb(s, dir), "vec_id", "embedding",
+        nClusters = 8)
+        .select(col("cluster"), col("n_vecs"),
+          round(col("inertia"), 6).as("inertia"),
+          round(col("mean_dist2"), 6).as("mean_dist2"))
+        .orderBy("cluster")
     }),
 
     // ---- composed training-data pipeline: filter -> dedup -> join ->
@@ -812,6 +873,47 @@ object SparkEntry {
           round(col("deviance_ratio"), 6).as("deviance_ratio"),
           col("n_nonzero"))
         .orderBy("step")
+    }),
+
+    "q_quality_classifier" -> ((s, dir) => {
+      // END-TO-END integration: the text featurizer feeds the SLOPE
+      // solver, and the fitted model scores the corpus — a learned
+      // quality filter trained AND served in one engine, one plan per
+      // phase. Weak labels = the composite heuristic (qualityScore
+      // >= 0.6); the classifier learns to reproduce it from raw ratio
+      // features it has never seen combined; per-source retention is
+      // read off the LAST path step at p >= 0.5. Deterministic: the
+      // featurization is pure expression code, the fit is the
+      // content-sorted local path (n at oracle SF sits under
+      // localCellLimit), and scoring is broadcast-coefficient
+      // arithmetic. At 100 TB: featurize+score are narrow map passes;
+      // only the fit's gradient aggregates cross the cluster.
+      val qcFeats = Seq("f_punct", "f_stop", "f_digit", "f_upper",
+        "f_mwl", "f_uniq", "f_len")
+      val feat = docs(s, dir).select(col("doc_id") :: col("source") ::
+        TextFunctions.punctRatio(col("text")).as("f_punct") ::
+        TextFunctions.stopwordRatio(col("text")).as("f_stop") ::
+        TextFunctions.digitRatio(col("text")).as("f_digit") ::
+        TextFunctions.upperRatio(col("text")).as("f_upper") ::
+        TextFunctions.meanWordLength(col("text")).as("f_mwl") ::
+        TextFunctions.uniqueWordRatio(col("text")).as("f_uniq") ::
+        log1p(TextFunctions.wsTokenCount(col("text")).cast("double")).as("f_len") ::
+        (TextFunctions.qualityScore(col("text")) >= lit(0.6))
+          .cast("double").as("label") :: Nil: _*)
+      val featVec = feat.withColumn("features", array(qcFeats.map(col): _*))
+      val m = Slope.fit(featVec.select(col("features"), col("label")),
+        "features", "label", SlopeParams(family = "binomial", nSigma = 10))
+      SlopeServe.predictions(m, featVec, "features", Seq("response"))
+        .withColumn("p_keep",
+          element_at(element_at(col("response"), m.nSteps), 1))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("label").cast("long")).as("n_label_keep"),
+          sum((col("p_keep") >= 0.5).cast("long")).as("n_pred_keep"),
+          sum(((col("p_keep") >= 0.5).cast("double") === col("label"))
+            .cast("long")).as("n_agree"),
+          round(avg(col("p_keep")), 6).as("mean_p_keep"))
+        .orderBy("source")
     }),
 
     "q_student_multitask" -> ((s, dir) => {
@@ -1158,6 +1260,31 @@ object SparkEntry {
   /** Normalized text (DuckDB): must mirror TextFunctions.normalizeText. */
   private val NormSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Oracle for BOTH contamination paths (plain inverted-index and
+    * bloom-prefiltered) — the shared SQL is itself the equivalence
+    * claim: the bloom path must hash-match the exact result. */
+  private lazy val ContaminationSql =
+    s"""WITH norm AS (
+         SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS sh
+         FROM norm),
+       d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+       e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+       keep AS (SELECT s FROM e0 WHERE doc_id >= 20 GROUP BY s
+                HAVING count(*) <= $MaxDfShipped),
+       tr AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)
+              WHERE e0.doc_id >= 20),
+       be AS (SELECT doc_id AS bench_id, n_sh AS n_b, s FROM e0
+              WHERE doc_id < 20)
+       SELECT tr.doc_id, be.bench_id, count(*)::BIGINT AS shared_ngrams,
+         round(count(*)::DOUBLE / any_value(be.n_b), 6) AS overlap_frac
+       FROM tr JOIN be USING (s)
+       GROUP BY tr.doc_id, be.bench_id
+       HAVING count(*) >= 2
+       ORDER BY doc_id, bench_id"""
 
   /** Shared recursive-CTE prefix replaying Subword's greedy
     * longest-match segmentation (vocab inlined as VALUES): ends with
@@ -1629,27 +1756,31 @@ object SparkEntry {
              sum($wcSql)::BIGINT AS total_tokens
            FROM b GROUP BY 1, 2 ORDER BY lang, split""",
 
-      "q_contamination" ->
-        s"""WITH norm AS (
-             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w FROM documents),
-           sh AS (
-             SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS sh
-             FROM norm),
-           d AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
-           e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
-           keep AS (SELECT s FROM e0 WHERE doc_id >= 20 GROUP BY s
-                    HAVING count(*) <= $MaxDfShipped),
-           tr AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)
-                  WHERE e0.doc_id >= 20),
-           be AS (SELECT doc_id AS bench_id, n_sh AS n_b, s FROM e0
-                  WHERE doc_id < 20)
-           SELECT tr.doc_id, be.bench_id, count(*)::BIGINT AS shared_ngrams,
-             round(count(*)::DOUBLE / any_value(be.n_b), 6) AS overlap_frac
-           FROM tr JOIN be USING (s)
-           GROUP BY tr.doc_id, be.bench_id
-           HAVING count(*) >= 2
-           ORDER BY doc_id, bench_id""",
+      "q_contamination" -> ContaminationSql,
+
+      // the bloom-prefiltered path must be EXACTLY the plain path
+      "q_contamination_bloom" -> ContaminationSql,
+
+      "q_top_tokens" ->
+        s"""WITH toks AS (
+             SELECT doc_id, unnest(regexp_split_to_array($NormSql, ' ')) AS token
+             FROM documents),
+           agg AS (
+             SELECT token, count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+             FROM toks WHERE length(token) > 0 GROUP BY token),
+           top AS (
+             SELECT row_number() OVER (ORDER BY n_occurrences DESC, token)::INT AS rank,
+               token, n_occurrences, n_docs
+             FROM agg)
+           SELECT rank, token, n_occurrences, n_docs FROM top
+           WHERE rank <= 30 ORDER BY rank""",
+
+      "q_approx_distinct" ->
+        s"""SELECT source,
+             count(DISTINCT md5($NormSql))::BIGINT AS n_exact,
+             true AS hll_within_5pct
+           FROM documents GROUP BY source ORDER BY source""",
 
       "q_split" ->
         """WITH b AS (
@@ -1898,7 +2029,8 @@ object SparkEntry {
     "q_diagnostics", "q_lambda_bh", "q_minhash_dedup", "q_simhash_dedup",
     "q_ann_ivf", "q_ann_lsh", "q_slope_multitask", "q_slope_tiny",
     "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
-    "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask")
+    "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
+    "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier")
 
   private val GoldenDir = "/root/repo/golden"
 }

@@ -50,4 +50,35 @@ object CorpusStats {
     cum.groupBy(groupCol)
       .agg(max(col("n")).as("n_docs"), qCols: _*)
   }
+
+  /** Corpus-level top-`k` token frequencies (exact heavy hitters) over
+    * the normalized text: one explode + one groupBy count (map-side
+    * combine does the heavy lifting — the shuffle carries one row per
+    * DISTINCT token per map partition, not per occurrence), then a
+    * two-phase top-k: a per-partition `k`-row sort-limit prunes the
+    * tail before the single-partition final limit, so only
+    * partitions × k rows ever funnel to one task — never the full
+    * vocabulary. Deterministic total order: count desc, token asc.
+    * Emits (rank, token, n_occurrences, n_docs). `n_docs` is the
+    * document frequency (distinct docs containing the token), counted
+    * in the same aggregate via the pre-deduplicated per-doc token set.
+    */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // one row per (doc, distinct token): occurrence counts come from
+    // summing the per-doc count, doc frequency from counting rows
+    val perDoc = docs
+      .select(TextFunctions.normalizedWords(col(textCol)).as("__w"),
+        monotonically_increasing_id().as("__doc"))
+      .select(col("__doc"), explode(col("__w")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("__doc", "token").agg(count(lit(1)).as("__occ"))
+    val counts = perDoc.groupBy("token")
+      .agg(sum("__occ").as("n_occurrences"), count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("token"))
+    counts
+      .orderBy(col("n_occurrences").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("token"), col("n_occurrences"), col("n_docs"))
+  }
 }

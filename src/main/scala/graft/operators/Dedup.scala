@@ -291,15 +291,28 @@ object Dedup {
                     benchIdCol: String, benchTextCol: String,
                     n: Int = 3, minShared: Int = 2,
                     maxDf: Int = 1000): DataFrame = {
-    def shingled(df: DataFrame, id: String, text: String, out: String) =
-      df.select(col(id).as(out),
-        normalizedWords(col(text)).as("__w"))
-        .select(col(out),
-          array_distinct(shinglesFromWords(col("__w"), n)).as("sh"))
-        .select(col(out), size(col("sh")).as(s"n_$out"),
-          explode(col("sh")).as("s"))
-    val d = shingled(docs, idCol, textCol, "doc_id")
-    val b = shingled(bench, benchIdCol, benchTextCol, "bench_id")
+    val d = shingleExploded(docs, idCol, textCol, "doc_id", n)
+    val b = shingleExploded(bench, benchIdCol, benchTextCol, "bench_id", n)
+    contaminationCore(d, b, minShared, maxDf)
+  }
+
+  /** One row per (owner id, distinct shingle): (out, n_out, s). */
+  private def shingleExploded(df: DataFrame, id: String, text: String,
+                              out: String, n: Int): DataFrame =
+    df.select(col(id).as(out),
+      normalizedWords(col(text)).as("__w"))
+      .select(col(out),
+        array_distinct(shinglesFromWords(col("__w"), n)).as("sh"))
+      .select(col(out), size(col("sh")).as(s"n_$out"),
+        explode(col("sh")).as("s"))
+
+  /** Shared join-aggregate tail of [[contamination]] /
+    * [[bloomContamination]]: df-prune the doc side, inner-join the
+    * benchmark shingle index, count shared shingles per (doc, bench)
+    * pair. The doc-side repartition is the single exchange all three
+    * uses (df count, prune join, bench join) hang off. */
+  private def contaminationCore(d: DataFrame, b: DataFrame,
+                                minShared: Int, maxDf: Int): DataFrame = {
     val parted = d.repartition(col("s"))
     val keep = parted.groupBy("s").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).drop("__df")
@@ -311,6 +324,44 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("shared_ngrams"),
         (col("shared_ngrams").cast("double") / col("n_bench_id"))
           .as("overlap_frac"))
+  }
+
+  /** [[contamination]] with a broadcast Bloom-filter pre-filter on the
+    * training side — the 100-TB shape when the corpus dwarfs the
+    * benchmark: build a Bloom filter over the benchmark's distinct
+    * shingles (small by contract — eval sets are KBs-to-MBs), broadcast
+    * it, and drop every training-doc shingle that cannot match BEFORE
+    * the shuffle. The exchange then carries only probable hits (a few
+    * per contaminated doc + fpp noise) instead of every shingle of
+    * every training document — typically a 10^3-10^5x shuffle-volume
+    * cut on clean corpora.
+    *
+    * Result is IDENTICAL to [[contamination]] (hash-equal), not
+    * approximate: Bloom filters have no false negatives, false
+    * positives are removed by the exact inner join against the real
+    * benchmark index, and the df-prune is unaffected because a bloom
+    * decision is per shingle VALUE — a surviving shingle keeps all its
+    * rows, so its document frequency on the filtered stream equals its
+    * true df. The `might_contain` probe is a scalar UDF by necessity
+    * (Spark's BloomFilterMightContain expression is not public API);
+    * it sits on the map side before any exchange, off the
+    * whole-stage-codegen hot path's critical joins. */
+  def bloomContamination(docs: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         benchIdCol: String, benchTextCol: String,
+                         n: Int = 3, minShared: Int = 2,
+                         maxDf: Int = 1000, fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val b = shingleExploded(bench, benchIdCol, benchTextCol, "bench_id", n)
+    val distinctSh = b.select("s").distinct()
+    val nItems = math.max(distinctSh.count(), 1L) // small-side job by contract
+    val bloom = distinctSh.stat.bloomFilter("s", nItems, fpp)
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) =>
+      s != null && bcBloom.value.mightContainString(s))
+    val d = shingleExploded(docs, idCol, textCol, "doc_id", n)
+      .filter(mightContain(col("s")))
+    contaminationCore(d, b, minShared, maxDf)
   }
 
   /** Near-duplicate clusters from a candidate-pair table (id_a, id_b):
@@ -549,5 +600,51 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.dot(col("v_a"), col("v_b")).as("cosine"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means partition the embedding
+    * space, then EXACT cosine verification within each cluster only —
+    * the quadratic stage shrinks from n^2 to sum over clusters of
+    * |cluster|^2, and unlike sign-bit LSH the partition follows the
+    * data's own density, so semantically-close pairs co-locate even
+    * when they straddle random hyperplanes.
+    *
+    * Scale shape: centroids train driver-locally on a bounded
+    * hash-ordered sample and broadcast (`Similarity.trainQuantizer` —
+    * the IVF quantizer); assignment is a narrow map; the only shuffle
+    * is the self-join keyed on cluster id. Over-sized clusters are
+    * dropped before the join by the shared quadratic-skew guard
+    * (`maxCluster`), bounding candidate volume at
+    * n * (maxCluster - 1) / 2. At 100 TB, nClusters scales with corpus
+    * size (SemDeDup uses ~110k clusters for LAION) so |cluster| stays
+    * bounded; the plan is O(1) in nClusters either way.
+    *
+    * `nClusters = 1` degenerates to exact all-pairs cosine — the
+    * differential-test oracle. Emits (id_a, id_b, cluster, cosine),
+    * one row per pair (a pair lives in exactly one cluster, so no
+    * distinct is needed). */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       nClusters: Int, threshold: Double = 0.9,
+                       maxIter: Int = 10, maxCluster: Int = 100000,
+                       parallelism: Int = 0): DataFrame = {
+    val base = spread(df, parallelism)
+    val centers = Similarity.trainQuantizer(base, idCol, vecCol,
+      nClusters, maxIter)
+    val assigned = Similarity.assignNormalized(base, idCol, vecCol, centers)
+      .select(col("id"), col("v"), lit(0).as("band"),
+        col("cluster").cast("long").as("bucket"))
+    val pruned = pruneBuckets(assigned, maxCluster)
+    val left = pruned.select(col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val right = pruned.select(col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("bucket").cast("int").as("cluster"),
+        VectorFunctions.dot(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -319,4 +319,70 @@ object Similarity {
       .distinct()
     topKSelect(scored, k)
   }
+
+  /** Cluster assignment with pre-normalized vectors: one narrow
+    * mapPartitions over a broadcast centroid matrix, emitting
+    * (id, normalized vector, cluster, squared L2 to the centroid).
+    * Shared kernel of [[kmeansAssign]] and `Dedup.semanticDupPairs`.
+    * Argmin ties break to the smaller cluster index (same total order
+    * as [[nearestCells]]); normalization is [[normLocal]], so cosines
+    * computed downstream are bit-identical to the IVF/brute-force
+    * scores. Plan cost is O(1) in nClusters — the centroids travel as
+    * ONE broadcast, never as expression-tree literals. */
+  private[graft] def assignNormalized(df: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      centers: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centers)
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, raw) =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var s = 0.0; var j = 0
+            val cc = cs(c)
+            while (j < raw.length) { val t = raw(j) - cc(j); s += t * t; j += 1 }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          (id, normLocal(raw), best, bd)
+        }
+      }
+      .toDF("__id", "v", "cluster", "dist2")
+      .select(col("__id").cast(idType).as("id"), col("v"),
+        col("cluster"), col("dist2"))
+  }
+
+  /** K-means cluster assignment over an embedding column: centroids
+    * train driver-locally on a hash-ordered sample (the IVF quantizer,
+    * [[trainQuantizer]] — deterministic, layout-independent), then ship
+    * as one broadcast for a shuffle-free per-partition argmin. Returns
+    * (idCol, cluster, dist2) where dist2 is the row's squared L2
+    * distance to its centroid (the per-row inertia term). At 100 TB the
+    * cluster never shuffles: training reads a bounded sample, and
+    * assignment is a narrow map — the same shape whether nClusters is
+    * 8 or 65536. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   nClusters: Int, maxIter: Int = 10): DataFrame = {
+    val centers = trainQuantizer(df, idCol, vecCol, nClusters, maxIter)
+    assignNormalized(df, idCol, vecCol, centers)
+      .select(col("id").as(idCol), col("cluster"), col("dist2"))
+  }
+
+  /** Per-cluster summary — size, inertia (sum of squared distances),
+    * and mean squared distance. One narrow assignment map + one
+    * groupBy: after map-side combine only nClusters rows shuffle, so
+    * the aggregate is free at any corpus size. */
+  def kmeansClusterStats(df: DataFrame, idCol: String, vecCol: String,
+                         nClusters: Int, maxIter: Int = 10): DataFrame =
+    kmeansAssign(df, idCol, vecCol, nClusters, maxIter)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist2")).as("inertia"),
+        avg(col("dist2")).as("mean_dist2"))
 }

@@ -907,4 +907,138 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected cached token scans in:\n$plan")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  /** Clustered gaussian embedding fixture shared by the semantic-dedup
+    * and k-means tests. */
+  private def clusteredVecs(seed: Int, n: Int, nCenters: Int, dim: Int) = {
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rng.nextGaussian() * 3))
+    (0L until n.toLong).map { i =>
+      val c = centers(rng.nextInt(nCenters))
+      (i, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat))
+    }
+  }
+
+  /** Local all-pairs cosine oracle with the engine's exact arithmetic
+    * (left-fold norm, left-fold dot). */
+  private def bruteCosinePairs(vecs: Seq[(Long, Array[Float])],
+                               threshold: Double): Map[(Long, Long), Double] = {
+    def norm(v: Array[Double]) = {
+      val s = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      if (s == 0.0) v else v.map(_ / s)
+    }
+    val nv = vecs.map { case (id, v) => id -> norm(v.map(_.toDouble)) }
+    (for {
+      (a, va) <- nv; (b, vb) <- nv if a < b
+      cos = va.zip(vb).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      if cos >= threshold
+    } yield (a, b) -> cos).toMap
+  }
+
+  test("semantic dedup: nClusters=1 is exact all-pairs; k-means run is its same-cluster restriction") {
+    import spark.implicits._
+    val vecs = clusteredVecs(seed = 31, n = 120, nCenters = 4, dim = 12)
+    val df = vecs.toDF("vec_id", "embedding")
+    val thr = 0.8
+    val oracle = bruteCosinePairs(vecs, thr)
+
+    // degenerate single cluster == brute force (pairs AND values)
+    val all = Dedup.semanticDupPairs(df, "vec_id", "embedding",
+      nClusters = 1, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(all.keySet == oracle.keySet,
+      s"all-pairs mismatch: ${all.keySet.diff(oracle.keySet)} / ${oracle.keySet.diff(all.keySet)}")
+    all.foreach { case (k, c) =>
+      assert(math.abs(c - oracle(k)) < 1e-12, s"$k: $c vs ${oracle(k)}") }
+
+    // k-means run: exactly the oracle pairs whose endpoints share a
+    // cluster (no more, no less), and clusters agree with kmeansAssign
+    val assign = Similarity.kmeansAssign(df, "vec_id", "embedding", nClusters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sem = Dedup.semanticDupPairs(df, "vec_id", "embedding",
+      nClusters = 4, threshold = thr).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2), r.getDouble(3)))
+    val expected = oracle.keySet.filter { case (a, b) => assign(a) == assign(b) }
+    assert(sem.map(_._1).toSet == expected,
+      s"same-cluster restriction mismatch (got ${sem.length}, want ${expected.size})")
+    sem.foreach { case (k, cl, c) =>
+      assert(cl == assign(k._1), s"pair $k cluster $cl vs assignment ${assign(k._1)}")
+      assert(math.abs(c - oracle(k)) < 1e-12)
+    }
+    // on well-separated clusters the restriction loses little recall
+    assert(expected.size.toDouble >= 0.8 * oracle.size,
+      s"fixture should keep most pairs within clusters: ${expected.size}/${oracle.size}")
+  }
+
+  test("kmeans assign/stats: argmin distances verified locally, inertia adds up") {
+    import spark.implicits._
+    val vecs = clusteredVecs(seed = 37, n = 150, nCenters = 5, dim = 10)
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = Similarity.kmeansAssign(df, "vec_id", "embedding", nClusters = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == vecs.length)
+    // recompute the quantizer exactly and check each row's argmin+dist2
+    val centers = Similarity.trainQuantizer(df, "vec_id", "embedding", 5)
+    val byId = vecs.toMap
+    rows.foreach { case (id, cl, d2) =>
+      val v = byId(id).map(_.toDouble)
+      val dists = centers.map(c => v.zip(c).foldLeft(0.0) {
+        case (acc, (x, y)) => acc + (x - y) * (x - y) })
+      val best = dists.indexOf(dists.min)
+      assert(cl == best, s"id=$id assigned $cl, nearest is $best")
+      assert(math.abs(d2 - dists(best)) < 1e-9, s"id=$id dist2 $d2 vs ${dists(best)}")
+    }
+    val stats = Similarity.kmeansClusterStats(df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(stats.map(_._2).sum == vecs.length.toLong)
+    val inertia = stats.map(_._3).sum
+    val direct = rows.map(_._3).sum
+    assert(math.abs(inertia - direct) < 1e-6 * math.max(1.0, direct))
+  }
+
+  test("bloom contamination: hash-exact equal to the inverted-index path, even at fpp=0.5") {
+    import spark.implicits._
+    // bench items 1-2; doc 10 embeds bench-1's text, doc 11 shares a
+    // partial trigram overlap, 12-13 are clean
+    val bench = Seq(
+      (1L, "the standard benchmark question about gravity waves"),
+      (2L, "name the capital city of an imaginary country")).toDF("bid", "btext")
+    val docs = Seq(
+      (10L, "intro text then the standard benchmark question about gravity waves appears verbatim here"),
+      (11L, "an unrelated note that mentions the capital city of nowhere important"),
+      (12L, "completely clean training document with original content"),
+      (13L, "another clean document about spark physical plans")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "bench_id", "shared_ngrams", "overlap_frac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val exact = run(Dedup.contamination(docs, bench, "doc_id", "text",
+      "bid", "btext", n = 3, minShared = 2, maxDf = 1000))
+    assert(exact.nonEmpty && exact.exists(_._1 == 10L),
+      s"fixture must plant contamination: ${exact.mkString(";")}")
+    // fpp=0.5 floods the prefilter with false positives; the exact
+    // verify join must still reduce to the identical result
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloomed = run(Dedup.bloomContamination(docs, bench, "doc_id", "text",
+        "bid", "btext", n = 3, minShared = 2, maxDf = 1000, fpp = fpp))
+      assert(bloomed.sameElements(exact),
+        s"fpp=$fpp: ${bloomed.mkString(";")} vs ${exact.mkString(";")}")
+    }
+  }
+
+  test("top tokens: exact counts, doc frequency, deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Alpha beta beta gamma!"),
+      (2L, "alpha ALPHA delta"),
+      (3L, "beta gamma gamma zeta"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = CorpusStats.topTokens(docs, "text", k = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // occurrences: alpha 3, beta 3, gamma 3, delta 1, zeta 1
+    // tie at 3 breaks alphabetically; docfreq: alpha 2, beta 2, gamma 2
+    assert(got.toSeq == Seq(
+      (1, "alpha", 3L, 2L), (2, "beta", 3L, 2L),
+      (3, "gamma", 3L, 2L), (4, "delta", 1L, 1L)), got.mkString(";"))
+  }
 }
