@@ -291,6 +291,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((1L, 3L)),
       s"near-dup within TTL must pair against stored bucket state: $got")
   }
+
+  test("streaming model serving: batch-trained SLOPE scores a doc stream identically") {
+    // train-batch / serve-stream: SlopeServe.predictions is a pure
+    // projection (broadcast-free unrolled coefficient arithmetic), so
+    // the SAME serving call runs unchanged on a streaming DataFrame in
+    // append mode — no state, no watermark, per-row latency. Scores
+    // must be BIT-identical to the batch pass over the same rows.
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.slope.{Slope, SlopeParams, SlopeServe}
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(43)
+    val texts = (0L until 80L).map { i =>
+      val good = "the quick brown fox jumps over the lazy dog and runs far"
+      val bad = "ZZZZ 111 @@@@ ### !!!! 2222 XXXX"
+      (i, if (rng.nextBoolean()) good + s" extra$i" else bad + s" $i")
+    }
+    def featurize(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      array(TextFunctions.punctRatio(col("text")),
+        TextFunctions.stopwordRatio(col("text")),
+        TextFunctions.digitRatio(col("text")),
+        TextFunctions.meanWordLength(col("text"))).as("features"),
+      (TextFunctions.qualityScore(col("text")) >= lit(0.5))
+        .cast("double").as("label"))
+    val batch = featurize(texts.toDF("doc_id", "text"))
+    val m = Slope.fit(batch.select(col("features"), col("label")),
+      "features", "label", SlopeParams(family = "binomial", nSigma = 5))
+    def score(df: org.apache.spark.sql.DataFrame) =
+      SlopeServe.predictions(m, featurize(df), "features", Seq("response"))
+        .select(col("doc_id"),
+          element_at(element_at(col("response"), m.nSteps), 1).as("p"))
+    val expected = score(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val stream = MemoryStream[(Long, String)]
+    val q = score(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("serve_test")
+      .outputMode("append").start()
+    stream.addData(texts.take(40): _*)
+    q.processAllAvailable()
+    stream.addData(texts.drop(40): _*)
+    q.processAllAvailable()
+    val got = spark.table("serve_test").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    assert(got.size == expected.size)
+    expected.foreach { case (id, p) =>
+      assert(java.lang.Double.doubleToRawLongBits(p) ==
+        java.lang.Double.doubleToRawLongBits(got(id)),
+        s"doc $id: stream ${got(id)} != batch $p")
+    }
+  }
 }
 
 /** Small indirection so the streaming test compiles without importing
