@@ -546,6 +546,30 @@ object SparkEntry {
       graft.operators.CorpusStats.topTokens(docs(s, dir), "text", k = 30)
         .orderBy("rank")),
 
+    "q_approx_quantiles" -> ((s, dir) => {
+      // per-source token-length quantiles two ways: the exact
+      // histogram reduction (the oracle-checked number) and
+      // approx_percentile (the fixed-memory sketch a 100-TB profiler
+      // would run), certified within 10% relative at oracle scale
+      val lens = docs(s, dir).select(col("source"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("len"))
+      val exact = graft.operators.CorpusStats.lengthQuantiles(
+        docs(s, dir), "source", "text", Seq(0.5, 0.9))
+        .select(col("source"), col("p50"), col("p90"))
+      val approx = lens.groupBy("source").agg(
+        percentile_approx(col("len"), array(lit(0.5), lit(0.9)),
+          lit(10000)).as("ap"))
+        .select(col("source"), element_at(col("ap"), 1).as("ap50"),
+          element_at(col("ap"), 2).as("ap90"))
+      exact.join(approx, "source")
+        .select(col("source"), col("p50"), col("p90"),
+          (abs(col("ap50") - col("p50")) <= greatest(col("p50") * 0.1, lit(1.0)))
+            .as("p50_within_10pct"),
+          (abs(col("ap90") - col("p90")) <= greatest(col("p90") * 0.1, lit(1.0)))
+            .as("p90_within_10pct"))
+        .orderBy("source")
+    }),
+
     "q_approx_distinct" -> ((s, dir) => {
       // per-source distinct-document counts: exact (the oracle-checked
       // number) plus an HLL++ within-5% certificate — the O(1)-memory
@@ -1555,6 +1579,22 @@ object SparkEntry {
              min(CASE WHEN cum >= ceil(0.5 * n) THEN len END)::BIGINT AS p50,
              min(CASE WHEN cum >= ceil(0.9 * n) THEN len END)::BIGINT AS p90,
              min(CASE WHEN cum >= ceil(0.99 * n) THEN len END)::BIGINT AS p99
+           FROM c GROUP BY source ORDER BY source""",
+
+      "q_approx_quantiles" ->
+        s"""WITH t AS (
+             SELECT source, ($wcSql)::BIGINT AS len FROM documents),
+           h AS (SELECT source, len, count(*) AS cnt FROM t GROUP BY 1, 2),
+           c AS (
+             SELECT source, len, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY len
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS n
+             FROM h)
+           SELECT source,
+             min(CASE WHEN cum >= ceil(0.5 * n) THEN len END)::BIGINT AS p50,
+             min(CASE WHEN cum >= ceil(0.9 * n) THEN len END)::BIGINT AS p90,
+             true AS p50_within_10pct, true AS p90_within_10pct
            FROM c GROUP BY source ORDER BY source""",
 
       "q_seq_pack" ->

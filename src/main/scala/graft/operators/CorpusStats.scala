@@ -63,8 +63,11 @@ object CorpusStats {
     * document frequency (distinct docs containing the token), counted
     * in the same aggregate via the pre-deduplicated per-doc token set.
     */
-  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+  /** Corpus-wide (token, n_occurrences, n_docs) aggregate — the
+    * unranked core of [[topTokens]]. Batch-only: doc frequency needs
+    * the per-doc distinct aggregation first, and chained streaming
+    * aggregations are unsupported — streams use [[tokenOccurrences]]. */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame = {
     // one row per (doc, distinct token): occurrence counts come from
     // summing the per-doc count, doc frequency from counting rows
     val perDoc = docs
@@ -73,8 +76,27 @@ object CorpusStats {
       .select(col("__doc"), explode(col("__w")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("__doc", "token").agg(count(lit(1)).as("__occ"))
-    val counts = perDoc.groupBy("token")
+    perDoc.groupBy("token")
       .agg(sum("__occ").as("n_occurrences"), count(lit(1)).as("n_docs"))
+  }
+
+  /** Occurrence-only token counts: ONE keyed aggregation over the
+    * exploded token stream — the form a complete-mode STREAMING query
+    * supports (state = one row per distinct token, map-side combined
+    * per micro-batch). Batch result is identical to
+    * [[tokenCounts]]'s `n_occurrences` column. */
+  def tokenOccurrences(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.normalizedWords(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = tokenCounts(docs, textCol)
+    // the partition-less window runs AFTER the k-row limit: its input
+    // is the TakeOrderedAndProject survivor set (<= k rows already on
+    // one task), never the vocabulary — Spark's single-partition
+    // warning here is about k rows, by construction
     val w = Window.orderBy(col("n_occurrences").desc, col("token"))
     counts
       .orderBy(col("n_occurrences").desc, col("token")).limit(k)

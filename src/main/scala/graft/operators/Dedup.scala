@@ -628,7 +628,22 @@ object Dedup {
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
                        nClusters: Int, threshold: Double = 0.9,
                        maxIter: Int = 10, maxCluster: Int = 100000,
-                       parallelism: Int = 0): DataFrame = {
+                       parallelism: Int = 0): DataFrame =
+    semanticCandidates(df, idCol, vecCol, nClusters, maxIter, maxCluster,
+      parallelism)
+      .filter(col("cosine") >= threshold)
+
+  /** Candidate stage of [[semanticDupPairs]] (every same-cluster pair
+    * with its cosine, pre-threshold); package-private for the skew
+    * bound tests. Guard bound: a row meets at most `maxCluster - 1`
+    * partners in its (surviving) cluster, so candidate volume is at
+    * most n * (maxCluster - 1) / 2 regardless of how adversarially the
+    * corpus collapses into one cell. */
+  private[graft] def semanticCandidates(df: DataFrame, idCol: String,
+                                        vecCol: String, nClusters: Int,
+                                        maxIter: Int = 10,
+                                        maxCluster: Int = 100000,
+                                        parallelism: Int = 0): DataFrame = {
     val base = spread(df, parallelism)
     val centers = Similarity.trainQuantizer(base, idCol, vecCol,
       nClusters, maxIter)
@@ -645,6 +660,5 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         col("bucket").cast("int").as("cluster"),
         VectorFunctions.dot(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
   }
 }

@@ -215,4 +215,77 @@ class SkewSpec extends AnyFunSuite {
     info(s"embedding: candidates $guarded/$unguarded (bound $bound), " +
       s"lost ${lost.size} of ${pu.size} (all boilerplate-internal)")
   }
+
+  test("semantic dedup: maxCluster bounds candidate volume; losses confined to over-cap clusters") {
+    // Unlike the LSH guards (where a planted pair caught in the
+    // mega-bucket still collides in OTHER bands), a k-means cell is a
+    // pair's ONLY meeting place — so the guard's exact contract is:
+    // guarded output == unguarded output restricted to clusters with
+    // <= maxCluster members, bit-identical cosines included. That is
+    // what this test asserts, plus the closed-form volume bound and a
+    // seed-stable floor on planted-pair recall.
+    import spark.implicits._
+    val dim = 16; val nClusters = 16; val maxCluster = 60
+    val rng = new scala.util.Random(777)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 300 IDENTICAL vectors: k-means collapses several strided-init
+    // centroids onto them and puts them all in ONE cell — the
+    // mega-cluster the guard exists for. 20 near-parallel planted
+    // pairs (cos ~0.99), 60 unique random unit vectors.
+    val shared = unit()
+    val nBoilerVec = 300
+    val boiler = (0L until nBoilerVec.toLong).map(i => (i, shared.clone()))
+    val pairs = (0 until 20).flatMap { p =>
+      val a = unit()
+      val b = a.zipWithIndex.map { case (x, i) =>
+        (x + (if (i == 0) 0.15f else 0.0f)) }
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      Seq((1000L + 2 * p, a), (1001L + 2 * p, b.map(x => (x / nb).toFloat)))
+    }
+    val unique = (0 until 60).map(d => (2000L + d, unit()))
+    val vdf = (boiler ++ pairs ++ unique).toDF("vec_id", "embedding")
+    val nVecs = nBoilerVec + 40 + 60
+
+    def candMap(maxC: Int): Map[(Long, Long), (Int, Double)] =
+      Dedup.semanticCandidates(vdf, "vec_id", "embedding",
+        nClusters = nClusters, maxCluster = maxC).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getInt(2), r.getDouble(3))).toMap
+    val candU = candMap(Int.MaxValue)
+    val candG = candMap(maxCluster)
+
+    val bound = nVecs.toLong * (maxCluster - 1) / 2
+    assert(candG.size <= bound,
+      s"guarded candidates ${candG.size} > bound $bound")
+    assert(candU.size > bound * 2,
+      s"fixture not adversarial enough: unguarded ${candU.size} vs bound $bound")
+
+    // cluster membership counts, recovered from the unguarded pairs
+    // (every member of a cluster of size >= 2 appears in some pair)
+    val clusterSize: Map[Int, Int] = candU.toSeq
+      .flatMap { case ((a, b), (c, _)) => Seq(c -> a, c -> b) }
+      .distinct.groupBy(_._1).map { case (c, m) => c -> m.size }
+    val overCap = clusterSize.filter(_._2 > maxCluster).keySet
+    assert(overCap.nonEmpty, "fixture produced no over-cap cluster")
+
+    // exact contract: drop over-cap clusters from the unguarded
+    // output and you get the guarded output, cosines bit-identical
+    val expected = candU.filter { case (_, (c, _)) => !overCap(c) }
+    assert(candG == expected,
+      s"guarded != unguarded-minus-overcap: sizes ${candG.size} vs ${expected.size}")
+
+    // recall floor (deterministic under seed 777): planted pairs that
+    // avoided the mega-cluster survive the guard
+    val surviving = plantedPairs.filter(p =>
+      candG.get(p).exists(_._2 >= 0.9))
+    assert(surviving.size >= 10,
+      s"fixture too hard: only ${surviving.size}/20 planted pairs survive the guard")
+    info(s"semantic: candidates ${candG.size}/${candU.size} (bound $bound), " +
+      s"over-cap clusters ${overCap.map(clusterSize).toSeq.sorted.mkString(",")}, " +
+      s"planted recall ${surviving.size}/20")
+  }
 }

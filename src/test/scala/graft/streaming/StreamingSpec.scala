@@ -344,6 +344,36 @@ class StreamingSpec extends AnyFunSuite {
         s"doc $id: stream ${got(id)} != batch $p")
     }
   }
+
+  test("streaming token counts: complete-mode aggregation equals batch across batches") {
+    // corpus heavy-hitter counting as a stream: one keyed aggregation
+    // (state = one row per distinct token) in complete output mode —
+    // the streaming face of CorpusStats.tokenOccurrences. Counts after
+    // two micro-batches must equal one batch pass over the union.
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"), (2L, "alpha ALPHA delta"),
+      (3L, "beta gamma gamma zeta"), (4L, ""), (5L, "Alpha, beta!"))
+    val expected = CorpusStats.tokenOccurrences(
+      docs.toDF("doc_id", "text"), "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val stream = MemoryStream[(Long, String)]
+    val q = CorpusStats.tokenOccurrences(
+      stream.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("tok_test")
+      .outputMode(OutputModeComplete.mode).start()
+    stream.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("tok_test").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(got == expected, s"stream $got vs batch $expected")
+  }
 }
 
 /** Small indirection so the streaming test compiles without importing
