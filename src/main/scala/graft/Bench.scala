@@ -52,21 +52,32 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val g0 = gcMillis
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed rep is recorded as -1, NEVER as the elapsed time: the
+      // r7 bench logged q_events_window's 0.06s time-to-AnalysisException
+      // as if it were a measurement.
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                 false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val gc = gcMillis - g0
       System.err.println(f"[bench] $name%-22s rep$rep $dt%8.2fs gc=${gc}ms")
       samples(name) = samples(name) :+ dt
       gcSamples(name) = gcSamples(name) :+ gc
     }
+    // aggregate over SUCCESSFUL reps only; a query whose reps all
+    // failed reports -1 across median/min/max (an explicit sentinel,
+    // not a plausible-looking wall time) and is excluded from `total`
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = names.map(n => (n, samples(n)))
-    def fmt(f: List[Double] => Double) = results
-      .map { case (k, xs) => s"\"" + k + "\":" + f(xs) }.mkString("{", ",", "}")
+    def fmt(f: List[Double] => Double) = results.map { case (k, xs) =>
+      val ok = xs.filter(_ >= 0)
+      s"\"" + k + "\":" + (if (ok.isEmpty) -1.0 else f(ok))
+    }.mkString("{", ",", "}")
     val qs = fmt(median)
     val qmin = fmt(_.min)
     val qmax = fmt(_.max)
@@ -76,7 +87,12 @@ object Bench {
     val qgc = names.map(n =>
       s"\"" + n + "\":" + gcSamples(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val total = results.map { case (_, xs) => median(xs) }.sum
+    val failedNames = results.collect {
+      case (k, xs) if xs.forall(_ < 0) => k }
+    val total = results.flatMap { case (_, xs) =>
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) None else Some(median(ok))
+    }.sum
     // dedup scaling curve (1x/3x/10x corpus, min of SCALING_REPS —
     // min is the spike-robust statistic for a log-log fit; a single
     // contention spike would otherwise bend the exponent): ~1 linear,
@@ -118,7 +134,8 @@ object Bench {
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
       else "{}"
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"isolation":$isolationJson}"""
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"isolation":$isolationJson}"""
     println(json)
     // stdout can be truncated by the harness (BENCH_r04 lost the first
     // ~12 query medians); the file is the machine-complete artifact

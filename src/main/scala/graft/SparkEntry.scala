@@ -760,10 +760,17 @@ object SparkEntry {
 
     // ---- events: relational windowed aggregation ----
     "q_events_window" -> ((s, dir) => {
-      // ts arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong)
-      val hourSec = (col("ts") / 1000000000L).cast("long") -
-        pmod((col("ts") / 1000000000L).cast("long"), lit(3600L))
-      events(s, dir)
+      // ts may be a native timestamp (timestamp[us] fixture) or long
+      // nanos (nanosAsLong reads of older fixtures) — dispatch on the
+      // actual schema, exactly as EventStreams.windowedTypeCounts does.
+      val ev = events(s, dir)
+      val tsSec = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (col("ts") / 1000000000L).cast("long")
+        case _ => unix_timestamp(col("ts"))
+      }
+      val hourSec = tsSec - pmod(tsSec, lit(3600L))
+      ev
         .groupBy(date_format(timestamp_seconds(hourSec), "yyyy-MM-dd HH:mm:ss")
           .as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
