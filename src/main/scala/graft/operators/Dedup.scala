@@ -78,15 +78,31 @@ object Dedup {
     minhashFromHashes(
       transform(shinglesFromWords(wordsCol, n), s => xxhash64(s)), numHashes)
 
-  private def minhashFromHashes(baseHashes: Column, numHashes: Int): Column = {
-    val rng = new scala.util.Random(0x5eed)
-    val lanes = Array.fill(numHashes)((1 + rng.nextInt(62), rng.nextLong()))
-    array(lanes.map { case (rot, mask) =>
+  private[graft] def minhashFromHashes(baseHashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(graft.functions.MinhashSig(
+      ColumnShim.expression(baseHashes), numHashes))
+  }
+
+  /** Higher-order-function formulation of the signature; kept as the
+    * independent semantics anchor for the bit-identity test against
+    * the codegen'd [[graft.functions.MinhashSig]] kernel (same pattern
+    * as VectorFunctions.dot / dotHof). */
+  private[graft] def minhashFromHashesHof(baseHashes: Column,
+                                          numHashes: Int): Column = {
+    val (rots, masks) = graft.functions.MinhashSig.lanes(numHashes)
+    array((0 until numHashes).map { k =>
       array_min(transform(baseHashes, h =>
-        (shiftleft(h, rot).bitwiseOR(shiftrightunsigned(h, 64 - rot)))
-          .bitwiseXOR(lit(mask))))
+        (shiftleft(h, rots(k)).bitwiseOR(shiftrightunsigned(h, 64 - rots(k))))
+          .bitwiseXOR(lit(masks(k)))))
     }: _*)
   }
+
+  /** HOF-anchored variant of [[minhashSignature]] (tests only). */
+  private[graft] def minhashSignatureHof(wordsCol: Column, n: Int,
+                                         numHashes: Int): Column =
+    minhashFromHashesHof(
+      transform(shinglesFromWords(wordsCol, n), s => xxhash64(s)), numHashes)
 
   /** Candidate near-duplicate pairs via banded MinHash LSH.
     *

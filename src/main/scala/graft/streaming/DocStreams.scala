@@ -82,7 +82,6 @@ object DocStreams {
       }.toDF()
   }
 
-  case class BucketMembers(ids: Seq[Long], sigs: Seq[Seq[Long]])
   case class PairOut(id_a: Long, id_b: Long, est_jaccard: Double)
 
   /** Streaming MinHash-LSH near-dup pairs: the stream-side of
@@ -150,29 +149,54 @@ object DocStreams {
 
     val timeoutConf = if (stateTtlMs.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    // State is a PACKED byte blob per bucket: nMembers records of
+    // [id:8B][sig: numHashes×8B], big-endian. The round-7 profile put
+    // the residual per-trigger cost in (de)serializing the
+    // BucketMembers product encoder (Seq[Seq[Long]]) for every touched
+    // bucket every batch; a BinaryType state value round-trips through
+    // the store as-is, and scoring reads longs at absolute offsets
+    // with zero per-member allocation.
+    val rec = 8 * (1 + numHashes)
     banded.groupByKey(r => (r._2, r._3))
-      .flatMapGroupsWithState[BucketMembers, PairOut](
+      .flatMapGroupsWithState[Array[Byte], PairOut](
         OutputMode.Append(), timeoutConf) {
-        case (key, rows, state: GroupState[BucketMembers])
+        case (key, rows, state: GroupState[Array[Byte]])
           if state.hasTimedOut =>
           // bucket idle past TTL: evict its members (buckets receiving
           // data this batch are invoked with hasTimedOut = false)
           state.remove()
           Iterator.empty
-        case (key, rows, state: GroupState[BucketMembers]) =>
+        case (key, rows, state: GroupState[Array[Byte]]) =>
           val myBand = key._1
+          val batch = rows.toArray
+          // ascend by id within the micro-batch (deterministic, and a
+          // single-batch run then matches the batch id_a < id_b pairs)
+          java.util.Arrays.sort(batch,
+            Ordering.by[(Long, Int, Long, Seq[Long]), Long](_._1))
+          val stored = state.getOption.getOrElse(Array.emptyByteArray)
+          var nMembers = stored.length / rec
+          // one allocation per touched bucket per batch: old members +
+          // room for this batch's arrivals (capped at maxBucket)
+          val room = math.min(maxBucket,
+            nMembers + batch.length)
+          val buf = java.nio.ByteBuffer
+            .allocate(room * rec).order(java.nio.ByteOrder.BIG_ENDIAN)
+          buf.put(stored, 0, nMembers * rec)
+          buf.position(0) // asLongBuffer views from the CURRENT position
+          val lb = buf.asLongBuffer() // long view over ALL members
+          val stride = 1 + numHashes
           // first band whose signature slices are equal — every bucket
           // holding both members computes the same value, so exactly
           // one (that band's bucket) emits the pair; -1 = none (pure
           // bucket-hash collision), where the scoring bucket emits
-          def minCollidingBand(a: Seq[Long], b: Seq[Long]): Int = {
+          def minCollidingBand(sg: Array[Long], base: Int): Int = {
             var j = 0
             while (j < bands) {
               var k = j * rowsPerBand
               val end = k + rowsPerBand
               var eq = true
               while (eq && k < end) {
-                if (a(k) != b(k)) eq = false
+                if (sg(k) != lb.get(base + 1 + k)) eq = false
                 k += 1
               }
               if (eq) return j
@@ -180,50 +204,50 @@ object DocStreams {
             }
             -1
           }
-          val stored = state.getOption.getOrElse(BucketMembers(Nil, Nil))
-          // List head-prepends keep every member insertion O(1) (a
-          // `Seq :+` append copied the whole member list per arrival —
-          // O(B^2) over a bucket's lifetime); the stored Seq is
-          // converted once per micro-batch, not once per arrival.
-          // Member order (newest-first) does not affect the pair SET:
-          // each arrival is scored against every stored member and the
-          // pair is min/max-normalized.
-          var ids: List[Long] = stored.ids.toList
-          var sigs: List[Seq[Long]] = stored.sigs.toList
-          var nMembers = ids.length
           val out = scala.collection.mutable.ArrayBuffer[PairOut]()
-          // ascend by id within the micro-batch (deterministic, and a
-          // single-batch run then matches the batch id_a < id_b pairs)
-          rows.toSeq.sortBy(_._1).foreach { case (id, _, _, sg) =>
+          var appended = 0
+          var bi = 0
+          while (bi < batch.length) {
             if (nMembers < maxBucket) {
-              var idIt = ids
-              var sgIt = sigs
-              while (idIt.nonEmpty) {
-                val other = idIt.head
+              val id = batch(bi)._1
+              val sg = batch(bi)._4.toArray
+              var m0 = 0
+              while (m0 < nMembers) {
+                val base = m0 * stride
+                val other = lb.get(base)
                 if (other != id) {
-                  val os = sgIt.head
                   var m = 0
                   var k = 0
                   while (k < numHashes) {
-                    if (os(k) == sg(k)) m += 1
+                    if (lb.get(base + 1 + k) == sg(k)) m += 1
                     k += 1
                   }
                   val est = m.toDouble / numHashes
                   if (est >= threshold) {
-                    val mb = minCollidingBand(os, sg)
+                    val mb = minCollidingBand(sg, base)
                     if (mb == myBand || mb < 0)
                       out += PairOut(math.min(id, other), math.max(id, other), est)
                   }
                 }
-                idIt = idIt.tail
-                sgIt = sgIt.tail
+                m0 += 1
               }
-              ids = id :: ids
-              sigs = sg :: sigs
+              // append the arrival so later batch-mates score against it
+              val base = nMembers * stride
+              lb.put(base, id)
+              var k = 0
+              while (k < numHashes) { lb.put(base + 1 + k, sg(k)); k += 1 }
               nMembers += 1
+              appended += 1
             }
+            bi += 1
           }
-          state.update(BucketMembers(ids, sigs))
+          // skip the state rewrite when nothing was appended (bucket at
+          // cap): scoring is stateless wrt stored members
+          if (appended > 0) {
+            val arr = new Array[Byte](nMembers * rec)
+            buf.position(0); buf.get(arr)
+            state.update(arr)
+          }
           stateTtlMs.foreach(state.setTimeoutDuration)
           out.iterator
       }.toDF()

@@ -64,6 +64,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhash signature kernel is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    // varied inputs, including a doc too short for any 3-shingle
+    // (empty base hashes -> every lane null in BOTH formulations)
+    val rows = corpus :+ (7L -> "ab") :+ (8L -> "one two three four")
+    val df = docsDf(rows)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normalizedWords(col("text")).as("w"))
+    val fast = df.select(col("doc_id"),
+      Dedup.minhashSignature(col("w"), 3, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val hof = df.select(col("doc_id"),
+      Dedup.minhashSignatureHof(col("w"), 3, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(fast.keySet == hof.keySet)
+    fast.foreach { case (id, sig) =>
+      assert(sig == hof(id), s"signature mismatch for doc $id") }
+    // empty base-hash array: every lane null in BOTH formulations
+    // (array_min(empty) = null), not a null/missing signature
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("h")
+    val fe = empty.select(Dedup.minhashFromHashes(col("h"), 8).as("sig"))
+      .collect().head.getSeq[Any](0)
+    val he = empty.select(Dedup.minhashFromHashesHof(col("h"), 8).as("sig"))
+      .collect().head.getSeq[Any](0)
+    assert(fe == he && fe.length == 8 && fe.forall(_ == null))
+  }
+
   test("simhash: identical normalized text -> identical hash; near text -> small hamming") {
     import spark.implicits._
     val h = docsDf(corpus).select(col("doc_id"),
