@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
 object BenchScale10 {
 
   val Queries = Seq("q_slope_fit_dist", "q_slope_binom_dist", "q_auc",
-    "q_pipeline", "q_sessionize", "q_star_join")
+    "q_pipeline", "q_sessionize", "q_star_join",
+    // round-8: the two heaviest LLM-pipeline operators — the learned
+    // filter's fit cost (distributed gradient passes, expected ~1.0)
+    // and the broadcast-bloom decontamination (doc side never
+    // shuffles, expected well under 1.0)
+    "q_quality_classifier", "q_contamination_bloom")
 
   private val KeyOff = 100000000L
 

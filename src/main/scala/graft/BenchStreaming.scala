@@ -80,6 +80,38 @@ object BenchStreaming {
     sb.toString
   }
 
+  /** Token-count (occurrences + doc frequency) stream throughput: each
+    * doc explodes to ~30 tokens over a 5000-word vocabulary, so state
+    * converges to the vocabulary size while every batch updates most
+    * of it — the steady-state shape of corpus profiling on a stream. */
+  def benchTokenCounts(spark: SparkSession, batches: Int,
+                       batchSize: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.DocStreams
+      .streamingTokenCounts(docs)
+      .writeStream.format("memory").queryName("bench_tokdf")
+      .outputMode("update").start()
+    try {
+      var k = 0L
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        val batch = Array.tabulate(batchSize)(i => (k + i, docText(k + i, 30)))
+        k += batchSize
+        stream.addData(batch.toIndexedSeq)
+        out.processAllAvailable()
+        b += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = batches.toLong * batchSize
+      Result("token_counts_stream", rows, batches, dt, rows / dt,
+        stateRowsOf(out))
+    } finally { out.stop(); spark.sql("DROP TABLE IF EXISTS bench_tokdf") }
+  }
+
   /** MinHash-LSH near-dup pair stream throughput: every doc is
     * signatured (n-gram shingles -> 32 hashes), banded into 8 bucket
     * states, scored against stored members. ~6% of docs are exact
@@ -143,7 +175,9 @@ object BenchStreaming {
       // stays comparable.
       val mBig = benchMinhash(spark, batches = 10, batchSize = 1000)
         .copy(name = "minhash_pairs_stream_1k")
-      Seq(s, m, mBig)
+      benchTokenCounts(spark, batches = 2, batchSize = 200) // warm
+      val t = benchTokenCounts(spark, batches = 10, batchSize = 1000)
+      Seq(s, m, mBig, t)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

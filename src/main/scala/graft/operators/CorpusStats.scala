@@ -64,9 +64,12 @@ object CorpusStats {
     * in the same aggregate via the pre-deduplicated per-doc token set.
     */
   /** Corpus-wide (token, n_occurrences, n_docs) aggregate — the
-    * unranked core of [[topTokens]]. Batch-only: doc frequency needs
-    * the per-doc distinct aggregation first, and chained streaming
-    * aggregations are unsupported — streams use [[tokenOccurrences]]. */
+    * unranked core of [[topTokens]]. Batch-only as written: doc
+    * frequency needs the per-doc distinct aggregation first, and
+    * chained streaming aggregations are unsupported. Streams get the
+    * SAME output from `DocStreams.streamingTokenCounts` (one
+    * flatMapGroupsWithState with per-batch doc dedup, parity-tested)
+    * or occurrence-only counts from [[tokenOccurrences]]. */
   def tokenCounts(docs: DataFrame, textCol: String): DataFrame = {
     // one row per (doc, distinct token): occurrence counts come from
     // summing the per-doc count, doc frequency from counting rows

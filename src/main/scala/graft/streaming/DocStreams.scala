@@ -84,6 +84,56 @@ object DocStreams {
 
   case class PairOut(id_a: Long, id_b: Long, est_jaccard: Double)
 
+  case class TokenCountOut(token: String, n_occurrences: Long, n_docs: Long)
+
+  /** Streaming (token, n_occurrences, n_docs) counts — the streaming
+    * face of `CorpusStats.tokenCounts`, which is batch-only because
+    * doc frequency needs a per-doc distinct aggregation BEFORE the
+    * per-token one and chained streaming aggregations are unsupported.
+    * One `flatMapGroupsWithState` keyed by token replaces the chain:
+    * the group function dedups doc ids within the arriving batch
+    * (documents are atomic per micro-batch and arrive once, so
+    * per-batch distinct doc counts sum to the corpus doc frequency)
+    * and adds to the running (occurrences, docs) state — state is two
+    * longs per distinct token, the minimum for exact df.
+    *
+    * Emits the UPDATED cumulative row for every token that received
+    * data in the batch (Update output semantics); counts are
+    * monotone, so the latest row per token is the current answer and
+    * `max` per token reconciles a replayed log. `stateTtlMs` bounds
+    * state for unbounded vocabularies exactly as in
+    * [[streamingDupMap]] (idle tokens evicted, their counts restart);
+    * TTL mode requires a processing-time trigger interval. */
+  def streamingTokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           stateTtlMs: Option[Long] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDocToken = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextFunctions.normalizedWords(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .as[(Long, String)]
+    val timeoutConf = if (stateTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    perDocToken.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), TokenCountOut](
+        OutputMode.Update(), timeoutConf) {
+        case (_, _, state: GroupState[(Long, Long)]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (token, rows, state: GroupState[(Long, Long)]) =>
+          var occ = 0L
+          val docsSeen = scala.collection.mutable.HashSet.empty[Long]
+          rows.foreach { r => occ += 1; docsSeen += r._1 }
+          val (o0, d0) = state.getOption.getOrElse((0L, 0L))
+          val next = (o0 + occ, d0 + docsSeen.size)
+          state.update(next)
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          Iterator(TokenCountOut(token, next._1, next._2))
+      }.toDF()
+  }
+
   /** Streaming MinHash-LSH near-dup pairs: the stream-side of
     * `Dedup.minhashDupPairs`, emitting each qualifying (id_a, id_b,
     * est_jaccard) exactly once as the later document arrives.

@@ -374,6 +374,44 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(got == expected, s"stream $got vs batch $expected")
   }
+
+  test("streaming token counts with doc frequency equal batch tokenCounts") {
+    // the flatMapGroupsWithState replacement for the unsupported
+    // chained streaming aggregation: per-token (occurrences, doc
+    // frequency) state, batch-side per-doc dedup inside the group
+    // function. Counts are monotone, so max per token over the update
+    // stream equals the final state — compared against the batch
+    // tokenCounts oracle over the same corpus, split across batches.
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"), (2L, "alpha ALPHA delta"),
+      (3L, "beta gamma gamma zeta"), (4L, ""), (5L, "Alpha, beta!"))
+    val expected = CorpusStats.tokenCounts(
+      docs.toDF("doc_id", "text"), "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.streamingTokenCounts(
+      stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("tokdf_test")
+      .outputMode("update").start()
+    stream.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("tokdf_test")
+      .groupBy("token")
+      .agg(org.apache.spark.sql.functions.max("n_occurrences").as("o"),
+        org.apache.spark.sql.functions.max("n_docs").as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    assert(got == expected, s"stream $got vs batch $expected")
+    // cross-batch accumulation actually happened (alpha spans batches)
+    assert(got("alpha") == ((4L, 3L)))
+    assert(got("beta") == ((4L, 3L)))
+  }
 }
 
 /** Small indirection so the streaming test compiles without importing
