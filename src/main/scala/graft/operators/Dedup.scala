@@ -179,7 +179,17 @@ object Dedup {
 
   /** Per-bit sign votes folded to the 64-bit fingerprint; expects an
     * already-materialized array of word hashes (see [[simhash64]]). */
-  private def simhashFromHashes(hashes: Column): Column =
+  private[graft] def simhashFromHashes(hashes: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(graft.functions.SimhashFp(
+      ColumnShim.expression(hashes)))
+  }
+
+  /** Higher-order-function formulation of the fingerprint; kept as the
+    * independent semantics anchor for the bit-identity test against
+    * the codegen'd [[graft.functions.SimhashFp]] kernel (64
+    * interpreted aggregate passes — tests only). */
+  private[graft] def simhashFromHashesHof(hashes: Column): Column =
     (0 until 64).map { b =>
       val vote = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -91,6 +91,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fe == he && fe.length == 8 && fe.forall(_ == null))
   }
 
+  test("simhash fingerprint kernel is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    val df = docsDf(corpus :+ (7L -> "") :+ (8L -> "x"))
+      .select(col("doc_id"),
+        transform(split(graft.functions.TextFunctions.normalizeText(col("text")), " "),
+          w => xxhash64(w)).as("h"))
+    val fast = df.select(col("doc_id"),
+      Dedup.simhashFromHashes(col("h")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = df.select(col("doc_id"),
+      Dedup.simhashFromHashesHof(col("h")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == hof)
+    // edge semantics pinned: null array -> 0, null element votes -1
+    // on every bit, empty array -> 0 — all matching the HOF form
+    val edges = Seq(
+      (1L, null.asInstanceOf[Seq[Long]]),
+      (2L, Seq.empty[Long]),
+      (3L, Seq(-1L)), // all bits set: votes +1 everywhere -> all ones
+      (4L, Seq(0L, 0L, -1L))) // 0-majority: every bit votes net -1
+      .toDF("id", "h")
+    val fe = edges.select(col("id"), Dedup.simhashFromHashes(col("h")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val he = edges.select(col("id"), Dedup.simhashFromHashesHof(col("h")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fe == he)
+    assert(fe(1L) == 0L && fe(2L) == 0L && fe(3L) == -1L && fe(4L) == 0L)
+  }
+
   test("simhash: identical normalized text -> identical hash; near text -> small hamming") {
     import spark.implicits._
     val h = docsDf(corpus).select(col("doc_id"),
