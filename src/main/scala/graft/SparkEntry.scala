@@ -1284,6 +1284,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q_webm_blocks" -> ((s, dir) => {
+      // WebM sibling of q_video_samples: walk the Matroska Cluster
+      // tree (Timestamp + SimpleBlock AND BlockGroup/Block grammars)
+      // and emit per-track block count, cluster count, total frame
+      // bytes, and first/last absolute block timestamps — per-sample
+      // stream stats for the second stubbed container, still with no
+      // codec. Oracle recomputes the closed-form cluster tables.
+      val ids = docs(s, dir).filter(col("doc_id") < 40).select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.syntheticWebmMedia(ids, "doc_id")
+      graft.multimodal.Multimodal.withWebmBlockStats(media, "payload")
+        .select(col("media_id"), col("track_id"), col("n_clusters"),
+          col("n_blocks"), col("total_bytes"), col("first_ts_ms"),
+          col("last_ts_ms"))
+        .orderBy("media_id", "track_id")
+    }),
+
     "q_video_frames" -> ((s, dir) => {
       // REAL video codec end-to-end: deterministic animated GIFs
       // (indexed-gray -> lossless) encoded AND decoded partition-
@@ -2050,6 +2066,26 @@ object SparkEntry {
              (32 + doc_id % 16)::INT AS width,
              (18 + doc_id % 9)::INT AS height
            FROM documents WHERE doc_id < 40 ORDER BY doc_id""",
+
+      "q_webm_blocks" ->
+        """WITH d AS (
+             SELECT doc_id AS media_id, 2 + doc_id % 3 AS nc
+             FROM documents WHERE doc_id < 40),
+           c AS (SELECT unnest(range(4)) AS c),
+           j AS (SELECT unnest(range(5)) AS j),
+           b AS (
+             SELECT media_id, nc, c, j,
+               50 + (media_id + c + j) % 40 AS fb,
+               c * 500 + j * 10 AS ts
+             FROM d, c, j
+             WHERE c < nc AND j < 3 + (media_id + c) % 3)
+           SELECT media_id, 1::BIGINT AS track_id,
+             any_value(nc)::INT AS n_clusters,
+             count(*)::INT AS n_blocks,
+             sum(fb)::BIGINT AS total_bytes,
+             min(ts)::BIGINT AS first_ts_ms,
+             max(ts)::BIGINT AS last_ts_ms
+           FROM b GROUP BY media_id ORDER BY media_id, track_id""",
 
       "q_video_frames" ->
         """WITH d AS (

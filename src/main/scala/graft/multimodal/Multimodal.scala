@@ -890,7 +890,28 @@ object Multimodal {
     val video = el(Array(0xE0),
       el(Array(0xB0), uint(w)) ++ el(Array(0xBA), uint(h)))
     val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B), el(Array(0xAE), video))
-    val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    // Clusters with closed-form block tables (mirrored by the
+    // q_webm_blocks oracle): nc clusters at 500 ms spacing, each with
+    // nb blocks at 10 ms relative spacing on track 1; frame sizes
+    // 50 + (id+c+j)%40. Block 0 of each cluster is a BlockGroup-wrapped
+    // Block, the rest SimpleBlocks — both grammars, same closed form.
+    val nc = (2 + id % 3).toInt
+    val clusters = (0 until nc).map { c =>
+      val nb = (3 + (id + c) % 3).toInt
+      val blocks = (0 until nb).map { j =>
+        val fb = (50 + (id + c + j) % 40).toInt
+        // block payload: track vint (0x81 = 1), int16 relative ts,
+        // flags 0x00, then fb frame bytes
+        val body = Array[Byte](0x81.toByte,
+          ((j * 10) >> 8).toByte, ((j * 10) & 0xFF).toByte, 0x00) ++
+          Array.tabulate(fb)(i => ((id + c + j + i) & 0x7F).toByte)
+        if (j == 0) el(Array(0xA0), el(Array(0xA1), body)) // BlockGroup
+        else el(Array(0xA3), body) // SimpleBlock
+      }.reduce(_ ++ _)
+      el(Array(0x1F, 0x43, 0xB6, 0x75),
+        el(Array(0xE7), uint(c * 500L)) ++ blocks)
+    }.reduce(_ ++ _)
+    val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ clusters)
     ebml ++ segment
   }
 
@@ -956,6 +977,141 @@ object Multimodal {
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         }
+      }
+    }(enc)
+  }
+
+  /** Per-track block statistics from a Matroska/WebM Cluster walk. */
+  final case class WebmTrackStats(trackId: Long, nClusters: Int,
+    nBlocks: Int, totalBytes: Long, firstTsMs: Long, lastTsMs: Long)
+
+  /** CODEC-FREE per-block statistics for WebM/Matroska: walk the
+    * Segment's Cluster elements (public Matroska spec — Cluster
+    * Timestamp, SimpleBlock, and BlockGroup/Block; block header =
+    * track vint + int16 relative timestamp + flags) and emit, per
+    * track: block count, cluster count, total frame bytes (block
+    * payload minus header), and first/last absolute block timestamps
+    * (cluster timestamp + block relative, in TimestampScale units —
+    * ms at the default scale). The WebM sibling of
+    * [[parseMp4SampleStats]]: everything a demuxer knows about the
+    * media stream without touching a codec. Returns Nil for payloads
+    * that are not a parseable EBML tree with at least one block. */
+  def parseWebmBlockStats(payload: Array[Byte]): Seq[WebmTrackStats] = {
+    if (payload == null || payload.length < 8) return Nil
+    def vint(at: Int, keepMarker: Boolean): (Long, Int) = {
+      if (at >= payload.length) return null
+      val first = payload(at) & 0xFF
+      if (first == 0) return null
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (at + len > payload.length) return null
+      var v = if (keepMarker) first.toLong
+        else first.toLong & ((1L << (8 - len)) - 1)
+      var i = 1
+      while (i < len) { v = (v << 8) | (payload(at + i) & 0xFF); i += 1 }
+      (v, len)
+    }
+    def uintAt(ps: Int, pe: Int): Long = {
+      var v = 0L
+      var i = ps
+      while (i < pe) { v = (v << 8) | (payload(i) & 0xFF); i += 1 }
+      v
+    }
+    def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Boolean = {
+      var at = from
+      while (at < to) {
+        val id = vint(at, keepMarker = true)
+        if (id == null) return false
+        val sz = vint(at + id._2, keepMarker = false)
+        if (sz == null) return false
+        val ps = at + id._2 + sz._2
+        // Long-domain bound check BEFORE narrowing (same hostile-size
+        // guard as parseWebmMeta)
+        if (sz._1 < 0 || sz._1 > (to - ps).toLong) return false
+        val pe = ps + sz._1.toInt
+        f(id._1, ps, pe)
+        at = pe
+      }
+      true
+    }
+    final class Acc {
+      var nBlocks = 0
+      val clusters = scala.collection.mutable.HashSet.empty[Int]
+      var totalBytes = 0L
+      var firstTs = Long.MaxValue
+      var lastTs = Long.MinValue
+    }
+    try {
+      val byTrack = scala.collection.mutable.LinkedHashMap.empty[Long, Acc]
+      var bad = false
+      // block element at [ps,pe): header = track vint, int16 rel ts,
+      // flags byte; the rest is frame data
+      def block(ps: Int, pe: Int, clusterIdx: Int, clusterTs: Long): Unit = {
+        val tv = vint(ps, keepMarker = false)
+        if (tv == null || ps + tv._2 + 3 > pe) { bad = true; return }
+        val rel = ((payload(ps + tv._2) & 0xFF) << 8 |
+          (payload(ps + tv._2 + 1) & 0xFF)).toShort.toLong
+        val acc = byTrack.getOrElseUpdate(tv._1, new Acc)
+        acc.nBlocks += 1
+        acc.clusters += clusterIdx
+        acc.totalBytes += pe - (ps + tv._2 + 3)
+        val ts = clusterTs + rel
+        if (ts < acc.firstTs) acc.firstTs = ts
+        if (ts > acc.lastTs) acc.lastTs = ts
+      }
+      var clusterIdx = -1
+      val ok = walk(0, payload.length) { (id, ps, pe) =>
+        if (id == 0x18538067L) { // Segment
+          walk(ps, pe) { (sid, ss, se) =>
+            if (sid == 0x1F43B675L) { // Cluster
+              clusterIdx += 1
+              var clusterTs = 0L
+              walk(ss, se) { (cid, cs, ce) =>
+                cid match {
+                  case 0xE7L => clusterTs = uintAt(cs, ce) // Timestamp
+                  case 0xA3L => block(cs, ce, clusterIdx, clusterTs)
+                  case 0xA0L => // BlockGroup: contains a Block
+                    walk(cs, ce) { (bid, bs, be) =>
+                      if (bid == 0xA1L) block(bs, be, clusterIdx, clusterTs)
+                    }
+                  case _ => ()
+                }
+              }
+            }
+          }
+        }
+      }
+      if (!ok || bad) Nil
+      else byTrack.toSeq.map { case (tid, a) =>
+        WebmTrackStats(tid, a.clusters.size, a.nBlocks, a.totalBytes,
+          a.firstTs, a.lastTs)
+      }
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Explode each payload into one row per track's block stats (WebM
+    * analogue of [[withVideoSampleStats]]; all-null quarantine row for
+    * payloads with no parseable blocks). Narrow partition-parallel
+    * map — no shuffle. */
+  def withWebmBlockStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("track_id", LongType),
+      StructField("n_clusters", IntegerType),
+      StructField("n_blocks", IntegerType),
+      StructField("total_bytes", LongType),
+      StructField("first_ts_ms", LongType),
+      StructField("last_ts_ms", LongType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val stats = parseWebmBlockStats(r.getAs[Array[Byte]](idx))
+        if (stats.isEmpty)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null,
+            null, null)))
+        else stats.iterator.map(t =>
+          Row.fromSeq(r.toSeq ++ Seq[Any](t.trackId, t.nClusters,
+            t.nBlocks, t.totalBytes, t.firstTsMs, t.lastTsMs)))
       }
     }(enc)
   }

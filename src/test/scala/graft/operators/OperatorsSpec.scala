@@ -922,6 +922,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3).isNullAt(2) && out(3).isNullAt(6))
   }
 
+  test("webm block stats: cluster walk matches closed-form tables, both block grammars") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    def expect(id: Long) = {
+      val nc = (2 + id % 3).toInt
+      val cells = for {
+        c <- 0 until nc
+        j <- 0 until (3 + (id + c) % 3).toInt
+      } yield ((50 + (id + c + j) % 40), c * 500L + j * 10)
+      (nc, cells.size, cells.map(_._1).sum, cells.map(_._2).min,
+        cells.map(_._2).max)
+    }
+    for (id <- Seq(0L, 5L, 13L, 38L)) {
+      val stats = mm.parseWebmBlockStats(mm.syntheticWebm(id))
+      assert(stats.length == 1)
+      val t = stats.head
+      val (nc, nb, bytes, first, last) = expect(id)
+      assert(t.trackId == 1L)
+      assert(t.nClusters == nc && t.nBlocks == nb)
+      assert(t.totalBytes == bytes)
+      assert(t.firstTsMs == first && t.lastTsMs == last)
+    }
+    // junk / truncation quarantine (never throws)
+    assert(mm.parseWebmBlockStats(null).isEmpty)
+    assert(mm.parseWebmBlockStats(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(mm.parseWebmBlockStats(mm.syntheticWebm(3L).dropRight(20)).isEmpty)
+    // exploding operator: all-null row for junk payloads
+    val media = mm.syntheticWebmMedia((0L until 3L).toDF("doc_id"), "doc_id")
+      .union(Seq((99L, Array[Byte](9, 9, 9))).toDF("media_id", "payload"))
+    val out = mm.withWebmBlockStats(media, "payload")
+      .orderBy("media_id").collect()
+    assert(out.length == 4)
+    assert(out.take(3).forall(r => r.getLong(2) == 1L && !r.isNullAt(5)))
+    assert(out(3).isNullAt(2) && out(3).isNullAt(5))
+  }
+
   test("webm metadata: EBML walk reads doctype/duration/dims; sniffing routes") {
     val mm = graft.multimodal.Multimodal
     val m = mm.parseWebmMeta(mm.syntheticWebm(21L)).get
