@@ -205,7 +205,12 @@ object DocStreams {
     // BucketMembers product encoder (Seq[Seq[Long]]) for every touched
     // bucket every batch; a BinaryType state value round-trips through
     // the store as-is, and scoring reads longs at absolute offsets
-    // with zero per-member allocation.
+    // with zero per-member allocation. State-store PROVIDER is
+    // orthogonal: measured at bench scale (10^5 state rows) the
+    // RocksDB provider ties the default in-memory one (r8 probe,
+    // ~0.5 s/trigger both); a deployment whose docs×bands state
+    // outgrows executor heap should flip to RocksDB — the packed-blob
+    // value works identically there.
     val rec = 8 * (1 + numHashes)
     banded.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Array[Byte], PairOut](

@@ -18,6 +18,10 @@ object StreamMinhashProbe {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     spark.conf.set("spark.sql.shuffle.partitions", 4)
+    // SPARK_GRAFT_STATE_STORE=rocksdb probes the RocksDB provider
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val stream = MemoryStream[(Long, String)]
     val docs = stream.toDF().toDF("doc_id", "text")
     val out = graft.streaming.DocStreams
