@@ -665,6 +665,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_int8" -> ((s, dir) => {
+      // int8 scalar-quantized ANN (the 4x-memory-bandwidth corpus
+      // scan): per-vector max-abs quantization in the closed form
+      // floor(v*127/max + 0.5) that DuckDB replays exactly; cosine on
+      // the int vectors (scales cancel), full-precision cosine of each
+      // selected pair as a per-row quantization-error certificate
+      val e = emb(s, dir)
+      Similarity.int8TopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"),
+          round(col("score_fp"), 6).as("score_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embedding_dup" -> ((s, dir) => {
       // embedding near-dup pairs via banded sign-bit LSH (the 100-TB
       // plan: shuffle on (band, bucket) only, never a cross join). The
@@ -1932,6 +1947,32 @@ object SparkEntry {
                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
              FROM s)
            SELECT query_id, rank::INT AS rank, neighbor_id, round(score, 6) AS score
+           FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      "q_ann_int8" ->
+        """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           mz AS (SELECT vec_id, v,
+                    list_aggregate(list_transform(v, y -> abs(y)), 'max') AS m
+                  FROM base),
+           qz AS (SELECT vec_id, v,
+                    CASE WHEN m = 0 THEN list_transform(v, y -> 0.0)
+                         ELSE list_transform(v, y -> floor(y * 127 / m + 0.5)) END AS qv
+                  FROM mz),
+           q AS (SELECT vec_id AS query_id, qv AS qq, v AS qraw FROM qz WHERE vec_id < 8),
+           c AS (SELECT vec_id AS neighbor_id, qv AS cq, v AS craw FROM qz),
+           s AS (
+             SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qq, qq)) = 0 OR sqrt(list_dot_product(cq, cq)) = 0 THEN 0.0
+                    ELSE list_dot_product(qq, cq) / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(cq, cq))) END AS score,
+               CASE WHEN sqrt(list_dot_product(qraw, qraw)) = 0 OR sqrt(list_dot_product(craw, craw)) = 0 THEN 0.0
+                    ELSE list_dot_product(qraw, craw) / (sqrt(list_dot_product(qraw, qraw)) * sqrt(list_dot_product(craw, craw))) END AS score_fp
+             FROM q, c WHERE query_id != neighbor_id),
+           r AS (
+             SELECT query_id, neighbor_id, score, score_fp,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+             FROM s)
+           SELECT query_id, rank::INT AS rank, neighbor_id,
+             round(score, 6) AS score, round(score_fp, 6) AS score_fp
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
 
       "q_embedding_dup" -> {

@@ -176,6 +176,120 @@ object Similarity {
     topKSelect(partial, k)
   }
 
+  /** Int8 scalar-quantized brute-force top-k cosine, with a
+    * full-precision certificate column.
+    *
+    * The 100-TB memory-bandwidth path for embedding scans: each vector
+    * is quantized ONCE to int8 with a per-vector max-abs scale
+    * (`q_i = floor(v_i * 127 / max|v| + 0.5)` — the closed, engine-
+    * replayable form), and candidate scoring runs on the int vectors.
+    * Cosine is scale-invariant, so the per-vector scales cancel:
+    * `score = qdot / (|q_a| * |q_b|)` needs no dequantization. A
+    * deployment stores the int8 corpus (4x smaller than float32, 8x
+    * smaller than float64) and streams it through the same broadcast +
+    * per-partition-heap plan as [[bruteForceTopK]] — no corpus
+    * shuffle. `score_fp` carries the full-precision cosine of each
+    * SELECTED pair, so every output row is its own quantization-error
+    * certificate. Ranking ties (quantized scores are discrete) break
+    * by ascending neighbor id — deterministic for the oracle. The
+    * final window runs over heap survivors only
+    * (<= partitions x |queries| x k rows), never the corpus. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int,
+               excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def quantize(v: Array[Double]): Array[Int] = {
+      var m = 0.0
+      var i = 0
+      while (i < v.length) {
+        val a = math.abs(v(i)); if (a > m) m = a; i += 1
+      }
+      val q = new Array[Int](v.length)
+      if (m != 0.0) {
+        i = 0
+        while (i < v.length) {
+          q(i) = math.floor(v(i) * 127 / m + 0.5).toInt; i += 1
+        }
+      }
+      q
+    }
+    def qnorm(q: Array[Int]): Double = {
+      var s = 0.0; var i = 0
+      while (i < q.length) { s += q(i).toDouble * q(i); i += 1 }
+      math.sqrt(s)
+    }
+    def fnorm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val qType = queries.schema(idCol).dataType
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+      .map { case (id, raw) =>
+        val q = quantize(raw)
+        (id, raw, fnorm(raw), q, qnorm(q))
+      }
+    val bc = spark.sparkContext.broadcast(qArr)
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // min-heap on (quantized score asc, id desc): root = worst kept,
+        // ties keep the SMALLER id (matches rank order score desc, id asc)
+        val ord = new Ordering[(Double, Long, Double)] {
+          def compare(a: (Double, Long, Double), b: (Double, Long, Double)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          new java.util.PriorityQueue[(Double, Long, Double)](k + 1, ord))
+        it.foreach { case (nid, raw) =>
+          val cq = quantize(raw)
+          val cqn = qnorm(cq)
+          val cfn = fnorm(raw)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qraw, qfn, qq, qqn) = qs(qi)
+            if (!(excludeSelf && qid == nid)) {
+              // both dots in one pass over the 2x-resident vectors
+              var qd = 0.0
+              var fd = 0.0
+              var j = 0
+              while (j < qq.length) {
+                qd += qq(j).toDouble * cq(j)
+                fd += qraw(j) * raw(j)
+                j += 1
+              }
+              val qs1 = if (qqn == 0.0 || cqn == 0.0) 0.0 else qd / (qqn * cqn)
+              val fs1 = if (qfn == 0.0 || cfn == 0.0) 0.0 else fd / (qfn * cfn)
+              val h = heaps(qi)
+              h.add((qs1, nid, fs1))
+              if (h.size > k) { h.poll(); () }
+            }
+            qi += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator().asScala.map(t => (qs(qi)._1, t._2, t._1, t._3))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score", "score_fp")
+    partial
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast(qType).as("query_id"), col("rank"),
+        col("neighbor_id"), col("score"), col("score_fp"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * (MLlib, seeded) partitions the corpus into `nLists` cells; each
     * query scores only the corpus vectors in its `nProbe` nearest

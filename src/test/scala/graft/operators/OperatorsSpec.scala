@@ -157,6 +157,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 ANN: quantized topk matches in-memory quantized oracle; certificate near exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.int8TopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding", k = 4)
+      .collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Int]("rank")),
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"),
+          r.getAs[Double]("score_fp")))).toMap
+    // in-memory replay of the exact closed-form quantizer
+    def quant(v: Array[Double]): Array[Int] = {
+      val m = v.map(math.abs).max
+      if (m == 0.0) Array.fill(v.length)(0)
+      else v.map(x => math.floor(x * 127 / m + 0.5).toInt)
+    }
+    def qcos(a: Array[Int], b: Array[Int]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    def fcos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qv = vecs.map { case (i, v) => i -> quant(v) }.toMap
+    for (q <- 0L until 3L) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (i, _) => i -> qcos(qv(q), qv(i)) }
+        .sortBy { case (i, c) => (-c, i) }.take(4)
+      val got = (1 to 4).map(r => out((q, r)))
+      assert(got.map(_._1) == expect.map(_._1),
+        s"query $q ids: ${got.map(_._1)} vs ${expect.map(_._1)}")
+      got.zip(expect).foreach { case ((nid, s, fp), (_, es)) =>
+        assert(math.abs(s - es) < 1e-9)
+        // int8 on 8 dims: quantized cosine within a few % of exact
+        assert(math.abs(fp - fcos(vecs(q.toInt)._2, vecs(nid.toInt)._2)) < 1e-9)
+        assert(math.abs(s - fp) < 0.05,
+          s"quantization error too large: $s vs $fp")
+      }
+    }
+    // zero vector quantizes to zeros and scores 0 against anything
+    assert(quant(Array.fill(8)(0.0)).forall(_ == 0))
+  }
+
   test("codegen dot product is bit-identical to the HOF fold") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
