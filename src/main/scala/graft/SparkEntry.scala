@@ -246,6 +246,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_token_budget" -> ((s, dir) => {
+      // quality-ordered token-budget cut: keep the best docs (quality
+      // desc, id asc) until the running token total hits the budget —
+      // the "top up the mix to N tokens" curation step. Runs as two
+      // range-bucketed PrefixSum stages (level prefix + within-level),
+      // so no global-sort window exists even when quality scores tie
+      // heavily; sums are integer-exact, so the oracle's naive global
+      // window replays it bit-for-bit.
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("__quality"),
+        TextFunctions.wsTokenCount(col("text")).cast("int").as("n_tokens"))
+      graft.operators.Sampling
+        .tokenBudgetFilter(d, "doc_id", "__quality", "n_tokens", budget = 15000L)
+        .select(col("doc_id"), col("__quality").as("quality"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))
@@ -1549,6 +1567,27 @@ object SparkEntry {
                + (CASE WHEN (CASE WHEN wc = 0 THEN 0.0 ELSE (length(norm) - (wc - 1))::DOUBLE / wc END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)*0.3
                + least((CASE WHEN wc = 0 THEN 0.0 ELSE ($stopHits)::DOUBLE / wc END)*4.0, 1.0)*0.3, 6) AS quality
            FROM n ORDER BY doc_id""",
+
+      "q_token_budget" ->
+        s"""WITH n AS (
+             SELECT doc_id, $NormSql AS norm,
+                    ' ' || $NormSql || ' ' AS pad,
+                    $wcSql AS wc
+             FROM documents),
+           d AS (
+             SELECT doc_id,
+               round(least(wc::DOUBLE/50.0, 1.0)*0.4
+                 + (CASE WHEN (CASE WHEN wc = 0 THEN 0.0 ELSE (length(norm) - (wc - 1))::DOUBLE / wc END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)*0.3
+                 + least((CASE WHEN wc = 0 THEN 0.0 ELSE ($stopHits)::DOUBLE / wc END)*4.0, 1.0)*0.3, 6) AS q,
+               wc::INT AS t
+             FROM n),
+           r AS (
+             SELECT doc_id, q, t,
+               sum(t) OVER (ORDER BY q DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM d)
+           SELECT doc_id, q AS quality, t AS n_tokens, cum::BIGINT AS cum_tokens
+           FROM r WHERE cum <= 15000 ORDER BY doc_id""",
 
       "q_lang_id" ->
         s"""WITH n AS (

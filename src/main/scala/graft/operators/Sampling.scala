@@ -92,4 +92,47 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), salt) < frac)
   }
+
+  /** Quality-ordered token-budget cut: keep the best documents, in
+    * (`qualityCol` DESC, `idCol` ASC) order, whose INCLUSIVE running
+    * token total stays within `budget` — the "top up the training mix
+    * to N tokens with the best data" curation step. Adds `cum_tokens`
+    * (the running total at each kept doc).
+    *
+    * The naive form is a cumulative sum over a GLOBAL sort — a
+    * single-reducer wall at 100 TB. This runs it as two scale-safe
+    * stages: (1) per-quality-LEVEL token subtotals (one row per
+    * distinct quality value) get an exclusive prefix via the
+    * range-bucketed [[graft.functions.PrefixSum]]; (2) within each
+    * level, the per-doc running sum uses PrefixSum again partitioned
+    * by quality and range-bucketed on `idCol` — so even a level
+    * holding half the corpus (quality scores tie heavily) never
+    * funnels through one task. All sums are integer-exact in double,
+    * so the result is bit-equal to the naive window in any engine —
+    * the oracle replays it as one `sum() OVER (ORDER BY quality DESC,
+    * id)` window.
+    *
+    * `qualityCol` and `idCol` must be non-null; `idCol` distinct. */
+  def tokenBudgetFilter(df: DataFrame, idCol: String, qualityCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    // one row per distinct quality level -> exclusive prefix of the
+    // levels ABOVE it (ascending in -quality = descending in quality)
+    val lvl = df.groupBy(col(qualityCol).as("__q"))
+      .agg(sum(col(tokensCol)).as("__lvl_t"))
+      .withColumn("__negq", -col("__q"))
+    val prior = graft.functions.PrefixSum
+      .inclusive(lvl, Seq.empty, "__negq", "__lvl_t", "__cum_lvl")
+      .withColumn("__prior", col("__cum_lvl") - col("__lvl_t"))
+      .select(col("__q"), col("__prior"))
+    // within-level running sum, range-bucketed on id (no single-task
+    // window even when one quality level dominates the corpus)
+    val withIn = graft.functions.PrefixSum
+      .inclusive(df, Seq(qualityCol), idCol, tokensCol, "__in_lvl")
+    withIn
+      .join(prior, withIn(qualityCol) === prior("__q"))
+      .withColumn("cum_tokens", (col("__prior") + col("__in_lvl")).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__q", "__prior", "__in_lvl")
+  }
 }

@@ -352,6 +352,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(shared == 7L && frac == 1.0, s"shared=$shared frac=$frac")
   }
 
+  test("tokenBudgetFilter: equals the naive global-window cut, heavy ties included") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rng = new scala.util.Random(23)
+    // quality from a SMALL discrete set -> heavy ties (the case the
+    // within-level PrefixSum stage exists for)
+    val rows = (0L until 400L).map { i =>
+      (i, Seq(0.2, 0.5, 0.5, 0.8, 1.0)(rng.nextInt(5)), 1 + rng.nextInt(30))
+    }
+    val df = rows.toDF("doc_id", "quality", "n_tokens")
+    val budget = 3000L
+    val got = Sampling
+      .tokenBudgetFilter(df, "doc_id", "quality", "n_tokens", budget)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive oracle: sort (quality desc, id), inclusive cumsum, cut
+    var cum = 0L
+    val expect = rows.sortBy { case (id, q, _) => (-q, id) }
+      .iterator.map { case (id, _, t) => cum += t; id -> cum }
+      .takeWhile(_._2 <= budget).toMap
+    assert(got == expect, s"sizes ${got.size} vs ${expect.size}")
+    assert(got.nonEmpty && got.size < rows.size)
+    // budget 0 keeps nothing; huge budget keeps everything
+    assert(Sampling.tokenBudgetFilter(df, "doc_id", "quality", "n_tokens", 0L)
+      .count() == 0)
+    assert(Sampling.tokenBudgetFilter(df, "doc_id", "quality", "n_tokens",
+      1000000L).count() == rows.size)
+  }
+
   test("hashSplit: deterministic, exhaustive, near-requested fractions") {
     import spark.implicits._
     import graft.operators.Sampling
