@@ -246,6 +246,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_source_cap" -> ((s, dir) => {
+      // per-source quota cap (at most 15 docs per source, deterministic
+      // hash order): exact top-N-per-group via the hash-threshold
+      // prefilter + survivor ranking — the window sorts O(quota) rows
+      // per source, never the source
+      graft.operators.Sampling
+        .groupQuotaCap(docs(s, dir), "doc_id", "source", quota = 15)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       // quality-ordered token-budget cut: keep the best docs (quality
       // desc, id asc) until the running token total hits the budget —
@@ -1567,6 +1578,19 @@ object SparkEntry {
                + (CASE WHEN (CASE WHEN wc = 0 THEN 0.0 ELSE (length(norm) - (wc - 1))::DOUBLE / wc END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)*0.3
                + least((CASE WHEN wc = 0 THEN 0.0 ELSE ($stopHits)::DOUBLE / wc END)*4.0, 1.0)*0.3, 6) AS quality
            FROM n ORDER BY doc_id""",
+
+      "q_source_cap" ->
+        """WITH b AS (
+             SELECT source, doc_id,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::UBIGINT)::DOUBLE
+                 / 4294967296.0 AS u
+             FROM documents),
+           r AS (
+             SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+             FROM b)
+           SELECT source, doc_id FROM r WHERE rn <= 15
+           ORDER BY source, doc_id""",
 
       "q_token_budget" ->
         s"""WITH n AS (

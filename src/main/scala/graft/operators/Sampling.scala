@@ -93,6 +93,48 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < frac)
   }
 
+  /** Per-group quota cap: keep at most `quota` rows per group, chosen
+    * in deterministic hash order (`hashBucket(id)` asc, id asc) — the
+    * "cap CommonCrawl at N docs, books at M" mixing step, stable
+    * across reruns/engines/layouts like every sampler here.
+    *
+    * EXACT top-`quota`-per-group without sorting whole groups: a
+    * hash-threshold prefilter keeps ~`margin x quota + slack` rows per
+    * group (every dropped row has a LARGER bucket than every kept row,
+    * so the group's true top-quota survives whenever at least `quota`
+    * rows land under the threshold), and only the survivors are
+    * window-ranked — the per-group sort input is O(quota), not
+    * O(group). Groups where the prefilter left fewer than `quota`
+    * survivors (binomially negligible at margin 2, but handled, not
+    * assumed) are re-ranked from their full row set, so the result is
+    * always exactly the naive `row_number() <= quota` cut. */
+  def groupQuotaCap(df: DataFrame, idCol: String, groupCol: String,
+                    quota: Int, salt: String = "graft",
+                    margin: Double = 2.0, slack: Int = 100): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val b = hashBucket(col(idCol), salt)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val joined = df.join(counts, Seq(groupCol))
+    val frac = least(lit(1.0), (lit(margin * quota + slack)) / col("__n"))
+    val pre = joined.filter(b < frac)
+    // groups whose survivor set can't certify the exact top-quota:
+    // fewer than quota survived AND the prefilter actually dropped rows
+    val under = pre.groupBy(col(groupCol)).agg(count(lit(1)).as("__s"))
+      .join(counts, Seq(groupCol))
+      .filter(col("__s") < quota && col("__s") < col("__n"))
+      .select(col(groupCol))
+    val certified = pre.join(under, Seq(groupCol), "left_anti")
+    val fallback = df.join(under, Seq(groupCol), "left_semi")
+      .join(counts, Seq(groupCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    certified.unionByName(fallback)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__n", "__rn")
+  }
+
   /** Quality-ordered token-budget cut: keep the best documents, in
     * (`qualityCol` DESC, `idCol` ASC) order, whose INCLUSIVE running
     * token total stays within `budget` — the "top up the training mix

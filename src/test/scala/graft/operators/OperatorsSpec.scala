@@ -381,6 +381,42 @@ class OperatorsSpec extends AnyFunSuite {
       1000000L).count() == rows.size)
   }
 
+  test("groupQuotaCap: exact naive top-N-per-group, prefilter fallback covered") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // groups of very different sizes: 'big' (600 rows) exercises the
+    // prefilter path (600 > 2*5+100), the small groups take frac=1
+    val rows = (0L until 700L).map { i =>
+      (i, if (i < 600) "big" else if (i < 650) "mid" else "small")
+    }
+    val df = rows.toDF("doc_id", "source")
+    def naive(quota: Int): Set[(String, Long)] = {
+      def bucket(id: Long): BigInt = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest((id.toString + "graft").getBytes("UTF-8"))
+        BigInt(1, md.take(4))
+      }
+      rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy { case (id, _) => (bucket(id), id) }.take(quota)
+          .map { case (id, _) => (g, id) }
+      }.toSet
+    }
+    for (quota <- Seq(5, 60)) {
+      val got = Sampling.groupQuotaCap(df, "doc_id", "source", quota)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == naive(quota), s"quota=$quota: ${got.size} vs ${naive(quota).size}")
+    }
+    // a pathological margin forces the under-quota fallback branch: with
+    // margin 0 and slack 1, at most ~1 expected survivor per big group,
+    // yet the result must STILL be the exact naive cut
+    val gotFb = Sampling.groupQuotaCap(df, "doc_id", "source", 5,
+      margin = 0.0, slack = 1)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotFb == naive(5), "fallback path must restore exactness")
+  }
+
   test("hashSplit: deterministic, exhaustive, near-requested fractions") {
     import spark.implicits._
     import graft.operators.Sampling
