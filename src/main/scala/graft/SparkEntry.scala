@@ -246,6 +246,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_corpus_diff" -> ((s, dir) => {
+      // snapshot diff: v2 is derived deterministically from the corpus
+      // (drop doc_id%13==0, edit text of %17!=0... see transforms) so
+      // the oracle can rebuild the identical v2; per-(source, status)
+      // counts are the dataset-versioning review table
+      val v1 = docs(s, dir)
+      val added = v1.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" EDIT")))
+            .otherwise(col("text")))
+        .unionByName(added)
+      val diff = graft.operators.Checks.snapshotDiff(v1, v2, "doc_id", "text")
+      val src = v1.select(col("doc_id"), col("source"))
+        .unionByName(added.select(col("doc_id"), col("source")))
+      diff.join(src, Seq("doc_id"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
+    }),
+
     "q_source_cap" -> ((s, dir) => {
       // per-source quota cap (at most 15 docs per source, deterministic
       // hash order): exact top-N-per-group via the hash-threshold
@@ -1578,6 +1600,30 @@ object SparkEntry {
                + (CASE WHEN (CASE WHEN wc = 0 THEN 0.0 ELSE (length(norm) - (wc - 1))::DOUBLE / wc END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)*0.3
                + least((CASE WHEN wc = 0 THEN 0.0 ELSE ($stopHits)::DOUBLE / wc END)*4.0, 1.0)*0.3, 6) AS quality
            FROM n ORDER BY doc_id""",
+
+      "q_corpus_diff" ->
+        s"""WITH v2 AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN text || ' EDIT' ELSE text END AS text
+             FROM documents WHERE doc_id % 13 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 0),
+           o AS (SELECT doc_id AS id, md5($NormSql) AS old_fp FROM documents),
+           nw AS (SELECT doc_id AS id, md5($NormSql) AS new_fp FROM v2),
+           d AS (
+             SELECT COALESCE(o.id, nw.id) AS id,
+               CASE WHEN o.id IS NULL THEN 'added'
+                    WHEN nw.id IS NULL THEN 'removed'
+                    WHEN old_fp <> new_fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+             FROM o FULL OUTER JOIN nw ON o.id = nw.id),
+           src AS (
+             SELECT doc_id AS id, source FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000, source FROM documents WHERE doc_id % 19 = 0)
+           SELECT source, status, count(*)::BIGINT AS n_docs
+           FROM d JOIN src USING (id)
+           GROUP BY source, status ORDER BY source, status""",
 
       "q_source_cap" ->
         """WITH b AS (

@@ -43,4 +43,32 @@ object Checks {
           .otherwise(col("kv.n_violations").cast("double") / col("n_rows"))
           .as("violation_rate"))
   }
+
+  /** Corpus snapshot diff — the dataset-versioning review step ("what
+    * changed between v1 and v2 of the corpus before we retrain").
+    * One row per id present in either snapshot, with a status:
+    * `added` (only in new), `removed` (only in old), `changed` (both,
+    * different content fingerprint), `unchanged`. Content identity is
+    * the normalized-text fingerprint, so whitespace/punctuation-only
+    * edits read as unchanged — the same identity every dedup operator
+    * uses.
+    *
+    * 100-TB shape: one full outer join hash-partitioned on the id —
+    * both sides shuffle once, no driver state; downstream summaries
+    * (counts per status/source) are ordinary map-side-combined
+    * aggregates over the diff frame. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def fp(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+    val o = fp(oldDf).withColumnRenamed("fp", "old_fp")
+    val n = fp(newDf).withColumnRenamed("fp", "new_fp")
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -381,6 +381,23 @@ class OperatorsSpec extends AnyFunSuite {
       1000000L).count() == rows.size)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged by content fingerprint") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val v1 = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept the same"),
+      (4L, "will be removed")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "ALPHA, beta!"), // normalization-equal -> unchanged
+      (2L, "gamma delta epsilon"), // changed
+      (3L, "kept the same"), // unchanged
+      (5L, "brand new doc")).toDF("doc_id", "text") // added; 4 removed
+    val got = Checks.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
   test("groupQuotaCap: exact naive top-N-per-group, prefilter fallback covered") {
     import spark.implicits._
     import graft.operators.Sampling
