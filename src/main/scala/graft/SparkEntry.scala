@@ -731,6 +731,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_pq" -> ((s, dir) => {
+      // product-quantization ANN (8-byte codes for 64-dim vectors, 64x
+      // compression): per-block codebooks from the deterministic
+      // sampled k-means, asymmetric LUT scoring from codes only,
+      // full-precision cosine certificate per selected pair. Golden
+      // oracle (k-means codebooks are not SQL-expressible)
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, m = 8, nCodes = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"),
+          round(col("score_fp"), 6).as("score_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embedding_dup" -> ((s, dir) => {
       // embedding near-dup pairs via banded sign-bit LSH (the 100-TB
       // plan: shuffle on (band, bucket) only, never a cross join). The
@@ -2294,7 +2309,7 @@ object SparkEntry {
     "q_slope_fit", "q_slope_wide", "q_slope_path_summary",
     "q_slope_predict", "q_slope_score", "q_slope_cv", "q_coef_interp",
     "q_diagnostics", "q_lambda_bh", "q_minhash_dedup", "q_simhash_dedup",
-    "q_ann_ivf", "q_ann_lsh", "q_slope_multitask", "q_slope_tiny",
+    "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_slope_multitask", "q_slope_tiny",
     "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
     "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
     "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier")

@@ -290,6 +290,148 @@ object Similarity {
         col("neighbor_id"), col("score"), col("score_fp"))
   }
 
+  /** Product-quantization (PQ) approximate top-k cosine with asymmetric
+    * distance, plus a full-precision certificate column.
+    *
+    * The classic FAISS-style compression path: the dimension is split
+    * into `m` sub-blocks, each with its own `nCodes`-centroid codebook
+    * (trained by the SAME deterministic driver-local k-means as IVF's
+    * coarse quantizer — bounded hash-ordered sample, so codebooks are a
+    * pure function of the data and the output is golden-able). A corpus
+    * vector is stored as `m` byte codes — at d=64, m=8 that is 8 bytes
+    * against 512 for float64, a 64x compression — and queries score
+    * candidates ASYMMETRICALLY: the query stays full-precision, each
+    * block contributes `dot(q_block, centroid[code])` from a per-query
+    * lookup table built once per partition (m x nCodes entries), so
+    * scoring a candidate is m table lookups, never a d-dim dot. The
+    * approximate cosine divides by the RECONSTRUCTED corpus norm
+    * (sqrt of summed per-code squared norms) — everything the scan
+    * touches derives from codes + codebooks alone. `score_fp` carries
+    * the exact cosine of each selected pair (the per-row quantization
+    * certificate, same contract as [[int8TopK]]). A deployment encodes
+    * once and scans only the code table; this operator runs both in one
+    * corpus pass, with the approximate score computed strictly from the
+    * codes. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
+             excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qType = queries.schema(idCol).dataType
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+    require(qArr.nonEmpty, "empty query set")
+    val dim = qArr.head._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    // per-block codebooks from the deterministic sampled k-means
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
+          .as("__sub"))
+      trainQuantizer(sub, idCol, "__sub", nCodes)
+    }
+    def fnorm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val qFull = qArr.map { case (id, raw) => (id, raw, fnorm(raw)) }
+    val bcQ = spark.sparkContext.broadcast(qFull)
+    val bcB = spark.sparkContext.broadcast(books)
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val bks = bcB.value
+        // per-(block, code) squared centroid norms — shared by all queries
+        val normTab = Array.tabulate(m, nCodes) { (j, c) =>
+          var s = 0.0; var t = 0
+          val cc = bks(j)(c)
+          while (t < subDim) { s += cc(t) * cc(t); t += 1 }
+          s
+        }
+        // per-query LUT: dot(query block j, centroid c)
+        val lut = Array.tabulate(qs.length, m, nCodes) { (qi, j, c) =>
+          var s = 0.0; var t = 0
+          val qv = qs(qi)._2
+          val cc = bks(j)(c)
+          while (t < subDim) { s += qv(j * subDim + t) * cc(t); t += 1 }
+          s
+        }
+        val ord = new Ordering[(Double, Long, Double)] {
+          def compare(a: (Double, Long, Double), b: (Double, Long, Double)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          new java.util.PriorityQueue[(Double, Long, Double)](k + 1, ord))
+        val codes = new Array[Int](m)
+        it.foreach { case (nid, raw) =>
+          // ENCODE: nearest centroid per block (the stored representation)
+          var j = 0
+          while (j < m) {
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < nCodes) {
+              var d = 0.0; var t = 0
+              val cc = bcB.value(j)(c)
+              while (t < subDim) {
+                val x = raw(j * subDim + t) - cc(t); d += x * x; t += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          var xn2 = 0.0
+          j = 0
+          while (j < m) { xn2 += normTab(j)(codes(j)); j += 1 }
+          val xnorm = math.sqrt(xn2)
+          val cfn = fnorm(raw)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qraw, qfn) = qs(qi)
+            if (!(excludeSelf && qid == nid)) {
+              // SCAN: m lookups — the only use of the vector is its codes
+              var ad = 0.0
+              j = 0
+              while (j < m) { ad += lut(qi)(j)(codes(j)); j += 1 }
+              val score = if (qfn == 0.0 || xnorm == 0.0) 0.0
+                else ad / (qfn * xnorm)
+              // full-precision certificate for the selected pairs
+              var fd = 0.0
+              var t = 0
+              while (t < dim) { fd += qraw(t) * raw(t); t += 1 }
+              val fp = if (qfn == 0.0 || cfn == 0.0) 0.0 else fd / (qfn * cfn)
+              val h = heaps(qi)
+              h.add((score, nid, fp))
+              if (h.size > k) { h.poll(); () }
+            }
+            qi += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator().asScala.map(t => (qs(qi)._1, t._2, t._1, t._3))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score", "score_fp")
+    partial
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast(qType).as("query_id"), col("rank"),
+        col("neighbor_id"), col("score"), col("score_fp"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * (MLlib, seeded) partitions the corpus into `nLists` cells; each
     * query scores only the corpus vectors in its `nProbe` nearest

@@ -488,6 +488,50 @@ class OperatorsSpec extends AnyFunSuite {
       "doc-c" -> "doc-a", "x" -> "x", "y" -> "x"))
   }
 
+  test("pq topk: high recall vs brute force, certificate exact, deterministic") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian() * 3))
+    val vecs = (0L until 160L).map { i =>
+      val c = centers(rng.nextInt(4))
+      (i, c.map(v => v + rng.nextGaussian() * 0.3))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def run() = Similarity.pqTopK(queries, df, "vec_id", "embedding", 5,
+      m = 8, nCodes = 16).collect()
+    val out = run()
+    // the PQ contract is SHORTLIST generation: the exact top-5 should
+    // survive into a k=20 approximate shortlist (a deployment re-ranks
+    // the shortlist by score_fp), and the direct top-5 should still
+    // catch most of them
+    val short20 = Similarity.pqTopK(queries, df, "vec_id", "embedding", 20,
+      m = 8, nCodes = 16).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val containment = (exact & short20).size.toDouble / exact.size
+    assert(containment >= 0.85, s"pq shortlist containment $containment too low")
+    val pq = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"pq direct recall $recall too low")
+    // certificate column equals the true cosine of the selected pair
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(math.abs(r.getAs[Double]("score_fp") -
+        cos(vecs(q.toInt)._2, vecs(n.toInt)._2)) < 1e-9)
+      // asymmetric-distance score tracks the true cosine on this data
+      assert(math.abs(r.getAs[Double]("score") -
+        r.getAs[Double]("score_fp")) < 0.25)
+    }
+    // golden-ability: a second run is bit-identical
+    assert(out.map(_.toString).toSeq == run().map(_.toString).toSeq)
+  }
+
   test("ivf topk: high recall vs brute force on clustered data") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
