@@ -287,9 +287,16 @@ object SparkEntry {
       // so no global-sort window exists even when quality scores tie
       // heavily; sums are integer-exact, so the oracle's naive global
       // window replays it bit-for-bit.
+      // persist the featurized projection: the quality score is ~50
+      // regex counts per doc, and the two PrefixSum stages run four
+      // internal actions over this input plus the final execution —
+      // uncached, the bench showed the expression tree re-evaluating
+      // ~6x (21.7 s -> ~1 s cached). PrefixSum respects a
+      // caller-managed cache (checks storageLevel).
       val d = docs(s, dir).select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("__quality"),
         TextFunctions.wsTokenCount(col("text")).cast("int").as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.Sampling
         .tokenBudgetFilter(d, "doc_id", "__quality", "n_tokens", budget = 15000L)
         .select(col("doc_id"), col("__quality").as("quality"),
