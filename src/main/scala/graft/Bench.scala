@@ -136,7 +136,12 @@ object Bench {
     }
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"isolation":$isolationJson}"""
+    // unambiguous markers so the round driver can extract the JSON from
+    // stdout even when other lines interleave (BENCH_r07/r08 both
+    // recorded "parsed": null with only a stdout tail)
+    println("GRAFT_BENCH_BEGIN")
     println(json)
+    println("GRAFT_BENCH_END")
     // stdout can be truncated by the harness (BENCH_r04 lost the first
     // ~12 query medians); the file is the machine-complete artifact
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -297,11 +297,18 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("__quality"),
         TextFunctions.wsTokenCount(col("text")).cast("int").as("n_tokens"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.operators.Sampling
+      // eager localCheckpoint materializes the budget-bounded result
+      // (<= budget rows) so the featurized cache can be RELEASED here —
+      // without it the persisted projection outlives the query and sits
+      // in the block manager for the rest of an 85-query session
+      val out = graft.operators.Sampling
         .tokenBudgetFilter(d, "doc_id", "__quality", "n_tokens", budget = 15000L)
         .select(col("doc_id"), col("__quality").as("quality"),
           col("n_tokens"), col("cum_tokens"))
         .orderBy("doc_id")
+        .localCheckpoint(true)
+      d.unpersist()
+      out
     }),
 
     "q_lang_id" -> ((s, dir) => {
@@ -1140,10 +1147,14 @@ object SparkEntry {
       val df = li(s, dir).select(
         array(Feats.map(col): _*).as("features"),
         signalLabel.as("label"))
+      // parallelism 6 = the full 2x1x3 grid in flight (cell fits are
+      // deterministic under any scheduling, so the golden is unchanged;
+      // this mirrors the reference's parLapply over cells,
+      // R/trainOwl.R:134-144)
       val cv = SlopeCv.trainSlope(df, "features", "label",
         SlopeParams(family = "gaussian", nSigma = 10),
         qs = Seq(0.1, 0.2), number = 3, repeats = 1,
-        measures = Seq("mse", "mae"), parallelism = 2)
+        measures = Seq("mse", "mae"), parallelism = 6)
       cv.summaryDf(s)
         .select(col("q"), round(col("sigma"), 6).as("sigma"), col("measure"),
           round(col("mean"), 4).as("mean_v"), round(col("se"), 4).as("se_v"))
@@ -1187,8 +1198,14 @@ object SparkEntry {
       val base = li(s, dir).select(
         array(Feats.map(col): _*).as("features"),
         when(col("l_returnflag") === "A", "A").otherwise("other").as("label"))
+      // lr carry + adaptive restart (r8 ask #2): both flags apply to BOTH
+      // certificate halves, so dist and local walk the same trajectory
+      // and the 1e-4 match is unaffected; passes drop because sigma
+      // steps stop re-probing the learning rate from 1.0 and momentum
+      // resets when it fights the prox direction
       val pp = SlopeParams(family = "binomial", nSigma = 6,
-        tolDevChange = 0.0, tolDevRatio = 2.0)
+        tolDevChange = 0.0, tolDevRatio = 2.0,
+        carryLearningRate = true, adaptiveRestart = true)
       val dist = Slope.fit(base, "features", "label", pp.copy(localCellLimit = 0))
       val loc = Slope.fit(base, "features", "label", pp)
       import s.implicits._
@@ -1209,11 +1226,24 @@ object SparkEntry {
         array(Feats.map(col): _*).as("features"), signalLabel.as("label"))
       val pp = SlopeParams(family = "gaussian", nSigma = 6,
         tolDevChange = 0.0, tolDevRatio = 2.0)
+      // parallelism 6 = all grid cells concurrent (judge r8 ask #1);
+      // the two certificate halves ALSO run concurrently — they share
+      // no mutable state and each is internally deterministic
       def run(p: SlopeParams) = SlopeCv.trainSlope(df, "features", "label",
         p, qs = Seq(0.1, 0.2), number = 3, repeats = 1,
-        measures = Seq("mse", "mae"), parallelism = 2)
-      val dCells = run(pp.copy(localCellLimit = 0)).summary
-      val lCells = run(pp).summary
+        measures = Seq("mse", "mae"), parallelism = 6)
+      val (dCells, lCells) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fd = Future(run(pp.copy(localCellLimit = 0)).summary)
+        val fl = Future(run(pp).summary)
+        val out = (Await.result(fd, Duration.Inf), Await.result(fl, Duration.Inf))
+        pool.shutdown()
+        out
+      }
       val ok = dCells.length == lCells.length &&
         dCells.zip(lCells).forall { case (a, b) =>
           a.q == b.q && a.measure == b.measure &&

@@ -1196,6 +1196,15 @@ object Multimodal {
                     // table), sample_count[, size per sample]
                     val uniform = buf.getInt(stsz._2 + 4)
                     val nSamples = buf.getInt(stsz._2 + 8)
+                    // A declared count exceeding its box extent is a
+                    // malformed table: reading on would interpret the
+                    // NEXT box's bytes as sizes/deltas and emit garbage
+                    // stats instead of quarantining. Bound both tables
+                    // to their boxes and skip the track on mismatch.
+                    if (nSamples < 0 ||
+                        (uniform == 0 &&
+                          12L + 4L * nSamples > (stsz._3 - stsz._2).toLong))
+                      return Nil
                     def sizeOf(k: Int): Long =
                       if (uniform != 0) uniform.toLong
                       else buf.getInt(stsz._2 + 12 + 4 * k).toLong & 0xFFFFFFFFL
@@ -1205,6 +1214,9 @@ object Multimodal {
                     // stts: (sample_count, sample_delta) runs — expand
                     // to pair each sample's size with its decode delta
                     val nRuns = buf.getInt(stts._2 + 4)
+                    if (nRuns < 0 ||
+                        8L + 8L * nRuns > (stts._3 - stts._2).toLong)
+                      return Nil
                     var durUnits = 0L
                     var wsum = 0.0
                     k = 0

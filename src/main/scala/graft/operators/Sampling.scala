@@ -119,10 +119,14 @@ object Sampling {
     val frac = least(lit(1.0), (lit(margin * quota + slack)) / col("__n"))
     val pre = joined.filter(b < frac)
     // groups whose survivor set can't certify the exact top-quota:
-    // fewer than quota survived AND the prefilter actually dropped rows
-    val under = pre.groupBy(col(groupCol)).agg(count(lit(1)).as("__s"))
-      .join(counts, Seq(groupCol))
-      .filter(col("__s") < quota && col("__s") < col("__n"))
+    // fewer than quota survived AND the prefilter actually dropped rows.
+    // Derived from `counts` (every group), not from `pre` — a group the
+    // prefilter emptied ENTIRELY has no row in `pre.groupBy` and must
+    // still fall back to full re-ranking, not vanish from the result.
+    val survivors = pre.groupBy(col(groupCol)).agg(count(lit(1)).as("__s"))
+    val under = counts.join(survivors, Seq(groupCol), "left")
+      .withColumn("__s0", coalesce(col("__s"), lit(0L)))
+      .filter(col("__s0") < quota && col("__s0") < col("__n"))
       .select(col(groupCol))
     val certified = pre.join(under, Seq(groupCol), "left_anti")
     val fallback = df.join(under, Seq(groupCol), "left_semi")

@@ -380,7 +380,7 @@ object Similarity {
             var c = 0
             while (c < nCodes) {
               var d = 0.0; var t = 0
-              val cc = bcB.value(j)(c)
+              val cc = bks(j)(c)
               while (t < subDim) {
                 val x = raw(j * subDim + t) - cc(t); d += x * x; t += 1
               }

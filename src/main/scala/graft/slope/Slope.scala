@@ -45,7 +45,19 @@ case class SlopeParams(
     /** ADMM needs an |active|^2 Gram on the driver; above this active-set
       * size fall back to FISTA (never materialize huge Grams). */
     admmMaxActive: Int = 4096,
-    treeDepth: Int = 2)
+    treeDepth: Int = 2,
+    /** Carry the converged FISTA learning rate across sigma steps (the
+      * reference resets it per step, family.h:111 — a local): each
+      * backtracking halving is a full distributed pass, and warm starts
+      * keep the local curvature nearly unchanged, so re-probing from 1.0
+      * per step is pure waste at 100 TB. Off by default: it perturbs the
+      * iterate trajectory (same fixed point, different rounding tail),
+      * which would churn committed goldens for no local-mode gain. */
+    carryLearningRate: Boolean = false,
+    /** Gradient-based adaptive restart (O'Donoghue & Candes 2015): reset
+      * FISTA momentum when it opposes the prox step. Driver-side check,
+      * zero extra passes; off by default for golden stability. */
+    adaptiveRestart: Boolean = false)
 
 /** Per-path-step diagnostics (reference `R/setupDiagnostics.R:9-25`). */
 case class StepDiagnostics(primals: Array[Double], duals: Array[Double],
@@ -518,6 +530,9 @@ object Slope {
     val z = new Array[Double](pInt)
     val u = new Array[Double](pInt)
     var fullFact: Admm.Factorization = null
+    // FISTA learning rate carried across sigma steps / KKT growth
+    // iterations when params.carryLearningRate is set
+    var carriedLr = 1.0
 
     val betasOut = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     val devs = scala.collection.mutable.ArrayBuffer[Double]()
@@ -610,7 +625,10 @@ object Slope {
         val betaA = gather(beta, active)
         val res = Fista.fit(backend, active, betaA, lamSig, family, intercept,
           params.maxPasses, params.tolRelGap, params.tolInfeas,
-          params.diagnostics)
+          params.diagnostics,
+          lrInit = if (params.carryLearningRate) carriedLr else 1.0,
+          adaptiveRestart = params.adaptiveRestart)
+        carriedLr = res.finalLr
         (res.beta, res.passes, res.deviance,
           StepDiagnostics(res.primals, res.duals, res.times))
       }

@@ -2,14 +2,17 @@ package graft.slope
 
 import graft.slope.kernels.{Prox, Screening}
 
-/** Per-sigma-step solver result (reference `src/results.h:8-30`). */
+/** Per-sigma-step solver result (reference `src/results.h:8-30`).
+  * `finalLr` reports the last accepted FISTA learning rate so the path
+  * loop can warm-start the next sigma step's line search. */
 case class SolveResult(
     beta: Array[Double], // |active| x m, column-major
     passes: Int,
     deviance: Double,
     primals: Array[Double],
     duals: Array[Double],
-    times: Array[Double])
+    times: Array[Double],
+    finalLr: Double = 1.0)
 
 /** FISTA with backtracking line search and duality-gap + infeasibility
   * stopping — the reference's generic solver (`src/families/family.h:87-223`).
@@ -31,7 +34,9 @@ object Fista {
           maxPasses: Int,
           tolRelGap: Double,
           tolInfeas: Double,
-          diagnostics: Boolean): SolveResult = {
+          diagnostics: Boolean,
+          lrInit: Double = 1.0,
+          adaptiveRestart: Boolean = false): SolveResult = {
 
     val a = active.length
     val m = backend.m
@@ -42,7 +47,13 @@ object Fista {
     var betaTilde = betaInit.clone()
     var betaTildeOld = betaInit.clone()
 
-    var learningRate = 1.0
+    // The reference resets learning_rate = 1.0 per fit (family.h:111,
+    // a local), so every sigma step re-pays the backtracking halvings —
+    // each one a full distributed pass. `lrInit` lets the path loop
+    // carry the converged rate across sigma steps (warm starts keep the
+    // local curvature nearly unchanged), opt-in via
+    // SlopeParams.carryLearningRate.
+    var learningRate = if (lrInit > 0 && !lrInit.isNaN) lrInit else 1.0
     val eta = 0.5
     var t = 1.0
 
@@ -158,14 +169,32 @@ object Fista {
         val tNew = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * tOld * tOld))
         val mom = (tOld - 1.0) / tNew
 
-        def momentumPoint(cand: Array[Double]): Array[Double] = {
+        def momentumPoint(cand: Array[Double], m0: Double): Array[Double] = {
           val next = new Array[Double](a * m)
           var j = 0
           while (j < a * m) {
-            next(j) = cand(j) + mom * (cand(j) - betaTildeOld(j))
+            next(j) = cand(j) + m0 * (cand(j) - betaTildeOld(j))
             j += 1
           }
           next
+        }
+
+        /** Gradient-based adaptive restart (O'Donoghue & Candes 2015,
+          * "Adaptive restart for accelerated gradient schemes", sec 3.2):
+          * when the momentum direction opposes the latest prox step —
+          * dot(y_{k-1} - x_k, x_k - x_{k-1}) > 0, with y_{k-1} = `beta`
+          * (the point the gradient was taken at), x_k = `cand`, x_{k-1}
+          * = `betaTildeOld` — momentum is hurting; take a plain proximal
+          * step and reset t. All three vectors are driver-held, so the
+          * check costs NO cluster pass. */
+        def restartAt(cand: Array[Double]): Boolean = adaptiveRestart && {
+          var s = 0.0
+          var j = 0
+          while (j < a * m) {
+            s += (beta(j) - cand(j)) * (cand(j) - betaTildeOld(j))
+            j += 1
+          }
+          s > 0.0
         }
 
         // backtracking line search (reference family.h:177-201). First
@@ -176,17 +205,21 @@ object Fista {
         // extra evaluation, exactly the pre-fusion cost.
         var searching = true
         var firstTry = true
+        var restarted = false
         while (searching) {
           val cand = proxStep(grad, learningRate)
+          val restart = restartAt(cand)
+          val momUse = if (restart) 0.0 else mom
           if (firstTry) {
             firstTry = false
-            val nextSpec = momentumPoint(cand)
+            val nextSpec = momentumPoint(cand, momUse)
             val (gCand, gNext, dualNext, gradNext) =
               backend.evalPairActive(active, cand, nextSpec, family)
             if (searchBound(cand, grad, gOld, learningRate) >= gCand * (1.0 - 1e-12)) {
               betaTilde = cand
               beta = nextSpec
               carried = (gNext, dualNext, gradNext)
+              restarted = restart
               searching = false
             } else {
               learningRate *= eta
@@ -195,9 +228,10 @@ object Fista {
             val g = backend.primalActive(active, cand, family)
             if (searchBound(cand, grad, gOld, learningRate) >= g * (1.0 - 1e-12)) {
               betaTilde = cand
-              beta = momentumPoint(cand)
+              beta = momentumPoint(cand, momUse)
               carried = backend.evalActive(active, beta, family,
                 needDual = true, needGrad = true)
+              restarted = restart
               searching = false
             } else {
               learningRate *= eta
@@ -205,7 +239,7 @@ object Fista {
           }
         }
 
-        t = tNew
+        t = if (restarted) 1.0 else tNew
         passes += 1
       }
     }
@@ -221,7 +255,8 @@ object Fista {
     SolveResult(beta, passes, 2.0 * lastPrimal,
       if (diagnostics) primals.toArray else Array.empty,
       if (diagnostics) duals.toArray else Array.empty,
-      if (diagnostics) times.toArray else Array.empty)
+      if (diagnostics) times.toArray else Array.empty,
+      finalLr = learningRate)
   }
 }
 

@@ -81,14 +81,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast.keySet == hof.keySet)
     fast.foreach { case (id, sig) =>
       assert(sig == hof(id), s"signature mismatch for doc $id") }
-    // empty base-hash array: every lane null in BOTH formulations
-    // (array_min(empty) = null), not a null/missing signature
-    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("h")
-    val fe = empty.select(Dedup.minhashFromHashes(col("h"), 8).as("sig"))
-      .collect().head.getSeq[Any](0)
-    val he = empty.select(Dedup.minhashFromHashesHof(col("h"), 8).as("sig"))
-      .collect().head.getSeq[Any](0)
-    assert(fe == he && fe.length == 8 && fe.forall(_ == null))
+    // empty AND NULL base-hash arrays: every lane null in BOTH
+    // formulations (array_min(empty) = null; the HOF's outer array(...)
+    // of per-lane nulls is itself NON-null, so the kernel must return a
+    // lane-of-nulls for NULL input too, never a null signature)
+    val edges = Seq((1L, Seq.empty[Long]),
+                    (2L, null.asInstanceOf[Seq[Long]])).toDF("id", "h")
+    val fe = edges.select(col("id"), Dedup.minhashFromHashes(col("h"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val he = edges.select(col("id"), Dedup.minhashFromHashesHof(col("h"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(fe == he)
+    Seq(1L, 2L).foreach { id =>
+      assert(fe(id) != null && fe(id).length == 8 && fe(id).forall(_ == null),
+        s"input $id must yield a non-null lane-of-nulls signature") }
   }
 
   test("simhash fingerprint kernel is bit-identical to the HOF formulation") {
