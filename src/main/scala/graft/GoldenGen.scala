@@ -30,7 +30,11 @@ object GoldenGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new File(outDir).mkdirs()
-    SparkEntry.goldenQueries.foreach { name =>
+    // optional third arg: comma-separated subset (default: all goldens)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    SparkEntry.goldenQueries
+      .filter(n => only.forall(_.contains(n))).foreach { name =>
       val tmp = s"$outDir/.tmp_$name"
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp)

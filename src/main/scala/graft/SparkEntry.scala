@@ -395,6 +395,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pseudo_ppl_bigram" -> ((s, dir) => {
+      // bigram Stupid-Backoff LM gate (CCNet-style, upgraded from the
+      // unigram model): word-ORDER-sensitive quality score — a
+      // shuffled-word doc keeps its unigram ppl but collapses here.
+      // Still fully declarative: two groupBys over one exploded token
+      // pass + keyed score joins, bigrams from a per-row transform
+      // (no window, no self-join)
+      val out = graft.operators.LanguageModel.bigramPseudoPerplexity(
+        docs(s, dir), "doc_id", "text")
+      out.select(col("doc_id"), col("n_words"),
+        round(col("pseudo_ppl_bigram"), 6).as("pseudo_ppl_bigram"))
+        .orderBy("doc_id")
+    }),
+
     "q_length_quantiles" -> ((s, dir) => {
       // per-source token-length distribution (the sequence-length
       // planning input): EXACT quantiles via the histogram reduction —
@@ -754,6 +768,23 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("vec_id") < 8), e,
         "vec_id", "embedding", k = 5, m = 8, nCodes = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"),
+          round(col("score_fp"), 6).as("score_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // IVFPQ — the FAISS production composition: coarse cells bound
+      // the candidate set (nProbe/nLists of the corpus per query), PQ
+      // codes over the residuals bound the bytes per candidate (m
+      // lookups, never a d-dim dot). Golden oracle (k-means codebooks
+      // are not SQL-expressible); score_fp is the per-pair exact-cosine
+      // certificate
+      val e = emb(s, dir)
+      Similarity.ivfpqTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3,
+        m = 8, nCodes = 16)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("score"), 6).as("score"),
           round(col("score_fp"), 6).as("score_fp"))
@@ -1432,6 +1463,25 @@ object SparkEntry {
           col("frame_idx"), col("width"), col("height"),
           round(col("mean_luma"), 6).as("mean_luma"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    "q_mjpeg_frames" -> ((s, dir) => {
+      // REAL pixels from a CODEC-BEARING container, no ffmpeg: the
+      // stsd/stsz/stsc/stco sample-table walk slices each video
+      // sample's byte range out of the mdat, and the 'jpeg' sample
+      // entries make every sample a real JPEG the stock ImageIO codec
+      // decodes. Frames are 8x8-block-constant gray at quality 1.0 —
+      // DC-only blocks with unit quantizers round-trip bit-exactly, so
+      // the LOSSY codec still has a closed-form pixel oracle.
+      // Truncated/undecodable samples quarantine (decode_ok=false),
+      // pinned all-true here.
+      val ids = docs(s, dir).filter(col("doc_id") < 40).select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.syntheticMjpegMedia(ids, "doc_id")
+      graft.multimodal.Multimodal.withMjpegFrames(media, "payload")
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), round(col("mean_gray"), 6).as("mean_gray"),
+          col("decode_ok"))
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -1779,6 +1829,31 @@ object SparkEntry {
              round(exp(-avg(logp)), 6) AS pseudo_ppl
            FROM tw JOIN lm USING (word)
            GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_pseudo_ppl_bigram" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           e AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t),
+           tok AS (SELECT doc_id, pos, w[pos+1] AS word,
+                     CASE WHEN pos = 0 THEN NULL ELSE w[pos] END AS prev
+                   FROM e WHERE length(w[pos+1]) > 0),
+           c1 AS (SELECT word, count(*)::DOUBLE AS c1 FROM tok GROUP BY word),
+           tot AS (SELECT sum(c1) AS n FROM c1),
+           c2 AS (SELECT prev, word, count(*)::DOUBLE AS c2 FROM tok
+                  WHERE prev IS NOT NULL GROUP BY prev, word),
+           blm AS (SELECT c2.prev, c2.word, ln(c2.c2) - ln(p.c1) AS ls2
+                   FROM c2 JOIN c1 p ON c2.prev = p.word),
+           sc AS (SELECT tok.doc_id,
+                    CASE WHEN tok.prev IS NULL THEN ln(u.c1) - ln(tot.n)
+                         ELSE coalesce(blm.ls2,
+                           ln(0.4) + (ln(u.c1) - ln(tot.n))) END AS ls
+                  FROM tok JOIN c1 u ON tok.word = u.word
+                  LEFT JOIN blm ON blm.prev = tok.prev AND blm.word = tok.word,
+                  tot)
+           SELECT doc_id, count(*)::BIGINT AS n_words,
+             round(exp(-avg(ls)), 6) AS pseudo_ppl_bigram
+           FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
       "q_length_quantiles" ->
         s"""WITH t AS (
@@ -2307,6 +2382,25 @@ object SparkEntry {
            FROM px GROUP BY media_id, f
            ORDER BY media_id, f""",
 
+      // every 8x8 block is full and block-constant, so the pixel mean
+      // equals the BLOCK mean — the oracle never enumerates pixels
+      "q_mjpeg_frames" ->
+        """WITH d AS (
+             SELECT doc_id AS media_id, 16 AS w, 8*(1 + doc_id % 2) AS h,
+               2 + doc_id % 3 AS n
+             FROM documents WHERE doc_id < 40),
+           fs AS (SELECT unnest(range(4)) AS f),
+           bxs AS (SELECT unnest(range(2)) AS bx),
+           bys AS (SELECT unnest(range(2)) AS by),
+           px AS (SELECT media_id, w, h, n, f, bx, by FROM d, fs, bxs, bys
+                  WHERE f < n AND by < h/8)
+           SELECT media_id, f::INT AS frame_idx, any_value(w)::INT AS width,
+             any_value(h)::INT AS height,
+             round(avg((17*bx + 23*by + 29*f + media_id) % 256), 6) AS mean_gray,
+             true AS decode_ok
+           FROM px GROUP BY media_id, f
+           ORDER BY media_id, frame_idx""",
+
       "q_sessionize" ->
         """WITH e AS (
              SELECT user_id, epoch_ns(ts)//1000000000 AS sec, value FROM events),
@@ -2346,7 +2440,8 @@ object SparkEntry {
     "q_slope_fit", "q_slope_wide", "q_slope_path_summary",
     "q_slope_predict", "q_slope_score", "q_slope_cv", "q_coef_interp",
     "q_diagnostics", "q_lambda_bh", "q_minhash_dedup", "q_simhash_dedup",
-    "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_slope_multitask", "q_slope_tiny",
+    "q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq", "q_slope_multitask",
+    "q_slope_tiny",
     "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
     "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
     "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier")

@@ -756,6 +756,331 @@ object Multimodal {
     b.putInt(0).putInt(0).putInt(0x40000000)
   }
 
+  /** JPEG-encode a grayscale image at an explicit quality. At quality
+    * 1.0 the IJG-style quantization tables are all ones, so an image
+    * that is CONSTANT WITHIN EVERY 8x8 BLOCK survives the DCT round
+    * trip bit-exactly (DC-only blocks, zero AC, unit quantizer) —
+    * the property that makes a lossy codec closed-form-oracle-able. */
+  private def jpegEncodeGray(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    baos.toByteArray
+  }
+
+  /** The MJPEG frame-pixel formula: frame `f` of media `id` is gray,
+    * constant per 8x8 block, block (bx, by) = (17bx + 23by + 29f + id)
+    * mod 256. Shared by the builder, the spec, and (in SQL form) the
+    * q_mjpeg_frames oracle. */
+  def mjpegBlockValue(id: Long, f: Int, bx: Int, by: Int): Int =
+    ((17 * bx + 23 * by + 29 * f + id) % 256).toInt
+
+  /** Frame geometry/count for the synthetic MJPEG fixture: dims are
+    * MULTIPLES OF 8 so every JPEG block is full (and the quality-1.0
+    * round trip exact); n = 2 + id%3 frames, w = 16, h = 8*(1+id%2). */
+  def mjpegDims(id: Long): (Int, Int, Int) =
+    (16, 8 * (1 + (id % 2).toInt), 2 + (id % 3).toInt)
+
+  /** Deterministic synthetic MJPEG-in-MP4: a REAL codec-bearing ISO-BMFF
+    * container whose mdat holds one REAL JPEG image per video sample —
+    * the one codec-bearing container stock JVM codecs can fully decode
+    * ('jpeg' sample entries + ImageIO, no ffmpeg). Layout: ftyp, mdat
+    * (concatenated JPEG sample data), moov with a complete stbl — stsd
+    * carrying a 'jpeg' VisualSampleEntry, stts (one run, delta 40 @
+    * timescale 600), stsc (one run: 1 sample/chunk), stsz per-sample
+    * sizes, stco chunk offsets into the mdat. Frames follow
+    * [[mjpegBlockValue]] at quality 1.0, so decoded pixels equal the
+    * closed form EXACTLY (see [[jpegEncodeGray]]). */
+  def syntheticMjpegMp4(id: Long): Array[Byte] = {
+    val (w, h, n) = mjpegDims(id)
+    val frames: Array[Array[Byte]] = Array.tabulate(n) { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, mjpegBlockValue(id, f, x / 8, y / 8))
+          x += 1
+        }
+        y += 1
+      }
+      jpegEncodeGray(img)
+    }
+    val sizes = frames.map(_.length)
+    val mdatSz = 8 + sizes.sum
+    val stsdSz = 16 + 86           // fullbox hdr + entry_count + VisualSampleEntry
+    val sttsSz = 16 + 8            // one (count, delta) run
+    val stscSz = 16 + 12           // one (first_chunk, per_chunk, desc) run
+    val stszSz = 20 + 4 * n
+    val stcoSz = 16 + 4 * n
+    val stblSz = 8 + stsdSz + sttsSz + stscSz + stszSz + stcoSz
+    val minfSz = 8 + stblSz
+    val mdiaSz = 8 + 32 + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val out = java.nio.ByteBuffer.allocate(20 + mdatSz + moovSz)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.putInt(20).put("ftyp".getBytes("ISO-8859-1"))
+      .put("isom".getBytes("ISO-8859-1")).putInt(0x200)
+      .put("mp42".getBytes("ISO-8859-1"))
+    out.putInt(mdatSz).put("mdat".getBytes("ISO-8859-1"))
+    val dataStart = 28 // 20 (ftyp) + 8 (mdat header)
+    frames.foreach(out.put)
+    val durMedia = 40 * n
+    out.putInt(moovSz).put("moov".getBytes("ISO-8859-1"))
+    out.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1000).putInt(durMedia * 1000 / 600)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0).putLong(0)
+    putIdentityMatrix(out)
+    var i = 0
+    while (i < 6) { out.putInt(0); i += 1 }
+    out.putInt(2)
+    out.putInt(trakSz).put("trak".getBytes("ISO-8859-1"))
+    out.putInt(92).put("tkhd".getBytes("ISO-8859-1"))
+      .putInt(7).putInt(0).putInt(0)
+      .putInt(1).putInt(0).putInt(durMedia * 1000 / 600).putLong(0)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    putIdentityMatrix(out)
+    out.putInt(w << 16).putInt(h << 16)
+    out.putInt(mdiaSz).put("mdia".getBytes("ISO-8859-1"))
+    out.putInt(32).put("mdhd".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(600).putInt(durMedia)
+      .putShort(0x55C4.toShort).putShort(0)
+    out.putInt(minfSz).put("minf".getBytes("ISO-8859-1"))
+    out.putInt(stblSz).put("stbl".getBytes("ISO-8859-1"))
+    // stsd: one 'jpeg' VisualSampleEntry (ISO 14496-12 §8.5.2 + §12.1.3)
+    out.putInt(stsdSz).put("stsd".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(1)
+    out.putInt(86).put("jpeg".getBytes("ISO-8859-1"))
+      .putInt(0).putShort(0)        // 6 reserved bytes
+      .putShort(1)                  // data_reference_index
+      .putShort(0).putShort(0)      // pre_defined, reserved
+      .putInt(0).putInt(0).putInt(0) // pre_defined[3]
+      .putShort(w.toShort).putShort(h.toShort)
+      .putInt(0x00480000).putInt(0x00480000) // 72 dpi h/v
+      .putInt(0)                    // reserved
+      .putShort(1)                  // frame_count
+    i = 0
+    while (i < 32) { out.put(0.toByte); i += 1 } // compressorname
+    out.putShort(24).putShort(0xFFFF.toShort)    // depth, pre_defined
+    out.putInt(sttsSz).put("stts".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(1).putInt(n).putInt(40)
+    out.putInt(stscSz).put("stsc".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(1).putInt(1).putInt(1).putInt(1)
+    out.putInt(stszSz).put("stsz".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(n)
+    sizes.foreach(out.putInt)
+    out.putInt(stcoSz).put("stco".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(n)
+    var off = dataStart
+    sizes.foreach { s => out.putInt(off); off += s }
+    out.array()
+  }
+
+  /** (media_id, payload) frame of deterministic synthetic MJPEG MP4s. */
+  def syntheticMjpegMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, syntheticMjpegMp4(id))
+      }
+    }(enc)
+  }
+
+  /** One decoded MJPEG sample: geometry + exact mean gray level; `ok`
+    * is false for a truncated/undecodable sample (quarantine row). */
+  final case class MjpegFrame(frameIdx: Int, width: Int, height: Int,
+                              meanGray: Double, ok: Boolean)
+
+  /** REAL frame decode for a codec-bearing MP4 — no ffmpeg: walk the
+    * sample tables (stsd/stsz/stsc/stco per ISO 14496-12), check the
+    * sample-entry fourcc is 'jpeg' (the MJPEG case a stock JVM CAN
+    * decode), slice each sample's byte range out of the mdat, and feed
+    * it to the same javax.imageio kernel the image path uses. Chunk
+    * offsets follow the standard stsc expansion (sample-to-chunk runs,
+    * sizes accumulated within a chunk), not an assumed 1:1 layout.
+    * Samples whose byte range falls outside the payload, or whose
+    * bytes ImageIO rejects, become quarantine rows (`ok = false`)
+    * instead of failing the task. Returns Nil when the container has
+    * no 'jpeg' track (those routes stay with [[DecodeStub]]). */
+  def parseMjpegFrames(payload: Array[Byte], stride: Int = 1): Seq[MjpegFrame] = {
+    if (payload == null || payload.length < 16) return Nil
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(at: Int, end: Int): (String, Int, Int) = {
+      if (at + 8 > end) return null
+      var size = buf.getInt(at).toLong & 0xFFFFFFFFL
+      val tpe = new String(payload, at + 4, 4, "ISO-8859-1")
+      var hdr = 8
+      if (size == 1) {
+        if (at + 16 > end) return null
+        size = buf.getLong(at + 8)
+        hdr = 16
+      } else if (size == 0) size = (end - at).toLong
+      if (size < hdr || at + size > end) return null
+      (tpe, at + hdr, at + size.toInt)
+    }
+    def find(ps: Int, pe: Int, want: String): (String, Int, Int) = {
+      var at = ps
+      while (at < pe) {
+        val b = box(at, pe)
+        if (b == null) return null
+        if (b._1 == want) return b
+        at = b._3
+      }
+      null
+    }
+    try {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[MjpegFrame]
+      var at = 0
+      val end = payload.length
+      while (at < end) {
+        val b = box(at, end)
+        if (b == null) return frames.toSeq
+        if (b._1 == "moov") {
+          var ct = b._2
+          while (ct < b._3) {
+            val c = box(ct, b._3)
+            if (c == null) return frames.toSeq
+            if (c._1 == "trak") {
+              val mdia = find(c._2, c._3, "mdia")
+              val minf = if (mdia == null) null else find(mdia._2, mdia._3, "minf")
+              val stbl = if (minf == null) null else find(minf._2, minf._3, "stbl")
+              if (stbl != null) {
+                val stsd = find(stbl._2, stbl._3, "stsd")
+                val isJpeg = stsd != null && stsd._3 - stsd._2 >= 16 &&
+                  buf.getInt(stsd._2 + 4) >= 1 &&
+                  new String(payload, stsd._2 + 12, 4, "ISO-8859-1") == "jpeg"
+                val stsz = find(stbl._2, stbl._3, "stsz")
+                val stsc = find(stbl._2, stbl._3, "stsc")
+                val stco = find(stbl._2, stbl._3, "stco")
+                if (isJpeg && stsz != null && stsc != null && stco != null) {
+                  val uniform = buf.getInt(stsz._2 + 4)
+                  val nSamples = buf.getInt(stsz._2 + 8)
+                  if (nSamples < 0 || (uniform == 0 &&
+                      12L + 4L * nSamples > (stsz._3 - stsz._2).toLong))
+                    return frames.toSeq
+                  def sizeOf(k: Int): Int =
+                    if (uniform != 0) uniform
+                    else buf.getInt(stsz._2 + 12 + 4 * k)
+                  val nChunks = buf.getInt(stco._2 + 4)
+                  if (nChunks < 0 ||
+                      8L + 4L * nChunks > (stco._3 - stco._2).toLong)
+                    return frames.toSeq
+                  val nScRuns = buf.getInt(stsc._2 + 4)
+                  if (nScRuns <= 0 ||
+                      8L + 12L * nScRuns > (stsc._3 - stsc._2).toLong)
+                    return frames.toSeq
+                  // standard stsc expansion: run r covers chunks
+                  // [first_chunk_r, first_chunk_{r+1}) at samples_per_chunk_r
+                  var sample = 0
+                  var run = 0
+                  var chunk = 1 // 1-based per spec
+                  while (chunk <= nChunks && sample < nSamples) {
+                    while (run + 1 < nScRuns &&
+                           chunk >= buf.getInt(stsc._2 + 8 + 12 * (run + 1)))
+                      run += 1
+                    val perChunk = buf.getInt(stsc._2 + 8 + 12 * run + 4)
+                    var offL = buf.getInt(stco._2 + 8 + 4 * (chunk - 1)).toLong & 0xFFFFFFFFL
+                    var s = 0
+                    while (s < perChunk && sample < nSamples) {
+                      val sz = sizeOf(sample)
+                      if (sample % stride == 0) {
+                        val okRange = sz > 0 && offL >= 0 &&
+                          offL + sz <= payload.length
+                        val decoded: Option[(Int, Int, Double)] =
+                          if (!okRange) None
+                          else {
+                            val bytes = new Array[Byte](sz)
+                            System.arraycopy(payload, offL.toInt, bytes, 0, sz)
+                            val img = javax.imageio.ImageIO.read(
+                              new java.io.ByteArrayInputStream(bytes))
+                            if (img == null) None
+                            else {
+                              val w = img.getWidth
+                              val h = img.getHeight
+                              var sum = 0L
+                              var y = 0
+                              while (y < h) {
+                                var x = 0
+                                while (x < w) {
+                                  sum += img.getRaster.getSample(x, y, 0)
+                                  x += 1
+                                }
+                                y += 1
+                              }
+                              Some((w, h, sum.toDouble / (w.toLong * h)))
+                            }
+                          }
+                        frames += (decoded match {
+                          case Some((w, h, mg)) => MjpegFrame(sample, w, h, mg, ok = true)
+                          case None => MjpegFrame(sample, -1, -1, Double.NaN, ok = false)
+                        })
+                      }
+                      offL += sz
+                      sample += 1
+                      s += 1
+                    }
+                    chunk += 1
+                  }
+                }
+              }
+            }
+            ct = c._3
+          }
+        }
+        at = b._3
+      }
+      frames.toSeq
+    } catch { case _: Exception => Nil }
+  }
+
+  /** Explode each payload into one row per (strided) decoded MJPEG
+    * sample. Quarantine contract: payloads with no 'jpeg' track yield
+    * one all-null row; truncated/undecodable samples yield their row
+    * with null stats and `decode_ok` false. Narrow partition-parallel
+    * map — no shuffle, same plumbing as every decode kernel here. */
+  def withMjpegFrames(df: DataFrame, payloadCol: String,
+                      stride: Int = 1): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_gray", DoubleType),
+      StructField("decode_ok", BooleanType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fs = parseMjpegFrames(r.getAs[Array[Byte]](idx), stride)
+        if (fs.isEmpty)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+        else fs.iterator.map { f =>
+          if (f.ok)
+            Row.fromSeq(r.toSeq ++ Seq[Any](f.frameIdx, f.width, f.height,
+              f.meanGray, true))
+          else
+            Row.fromSeq(r.toSeq ++ Seq[Any](f.frameIdx, null, null, null, false))
+        }
+      }
+    }(enc)
+  }
+
   /** REAL WebM/Matroska metadata decode: walk the EBML element tree
     * (public Matroska/EBML spec — variable-length-integer IDs/sizes,
     * big-endian payloads, no codec) and return the DocType ("webm" /

@@ -81,4 +81,69 @@ object LanguageModel {
       .select(col(idCol), col("n_words"),
         exp(-col("mean_logp")).as("pseudo_ppl"))
   }
+
+  /** Bigram pseudo-perplexity with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the CCNet-style
+    * LM gate upgraded to word ORDER sensitivity: a shuffled-word
+    * document keeps its unigram score exactly (same multiset) but its
+    * bigram score collapses, which is what makes this a real quality
+    * gate rather than a vocabulary check.
+    *
+    * Score of token i given its predecessor v (raw counts, as in the
+    * paper — Stupid Backoff is deliberately unnormalized):
+    *   S(w|v) = c(vw) / c(v)            if the bigram was seen
+    *          = alpha * c(w) / N        otherwise (backoff, alpha=0.4)
+    * and the document's first token scores S(w) = c(w)/N. The context
+    * count c(v) is the FULL unigram count of v (the paper's serving
+    * simplification; doc-final tokens inflate it by at most 1/doc).
+    * pseudo_ppl_bigram = exp(-mean log S over the doc's tokens).
+    *
+    * 100-TB shape, same discipline as the unigram gate: the LM is TWO
+    * groupBys over one exploded token pass (unigram + bigram counts,
+    * both map-side combined); scoring is keyed equi-joins (word;
+    * (prev, word)) + one per-doc aggregation. Bigram pairs come from a
+    * per-row `transform` over the word array — positions never need a
+    * window or a self-join, so nothing shuffles per token except the
+    * count/score joins themselves. The model sides are vocab-sized;
+    * AQE broadcasts them when they fit. Tokens are persisted across
+    * the three scans (same caveat as self-LM mode above). */
+  def bigramPseudoPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                             alpha: Double = 0.4): DataFrame = {
+    // raw split (not pre-filtered) so token POSITIONS mirror the oracle
+    // exactly; normalizeText collapses runs of spaces, so the only
+    // empty word is the whole-empty-text case, filtered after explode
+    val w = split(TextFunctions.normalizeText(col(textCol)), " ")
+    val pairs = transform(sequence(lit(0), size(w) - 1), i =>
+      struct(i.as("pos"), element_at(w, i + 1).as("word"),
+        when(i === 0, lit(null).cast("string"))
+          .otherwise(element_at(w, i)).as("prev")))
+    val tokens = docs
+      .select(col(idCol), explode(pairs).as("t"))
+      .select(col(idCol), col("t.pos").as("pos"),
+        col("t.word").as("word"), col("t.prev").as("prev"))
+      .filter(length(col("word")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = tokens.groupBy("word").agg(count(lit(1)).cast("double").as("c1"))
+    val total = c1.agg(sum("c1").as("n"))
+    val uni = c1.crossJoin(broadcast(total))
+      .select(col("word"), col("c1"), col("n"))
+    val blm = tokens.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("word"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+      .join(c1.select(col("word").as("prev"), col("c1").as("cprev")), Seq("prev"))
+      .select(col("prev"), col("word"),
+        (log(col("c2")) - log(col("cprev"))).as("ls2"))
+    val logp1 = log(col("c1")) - log(col("n"))
+    tokens
+      .join(uni, Seq("word"))
+      .join(blm, Seq("prev", "word"), "left")
+      .select(col(idCol),
+        when(col("prev").isNull, logp1)
+          .otherwise(coalesce(col("ls2"), log(lit(alpha)) + logp1))
+          .as("ls"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), avg(col("ls")).as("mean_ls"))
+      .select(col(idCol), col("n_words"),
+        exp(-col("mean_ls")).as("pseudo_ppl_bigram"))
+  }
 }

@@ -546,6 +546,214 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** IVFPQ: the FAISS production composition (`IndexIVFPQ`) of the two
+    * halves above — IVF's coarse k-means quantizer restricts each query
+    * to its `nProbe` nearest cells, and a product quantizer over the
+    * RESIDUALS (v − centroid[cell]) compresses every corpus vector to
+    * `m` byte codes scored through per-query lookup tables.
+    *
+    * Score decomposition (asymmetric, inner-product form):
+    *   dot(q, v̂) = dot(q, c_cell) + Σ_j LUT_j[code_j]
+    * with LUT_j[t] = dot(q_block_j, book_j[t]) built once per partition
+    * per query (m × nCodes entries), and the reconstructed corpus norm
+    *   ‖v̂‖² = ‖c‖² + 2·Σ_j dot(c_block_j, book_j[code_j]) + Σ_j ‖book_j[code_j]‖²
+    * read from THREE driver-precomputed tables (nLists; nLists×m×nCodes;
+    * m×nCodes) — the scan never touches a d-dimensional corpus value
+    * after encoding, exactly the deployed-index read path. Cosine =
+    * decomposed dot / (‖q‖·‖v̂‖); `score_fp` carries the exact cosine of
+    * each SELECTED pair (per-row quantization certificate, same contract
+    * as [[pqTopK]]/[[int8TopK]]).
+    *
+    * Plan shape: codebooks/centroids train on the deterministic
+    * hash-ordered sample ([[trainQuantizer]] — a partial top-n, never a
+    * full sort); the corpus is scanned ONCE with broadcast queries and
+    * per-partition bounded heaps — the corpus never shuffles, and a row
+    * is scored only by the queries probing its cell, so candidate
+    * volume is Σ_cells |rows_c|·|queries probing c| ≈ |corpus|·|Q|·
+    * nProbe/nLists under balance (the SKEW.md bound). Deterministic
+    * end-to-end → golden-able. */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nLists: Int = 8, nProbe: Int = 2,
+                m: Int = 8, nCodes: Int = 16,
+                excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qType = queries.schema(idCol).dataType
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+    require(qArr.nonEmpty, "empty query set")
+    val dim = qArr.head._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val centers = trainQuantizer(corpus, idCol, vecCol, nLists)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    // residual frame: one narrow pass, persisted across the m codebook
+    // trainings + the scoring scan
+    val res = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCenters.value
+        it.map { case (id, raw) =>
+          val cell = nearestCells(cs, raw, 1)(0)
+          val cc = cs(cell)
+          val r = new Array[Double](raw.length)
+          var j = 0
+          while (j < raw.length) { r(j) = raw(j) - cc(j); j += 1 }
+          (id, raw, cell, r)
+        }
+      }
+      .toDF("nid", "raw", "cell", "res")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val sub = res.select(col("nid"),
+        slice(col("res"), j * subDim + 1, subDim).as("__sub"))
+      trainQuantizer(sub, "nid", "__sub", nCodes)
+    }
+    // driver tables: cell norms, cell-x-code cross dots, code norms
+    val cnorm2 = centers.map { c =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += c(j) * c(j); j += 1 }; s
+    }
+    val crossTab = Array.tabulate(nLists, m, nCodes) { (cell, j, t) =>
+      val c = centers(cell); val bk = books(j)(t)
+      var s = 0.0; var u = 0
+      while (u < subDim) { s += c(j * subDim + u) * bk(u); u += 1 }
+      s
+    }
+    val rnorm2 = Array.tabulate(m, nCodes) { (j, t) =>
+      val bk = books(j)(t)
+      var s = 0.0; var u = 0
+      while (u < subDim) { s += bk(u) * bk(u); u += 1 }
+      s
+    }
+    def fnorm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val qFull = qArr.map { case (id, raw) => (id, raw, fnorm(raw)) }
+    // per-cell probe lists: which queries score rows of each cell
+    val probeLists: Array[Array[Int]] = {
+      val ls = Array.fill(nLists)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      qFull.zipWithIndex.foreach { case ((_, raw, _), qi) =>
+        nearestCells(centers, raw, nProbe).foreach(cell => ls(cell) += qi)
+      }
+      ls.map(_.toArray)
+    }
+    val bcQ = spark.sparkContext.broadcast(qFull)
+    val bcB = spark.sparkContext.broadcast(books)
+    val bcCn = spark.sparkContext.broadcast(cnorm2)
+    val bcCross = spark.sparkContext.broadcast(crossTab)
+    val bcRn = spark.sparkContext.broadcast(rnorm2)
+    val bcProbe = spark.sparkContext.broadcast(probeLists)
+    val partial = res
+      .select(col("nid"), col("raw"), col("cell"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val bks = bcB.value
+        val cs = bcCenters.value
+        val cn2 = bcCn.value
+        val cross = bcCross.value
+        val rn2 = bcRn.value
+        val probe = bcProbe.value
+        // per-query: block LUTs (raw q x codebooks) and q·centroid dots
+        val lut = Array.tabulate(qs.length, m, nCodes) { (qi, j, t) =>
+          val qv = qs(qi)._2; val bk = bks(j)(t)
+          var s = 0.0; var u = 0
+          while (u < subDim) { s += qv(j * subDim + u) * bk(u); u += 1 }
+          s
+        }
+        val qcdot = Array.tabulate(qs.length, nLists) { (qi, cell) =>
+          val qv = qs(qi)._2; val c = cs(cell)
+          var s = 0.0; var j = 0
+          while (j < dim) { s += qv(j) * c(j); j += 1 }
+          s
+        }
+        val ord = new Ordering[(Double, Long, Double)] {
+          def compare(a: (Double, Long, Double), b: (Double, Long, Double)): Int = {
+            val c = java.lang.Double.compare(a._1, b._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        val heaps = Array.fill(qs.length)(
+          new java.util.PriorityQueue[(Double, Long, Double)](k + 1, ord))
+        val codes = new Array[Int](m)
+        it.foreach { case (nid, raw, cell) =>
+          val watchers = probe(cell)
+          if (watchers.nonEmpty) {
+            // ENCODE the residual (recomputed from raw + centroid so the
+            // scan input stays 3 narrow columns)
+            val cc = cs(cell)
+            var j = 0
+            while (j < m) {
+              var best = 0
+              var bestD = Double.MaxValue
+              var t = 0
+              while (t < nCodes) {
+                val bk = bks(j)(t)
+                var d = 0.0; var u = 0
+                while (u < subDim) {
+                  val x = (raw(j * subDim + u) - cc(j * subDim + u)) - bk(u)
+                  d += x * x; u += 1
+                }
+                if (d < bestD) { bestD = d; best = t }
+                t += 1
+              }
+              codes(j) = best
+              j += 1
+            }
+            var vn2 = cn2(cell)
+            j = 0
+            while (j < m) {
+              vn2 += 2.0 * cross(cell)(j)(codes(j)) + rn2(j)(codes(j))
+              j += 1
+            }
+            val vnorm = math.sqrt(math.max(0.0, vn2))
+            val cfn = fnorm(raw)
+            var wi = 0
+            while (wi < watchers.length) {
+              val qi = watchers(wi)
+              val (qid, qraw, qfn) = qs(qi)
+              if (!(excludeSelf && qid == nid)) {
+                var ad = qcdot(qi)(cell)
+                j = 0
+                while (j < m) { ad += lut(qi)(j)(codes(j)); j += 1 }
+                val score = if (qfn == 0.0 || vnorm == 0.0) 0.0
+                  else ad / (qfn * vnorm)
+                var fd = 0.0
+                var u = 0
+                while (u < dim) { fd += qraw(u) * raw(u); u += 1 }
+                val fp = if (qfn == 0.0 || cfn == 0.0) 0.0 else fd / (qfn * cfn)
+                val h = heaps(qi)
+                h.add((score, nid, fp))
+                if (h.size > k) { h.poll(); () }
+              }
+              wi += 1
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator().asScala.map(t => (qs(qi)._1, t._2, t._1, t._3))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score", "score_fp")
+    val out = partial
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast(qType).as("query_id"), col("rank"),
+        col("neighbor_id"), col("score"), col("score_fp"))
+      .localCheckpoint(true)
+    res.unpersist()
+    out
+  }
+
   /** Approximate top-k via sign-bit LSH buckets with multiprobe.
     *
     * Each corpus vector lands in one bucket; each query probes its own

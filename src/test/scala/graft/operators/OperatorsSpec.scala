@@ -538,6 +538,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq == run().map(_.toString).toSeq)
   }
 
+  test("ivfpq topk: shortlist containment vs brute force, exact certificates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian() * 3))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers(rng.nextInt(4))
+      (i, c.map(v => (v + rng.nextGaussian() * 0.4).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def run(kk: Int) = Similarity.ivfpqTopK(queries, df, "vec_id", "embedding",
+      kk, nLists = 8, nProbe = 3, m = 8, nCodes = 16).collect()
+    // shortlist contract: the exact top-5 survives into a k=20 IVFPQ
+    // shortlist (deployment re-ranks the shortlist by score_fp)
+    val short20 = run(20)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val containment = (exact & short20).size.toDouble / exact.size
+    assert(containment >= 0.85, s"ivfpq shortlist containment $containment")
+    val out = run(5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      // certificate equals the true cosine; decomposed PQ score tracks it
+      assert(math.abs(r.getAs[Double]("score_fp") -
+        cos(vecs(q.toInt)._2, vecs(n.toInt)._2)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("score") -
+        r.getAs[Double]("score_fp")) < 0.25)
+    }
+    // golden-ability: a second run is bit-identical
+    assert(out.map(_.toString).toSeq == run(5).map(_.toString).toSeq)
+  }
+
   test("ivf topk: high recall vs brute force on clustered data") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
@@ -710,6 +748,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(mr - px.map(_._1).sum.toDouble / (w * h)) < 32.0)
     assert(math.abs(mg - px.map(_._2).sum.toDouble / (w * h)) < 32.0)
     assert(math.abs(mb - px.map(_._3).sum.toDouble / (w * h)) < 32.0)
+  }
+
+  test("MJPEG-in-MP4: sample-table walk + ImageIO decode, bit-exact pixels") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // driver-side: every sample decodes EXACTLY to the block formula —
+    // quality-1.0 quantizers are all ones, and block-constant frames are
+    // DC-only, so even the lossy codec round-trips bit-for-bit
+    for (id <- 0L until 6L) {
+      val (w, h, n) = mm.mjpegDims(id)
+      val frames = mm.parseMjpegFrames(mm.syntheticMjpegMp4(id))
+      assert(frames.length == n && frames.forall(_.ok), s"id=$id: $frames")
+      frames.foreach { f =>
+        assert(f.width == w && f.height == h)
+        val bw = w / 8; val bh = h / 8
+        val want = (for { by <- 0 until bh; bx <- 0 until bw }
+          yield mm.mjpegBlockValue(id, f.frameIdx, bx, by))
+          .sum.toDouble / (bw * bh)
+        assert(f.meanGray == want, s"id=$id f=${f.frameIdx}: exact mean")
+      }
+    }
+    // stride samples deterministically (id=2 has 4 frames)
+    assert(mm.parseMjpegFrames(mm.syntheticMjpegMp4(2L), stride = 2)
+      .map(_.frameIdx) == Seq(0, 2))
+    // truncated sample -> quarantine row (ok=false), not failure: point
+    // the LAST chunk offset past the payload end
+    val payload = mm.syntheticMjpegMp4(1L) // 3 frames
+    val stcoIdx = payload.indices.find(i => i + 4 <= payload.length &&
+      new String(payload, i, 4, "ISO-8859-1") == "stco").get
+    val nOff = 3
+    val patchAt = stcoIdx + 12 + 4 * (nOff - 1)
+    val bad = payload.clone()
+    val tooFar = payload.length - 2
+    bad(patchAt) = (tooFar >> 24).toByte; bad(patchAt + 1) = (tooFar >> 16).toByte
+    bad(patchAt + 2) = (tooFar >> 8).toByte; bad(patchAt + 3) = tooFar.toByte
+    val qs = mm.parseMjpegFrames(bad)
+    assert(qs.length == 3 && qs.count(_.ok) == 2 && !qs.last.ok,
+      s"truncated last sample must quarantine: $qs")
+    // non-jpeg containers and junk route away (Nil -> all-null row)
+    assert(mm.parseMjpegFrames(mm.syntheticMp4(1L)).isEmpty)
+    assert(mm.parseMjpegFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(mm.parseMjpegFrames(null).isEmpty)
+    // distributed plumbing: one row per frame, all decode_ok across
+    // partitions; non-jpeg payloads yield the all-null quarantine row
+    val ids = (0L until 8L).toDF("doc_id")
+    val media = mm.syntheticMjpegMedia(ids, "doc_id").repartition(3)
+    val rows = mm.withMjpegFrames(media, "payload").collect()
+    val wantRows = (0L until 8L).map(i => 2 + (i % 3).toInt).sum
+    assert(rows.length == wantRows)
+    assert(rows.forall(r => r.getBoolean(r.fieldIndex("decode_ok"))))
+    val mixed = mm.withMjpegFrames(
+      mm.syntheticMp4Media(ids.limit(2), "doc_id"), "payload").collect()
+    assert(mixed.length == 2 &&
+      mixed.forall(_.isNullAt(mixed.head.fieldIndex("decode_ok"))))
+  }
+
+  test("bigram LM separates shuffled word order; unigram provably cannot") {
+    import spark.implicits._
+    val lm = graft.operators.LanguageModel
+    val orig = "the quick brown fox jumps over the lazy dog"
+    val shuf = "dog the over quick lazy jumps fox the brown" // same multiset
+    // corpus: many docs phrased like `orig` establish the bigram stats
+    val corpus = (1L to 20L).map(i => (i, orig)) :+
+      (100L, orig) :+ (101L, shuf)
+    val df = corpus.toDF("doc_id", "text")
+    val uni = lm.pseudoPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = lm.bigramPseudoPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unigram: identical multiset => identical score, exact
+    assert(uni(100L) == uni(101L),
+      s"unigram must NOT separate: ${uni(100L)} vs ${uni(101L)}")
+    // bigram: the shuffled doc's score must collapse (every bigram
+    // backs off to alpha * unigram); in-order doc stays near 1/S
+    assert(bi(101L) > bi(100L) * 2,
+      s"bigram must separate: orig=${bi(100L)} shuf=${bi(101L)}")
+    // first-token + seen-bigram scoring sanity on a tiny closed corpus:
+    // doc "a b" twice -> c(a)=c(b)=2, N=4, c(ab)=2
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = lm.bigramPseudoPerplexity(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // token1: ln(2/4); token2: ln(c(ab)/c(a)) = ln(1) = 0
+    val want = math.exp(-(math.log(2.0 / 4.0) + 0.0) / 2.0)
+    got.foreach { case (_, n, p) =>
+      assert(n == 2 && math.abs(p - want) < 1e-12, s"got $got want $want") }
   }
 
   test("multimodal: real WAV codec roundtrips the sample formula exactly") {
