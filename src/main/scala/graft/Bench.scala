@@ -112,7 +112,7 @@ object Bench {
     val streamJson =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
       else BenchStreaming.run(spark).map { r =>
-        f""""${r.name}":{"rows":${r.rows},"batches":${r.batches},"sec":${r.sec}%.2f,"rows_per_sec":${r.rowsPerSec}%.0f,"state_rows":${r.stateRows}}"""
+        s""""${r.name}":{${BenchStreaming.jsonFields(r)}}"""
       }.mkString("{", ",", "}")
     // isolated fresh-JVM re-measures (graft.BenchOne appends one JSON
     // line per query to bench_isolation.json) ride along so the round

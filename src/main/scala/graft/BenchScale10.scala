@@ -37,7 +37,11 @@ object BenchScale10 {
     // filter's fit cost (distributed gradient passes, expected ~1.0)
     // and the broadcast-bloom decontamination (doc side never
     // shuffles, expected well under 1.0)
-    "q_quality_classifier", "q_contamination_bloom")
+    "q_quality_classifier", "q_contamination_bloom",
+    // round-9: the two heaviest PrefixSum/window-based curation
+    // operators — quality-ordered running-total cut and exact
+    // per-group quota cap (hash-threshold prefilter)
+    "q_token_budget", "q_source_cap")
 
   private val KeyOff = 100000000L
 
@@ -97,27 +101,44 @@ object BenchScale10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, sfDir, outDir, k = 10)
+    // optional subset (comma-separated) so a round can add new scale
+    // rows without re-measuring the stable ones; results MERGE into the
+    // existing scaling_nondedup.json
+    val queries = sys.env.get("SPARK_GRAFT_SCALE10_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Queries)
     // JIT/codegen warmup at the small scale
-    Queries.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
+    queries.foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     val cells = scala.collection.mutable.Map[(String, String), List[Double]]()
       .withDefaultValue(Nil)
-    for (rep <- 1 to reps; dir <- Seq(sfDir, outDir); q <- Queries) {
+    for (rep <- 1 to reps; dir <- Seq(sfDir, outDir); q <- queries) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scale10] $q%-20s ${dir}%-22s rep$rep $dt%8.2fs")
       cells((q, dir)) = cells((q, dir)) :+ dt
     }
-    val json = Queries.map { q =>
+    val fresh = queries.map { q =>
       val t1 = cells((q, sfDir)).min
       val t10 = cells((q, outDir)).min
       val exp = math.log(t10 / t1) / math.log(10.0)
-      f""""$q":{"sf0.1_sec":$t1%.2f,"sf1_sec":$t10%.2f,"exponent":$exp%.2f}"""
-    }.mkString("{", ",", "}")
+      q -> f"""{"sf0.1_sec":$t1%.2f,"sf1_sec":$t10%.2f,"exponent":$exp%.2f}"""
+    }
+    // merge with any prior rows (subset runs must not drop the stable
+    // measurements); fresh rows win, overall order = Queries order
+    val outPath = java.nio.file.Paths.get("/root/repo/scaling_nondedup.json")
+    val prior: Map[String, String] =
+      if (java.nio.file.Files.exists(outPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+        """"(q_\w+)":(\{[^}]*\})""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } else Map.empty
+    val merged = prior ++ fresh.toMap
+    val json = (Queries.filter(merged.contains) ++
+        merged.keys.filterNot(Queries.contains).toSeq.sorted)
+      .map(q => s""""$q":${merged(q)}""").mkString("{", ",", "}")
     println(json)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/scaling_nondedup.json"),
-      (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -49,6 +49,9 @@ object SparkEntry {
   private val EmbBits = 6
   private val EmbBands = 16
   private val EmbSeed = 42L
+  // BM25 query terms — drawn from the synthetic corpus vocabulary so
+  // every term has real postings; shared verbatim with the oracle SQL
+  private val Bm25Terms = Seq("spark", "hash", "join", "window", "sort")
 
   /** Flagship: SLOPE gaussian path fit on sf0.001 lineitem features. */
   def entry(spark: SparkSession): DataFrame =
@@ -406,6 +409,49 @@ object SparkEntry {
         docs(s, dir), "doc_id", "text")
       out.select(col("doc_id"), col("n_words"),
         round(col("pseudo_ppl_bigram"), 6).as("pseudo_ppl_bigram"))
+        .orderBy("doc_id")
+    }),
+
+    "q_bm25" -> ((s, dir) => {
+      // BM25 top-k keyword retrieval (Robertson-Zaragoza 2009, Lucene
+      // idf): postings of the 5 query terms only ever shuffle — the
+      // corpus side is filtered at the explode — df/N/avgdl broadcast,
+      // and the top-k runs as TakeOrderedAndProject (per-partition
+      // heaps, no global sort)
+      graft.operators.Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+        Bm25Terms, topK = 20)
+        .select(col("id").as("doc_id"), col("score"), col("n_terms_hit"))
+    }),
+
+    "q_crossdoc_spans" -> ((s, dir) => {
+      // cross-document duplicated 5-gram span stats (Lee et al. 2022's
+      // substring-duplication signal): inverted index on shingle WITH
+      // position, distinct-doc-count >= 2 flags a shingle as
+      // cross-corpus duplicated, and only that per-shingle FLAG joins
+      // back — linear in postings, never the pair join
+      graft.operators.Retrieval.crossDocSpanStats(docs(s, dir),
+        "doc_id", "text", n = 5, minDocs = 2, parallelism = OpParallelism)
+        .select(col("id").as("doc_id"), col("n_pos"), col("dup_pos"),
+          col("covered_words"), col("dup_ratio"))
+    }),
+
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // WARC (ISO 28500) source: write the documents table as a
+      // deterministic WARC fixture (8 files, the Common Crawl segment
+      // shape), read it back with the file-parallel record parser, and
+      // emit per-record header + payload facts the oracle recomputes
+      // straight from `documents` — a full write-read-verify loop over
+      // the actual on-disk format
+      val wdir = "/tmp/graft_warc_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Warc.writeCorpus(
+        docs(s, dir).select("doc_id", "source", "text"), wdir, nFiles = 8)
+      graft.sources.Warc.read(s, wdir)
+        .filter(col("parse_ok"))
+        .select(
+          regexp_extract(col("target_uri"), "doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("url"), col("source"),
+          col("content_length"), md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id")
     }),
 
@@ -1854,6 +1900,63 @@ object SparkEntry {
            SELECT doc_id, count(*)::BIGINT AS n_words,
              round(exp(-avg(ls)), 6) AS pseudo_ppl_bigram
            FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_bm25" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w,
+               CASE WHEN $NormSql = '' THEN 0
+                    ELSE len(regexp_split_to_array($NormSql, ' ')) END AS dl
+             FROM documents),
+           st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM t),
+           tok AS (SELECT doc_id, dl, unnest(w) AS term FROM t),
+           tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+                  GROUP BY 1, 2, 3),
+           dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           sc AS (SELECT tf.doc_id,
+                    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1.0)
+                        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s,
+                    count(*) AS nt
+                  FROM tf JOIN dfs USING (term), st GROUP BY 1)
+           SELECT doc_id, round(s, 6) AS score, nt::BIGINT AS n_terms_hit
+           FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+
+      "q_crossdoc_spans" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           shl AS (
+             SELECT doc_id, len(w) AS nw,
+               CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(len(w) - 4), i ->
+                   w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])
+               END AS sh
+             FROM t),
+           pos AS (SELECT doc_id, nw, len(sh) AS n_pos, sh,
+                     unnest(range(len(sh))) AS p0 FROM shl),
+           e AS (SELECT doc_id, nw, n_pos, p0 + 1 AS p, sh[p0+1] AS s FROM pos),
+           dup AS (SELECT s FROM e GROUP BY s
+                   HAVING count(DISTINCT doc_id) >= 2),
+           d AS (SELECT e.* FROM e JOIN dup USING (s)),
+           cov AS (SELECT doc_id, count(DISTINCT u) AS covered_words
+                   FROM (SELECT doc_id,
+                           unnest(range(p, least(p + 4, nw) + 1)) AS u
+                         FROM d)
+                   GROUP BY doc_id)
+           SELECT d.doc_id, any_value(d.n_pos)::INT AS n_pos,
+             count(*)::BIGINT AS dup_pos,
+             any_value(cov.covered_words)::BIGINT AS covered_words,
+             round(count(*)::DOUBLE / any_value(d.n_pos), 6) AS dup_ratio
+           FROM d JOIN cov ON d.doc_id = cov.doc_id
+           GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+      "q_warc_roundtrip" ->
+        s"""SELECT doc_id,
+             'http://graft.example/doc/' || doc_id AS url, source,
+             strlen(text)::BIGINT AS content_length,
+             md5(text) AS payload_md5
+           FROM documents ORDER BY doc_id""",
 
       "q_length_quantiles" ->
         s"""WITH t AS (

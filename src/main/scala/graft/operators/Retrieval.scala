@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus retrieval + cross-document substring-duplication operators.
+  *
+  * Both are built from the same inverted-index shape the dedup family
+  * uses (`Dedup.ngramCandidates`): one scan, postings keyed by term or
+  * shingle, map-side-combined aggregation, and only ever joins that
+  * are linear in postings — nothing quadratic in documents.
+  *
+  * BM25 follows Robertson & Zaragoza 2009 ("The Probabilistic
+  * Relevance Framework: BM25 and Beyond") with the Lucene-style
+  * `log(1 + (N-df+0.5)/(df+0.5))` idf that keeps scores positive.
+  * Cross-doc span stats follow Lee et al. 2022 ("Deduplicating
+  * Training Data Makes Language Models Better"): substring-level
+  * (n-gram-position) duplication measured ACROSS documents, the
+  * signal their suffix-array pass extracts; here it is re-expressed
+  * as a declarative inverted-index plan (explode with position ->
+  * distinct-doc-count filter -> postings join), which Catalyst keeps
+  * in one exchange per key.
+  */
+object Retrieval {
+
+  /** BM25 top-k keyword retrieval over a document corpus.
+    *
+    * Plan (the 100-TB shape):
+    *  1. one scan -> normalized words -> explode, FILTERED to the
+    *     query terms immediately (the shuffle carries only postings of
+    *     the query terms — bounded by term document-frequency, not
+    *     corpus size);
+    *  2. tf per (doc, term) via map-side-combined groupBy;
+    *  3. df per term and the (N, avgdl) scalars are tiny aggregates —
+    *     both sides broadcast onto the postings;
+    *  4. final per-doc score aggregate, then `orderBy.limit` which
+    *     Spark executes as TakeOrderedAndProject (per-partition heaps,
+    *     no global sort).
+    *
+    * Only documents containing at least one query term are scored —
+    * every other document has BM25 score 0 and cannot enter the top-k
+    * (idf here is always positive).
+    *
+    * @param terms query terms, matched against normalized words
+    * @param k1    term-frequency saturation (default 1.2)
+    * @param b     length normalization (default 0.75)
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: terms must be non-empty")
+    require(topK >= 1, "bm25TopK: topK must be >= 1")
+    val words = df.select(col(idCol).as("id"),
+      TextFunctions.normalizedWords(col(textCol)).as("__w"))
+      // blank text normalizes to [""] — length 0, not 1
+      .select(col("id"),
+        when(array_join(col("__w"), "") === "", lit(0))
+          .otherwise(size(col("__w"))).as("dl"),
+        col("__w"))
+    // (N, avgdl) in ONE pass over the lengths; integer sum => the
+    // division is exact-deterministic in any engine
+    val stats = words.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val postings = words
+      .select(col("id"), col("dl"), explode(col("__w")).as("term"))
+      .filter(col("term").isInCollection(terms))
+    val tf = postings.groupBy("id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("id")
+      .agg(round(sum(col("w")), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** Per-document cross-corpus duplicated n-gram span statistics
+    * (Lee et al. 2022's substring-duplication signal, position-exact).
+    *
+    * A position p in document d is DUPLICATED when the n-gram starting
+    * there also occurs in at least `minDocs` − 1 OTHER documents
+    * (distinct-doc count, so intra-document repetition — already
+    * handled by [[graft.functions.TextFunctions.dedupSpans]] — does
+    * not trigger it). Output, per document that has at least one
+    * duplicated position: total n-gram positions, duplicated
+    * positions, distinct words covered by duplicated n-grams, and the
+    * duplicated-position ratio.
+    *
+    * Plan: shingles WITH positions (posexplode) -> repartition by
+    * shingle so the distinct-doc count and the flag join reuse one
+    * exchange -> per-doc aggregate. Everything is linear in postings;
+    * the quadratic pair join of the Jaccard operator never happens —
+    * the only thing joined back is the per-shingle "duplicated" flag.
+    * Documents of <= n words contribute their whole text as one
+    * shingle (same convention as `shinglesFromWords`).
+    */
+  def crossDocSpanStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, minDocs: Int = 2,
+                        parallelism: Int = 0): DataFrame = {
+    require(n >= 1, "crossDocSpanStats: n must be >= 1")
+    require(minDocs >= 2, "crossDocSpanStats: minDocs must be >= 2")
+    val base = if (parallelism > 0) df.repartition(parallelism) else df
+    val sh = base.select(col(idCol).as("id"),
+      TextFunctions.normalizedWords(col(textCol)).as("__w"))
+      .select(col("id"), size(col("__w")).as("nw"),
+        TextFunctions.shinglesFromWords(col("__w"), n).as("sh"))
+      .select(col("id"), col("nw"), size(col("sh")).as("n_pos"),
+        posexplode(col("sh")).as(Seq("p0", "s")))
+      .select(col("id"), col("nw"), col("n_pos"),
+        (col("p0") + 1).as("p"), col("s"))
+    // one exchange on the shingle key feeds BOTH the distinct-doc
+    // count and the flag join (ReuseExchange) — the shingle/normalize
+    // expression evaluates once
+    val parted = sh.repartition(col("s"))
+    val dup = parted.groupBy("s")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).drop("__nd")
+    val dupPos = parted.join(dup, "s")
+    // coverage: shingle at 1-based position p covers words p..p+n-1,
+    // clamped to the word count (the <=n-word whole-doc shingle covers
+    // everything)
+    val covered = dupPos
+      .select(col("id"),
+        explode(sequence(col("p"), least(col("p") + (n - 1), col("nw"))))
+          .as("u"))
+      .groupBy("id").agg(countDistinct(col("u")).as("covered_words"))
+    dupPos.groupBy("id", "n_pos")
+      .agg(count(lit(1)).as("dup_pos"))
+      .join(covered, "id")
+      .select(col("id"), col("n_pos"), col("dup_pos"), col("covered_words"),
+        round(col("dup_pos").cast("double") / col("n_pos"), 6)
+          .as("dup_ratio"))
+      .orderBy("id")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.slope.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 retrieval + cross-doc span stats vs hand-computed oracles. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25: exact score vs hand computation, tf ordering") {
+    // 4 docs, terms {fox}: df=3, N=4, dl = 4/4/4/2, avgdl = 3.5
+    val corpus = Seq(
+      1L -> "fox fox jumps high", //   tf=2
+      2L -> "fox jumps very high", //  tf=1
+      3L -> "dog naps all day", //     tf=0 -> absent
+      4L -> "fox fox") //              tf=2, shorter doc
+    val out = Retrieval.bm25TopK(docsDf(corpus), "doc_id", "text",
+      Seq("fox"), topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), s"docs without the term: $out")
+    def bm25(tf: Double, dl: Double): Double = {
+      val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+      val k1 = 1.2; val b = 0.75
+      idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.5))
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == r6(bm25(2, 4)), s"${out(1L)} vs ${bm25(2, 4)}")
+    assert(out(2L) == r6(bm25(1, 4)))
+    assert(out(4L) == r6(bm25(2, 2)))
+    // same tf, shorter doc scores higher; higher tf beats lower
+    assert(out(4L) > out(1L) && out(1L) > out(2L))
+  }
+
+  test("bm25: multi-term sum, topK cut, n_terms_hit") {
+    val corpus = Seq(
+      1L -> "alpha beta gamma",
+      2L -> "alpha alpha delta",
+      3L -> "beta beta beta",
+      4L -> "epsilon zeta eta")
+    val rows = Retrieval.bm25TopK(docsDf(corpus), "doc_id", "text",
+      Seq("alpha", "beta"), topK = 2).collect()
+    assert(rows.length == 2)
+    // doc 1 hits both terms
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId.get(1L).contains(2L), s"n_terms_hit: ${byId}")
+  }
+
+  test("crossDocSpanStats: exact positions, coverage, intra-doc immune") {
+    // docs 1 and 2 share the 5-gram "a b c d e" (doc1 pos 1, doc2 pos 3);
+    // doc 3 repeats ITS OWN phrase twice but shares nothing -> absent;
+    // doc 4 shares nothing -> absent
+    val corpus = Seq(
+      1L -> "a b c d e x y z w q", //     10 words, shingle pos 1 dup
+      2L -> "p q2 a b c d e r s t", //    10 words, shingle pos 3 dup
+      3L -> "m n o u v m n o u v", //     intra-doc repeat only
+      4L -> "one two three four five six")
+    val out = Retrieval.crossDocSpanStats(docsDf(corpus), "doc_id", "text",
+      n = 5, minDocs = 2).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 2L), s"got: $out")
+    // 10 words -> 6 positions; 1 dup position covers 5 words
+    assert(out(1L) == ((6, 1L, 5L, 0.166667)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((6, 1L, 5L, 0.166667)), s"doc2: ${out(2L)}")
+  }
+
+  test("crossDocSpanStats: overlapping dup spans merge in coverage") {
+    // docs share a 6-word run -> two overlapping 5-gram positions,
+    // covered words = 6 (union), not 10
+    val corpus = Seq(
+      1L -> "a b c d e f x y z w", //  positions 1,2 dup
+      2L -> "a b c d e f p q r s")
+    val out = Retrieval.crossDocSpanStats(docsDf(corpus), "doc_id", "text",
+      n = 5, minDocs = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 6L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 6L)))
+  }
+
+  test("crossDocSpanStats: short docs dedup as whole-text shingles") {
+    val corpus = Seq(
+      1L -> "tiny doc", // <= n words: whole text is the one shingle
+      2L -> "tiny doc",
+      3L -> "other short")
+    val out = Retrieval.crossDocSpanStats(docsDf(corpus), "doc_id", "text",
+      n = 5, minDocs = 2).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // 1 position, both words covered
+    assert(out.forall(r => r.getInt(1) == 1 && r.getLong(2) == 1L &&
+      r.getLong(3) == 2L && r.getDouble(4) == 1.0))
+  }
+}
