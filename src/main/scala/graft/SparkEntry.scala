@@ -1647,8 +1647,10 @@ object SparkEntry {
       round(corr(${Feats(i)}, ${Feats(j)}), 6) AS corr_v FROM lineitem""")
       .mkString(" UNION ALL ")
 
-    val stopHits = TextFunctions.EnglishStopwords
-      .map(w => occSql("pad", w)).mkString(" + ")
+    // word-membership count over the normalized words (requires a
+    // `norm` column in scope) — mirrors TextFunctions.stopwordRatio
+    val stopHits = "len(list_filter(regexp_split_to_array(norm, ' '), " +
+      s"x -> x IN (${TextFunctions.EnglishStopwords.map("'" + _ + "'").mkString(", ")})))"
 
     val langScoreExprs = TextFunctions.LangMarkers.map { case (lang, words) =>
       lang -> words.map(w => occSql("pad", w)).mkString(" + ")

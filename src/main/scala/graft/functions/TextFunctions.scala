@@ -52,12 +52,17 @@ object TextFunctions {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
       "that", "for", "on", "with", "as")
 
-  /** Fraction of words that are English stopwords. */
+  /** Fraction of words that are English stopwords: normalized-word
+    * membership count over the raw word count. One split + one array
+    * filter — the padded-substring form this replaces embedded the
+    * whole normalize chain once PER stopword (15 regex scans per doc
+    * and an expression tree Catalyst re-optimized on every action),
+    * and undercounted runs of consecutive identical stopwords
+    * ("the the" counted once). Here every stopword word position
+    * counts, which is the C4/Gopher definition. */
   def stopwordRatio(c: Column): Column = {
-    val padded = concat(lit(" "), normalizeText(c), lit(" "))
-    val hits = EnglishStopwords
-      .map(w => occurrences(padded, s" $w "))
-      .reduce(_ + _)
+    val hits = size(filter(normalizedWords(c),
+      w => w.isInCollection(EnglishStopwords)))
     when(wordCount(c) === 0, lit(0.0))
       .otherwise(hits.cast("double") / wordCount(c))
   }
