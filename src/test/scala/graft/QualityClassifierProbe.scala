@@ -42,6 +42,12 @@ object QualityClassifierProbe {
       t("featurize")(featVec.count())
       val m = t("fit")(Slope.fit(featVec.select(col("features"), col("label")),
         "features", "label", SlopeParams(family = "binomial", nSigma = 10)))
+      println(s"[probe] passes=${m.passes.mkString(",")} sum=${m.passes.sum}")
+      val m2 = t("fit_flags")(Slope.fit(
+        featVec.select(col("features"), col("label")),
+        "features", "label", SlopeParams(family = "binomial", nSigma = 10,
+          carryLearningRate = true, adaptiveRestart = true)))
+      println(s"[probe] passes2=${m2.passes.mkString(",")} sum=${m2.passes.sum}")
       val preds = SlopeServe.predictions(m, featVec, "features", Seq("response"))
         .withColumn("p_keep",
           element_at(element_at(col("response"), m.nSteps), 1))
