@@ -52,6 +52,11 @@ object SparkEntry {
   // BM25 query terms — drawn from the synthetic corpus vocabulary so
   // every term has real postings; shared verbatim with the oracle SQL
   private val Bm25Terms = Seq("spark", "hash", "join", "window", "sort")
+  // planted boilerplate paragraph for the paragraph-dedup query
+  // (already in normalized form, so fingerprints match md5 directly)
+  private val BoilerPara =
+    "copyright notice all rights reserved redistribution of this " +
+      "document requires prior written permission from the publisher"
 
   /** Flagship: SLOPE gaussian path fit on sf0.001 lineitem features. */
   def entry(spark: SparkSession): DataFrame =
@@ -384,6 +389,27 @@ object SparkEntry {
         size(array_distinct(TextFunctions.spanArray(doctored, 8)))
           .as("n_unique_spans"),
         md5(TextFunctions.dedupSpans(doctored, 8)).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // cross-document paragraph dedup (Lee et al. 2022 at paragraph
+      // granularity): boilerplate that recurs across non-duplicate
+      // documents is removed everywhere but its global first
+      // occurrence. The fixture is delimiter-free, so paragraphs are
+      // 30-word chunks, and a fixed boilerplate paragraph is planted
+      // on every doc_id % 3 == 0 (the oracle plants the same) — the
+      // dedup must keep exactly one copy corpus-wide, at the minimum
+      // (doc_id, pos)
+      val paras = when(col("doc_id") % 3 === 0,
+        concat(array(lit(BoilerPara)),
+          TextFunctions.spanArray(col("text"), 30)))
+        .otherwise(TextFunctions.spanArray(col("text"), 30))
+      val out = graft.operators.Dedup.paragraphDedup(
+        docs(s, dir).select(col("doc_id"), paras.as("paras")),
+        "doc_id", "paras")
+      out.select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     }),
 
@@ -1871,6 +1897,34 @@ object SparkEntry {
              count(*)::INT AS n_unique_spans,
              md5(string_agg(span, ' ' ORDER BY ord)) AS clean_md5
            FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_paragraph_dedup" ->
+        s"""WITH d AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS dw
+             FROM documents),
+           ch AS (
+             SELECT doc_id,
+               CASE WHEN array_to_string(dw, '') = '' THEN []::VARCHAR[]
+                 ELSE list_transform(range((len(dw) + 29) // 30),
+                   i -> array_to_string(dw[i*30+1:i*30+30], ' ')) END AS sp
+             FROM d),
+           pa AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN ['$BoilerPara'] || sp
+                 ELSE sp END AS ps
+             FROM ch),
+           occ AS (SELECT doc_id, ps, unnest(range(len(ps))) AS p0 FROM pa),
+           o AS (SELECT doc_id, p0 AS pos, ps[p0+1] AS para FROM occ),
+           k AS (
+             SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+             FROM o)
+           SELECT doc_id, count(*)::BIGINT AS n_paras,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             md5(coalesce(
+               string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+               '')) AS clean_md5
+           FROM k GROUP BY doc_id ORDER BY doc_id""",
 
       "q_pseudo_ppl" ->
         s"""WITH t AS (

@@ -628,6 +628,58 @@ object Dedup {
         VectorFunctions.dot(col("v_a"), col("v_b")).as("cosine"))
   }
 
+  /** Cross-document paragraph-level deduplication (the paragraph
+    * granularity of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": boilerplate paragraphs — headers, license
+    * blocks, navigation chrome — recur across MANY documents that are
+    * not near-duplicates as wholes, so document-level dedup misses
+    * them entirely).
+    *
+    * Input: (id, paragraphs: array<string>) — the caller owns the
+    * paragraph decomposition (natural `split(text, "\n\n")`, or a
+    * fixed-width span chunking for delimiter-free text). Semantics:
+    * for each distinct normalized-paragraph fingerprint, the GLOBAL
+    * first occurrence (minimum (id, position)) is the keeper; every
+    * other occurrence is dropped. Output, one row per input document:
+    * paragraph count, kept count, and the cleaned document rebuilt
+    * from surviving paragraphs in original order.
+    *
+    * 100-TB shape: posexplode (linear in paragraphs) -> ONE
+    * fingerprint-keyed exchange that feeds BOTH the keeper aggregate
+    * (min(struct(id,pos)), map-side combined) and the flag join
+    * (ReuseExchange) -> one id-keyed aggregate to reassemble. The
+    * keeper table is filtered to fingerprints with >1 occurrence
+    * before the join, so the join's build side carries only the
+    * duplicated tail of the fingerprint distribution. Nothing is ever
+    * quadratic and nothing touches the driver. */
+  def paragraphDedup(df: DataFrame, idCol: String,
+                     parasCol: String): DataFrame = {
+    val occ = df
+      .select(col(idCol).as("id"), posexplode(col(parasCol)).as(Seq("pos", "para")))
+      .select(col("id"), col("pos"), col("para"),
+        fingerprint(col("para")).as("fp"))
+    // one exchange on fp serves the dup-keeper aggregate and the join
+    val parted = occ.repartition(col("fp"))
+    val dupKeepers = parted.groupBy("fp")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("id"), col("pos"))).as("__keep"))
+      .filter(col("__cnt") > 1)
+      .select(col("fp"), col("__keep.id").as("__kid"),
+        col("__keep.pos").as("__kpos"))
+    val flagged = parted.join(dupKeepers, Seq("fp"), "left")
+      .select(col("id"), col("pos"), col("para"),
+        (col("__kid").isNull ||
+          (col("__kid") === col("id") && col("__kpos") === col("pos")))
+          .as("keep"))
+    flagged.groupBy("id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(
+          collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+          s => s.getField("para")), " ").as("clean_text"))
+      .select(col("id"), col("n_paras"), col("n_kept"), col("clean_text"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): k-means partition the embedding

@@ -1472,4 +1472,34 @@ class OperatorsSpec extends AnyFunSuite {
       (1, "alpha", 3L, 2L), (2, "beta", 3L, 2L),
       (3, "gamma", 3L, 2L), (4, "delta", 1L, 1L)), got.mkString(";"))
   }
+
+  test("paragraph dedup: global keep-first, intra-doc order preserved") {
+    import spark.implicits._
+    // boilerplate "header text" in docs 2, 1(pos1), 3; intra-doc repeat
+    // of "dup dup" inside doc 3; unique paragraphs untouched
+    val in = Seq(
+      (2L, Seq("header text", "doc two body")),
+      (1L, Seq("doc one intro", "header text", "doc one outro")),
+      (3L, Seq("dup dup", "doc three body", "dup dup", "header text")),
+      (4L, Seq("completely unique"))).toDF("doc_id", "paras")
+    val got = Dedup.paragraphDedup(in, "doc_id", "paras").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // keeper of "header text" is global min (id,pos) = (1,1); keeper of
+    // "dup dup" is (3,0) — second occurrence inside doc 3 must drop
+    assert(got(1L) == ((3L, 3L, "doc one intro header text doc one outro")))
+    assert(got(2L) == ((2L, 1L, "doc two body")))
+    assert(got(3L) == ((4L, 2L, "dup dup doc three body")))
+    assert(got(4L) == ((1L, 1L, "completely unique")))
+  }
+
+  test("paragraph dedup: normalization folds case/punct variants to one keeper") {
+    import spark.implicits._
+    val in = Seq(
+      (10L, Seq("The Header!", "body ten")),
+      (11L, Seq("the header", "body eleven"))).toDF("doc_id", "paras")
+    val got = Dedup.paragraphDedup(in, "doc_id", "paras").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 2L, 11L -> 1L))
+  }
 }
