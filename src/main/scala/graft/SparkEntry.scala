@@ -413,6 +413,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_url_dedup" -> ((s, dir) => {
+      // URL canonicalization + identity dedup (the first pass of a
+      // web-crawl pipeline). The fixture has no URL column, so each doc
+      // gets a deterministic synthetic URL: 100 distinct pages across 4
+      // hosts, each appearing under one of 5 surface variants (case,
+      // default port, tracking params, trailing slash + fragment) by
+      // doc_id % 5 — the canonicalizer must fold all variants of a page
+      // to one canonical URL, and the dedup must flag every fetch but
+      // the minimum doc_id
+      val page = col("doc_id") % 100
+      val hostL = concat(lit("h"), page % 4, lit(".graft.example"))
+      val hostU = concat(lit("H"), page % 4, lit(".GRAFT.EXAMPLE"))
+      val path = concat(lit("/docs/"), page)
+      val raw = when(col("doc_id") % 5 === 0,
+        concat(lit("http://"), hostL, path))
+        .when(col("doc_id") % 5 === 1, concat(lit("HTTP://"), hostU, path))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://"), hostL, lit(":80"), path))
+        .when(col("doc_id") % 5 === 3, concat(lit("http://"), hostL, path,
+          lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("http://"), hostL, path, lit("/#frag")))
+      graft.operators.Dedup.urlDedupFlags(
+        docs(s, dir).select(col("doc_id"), raw.as("url")), "doc_id", "url")
+        .select(col("id").as("doc_id"), col("host"), col("canon_url"),
+          col("first_id"), col("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     "q_pseudo_ppl" -> ((s, dir) => {
       // unigram-LM pseudo-perplexity quality score (CCNet-style LM
       // gate, unigram so it stays declarative): LM = one groupBy over
@@ -447,6 +475,34 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         Bm25Terms, topK = 20)
         .select(col("id").as("doc_id"), col("score"), col("n_terms_hit"))
+    }),
+
+    "q_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+      // top-50 and the embedding-cosine top-50 for one query (terms +
+      // the vec_id-0 embedding, doc_id == vec_id in the fixture).
+      // Ranks are assigned over ROUNDED bm25 scores (the sum's fold
+      // order differs across engines at the last ulp) and raw cosine
+      // (bit-identical fold both sides); the rank windows run over
+      // top-k-bounded lists (constant rows), never the corpus
+      val bm = graft.operators.Retrieval.bm25TopK(docs(s, dir),
+        "doc_id", "text", Bm25Terms, topK = 50)
+      val bmRank = bm.select(col("id"), row_number().over(
+        Window.orderBy(col("score").desc, col("id"))).as("rank"))
+      val qv = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").as("__qv"))
+      val cosTop = emb(s, dir).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          VectorFunctions.cosine(col("embedding"), col("__qv")).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(50)
+      val cosRank = cosTop.select(col("id"), row_number().over(
+        Window.orderBy(col("score").desc, col("id"))).as("rank"))
+      graft.operators.Retrieval.rrfFuse(
+        Seq("bm25" -> bmRank, "cos" -> cosRank), kRrf = 60)
+        .orderBy(col("rrf_score").desc, col("id")).limit(20)
+        .select(col("id").as("doc_id"), col("rrf_score"),
+          col("bm25_rank"), col("cos_rank"))
     }),
 
     "q_crossdoc_spans" -> ((s, dir) => {
@@ -1926,6 +1982,51 @@ object SparkEntry {
                '')) AS clean_md5
            FROM k GROUP BY doc_id ORDER BY doc_id""",
 
+      "q_url_dedup" ->
+        s"""WITH u AS (
+             SELECT doc_id,
+               'h' || ((doc_id % 100) % 4) || '.graft.example' AS hl,
+               'H' || ((doc_id % 100) % 4) || '.GRAFT.EXAMPLE' AS hu,
+               '/docs/' || (doc_id % 100) AS p
+             FROM documents),
+           raw AS (
+             SELECT doc_id, CASE doc_id % 5
+               WHEN 0 THEN 'http://' || hl || p
+               WHEN 1 THEN 'HTTP://' || hu || p
+               WHEN 2 THEN 'http://' || hl || ':80' || p
+               WHEN 3 THEN 'http://' || hl || p || '?utm_source=feed&utm_campaign=x'
+               ELSE 'http://' || hl || p || '/#frag' END AS url
+             FROM u),
+           parts AS (
+             SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+               regexp_replace(
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                 ':(80|443)$$', '') AS host,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pq
+             FROM raw),
+           cl AS (
+             SELECT doc_id, host,
+               regexp_replace(
+                 regexp_replace(pq, '\\b(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+                 '[?&]+$$', '') AS nd, sch
+             FROM parts),
+           canon AS (
+             SELECT doc_id, host,
+               CASE WHEN sch = '' OR host = '' THEN NULL
+                 ELSE sch || '://' || host ||
+                   CASE WHEN contains(nd, '?') THEN nd ELSE rtrim(nd, '/') END
+               END AS canon_url
+             FROM cl),
+           f AS (
+             SELECT doc_id, host, canon_url,
+               CASE WHEN canon_url IS NULL THEN NULL
+                 ELSE min(doc_id) OVER (PARTITION BY canon_url) END AS first_id
+             FROM canon)
+           SELECT doc_id, host, canon_url, first_id,
+             coalesce(doc_id != first_id, false) AS is_dup
+           FROM f ORDER BY doc_id""",
+
       "q_pseudo_ppl" ->
         s"""WITH t AS (
              SELECT doc_id, unnest(regexp_split_to_array($NormSql, ' ')) AS word
@@ -1984,6 +2085,50 @@ object SparkEntry {
                   FROM tf JOIN dfs USING (term), st GROUP BY 1)
            SELECT doc_id, round(s, 6) AS score, nt::BIGINT AS n_terms_hit
            FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+
+      "q_hybrid_rrf" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w,
+               CASE WHEN $NormSql = '' THEN 0
+                    ELSE len(regexp_split_to_array($NormSql, ' ')) END AS dl
+             FROM documents),
+           st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM t),
+           tok AS (SELECT doc_id, dl, unnest(w) AS term FROM t),
+           tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+                  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+                  GROUP BY 1, 2, 3),
+           dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           sc AS (SELECT tf.doc_id,
+                    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * tf * (1.2 + 1.0)
+                        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS s
+                  FROM tf JOIN dfs USING (term), st GROUP BY 1),
+           bm AS (SELECT doc_id, round(s, 6) AS score FROM sc
+                  ORDER BY score DESC, doc_id LIMIT 50),
+           bmr AS (SELECT doc_id, row_number() OVER (
+                     ORDER BY score DESC, doc_id) AS brank FROM bm),
+           qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+                  WHERE vec_id = 0),
+           cs AS (
+             SELECT vec_id AS doc_id,
+               CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                      OR sqrt(list_dot_product(q, q)) = 0 THEN 0.0
+                    ELSE list_dot_product(embedding::DOUBLE[], q)
+                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(q, q))) END AS score
+             FROM embeddings, qv WHERE vec_id != 0),
+           ctop AS (SELECT doc_id, score FROM cs
+                    ORDER BY score DESC, doc_id LIMIT 50),
+           cr AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY score DESC, doc_id) AS crank FROM ctop),
+           f AS (SELECT coalesce(bmr.doc_id, cr.doc_id) AS doc_id,
+                   brank, crank
+                 FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id)
+           SELECT doc_id,
+             round(coalesce(1.0::DOUBLE / (60 + brank), 0)
+                 + coalesce(1.0::DOUBLE / (60 + crank), 0), 6) AS rrf_score,
+             brank::INT AS bm25_rank, crank::INT AS cos_rank
+           FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""",
 
       "q_crossdoc_spans" ->
         s"""WITH t AS (

@@ -680,6 +680,33 @@ object Dedup {
       .select(col("id"), col("n_paras"), col("n_kept"), col("clean_text"))
   }
 
+  /** URL-level deduplication flags (the first dedup pass of a web-crawl
+    * pipeline — refetches of one page arrive under case variants,
+    * default ports, tracking params, fragments, and trailing slashes,
+    * and are duplicates BY IDENTITY before any content comparison).
+    * One row per input row: canonical host, canonical URL
+    * ([[graft.functions.UrlFunctions.canonicalizeUrl]]), the id of the
+    * canonical (first-seen = minimum id) fetch of that URL, and a dup
+    * flag. Unparseable URLs get NULL canonical and `is_dup = false` —
+    * quarantine material, never silently grouped.
+    *
+    * 100-TB shape: one groupBy on the canonical URL (map-side combined
+    * min) + one join back on the same key — both linear, both
+    * hash-partitioned on a key with bounded group sizes (refetch
+    * multiplicity), so no skew guard is needed. */
+  def urlDedupFlags(df: DataFrame, idCol: String,
+                    urlCol: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val canon = df.select(col(idCol).as("id"),
+      UrlFunctions.urlHost(col(urlCol)).as("host"),
+      UrlFunctions.canonicalizeUrl(col(urlCol)).as("canon_url"))
+    val firsts = canon.filter(col("canon_url").isNotNull)
+      .groupBy("canon_url").agg(min("id").as("first_id"))
+    canon.join(firsts, Seq("canon_url"), "left")
+      .select(col("id"), col("host"), col("canon_url"), col("first_id"),
+        coalesce(col("id") =!= col("first_id"), lit(false)).as("is_dup"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): k-means partition the embedding

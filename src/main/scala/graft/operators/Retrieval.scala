@@ -85,6 +85,40 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009,
+    * "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+    * Learning Methods") — the standard score-free combiner for hybrid
+    * retrieval (BM25 keyword ranks + embedding-cosine ranks), robust to
+    * incomparable score scales because only RANKS enter the fusion:
+    * rrf(d) = Σ_systems 1 / (kRrf + rank_s(d)).
+    *
+    * Input: (name, df) per system, each df with columns (id, rank);
+    * output: one row per id seen by ANY system, with `rrf_score`
+    * (rounded to 6) and one `<name>_rank` column per system (NULL when
+    * that system didn't return the id).
+    *
+    * 100-TB shape: each system's rank list is top-k-bounded (constant
+    * rows), so the union + groupBy here is trivially small no matter
+    * the corpus size — the heavy lifting happened inside the systems
+    * (BM25's postings plan, ANN's broadcast/heap plan), which is the
+    * point of fusing at the rank level. */
+  def rrfFuse(systems: Seq[(String, DataFrame)], kRrf: Int = 60): DataFrame = {
+    require(systems.nonEmpty, "rrfFuse: at least one system required")
+    require(systems.map(_._1).distinct.size == systems.size,
+      "rrfFuse: system names must be distinct")
+    require(kRrf >= 1, "rrfFuse: kRrf must be >= 1")
+    val tagged = systems.map { case (name, df) =>
+      df.select(col("id"), col("rank").cast("int").as("rank"),
+        lit(name).as("__sys"))
+    }.reduce(_ unionByName _)
+    val rankCols = systems.map { case (name, _) =>
+      min(when(col("__sys") === name, col("rank"))).as(s"${name}_rank")
+    }
+    tagged.groupBy("id")
+      .agg(round(sum(lit(1.0) / (col("rank") + lit(kRrf))), 6)
+        .as("rrf_score"), rankCols: _*)
+  }
+
   /** Per-document cross-corpus duplicated n-gram span statistics
     * (Lee et al. 2022's substring-duplication signal, position-exact).
     *

@@ -1493,6 +1493,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 1L, "completely unique")))
   }
 
+  test("url canonicalization: variants fold, junk quarantines as null") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://A.Example/x",             // case host
+      "HTTPS://a.example:443/x",        // case scheme + default port
+      "http://a.example/x/",            // trailing slash
+      "http://a.example/x#sec2",        // fragment
+      "http://a.example/x?utm_source=t&utm_campaign=c", // tracking only
+      "http://a.example/x?q=1&utm_source=t",  // tracking after real param
+      "http://a.example/x?utm_source=t&q=1",  // tracking before real param
+      "http://a.example:8080/x",        // NON-default port survives
+      "http://a.example/x?q=a/",        // slash inside query value kept
+      "not a url at all",               // quarantine
+      "//missing.scheme/x")             // quarantine
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val got = Dedup.urlDedupFlags(urls.toDF("id", "url"), "id", "url")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got(0L).contains("http://a.example/x"))
+    assert(got(1L).contains("https://a.example/x"))
+    assert(got(2L).contains("http://a.example/x"))
+    assert(got(3L).contains("http://a.example/x"))
+    assert(got(4L).contains("http://a.example/x"))
+    assert(got(5L).contains("http://a.example/x?q=1"))
+    assert(got(6L).contains("http://a.example/x?q=1"))
+    assert(got(7L).contains("http://a.example:8080/x"))
+    assert(got(8L).contains("http://a.example/x?q=a/"))
+    assert(got(9L).isEmpty && got(10L).isEmpty)
+    // dedup flags: first (min id) of the folded group keeps
+    val flags = Dedup.urlDedupFlags(urls.toDF("id", "url"), "id", "url")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!flags(0L) && flags(2L) && flags(3L) && flags(4L),
+      s"keep-first on the folded group: $flags")
+    assert(!flags(9L) && !flags(10L), "quarantine rows never flagged dup")
+  }
+
   test("paragraph dedup: normalization folds case/punct variants to one keeper") {
     import spark.implicits._
     val in = Seq(

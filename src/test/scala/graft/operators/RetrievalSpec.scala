@@ -83,6 +83,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 6L)))
   }
 
+  test("rrfFuse: closed-form scores, missing-system ranks null") {
+    import spark.implicits._
+    // system A ranks docs 1,2,3; system B ranks 2,3,4 — doc 2 fused
+    // score is 1/61 + 1/62; doc 1 only in A; doc 4 only in B
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), kRrf = 60)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((r6(1.0 / 61), Some(1), None)))
+    assert(got(2L) == ((r6(1.0 / 62 + 1.0 / 61), Some(2), Some(1))))
+    assert(got(3L) == ((r6(1.0 / 63 + 1.0 / 62), Some(3), Some(2))))
+    assert(got(4L) == ((r6(1.0 / 63), None, Some(3))))
+  }
+
   test("crossDocSpanStats: short docs dedup as whole-text shingles") {
     val corpus = Seq(
       1L -> "tiny doc", // <= n words: whole text is the one shingle
