@@ -887,6 +887,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_rp" -> ((s, dir) => {
+      // random-projection (Johnson-Lindenstrauss) ANN: fixed Gaussian
+      // planes (driver-seeded, inlined as literals in the oracle)
+      // project 64 -> 16 dims; cosine ranks in the reduced space (4x
+      // less bandwidth per candidate), full-precision cosine of each
+      // selected pair as the distortion certificate. Fully
+      // SQL-expressible — the one ANN variant whose oracle needs no
+      // golden file beyond literal planes
+      val e = emb(s, dir)
+      Similarity.rpTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", dim = EmbDim, rDim = 16, seed = 7L, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"),
+          round(col("score_fp"), 6).as("score_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_ann_pq" -> ((s, dir) => {
       // product-quantization ANN (8-byte codes for 64-dim vectors, 64x
       // compression): per-block codebooks from the deterministic
@@ -2521,6 +2538,34 @@ object SparkEntry {
            SELECT query_id, rank::INT AS rank, neighbor_id,
              round(score, 6) AS score, round(score_fp, 6) AS score_fp
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      "q_ann_rp" -> {
+        // inline the deterministic projection planes as literals — the
+        // projection is then list_dot_product per plane, which folds
+        // left-to-right in double exactly like the Scala kernel
+        val planes = graft.functions.VectorFunctions.hyperplanes(EmbDim, 16, 7L)
+        def proj(v: String) = "[" + planes.map(p =>
+          s"list_dot_product($v, [${p.mkString(", ")}])").mkString(", ") + "]"
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           pr AS (SELECT vec_id, v, ${proj("v")} AS p FROM base),
+           q AS (SELECT vec_id AS query_id, v AS qraw, p AS qp FROM pr
+                 WHERE vec_id < 8),
+           c AS (SELECT vec_id AS neighbor_id, v AS craw, p AS cp FROM pr),
+           s AS (
+             SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_dot_product(qp, qp)) = 0 OR sqrt(list_dot_product(cp, cp)) = 0 THEN 0.0
+                    ELSE list_dot_product(qp, cp) / (sqrt(list_dot_product(qp, qp)) * sqrt(list_dot_product(cp, cp))) END AS score,
+               CASE WHEN sqrt(list_dot_product(qraw, qraw)) = 0 OR sqrt(list_dot_product(craw, craw)) = 0 THEN 0.0
+                    ELSE list_dot_product(qraw, craw) / (sqrt(list_dot_product(qraw, qraw)) * sqrt(list_dot_product(craw, craw))) END AS score_fp
+             FROM q, c WHERE query_id != neighbor_id),
+           r AS (
+             SELECT query_id, neighbor_id, score, score_fp,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+             FROM s)
+           SELECT query_id, rank::INT AS rank, neighbor_id,
+             round(score, 6) AS score, round(score_fp, 6) AS score_fp
+           FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+      },
 
       "q_embedding_dup" -> {
         // reproduce the banded sign-bit buckets exactly: the hyperplanes

@@ -210,6 +210,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(quant(Array.fill(8)(0.0)).forall(_ == 0))
   }
 
+  test("rp ANN: projected topk matches in-memory JL oracle; shortlist recalls brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val dim = 16
+    // clustered corpus (6 centers + small noise): nearest neighbors are
+    // geometrically meaningful, which is what JL preserves — on
+    // structureless iid-gaussian vectors every cosine is ~0 and top-5
+    // membership is arbitrary, a recall test of noise
+    val centers = Array.fill(6)(Array.fill(dim)(rng.nextGaussian() * 3))
+    val vecs = (0L until 60L).map { i =>
+      val c = centers(i.toInt % 6)
+      (i, c.map(_ + rng.nextGaussian() * 0.3))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val rDim = 8
+    val out = Similarity.rpTopK(
+      df.filter(col("vec_id") < 3), df, "vec_id", "embedding",
+      dim = dim, rDim = rDim, seed = 7L, k = 4)
+      .collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Int]("rank")),
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"),
+          r.getAs[Double]("score_fp")))).toMap
+    val planes = VectorFunctions.hyperplanes(dim, rDim, 7L)
+    def proj(v: Array[Double]): Array[Double] =
+      planes.map(p => p.indices.foldLeft(0.0)((s, j) => s + v(j) * p(j)))
+    def cosd(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((s, j) => s + a(j) * b(j))
+      val na = math.sqrt(a.indices.foldLeft(0.0)((s, j) => s + a(j) * a(j)))
+      val nb = math.sqrt(b.indices.foldLeft(0.0)((s, j) => s + b(j) * b(j)))
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val pv = vecs.map { case (i, v) => i -> proj(v) }.toMap
+    for (q <- 0L until 3L) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (i, _) => i -> cosd(pv(q), pv(i)) }
+        .sortBy { case (i, c) => (-c, i) }.take(4)
+      val got = (1 to 4).map(r => out((q, r)))
+      assert(got.map(_._1) == expect.map(_._1),
+        s"query $q ids: ${got.map(_._1)} vs ${expect.map(_._1)}")
+      got.zip(expect).foreach { case ((nid, s, fp), (_, es)) =>
+        assert(math.abs(s - es) < 1e-12)
+        assert(math.abs(fp - cosd(vecs(q.toInt)._2, vecs(nid.toInt)._2)) < 1e-12)
+      }
+    }
+    // JL shortlist quality: rp top-10 must recall >= 60% of the exact
+    // cosine top-5 (8 of 16 dims keeps most of the geometry)
+    val rp10 = Similarity.rpTopK(df.filter(col("vec_id") < 3), df,
+      "vec_id", "embedding", dim = dim, rDim = rDim, seed = 7L, k = 10)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    for (q <- 0L until 3L) {
+      val exact5 = vecs.filter(_._1 != q)
+        .map { case (i, v) => i -> cosd(vecs(q.toInt)._2, v) }
+        .sortBy { case (i, c) => (-c, i) }.take(5).map(_._1).toSet
+      val hit = (exact5 & rp10(q)).size
+      assert(hit >= 3, s"query $q: rp top-10 recalled only $hit of exact top-5")
+    }
+  }
+
   test("codegen dot product is bit-identical to the HOF fold") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
