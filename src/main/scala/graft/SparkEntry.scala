@@ -413,6 +413,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_compression_ratio" -> ((s, dir) => {
+      // compression-ratio quality signal (Gopher/RefinedWeb: template
+      // or stuffed text DEFLATEs far below natural prose). The fixture
+      // has no repetitive docs, so repetition is doctored in-query:
+      // every doc_id % 7 == 0 gets its own first 20 normalized words
+      // appended 4 more times and must show a clearly lower ratio.
+      // Golden oracle — DuckDB has no deflate. One narrow projection,
+      // one codegen'd static call per row
+      val w = TextFunctions.normalizedWords(col("text"))
+      val rep = array_join(flatten(array_repeat(slice(w, 1, 20), 4)), " ")
+      val aug = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" "), rep)).otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), octet_length(aug).as("raw_len"),
+          TextFunctions.deflateSize(aug).as("deflate_len"))
+        .select(col("doc_id"), col("raw_len"), col("deflate_len"),
+          round(when(col("raw_len") === 0, 0.0)
+            .otherwise(col("deflate_len").cast("double") / col("raw_len")), 6)
+            .as("ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_url_dedup" -> ((s, dir) => {
       // URL canonicalization + identity dedup (the first pass of a
       // web-crawl pipeline). The fixture has no URL column, so each doc
@@ -2800,7 +2822,8 @@ object SparkEntry {
     "q_slope_tiny",
     "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
     "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
-    "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier")
+    "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier",
+    "q_compression_ratio")
 
   private val GoldenDir = "/root/repo/golden"
 }

@@ -195,6 +195,19 @@ object TextFunctions {
   def dedupSpans(c: Column, spanWords: Int): Column =
     array_join(array_distinct(spanArray(c, spanWords)), " ")
 
+  /** DEFLATE-compressed byte count ([[DeflateSize]], codegen'd). */
+  def deflateSize(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(DeflateSize(
+      org.apache.spark.sql.graft.ColumnShim.expression(c)))
+
+  /** Compression-ratio quality signal: DEFLATE size over raw UTF-8
+    * size (the Gopher/RefinedWeb repetitiveness proxy — template and
+    * keyword-stuffed text compresses far below natural prose). 0.0 for
+    * empty docs by convention. */
+  def compressionRatio(c: Column): Column =
+    when(octet_length(c) === 0, lit(0.0))
+      .otherwise(deflateSize(c).cast("double") / octet_length(c))
+
   /** Stopword marker lists for the language-ID heuristic. Tiny
     * per-language function-word sets — the classic n-gram/stopword
     * profile trick at its smallest. */

@@ -269,6 +269,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("deflate size: codegen matches local Deflater; ratio separates repetition") {
+    import spark.implicits._
+    val natural = "the quick brown fox jumps over seventeen lazy dogs while " +
+      "bright engineers measure entropy of prose paragraphs"
+    val repetitive = Array.fill(20)("spam spam spam").mkString(" ")
+    val rows = Seq((1L, natural), (2L, repetitive), (3L, ""))
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.deflateSize(col("text")).as("dz"),
+        TextFunctions.compressionRatio(col("text")).as("ratio"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // differential vs a direct local Deflater call (same level, raw mode)
+    def local(s: String) =
+      graft.functions.DeflateHelper.size(s.getBytes("UTF-8"))
+    assert(got(1L)._1 == local(natural))
+    assert(got(2L)._1 == local(repetitive))
+    assert(got(3L)._1 == local(""))
+    assert(got(3L)._2 == 0.0, "empty doc ratio is 0 by convention")
+    assert(got(2L)._2 < got(1L)._2 * 0.5,
+      s"repetitive text must compress far better: $got")
+    // interpreted eval path (no codegen) agrees with the codegen'd one
+    val interp = graft.functions.DeflateSize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(natural)))
+      .eval(null)
+    assert(interp == local(natural))
+  }
+
   test("codegen dot product is bit-identical to the HOF fold") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
