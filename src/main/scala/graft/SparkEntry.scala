@@ -413,6 +413,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_corpus_merge" -> ((s, dir) => {
+      // CDC merge — the write side of q_corpus_diff: apply a
+      // deterministic change batch (deletes at doc_id % 11, revisions
+      // at % 7, inserts at % 13 shifted by +10000) to the snapshot and
+      // emit the next snapshot's per-row identity. Plan: one left-anti
+      // join + union — the MERGE INTO shape
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        col("text"))
+      val dels = base.filter(col("doc_id") % 11 === 0)
+        .withColumn("op", lit("delete"))
+      val upd = base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" revised edition")))
+        .withColumn("op", lit("upsert"))
+      val ins = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+          concat(lit("new document "), col("text")).as("text"))
+        .withColumn("op", lit("upsert"))
+      val merged = graft.operators.Checks.applyChanges(
+        base, dels.unionByName(upd).unionByName(ins), "doc_id", "op")
+      merged.select(col("doc_id"), col("source"),
+        md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_compression_ratio" -> ((s, dir) => {
       // compression-ratio quality signal (Gopher/RefinedWeb: template
       // or stuffed text DEFLATEs far below natural prose). The fixture
@@ -2020,6 +2045,25 @@ object SparkEntry {
                string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
                '')) AS clean_md5
            FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_corpus_merge" ->
+        s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+           dels AS (SELECT doc_id FROM base WHERE doc_id % 11 = 0),
+           upd AS (SELECT doc_id, source, text || ' revised edition' AS text
+                   FROM base WHERE doc_id % 7 = 0 AND doc_id % 11 != 0),
+           ins AS (SELECT doc_id + 10000 AS doc_id, source,
+                     'new document ' || text AS text
+                   FROM base WHERE doc_id % 13 = 0),
+           changed AS (SELECT doc_id FROM dels
+                       UNION ALL SELECT doc_id FROM upd
+                       UNION ALL SELECT doc_id FROM ins),
+           kept AS (SELECT b.* FROM base b
+                    WHERE b.doc_id NOT IN (SELECT doc_id FROM changed)),
+           merged AS (SELECT * FROM kept
+                      UNION ALL SELECT * FROM upd
+                      UNION ALL SELECT * FROM ins)
+           SELECT doc_id, source, md5(text) AS text_md5
+           FROM merged ORDER BY doc_id""",
 
       "q_url_dedup" ->
         s"""WITH u AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audit (the "expectations" gate a corpus
@@ -70,5 +71,37 @@ object Checks {
           .when(col("new_fp").isNull, "removed")
           .when(col("old_fp") =!= col("new_fp"), "changed")
           .otherwise("unchanged").as("status"))
+  }
+
+  /** CDC-style snapshot merge (the write side of [[snapshotDiff]]'s
+    * read side): apply a change batch of `upsert` / `delete` operations
+    * to a snapshot, producing the next snapshot — the MERGE INTO of
+    * corpus versioning, as a pure declarative plan.
+    *
+    * `changes` must carry the snapshot's columns plus `opCol`
+    * (`"upsert"` inserts-or-replaces by id, `"delete"` removes). When
+    * `versionCol` is given, the LATEST version per id within the batch
+    * wins (supply unique versions per id for full determinism);
+    * without it, ids must already be unique in the batch — a documented
+    * precondition, with the version path as the safe general form.
+    *
+    * 100-TB shape: one id-keyed left-anti join (snapshot survivors) +
+    * the batch's upserts appended — both sides hash-partition on id
+    * once; the change batch is typically a tiny fraction of the
+    * snapshot and broadcasts. No driver state, no full rewrite of
+    * unchanged partitions beyond the one shuffle. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, idCol: String,
+                   opCol: String,
+                   versionCol: Option[String] = None): DataFrame = {
+    val resolved = versionCol match {
+      case Some(v) =>
+        val w = Window.partitionBy(idCol).orderBy(col(v).desc)
+        changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", v)
+      case None => changes
+    }
+    val kept = snapshot.join(
+      resolved.select(col(idCol)), Seq(idCol), "left_anti")
+    kept.unionByName(resolved.filter(col(opCol) === "upsert").drop(opCol))
   }
 }

@@ -269,6 +269,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyChanges: upsert/delete/insert merge; versioned batch latest-wins") {
+    import spark.implicits._
+    val snap = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("id", "text")
+    val changes = Seq(
+      (2L, "two-v2", "upsert"),  // revise
+      (3L, "ignored", "delete"), // remove
+      (4L, "four", "upsert"))    // insert
+      .toDF("id", "text", "op")
+    val got = Checks.applyChanges(snap, changes, "id", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "one", 2L -> "two-v2", 4L -> "four"))
+    // versioned: two ops on one id in a batch — highest version wins
+    val vchanges = Seq(
+      (2L, "mid", "upsert", 5L),
+      (2L, "final", "upsert", 9L),
+      (3L, "x", "delete", 1L),
+      (3L, "resurrected", "upsert", 2L))
+      .toDF("id", "text", "op", "v")
+    val got2 = Checks.applyChanges(snap, vchanges, "id", "op", Some("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(1L -> "one", 2L -> "final", 3L -> "resurrected"))
+  }
+
   test("deflate size: codegen matches local Deflater; ratio separates repetition") {
     import spark.implicits._
     val natural = "the quick brown fox jumps over seventeen lazy dogs while " +
