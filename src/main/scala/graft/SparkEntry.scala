@@ -413,6 +413,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_gopher_rules" -> ((s, dir) => {
+      // the Gopher rule gate (Rae et al. 2021 A1.1, delimiter-free
+      // adaptation): every rule an auditable boolean next to its
+      // signal, pass = conjunction. One codegen'd projection, no
+      // shuffle — the cheap first gate before any model-based filter
+      graft.operators.Quality.gopherFlags(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q_token_drift" -> ((s, dir) => {
+      // per-source unigram-distribution drift vs the whole corpus
+      // (Jensen-Shannon, exact zero-handling): the distribution-shift
+      // gate of corpus versioning. One tokenize pass; corpus totals
+      // derive from the group counts, never a second scan
+      graft.operators.Quality.tokenDrift(docs(s, dir), "source", "text")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
     "q_corpus_merge" -> ((s, dir) => {
       // CDC merge — the write side of q_corpus_diff: apply a
       // deterministic change batch (deletes at doc_id % 11, revisions
@@ -2045,6 +2065,75 @@ object SparkEntry {
                string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
                '')) AS clean_md5
            FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_gopher_rules" -> {
+        val stops = graft.operators.Quality.GopherStopwords
+          .map("'" + _ + "'").mkString(", ")
+        s"""WITH n AS (
+             SELECT doc_id, text, $NormSql AS norm, $wcSql AS wc
+             FROM documents),
+           sig AS (
+             SELECT doc_id, wc,
+               CASE WHEN norm = '' THEN 0
+                 ELSE len(string_split(norm, ' ')) END AS wcn,
+               length(norm) AS nlen,
+               (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3 AS sym,
+               CASE WHEN wc = 0 THEN 0.0
+                 ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / wc END AS alpha,
+               len(list_intersect(list_distinct(string_split(norm, ' ')),
+                 [$stops])) AS stops,
+               CASE WHEN norm = '' THEN 0.0
+                 ELSE len(list_distinct(string_split(norm, ' ')))::DOUBLE
+                   / len(string_split(norm, ' ')) END AS uniq
+             FROM n),
+           v AS (
+             SELECT doc_id, wc,
+               CASE WHEN wcn = 0 THEN 0.0
+                 ELSE (nlen - (wcn - 1))::DOUBLE / wcn END AS mwl,
+               CASE WHEN wc = 0 THEN 0.0 ELSE sym::DOUBLE / wc END AS symr,
+               alpha, stops, uniq
+             FROM sig)
+           SELECT doc_id, wc::INT AS n_words, round(mwl, 6) AS mean_word_len,
+             round(symr, 6) AS symbol_ratio, round(alpha, 6) AS alpha_word_ratio,
+             stops::INT AS stopword_hits, round(uniq, 6) AS unique_ratio,
+             (wc >= 50 AND wc <= 100000) AS r_word_count,
+             (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
+             (symr <= 0.1) AS r_symbol_ratio,
+             (alpha >= 0.8) AS r_alpha_words,
+             (stops >= 2) AS r_stopwords,
+             (uniq >= 0.3) AS r_unique_words,
+             (wc >= 50 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+               AND symr <= 0.1 AND alpha >= 0.8 AND stops >= 2
+               AND uniq >= 0.3) AS pass
+           FROM v ORDER BY doc_id"""
+      },
+
+      "q_token_drift" ->
+        s"""WITH tok AS (
+             SELECT source AS grp,
+               unnest(regexp_split_to_array($NormSql, ' ')) AS token
+             FROM documents),
+           tw AS (SELECT * FROM tok WHERE length(token) > 0),
+           gt AS (SELECT grp, token, count(*) AS c FROM tw GROUP BY 1, 2),
+           gtot AS (SELECT grp, sum(c) AS gn FROM gt GROUP BY 1),
+           ctok AS (SELECT token, sum(c) AS cc FROM gt GROUP BY 1),
+           ctot AS (SELECT sum(cc) AS cn FROM ctok),
+           fl AS (
+             SELECT g.grp, ct.token,
+               coalesce(gt.c, 0)::DOUBLE / g.gn AS p,
+               ct.cc::DOUBLE / ctot.cn AS q
+             FROM ctok ct CROSS JOIN gtot g
+             LEFT JOIN gt ON gt.grp = g.grp AND gt.token = ct.token, ctot)
+           SELECT grp AS source,
+             round(sum(
+               CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END
+               + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END
+             ), 6) AS js_divergence,
+             count(CASE WHEN p > 0 THEN 1 END)::BIGINT AS n_group_tokens,
+             count(*)::BIGINT AS n_corpus_tokens
+           FROM fl GROUP BY grp ORDER BY source""",
 
       "q_corpus_merge" ->
         s"""WITH base AS (SELECT doc_id, source, text FROM documents),

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document-quality rule gates and corpus-distribution drift checks.
+  *
+  * [[gopherFlags]] bundles the classic Gopher rule set (Rae et al.
+  * 2021, "Scaling Language Models: Methods, Analysis & Insights from
+  * Training Gopher", Appendix A1.1) adapted to delimiter-free text:
+  * each rule is an auditable boolean column, `pass` is their
+  * conjunction, and every underlying signal is emitted alongside so a
+  * filtered doc explains itself. Everything is codegen'd built-ins
+  * over ONE projection — no shuffle, no UDF, oracle-replayable.
+  *
+  * [[tokenDrift]] measures Jensen-Shannon divergence between each
+  * group's unigram distribution and the whole corpus — the
+  * distribution-shift check a corpus-versioning pipeline runs before
+  * accepting a new snapshot or mixture weight change.
+  */
+object Quality {
+
+  /** Stopword list for the ≥2-distinct-stopwords rule (Gopher's
+    * "must contain 2 of the, be, to, of, and, that, have, with"). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule flags.
+    *
+    * Rules (delimiter-free adaptation — the line-shape rules of the
+    * paper need line boundaries the caller's text may not have; the
+    * repetition rule family is covered by `uniqueWordRatio` and the
+    * span/paragraph dedup operators):
+    *  - `r_word_count`:   minWords <= words <= maxWords
+    *  - `r_mean_word_len`: 3 <= mean word length <= 10
+    *  - `r_symbol_ratio`: (# + ellipsis occurrences) / words <= 0.1
+    *  - `r_alpha_words`:  >= 80% of whitespace words contain a letter
+    *  - `r_stopwords`:    >= 2 distinct Gopher stopwords present
+    *  - `r_unique_words`: distinct/total normalized words >= minUnique
+    */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minUnique: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val wc = TextFunctions.wordCount(t)
+    val mwl = TextFunctions.meanWordLength(t)
+    val symbols = TextFunctions.occurrences(t, "#") +
+      TextFunctions.occurrences(t, "...")
+    val symbolRatio = when(wc === 0, lit(0.0))
+      .otherwise(symbols.cast("double") / wc)
+    val rawWords = split(trim(t), "\\s+")
+    val alphaRatio = when(wc === 0, lit(0.0))
+      .otherwise(size(filter(rawWords, w => w.rlike("[A-Za-z]")))
+        .cast("double") / wc)
+    val stopHits = size(array_intersect(
+      array_distinct(TextFunctions.normalizedWords(t)),
+      array(GopherStopwords.map(lit(_)): _*)))
+    val uniq = TextFunctions.uniqueWordRatio(t)
+    val rWc = wc >= minWords && wc <= maxWords
+    val rMwl = mwl >= 3.0 && mwl <= 10.0
+    val rSym = symbolRatio <= 0.1
+    val rAlpha = alphaRatio >= 0.8
+    val rStop = stopHits >= 2
+    val rUniq = uniq >= minUnique
+    df.select(col(idCol).as("id"),
+      wc.as("n_words"), round(mwl, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      stopHits.as("stopword_hits"), round(uniq, 6).as("unique_ratio"),
+      rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
+      rSym.as("r_symbol_ratio"), rAlpha.as("r_alpha_words"),
+      rStop.as("r_stopwords"), rUniq.as("r_unique_words"),
+      (rWc && rMwl && rSym && rAlpha && rStop && rUniq).as("pass"))
+  }
+
+  /** Per-group unigram-distribution drift vs the whole corpus:
+    * Jensen-Shannon divergence (natural log; 0 = identical, ln 2 =
+    * disjoint), plus token totals. The drift gate of corpus
+    * versioning: a new snapshot or mixture whose sources moved too far
+    * from the reference distribution gets flagged before training.
+    *
+    * Plan: ONE tokenize pass -> per-(group, token) counts (map-side
+    * combined); corpus totals derive from the group counts (a second
+    * tiny aggregate over group-token rows, NOT a second scan); the JS
+    * sum is a per-group aggregate over joined rows. Zero-probability
+    * terms contribute 0 on their absent side by the JS convention —
+    * handled exactly, no smoothing constant to tune. Everything is
+    * linear in postings and shuffles on the token key once. */
+  def tokenDrift(df: DataFrame, groupCol: String,
+                 textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("grp"),
+      explode(TextFunctions.normalizedWords(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val gt = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+    val gTot = gt.groupBy("grp").agg(sum("c").as("gn"))
+    val cTok = gt.groupBy("token").agg(sum("c").as("cc"))
+    val cTot = cTok.agg(sum("cc").as("cn"))
+    // per (group, token): p = group relative freq, q = corpus relative
+    // freq. q > 0 wherever the corpus has the token; p = 0 tokens (in
+    // corpus, not in group) contribute q/2 * ln(q/m) via the corpus
+    // side, which requires the FULL token set per group -> build it
+    // with the corpus-token x group frame joined to group counts
+    val full = cTok.crossJoin(broadcast(gTot))
+      .join(gt, Seq("grp", "token"), "left")
+      .crossJoin(broadcast(cTot))
+      .select(col("grp"), col("token"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("gn")).as("p"),
+        (col("cc").cast("double") / col("cn")).as("q"))
+    val m = (col("p") + col("q")) / 2.0
+    val term =
+      when(col("p") > 0.0, col("p") * log(col("p") / m) / 2.0).otherwise(0.0) +
+        when(col("q") > 0.0, col("q") * log(col("q") / m) / 2.0).otherwise(0.0)
+    full.groupBy("grp")
+      .agg(round(sum(term), 6).as("js_divergence"),
+        count(when(col("p") > 0.0, 1)).as("n_group_tokens"),
+        count(lit(1)).as("n_corpus_tokens"))
+      .select(col("grp"), col("js_divergence"),
+        col("n_group_tokens"), col("n_corpus_tokens"))
+  }
+}

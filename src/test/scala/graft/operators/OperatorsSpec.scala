@@ -269,6 +269,55 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher rules: each rule fails on its crafted violator, good doc passes") {
+    import spark.implicits._
+    val good = (1 to 30).map(i => s"the quick value$i")
+      .mkString(" ") + " that stuff works with everything fine"
+    val docs = Seq(
+      (1L, good),                                   // passes all
+      (2L, "too short to pass the gate"),           // word count
+      (3L, good + " " + Array.fill(20)("###").mkString(" ")), // symbols
+      (4L, good.replace("quick", "99 88 77 66 55")), // alpha ratio drops
+      (5L, (1 to 60).map(i => s"zzz$i qqq$i").mkString(" ")), // no stopwords
+      (6L, "the " * 80 + "of value"))               // unique ratio
+      .toDF("doc_id", "text")
+    val got = Quality.gopherFlags(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, f: String) =
+      got(id).getAs[Boolean](f)
+    assert(b(1L, "pass"), s"good doc: ${got(1L)}")
+    assert(!b(2L, "r_word_count") && !b(2L, "pass"))
+    assert(!b(3L, "r_symbol_ratio") && !b(3L, "pass"), s"${got(3L)}")
+    assert(!b(4L, "r_alpha_words") && !b(4L, "pass"), s"${got(4L)}")
+    assert(!b(5L, "r_stopwords") && !b(5L, "pass"))
+    assert(!b(6L, "r_unique_words") && !b(6L, "pass"))
+  }
+
+  test("token drift: closed-form JS divergence; identical groups drift 0") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x x y"), ("b", "y z z z")).toDF("source", "text")
+    val got = Quality.tokenDrift(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // corpus: x:2 y:2 z:3 (n=7); group a: x:2 y:1 (n=3); b: y:1 z:3 (n=4)
+    def js(p: Map[String, Double], q: Map[String, Double]): Double =
+      q.keys.map { t =>
+        val pv = p.getOrElse(t, 0.0); val qv = q(t); val m = (pv + qv) / 2
+        (if (pv > 0) pv * math.log(pv / m) / 2 else 0.0) +
+          (if (qv > 0) qv * math.log(qv / m) / 2 else 0.0)
+      }.sum
+    val corpus = Map("x" -> 2.0 / 7, "y" -> 2.0 / 7, "z" -> 3.0 / 7)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("a")._1 == r6(js(Map("x" -> 2.0 / 3, "y" -> 1.0 / 3), corpus)))
+    assert(got("b")._1 == r6(js(Map("y" -> 1.0 / 4, "z" -> 3.0 / 4), corpus)))
+    assert(got("a")._2 == 2L && got("a")._3 == 3L)
+    // two identical groups => each equals the corpus => drift exactly 0
+    val same = Seq(("a", "p q r"), ("b", "p q r")).toDF("source", "text")
+    val z = Quality.tokenDrift(same, "source", "text").collect()
+    assert(z.forall(_.getDouble(1) == 0.0), z.mkString(";"))
+  }
+
   test("applyChanges: upsert/delete/insert merge; versioned batch latest-wins") {
     import spark.implicits._
     val snap = Seq((1L, "one"), (2L, "two"), (3L, "three"))
