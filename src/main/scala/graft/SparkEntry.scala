@@ -604,6 +604,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL source (The Pile / Dolma interchange shape) through
+      // Spark's built-in reader under the engine's source contract:
+      // explicit schema (no inference pass), PERMISSIVE + corrupt
+      // column. The fixture writer truncates every 50th record
+      // mid-string; those must surface as parse_ok = false quarantine
+      // rows with all data columns null — counted by the oracle as
+      // null rows — while every other record round-trips byte-exactly
+      val jdir = "/tmp/graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Jsonl.writeCorpus(
+        docs(s, dir).select("doc_id", "source", "text"), jdir,
+        nFiles = 8, corruptEvery = 50)
+      graft.sources.Jsonl.read(s, jdir)
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("text_md5"), col("parse_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_length_quantiles" -> ((s, dir) => {
       // per-source token-length distribution (the sequence-length
       // planning input): EXACT quantiles via the histogram reduction —
@@ -2337,6 +2355,14 @@ object SparkEntry {
              strlen(text)::BIGINT AS content_length,
              md5(text) AS payload_md5
            FROM documents ORDER BY doc_id""",
+
+      "q_jsonl_roundtrip" ->
+        s"""SELECT doc_id, source, md5(text) AS text_md5, true AS parse_ok
+           FROM documents WHERE doc_id % 50 != 0
+           UNION ALL
+           SELECT NULL, NULL, NULL, false
+           FROM documents WHERE doc_id % 50 = 0
+           ORDER BY doc_id""",
 
       "q_length_quantiles" ->
         s"""WITH t AS (

@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.slope.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JsonlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_jsonl_$tag")
+    d.toString
+  }
+
+  test("jsonl roundtrip: escapes survive, corrupt lines quarantine") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "src0", "plain text"),
+      (2L, "src1", "with \"quotes\" and \\backslash\\"),
+      (3L, "src0", "control\tchars\nnewline"),
+      (50L, "src1", "this one gets truncated"), // corruptEvery = 50
+      (7L, "src2", "")).toDF("doc_id", "source", "text")
+    val dir = tmpDir("rt")
+    Jsonl.writeCorpus(docs, dir, nFiles = 2, corruptEvery = 50)
+    val got = Jsonl.read(spark, dir).collect()
+    val ok = got.filter(_.getAs[Boolean]("parse_ok"))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(ok == Map(
+      1L -> (("src0", "plain text")),
+      2L -> (("src1", "with \"quotes\" and \\backslash\\")),
+      3L -> (("src0", "control\tchars\nnewline")),
+      7L -> (("src2", ""))))
+    val bad = got.filter(!_.getAs[Boolean]("parse_ok"))
+    assert(bad.length == 1)
+    assert(bad.head.isNullAt(0) && bad.head.isNullAt(2),
+      "quarantine row data columns must be null")
+    assert(bad.head.getAs[String]("corrupt_raw").startsWith("{\"doc_id\":50"),
+      "raw line preserved for forensics")
+  }
+
+  test("jsonl writer: deterministic files, marker prevents rewrite") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"s${i % 3}", s"doc $i body"))
+      .toDF("doc_id", "source", "text")
+    val dir = tmpDir("det")
+    Jsonl.writeCorpus(docs, dir, nFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl")).sortBy(_.getName)
+    assert(files.length == 4)
+    val before = files.map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath)))
+    // second call is a no-op (marker)
+    Jsonl.writeCorpus(docs.limit(1), dir, nFiles = 4)
+    val after = files.map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath)))
+    assert(before.toSeq == after.toSeq)
+    // every line parses back. Collected with a data column alongside
+    // parse_ok: Spark refuses plans that column-prune down to ONLY the
+    // internal corrupt-record column (count() after a parse_ok filter
+    // does exactly that)
+    val rows = Jsonl.read(spark, dir).select("doc_id", "parse_ok").collect()
+    assert(rows.count(_.getBoolean(1)) == 20)
+    assert(rows.count(!_.getBoolean(1)) == 0)
+  }
+}
