@@ -645,32 +645,26 @@ object Dedup {
     * from surviving paragraphs in original order.
     *
     * 100-TB shape: posexplode (linear in paragraphs) -> ONE
-    * fingerprint-keyed exchange that feeds BOTH the keeper aggregate
-    * (min(struct(id,pos)), map-side combined) and the flag join
-    * (ReuseExchange) -> one id-keyed aggregate to reassemble. The
-    * keeper table is filtered to fingerprints with >1 occurrence
-    * before the join, so the join's build side carries only the
-    * duplicated tail of the fingerprint distribution. Nothing is ever
-    * quadratic and nothing touches the driver. */
+    * fingerprint-keyed exchange whose per-fingerprint row_number
+    * assigns the keeper -> one id-keyed aggregate to reassemble. The
+    * corpus is scanned and the paragraph decomposition evaluated
+    * exactly ONCE (the aggregate-plus-join-back formulation reads the
+    * scan twice — Spark cannot reuse the exchange once one side
+    * aggregates and broadcasts). A window partition here is one
+    * fingerprint's occurrence list, i.e. the duplication multiplicity
+    * of ONE paragraph — sort-based, spillable, and the pathological
+    * corpus-wide boilerplate paragraph that would swell it is exactly
+    * what the operator removes (same trade [[dropExactDuplicates]]
+    * already makes at document granularity). */
   def paragraphDedup(df: DataFrame, idCol: String,
                      parasCol: String): DataFrame = {
     val occ = df
       .select(col(idCol).as("id"), posexplode(col(parasCol)).as(Seq("pos", "para")))
       .select(col("id"), col("pos"), col("para"),
         fingerprint(col("para")).as("fp"))
-    // one exchange on fp serves the dup-keeper aggregate and the join
-    val parted = occ.repartition(col("fp"))
-    val dupKeepers = parted.groupBy("fp")
-      .agg(count(lit(1)).as("__cnt"),
-        min(struct(col("id"), col("pos"))).as("__keep"))
-      .filter(col("__cnt") > 1)
-      .select(col("fp"), col("__keep.id").as("__kid"),
-        col("__keep.pos").as("__kpos"))
-    val flagged = parted.join(dupKeepers, Seq("fp"), "left")
-      .select(col("id"), col("pos"), col("para"),
-        (col("__kid").isNull ||
-          (col("__kid") === col("id") && col("__kpos") === col("pos")))
-          .as("keep"))
+    val w = Window.partitionBy("fp").orderBy(col("id"), col("pos"))
+    val flagged = occ
+      .withColumn("keep", row_number().over(w) === 1)
     flagged.groupBy("id")
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -82,18 +82,24 @@ object Quality {
     * from the reference distribution gets flagged before training.
     *
     * Plan: ONE tokenize pass -> per-(group, token) counts (map-side
-    * combined); corpus totals derive from the group counts (a second
-    * tiny aggregate over group-token rows, NOT a second scan); the JS
-    * sum is a per-group aggregate over joined rows. Zero-probability
-    * terms contribute 0 on their absent side by the JS convention —
-    * handled exactly, no smoothing constant to tune. Everything is
-    * linear in postings and shuffles on the token key once. */
+    * combined); the count frame is persisted (MEMORY_AND_DISK, lazy —
+    * the same contract as `LanguageModel.pseudoPerplexity`'s token
+    * cache) because three derived aggregates and the probe side all
+    * read it and Spark cannot reuse a non-identical subtree — without
+    * the cache the corpus would tokenize four times. Corpus totals
+    * derive from the group counts, never a second scan. The JS sum is
+    * a per-group aggregate over joined rows; zero-probability terms
+    * contribute 0 on their absent side by the JS convention — handled
+    * exactly, no smoothing constant to tune. Cost note: the group x
+    * corpus-vocab frame is linear in |vocab| * |groups| — groups here
+    * are sources/splits (tens), not documents. */
   def tokenDrift(df: DataFrame, groupCol: String,
                  textCol: String): DataFrame = {
     val tok = df.select(col(groupCol).as("grp"),
       explode(TextFunctions.normalizedWords(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     val gt = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gTot = gt.groupBy("grp").agg(sum("c").as("gn"))
     val cTok = gt.groupBy("token").agg(sum("c").as("cc"))
     val cTot = cTok.agg(sum("cc").as("cn"))
