@@ -41,7 +41,12 @@ object BenchScale10 {
     // round-9: the two heaviest PrefixSum/window-based curation
     // operators — quality-ordered running-total cut and exact
     // per-group quota cap (hash-threshold prefilter)
-    "q_token_budget", "q_source_cap")
+    "q_token_budget", "q_source_cap",
+    // round-9b: the postings-plan retrieval/dedup operators (BM25,
+    // positional 5-gram cross-doc stats) and the two new shapes worth
+    // proving at 10x — fingerprint-window paragraph dedup and the
+    // vocab x groups JS-drift frame
+    "q_bm25", "q_crossdoc_spans", "q_paragraph_dedup", "q_token_drift")
 
   private val KeyOff = 100000000L
 

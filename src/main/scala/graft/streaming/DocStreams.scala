@@ -45,9 +45,39 @@ object DocStreams {
                       stateTtlMs: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val typed = docs.select(col(idCol).cast("long").as("id"),
+    keyedDupMap(docs.select(col(idCol).cast("long").as("id"),
       TextFunctions.fingerprint(col(textCol)).as("fp"))
-      .as[(Long, String)]
+      .as[(Long, String)], stateTtlMs)
+  }
+
+  /** Streaming URL-identity dedup map: [[streamingDupMap]] keyed by the
+    * CANONICAL URL ([[graft.functions.UrlFunctions.canonicalizeUrl]])
+    * instead of the content fingerprint — the streaming face of
+    * `Dedup.urlDedupFlags`, for crawl frontiers where refetches must be
+    * tombstoned as they arrive. Unparseable URLs (NULL canonical) are
+    * never grouped: they pass through as their own canonical with
+    * `is_duplicate = false`, the same quarantine contract as the batch
+    * operator. State = one long per distinct canonical URL. */
+  def streamingUrlDupMap(docs: DataFrame, idCol: String = "doc_id",
+                         urlCol: String = "url",
+                         stateTtlMs: Option[Long] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol)).as("fp"))
+    val quarantine = typed.filter(col("fp").isNull)
+      .select(col("id").as("doc_id"), col("id").as("canonical_id"),
+        lit(false).as("is_duplicate"))
+    keyedDupMap(typed.filter(col("fp").isNotNull).as[(Long, String)],
+      stateTtlMs).unionByName(quarantine)
+  }
+
+  /** Shared stateful core of the dedup maps: first-seen-wins canonical
+    * per key, one long of state per distinct key. */
+  private def keyedDupMap(typed: org.apache.spark.sql.Dataset[(Long, String)],
+                          stateTtlMs: Option[Long]): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
     val timeoutConf = if (stateTtlMs.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     typed.groupByKey(_._2)

@@ -107,6 +107,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming url dedup map: variants fold across batches, junk passes through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingUrlDupMap(
+      stream.toDF().toDF("doc_id", "url"))
+      .writeStream.format("memory").queryName("url_dedup_test")
+      .outputMode("append").start()
+    stream.addData(
+      (1L, "http://a.example/x"),
+      (2L, "not a url"))
+    q.processAllAvailable()
+    stream.addData(
+      (3L, "HTTP://A.Example:80/x"),    // folds to doc 1's canonical
+      (4L, "http://a.example/x?utm_source=t"), // same
+      (5L, "http://a.example/y"),
+      (6L, "also junk"))
+    q.processAllAvailable()
+    val got = spark.table("url_dedup_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    q.stop()
+    assert(got.toSeq == Seq(
+      (1L, 1L, false), (2L, 2L, false), (3L, 1L, true), (4L, 1L, true),
+      (5L, 5L, false), (6L, 6L, false)), got.toList.toString)
+  }
+
   test("streaming dedup map: later batches link to the original canonical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
