@@ -413,6 +413,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_ngram_novelty" -> ((s, dir) => {
+      // per-doc novelty: share of its distinct 5-grams first seen (by
+      // min doc_id) in this doc — who-said-it-first credit, the
+      // inverse of the duplication signals; exact dups score 0 behind
+      // their original
+      graft.operators.Dedup.ngramNovelty(docs(s, dir), "doc_id", "text",
+        n = 5, parallelism = OpParallelism)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("n_novel"), col("novelty_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_gopher_rules" -> ((s, dir) => {
       // the Gopher rule gate (Rae et al. 2021 A1.1, delimiter-free
       // adaptation): every rule an auditable boolean next to its
@@ -2083,6 +2095,28 @@ object SparkEntry {
                string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
                '')) AS clean_md5
            FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_ngram_novelty" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           shl AS (
+             SELECT doc_id,
+               CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(len(w) - 4), i ->
+                   w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])
+               END AS sh
+             FROM t),
+           d AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+           e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+           fo AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY s)
+           SELECT e.doc_id, any_value(e.n_sh)::INT AS n_shingles,
+             sum(CASE WHEN fo.first_doc = e.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+             round(sum(CASE WHEN fo.first_doc = e.doc_id THEN 1 ELSE 0 END)::DOUBLE
+               / any_value(e.n_sh), 6) AS novelty_ratio
+           FROM e JOIN fo USING (s)
+           GROUP BY e.doc_id ORDER BY e.doc_id""",
 
       "q_gopher_rules" -> {
         val stops = graft.operators.Quality.GopherStopwords

@@ -674,6 +674,43 @@ object Dedup {
       .select(col("id"), col("n_paras"), col("n_kept"), col("clean_text"))
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * word n-grams whose corpus-wide first occurrence (minimum id) is
+    * this document — "how much new content does this doc contribute",
+    * the inverse view of the duplication signals ([[ngramJaccardPairs]]
+    * flags how much is shared; this credits who said it first). Docs
+    * are ordered by id, so "first" is deterministic corpus order.
+    * Low-novelty docs are quote-heavy/boilerplate/aggregator content —
+    * a standard curation down-weight signal.
+    *
+    * 100-TB shape: distinct shingles per doc (the explode is linear in
+    * distinct shingles), ONE shingle-keyed exchange whose window-min
+    * assigns the first owner (single scan — the groupBy-plus-join-back
+    * form re-evaluates the shingle expression on both branches), then
+    * one id-keyed aggregate. A window partition is one shingle's
+    * posting list; df-skew there is the same bounded-boilerplate story
+    * as [[paragraphDedup]]'s fingerprint groups. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, parallelism: Int = 0): DataFrame = {
+    require(n >= 1, "ngramNovelty: n must be >= 1")
+    val sh = spread(df, parallelism)
+      .select(col(idCol).as("id"),
+        normalizedWords(col(textCol)).as("__w"))
+      .select(col("id"),
+        array_distinct(shinglesFromWords(col("__w"), n)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("s"))
+    val firstDoc = min(col("id")).over(Window.partitionBy("s"))
+    sh.withColumn("__first", firstDoc)
+      .groupBy("id")
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty_ratio"))
+  }
+
   /** URL-level deduplication flags (the first dedup pass of a web-crawl
     * pipeline — refetches of one page arrive under case variants,
     * default ports, tracking params, fragments, and trailing slashes,

@@ -269,6 +269,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram novelty: first doc gets credit, exact dup scores zero") {
+    val corpus = Seq(
+      1L -> "one two three four five six",   // shingles A, B — both novel
+      2L -> "one two three four five six",   // exact dup -> 0
+      3L -> "one two three four five seven") // A seen (first=1), C novel
+    val got = Dedup.ngramNovelty(docsDf(corpus), "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2, 2L, 1.0)))
+    assert(got(2L) == ((2, 0L, 0.0)))
+    assert(got(3L) == ((2, 1L, 0.5)))
+    // short doc: whole text is one shingle; unique -> fully novel
+    val got2 = Dedup.ngramNovelty(docsDf(Seq(9L -> "tiny doc")),
+      "doc_id", "text", n = 5).collect()
+    assert(got2.head.getInt(1) == 1 && got2.head.getDouble(3) == 1.0)
+  }
+
   test("gopher rules: each rule fails on its crafted violator, good doc passes") {
     import spark.implicits._
     val good = (1 to 30).map(i => s"the quick value$i")
