@@ -616,6 +616,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_export_manifest" -> ((s, dir) => {
+      // partitioned snapshot publish + manifest audit: source-
+      // partitioned parquet, ONE file per partition (repartition on
+      // the partition column before the write — the small-file
+      // guard), manifest recomputed from the exported data and checked
+      // by the oracle against the source-of-truth aggregate. The
+      // n_files column asserts the layout discipline itself
+      val edir = "/tmp/graft_export_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Export.writeSnapshot(
+        docs(s, dir).select("doc_id", "source", "text"), edir, "source")
+      graft.sources.Export.manifest(s, edir, "source", "text")
+        .orderBy("source")
+    }),
+
     "q_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL source (The Pile / Dolma interchange shape) through
       // Spark's built-in reader under the engine's source contract:
@@ -2389,6 +2403,11 @@ object SparkEntry {
              strlen(text)::BIGINT AS content_length,
              md5(text) AS payload_md5
            FROM documents ORDER BY doc_id""",
+
+      "q_export_manifest" ->
+        s"""SELECT source, 1::BIGINT AS n_files, count(*)::BIGINT AS n_rows,
+             sum(length(text))::BIGINT AS total_chars
+           FROM documents GROUP BY source ORDER BY source""",
 
       "q_jsonl_roundtrip" ->
         s"""SELECT doc_id, source, md5(text) AS text_md5, true AS parse_ok

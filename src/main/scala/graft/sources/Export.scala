@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Publishing side of the corpus pipeline: partitioned snapshot export
+  * with a verifiable manifest, and bucketed table layout for
+  * shuffle-free downstream joins.
+  *
+  * At 100 TB the WRITE layout is a query-plan decision made once for
+  * every future reader:
+  *  - `partitionBy(source)` turns per-source readers into partition-
+  *    PRUNED scans (the `PartitionFilters` line in explain — directory
+  *    pruning, zero IO for excluded sources);
+  *  - one `repartition(partitionCol)` before the write gives each
+  *    partition exactly one file per write (no small-file explosion —
+  *    the classic sin of partitioned writes is tasks × partitions
+  *    files);
+  *  - `bucketBy(k, id)` + `sortBy(id)` persists a hash-clustered,
+  *    sorted layout so future equi-joins and aggregations on the
+  *    bucket key run WITHOUT an exchange (co-located join — the
+  *    pre-shuffle is amortized into the write).
+  */
+object Export {
+
+  /** Write `df` as a `partitionCol`-partitioned parquet snapshot, one
+    * file per partition value. Skipped when the `_GRAFT_EXPORT_DONE`
+    * marker exists (fixture reuse across verify/bench runs). */
+  def writeSnapshot(df: DataFrame, dir: String,
+                    partitionCol: String): Unit = {
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_EXPORT_DONE")
+    if (java.nio.file.Files.exists(marker)) return
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    java.nio.file.Files.createFile(marker)
+  }
+
+  /** Manifest of a partitioned snapshot: one row per partition value
+    * with its file count (via `input_file_name`), row count, and total
+    * text length — the publish-time audit a consumer checks against
+    * the source-of-truth aggregate before trusting a snapshot. One
+    * scan of the exported data, one map-side-combined aggregate. */
+  def manifest(spark: SparkSession, dir: String, partitionCol: String,
+               textCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col(partitionCol), input_file_name().as("__f"),
+        length(col(textCol)).as("__len"))
+      .groupBy(partitionCol)
+      .agg(countDistinct(col("__f")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        sum(col("__len")).as("total_chars"))
+}

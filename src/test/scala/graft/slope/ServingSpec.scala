@@ -10,6 +10,10 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    // saveAsTable (bucketed-layout tests) must never write into the
+    // repo working tree — the default warehouse is ./spark-warehouse
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 }
 
