@@ -413,6 +413,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_incremental_dedup" -> ((s, dir) => {
+      // incremental ingestion dedup: docs >= 400 arrive as the new
+      // batch against the < 400 corpus. Corpus matches outrank
+      // in-batch duplicates; the corpus side is semi-join-filtered by
+      // the broadcast batch fingerprints, so its shuffle is bounded by
+      // the batch, not the corpus
+      val all = docs(s, dir)
+      graft.operators.Dedup.incrementalDupFlags(
+        all.filter(col("doc_id") < 400), all.filter(col("doc_id") >= 400),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"), col("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_ngram_novelty" -> ((s, dir) => {
       // per-doc novelty: share of its distinct 5-grams first seen (by
       // min doc_id) in this doc — who-said-it-first credit, the
@@ -2109,6 +2123,22 @@ object SparkEntry {
                string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
                '')) AS clean_md5
            FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_incremental_dedup" ->
+        s"""WITH fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),
+           ck AS (SELECT f, min(doc_id) AS corpus_canonical FROM fp
+                  WHERE doc_id < 400 GROUP BY f),
+           b AS (SELECT doc_id, f,
+                   min(doc_id) OVER (PARTITION BY f) AS batch_first
+                 FROM fp WHERE doc_id >= 400)
+           SELECT b.doc_id,
+             CASE WHEN ck.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN b.batch_first != b.doc_id THEN 'dup_in_batch'
+                  ELSE 'new' END AS status,
+             coalesce(ck.corpus_canonical,
+               CASE WHEN b.batch_first != b.doc_id THEN b.batch_first
+                    ELSE b.doc_id END) AS canonical_id
+           FROM b LEFT JOIN ck USING (f) ORDER BY b.doc_id""",
 
       "q_ngram_novelty" ->
         s"""WITH t AS (

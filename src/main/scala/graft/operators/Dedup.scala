@@ -674,6 +674,46 @@ object Dedup {
       .select(col("id"), col("n_paras"), col("n_kept"), col("clean_text"))
   }
 
+  /** Incremental exact dedup: flag an INCOMING BATCH against an
+    * existing corpus — the production ingestion shape (a crawl
+    * snapshot lands daily; re-deduplicating the whole corpus per batch
+    * is a non-starter at 100 TB). Output, one row per batch document:
+    *  - `status = "dup_of_corpus"`, canonical = the corpus's canonical
+    *    (minimum) id for that content — corpus matches take priority;
+    *  - `status = "dup_in_batch"`, canonical = the batch's first
+    *    (minimum) id for content new to the corpus but repeated within
+    *    the batch;
+    *  - `status = "new"`, canonical = own id.
+    *
+    * 100-TB shape: the batch's distinct fingerprints BROADCAST as a
+    * semi-join filter over the corpus, so the corpus-side shuffle
+    * carries only fingerprints the batch actually touches (bounded by
+    * batch size, not corpus size) — the corpus is scanned, never
+    * reshuffled wholesale. In a deployment the corpus keeper table
+    * (fp -> canonical id) is maintained incrementally across batches
+    * (exactly [[exactGroups]] output unioned per batch); this operator
+    * accepts the raw corpus and derives it for self-containedness. */
+  def incrementalDupFlags(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val bfp = batch.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fp"))
+    val batchFps = bfp.select("fp").distinct()
+    val corpusKeepers = corpus
+      .select(col(idCol).as("__cid"), fingerprint(col(textCol)).as("fp"))
+      .join(broadcast(batchFps), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(min("__cid").as("corpus_canonical"))
+    val w = Window.partitionBy("fp") // whole-partition frame: one min
+    bfp.withColumn("__batch_first", min(col("id")).over(w))
+      .join(corpusKeepers, Seq("fp"), "left")
+      .select(col("id"),
+        when(col("corpus_canonical").isNotNull, "dup_of_corpus")
+          .when(col("__batch_first") =!= col("id"), "dup_in_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_canonical"),
+          when(col("__batch_first") =!= col("id"), col("__batch_first"))
+            .otherwise(col("id"))).as("canonical_id"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * word n-grams whose corpus-wide first occurrence (minimum id) is
     * this document — "how much new content does this doc contribute",

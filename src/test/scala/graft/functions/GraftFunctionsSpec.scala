@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.slope.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-registered kernels must agree exactly with the Column API. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("sql functions: registered kernels match the column API bit-for-bit") {
+    GraftFunctions.register(spark)
+    // deflate_size
+    val dz = spark.sql("SELECT graft_deflate_size('spam spam spam spam')")
+      .collect().head.getInt(0)
+    assert(dz == DeflateHelper.size("spam spam spam spam".getBytes("UTF-8")))
+    // dot product
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .collect().head.getDouble(0)
+    assert(dot == 32.0)
+    // minhash + simhash over the same pre-hashed shingles as the
+    // column path — results must be identical arrays/longs
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over it", "other text here")
+      .toDF("text")
+      .withColumn("h", transform(
+        TextFunctions.shinglesFromWords(TextFunctions.normalizedWords(col("text")), 3),
+        s => xxhash64(s)))
+    df.createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(h, 8) AS mh, graft_simhash(h) AS sh FROM gf_docs")
+      .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+    val viaCol = df.select(
+      graft.operators.Dedup.minhashFromHashes(col("h"), 8).as("mh"),
+      org.apache.spark.sql.graft.ColumnShim.column(SimhashFp(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("h")))).as("sh"))
+      .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // arity/literal validation is loud, not silent
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_deflate_size('a', 'b')").collect())
+    assert(e.getMessage.contains("graft_deflate_size") ||
+      e.getCause != null)
+  }
+
+  test("extensions class injects the same builders") {
+    // the builder path used by spark.sql.extensions: applying the
+    // extensions object must succeed and cover every registered name
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtensions().apply(ext)
+    assert(GraftFunctions.all.map(_._1).distinct.size ==
+      GraftFunctions.all.size)
+  }
+}

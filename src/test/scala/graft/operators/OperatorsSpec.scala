@@ -269,6 +269,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: corpus outranks batch, batch keep-first, new passes") {
+    val corpus = docsDf(Seq(
+      1L -> "shared content alpha",
+      2L -> "shared content alpha", // corpus-internal dup: canonical 1
+      3L -> "corpus only beta"))
+    val batch = docsDf(Seq(
+      10L -> "SHARED content alpha!",  // dup_of_corpus -> 1 (normalized)
+      11L -> "shared content alpha",   // ALSO corpus dup (not in-batch)
+      12L -> "fresh gamma",            // new
+      13L -> "fresh gamma",            // dup_in_batch -> 12
+      14L -> "never seen delta"))      // new
+    val got = Dedup.incrementalDupFlags(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(10L) == (("dup_of_corpus", 1L)))
+    assert(got(11L) == (("dup_of_corpus", 1L)))
+    assert(got(12L) == (("new", 12L)))
+    assert(got(13L) == (("dup_in_batch", 12L)))
+    assert(got(14L) == (("new", 14L)))
+  }
+
   test("ngram novelty: first doc gets credit, exact dup scores zero") {
     val corpus = Seq(
       1L -> "one two three four five six",   // shingles A, B — both novel
