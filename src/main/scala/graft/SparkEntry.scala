@@ -449,6 +449,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_embedding_drift" -> ((s, dir) => {
+      // representation-space drift: per-source mean-embedding cosine
+      // vs the corpus mean (vec_id == doc_id in the fixture) — the
+      // embedding counterpart of q_token_drift
+      val j = emb(s, dir).join(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      graft.operators.Quality.embeddingDrift(j, "source", "embedding")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
     "q_token_drift" -> ((s, dir) => {
       // per-source unigram-distribution drift vs the whole corpus
       // (Jensen-Shannon, exact zero-handling): the distribution-shift
@@ -2205,6 +2217,26 @@ object SparkEntry {
                AND uniq >= 0.3) AS pass
            FROM v ORDER BY doc_id"""
       },
+
+      "q_embedding_drift" ->
+        s"""WITH j AS (
+             SELECT d.source AS grp, e.embedding::DOUBLE[] AS emb
+             FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+           ex AS (SELECT grp, emb, unnest(range(len(emb))) AS i0 FROM j),
+           t AS (SELECT grp, i0 AS i, emb[i0+1] AS v FROM ex),
+           g AS (SELECT grp, i, sum(v) AS s, count(*) AS n
+                 FROM t GROUP BY 1, 2),
+           gm AS (SELECT grp, i, s / n AS m FROM g),
+           cm AS (SELECT i, sum(s) / sum(n) AS c FROM g GROUP BY i),
+           ag AS (SELECT gm.grp, sum(m * c) AS mc, sum(m * m) AS mm,
+                    sum(c * c) AS cc
+                  FROM gm JOIN cm USING (i) GROUP BY gm.grp),
+           nv AS (SELECT grp, max(n) AS n_vecs FROM g GROUP BY grp)
+           SELECT ag.grp AS source,
+             round(CASE WHEN sqrt(mm) = 0 OR sqrt(cc) = 0 THEN 0.0
+               ELSE mc / (sqrt(mm) * sqrt(cc)) END, 6) AS drift_cosine,
+             nv.n_vecs
+           FROM ag JOIN nv USING (grp) ORDER BY source""",
 
       "q_token_drift" ->
         s"""WITH tok AS (

@@ -75,6 +75,41 @@ object Quality {
       (rWc && rMwl && rSym && rAlpha && rStop && rUniq).as("pass"))
   }
 
+  /** Per-group EMBEDDING drift vs the whole corpus: cosine between
+    * each group's mean embedding and the corpus mean embedding — the
+    * representation-space counterpart of [[tokenDrift]] (a source
+    * whose centroid swings away from the corpus signals topical/
+    * quality shift even when its vocabulary looks stable).
+    *
+    * Plan: ONE pass explodes (group, dim, value); per-(group, dim)
+    * sum+count aggregates map-side; the corpus per-dim mean DERIVES
+    * from the group sums (groups x dim rows — tiny, persisted so its
+    * three consumers don't re-scan the corpus); the cosine folds over
+    * dim rows per group. Nothing driver-side, nothing quadratic. */
+  def embeddingDrift(df: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame = {
+    val e = df.select(col(groupCol).as("grp"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
+    val g = e.groupBy("grp", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gm = g.select(col("grp"), col("i"), (col("s") / col("n")).as("m"))
+    val cm = g.groupBy("i")
+      .agg((sum("s") / sum("n")).as("c"))
+    val agg = gm.join(cm, Seq("i"))
+      .groupBy("grp")
+      .agg(sum(col("m") * col("c")).as("mc"),
+        sum(col("m") * col("m")).as("mm"),
+        sum(col("c") * col("c")).as("cc"))
+    val nv = g.groupBy("grp").agg(max("n").as("n_vecs"))
+    agg.join(nv, Seq("grp"))
+      .select(col("grp"),
+        round(when(sqrt(col("mm")) === 0.0 || sqrt(col("cc")) === 0.0, 0.0)
+          .otherwise(col("mc") / (sqrt(col("mm")) * sqrt(col("cc")))), 6)
+          .as("drift_cosine"),
+        col("n_vecs"))
+  }
+
   /** Per-group unigram-distribution drift vs the whole corpus:
     * Jensen-Shannon divergence (natural log; 0 = identical, ln 2 =
     * disjoint), plus token totals. The drift gate of corpus

@@ -332,6 +332,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!b(6L, "r_unique_words") && !b(6L, "pass"))
   }
 
+  test("embedding drift: closed-form centroid cosine; identical groups drift 1") {
+    import spark.implicits._
+    val in = Seq(
+      ("a", Array(1.0, 0.0)), ("a", Array(1.0, 2.0)),  // mean (1, 1)
+      ("b", Array(0.0, 1.0)), ("b", Array(2.0, 1.0)))  // mean (1, 1) too
+      .toDF("source", "embedding")
+    // corpus mean = (1,1); both groups' means equal it -> cosine 1
+    val same = Quality.embeddingDrift(in, "source", "embedding").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(same == Map("a" -> ((1.0, 2L)), "b" -> ((1.0, 2L))), s"$same")
+    // orthogonal group means: corpus mean (0.5, 0.5); cos(group, corpus)
+    // = cos(45deg) = 1/sqrt(2) for both
+    val ortho = Seq(("x", Array(1.0, 0.0)), ("y", Array(0.0, 1.0)))
+      .toDF("source", "embedding")
+    val got = Quality.embeddingDrift(ortho, "source", "embedding").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("x") == r6(1.0 / math.sqrt(2)) && got("y") == r6(1.0 / math.sqrt(2)),
+      s"$got")
+  }
+
   test("token drift: closed-form JS divergence; identical groups drift 0") {
     import spark.implicits._
     val docs = Seq(
