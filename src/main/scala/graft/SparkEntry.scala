@@ -743,6 +743,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pack_nosplit" -> ((s, dir) => {
+      // whole-document bin packing (Krell et al. FFD, no straddling —
+      // the fine-tuning layout where q_seq_pack is the pretraining
+      // one): deterministic hash-bucketed FFD, golden oracle (FFD is
+      // imperative, not SQL). Docs at doc_id % 50 == 0 are tripled so
+      // the oversize routing is exercised at oracle scale
+      val aug = when(col("doc_id") % 50 === 0,
+        concat_ws(" ", col("text"), col("text"), col("text")))
+        .otherwise(col("text"))
+      graft.operators.Packing.packWithoutSplitting(
+        docs(s, dir).select(col("doc_id"), aug.as("text")),
+        "doc_id", "text", seqLen = 96, nBuckets = 8)
+        .orderBy("doc_id")
+    }),
+
     "q_pack_manifest" -> ((s, dir) => {
       // per-sequence packing manifest: docs contributing to each
       // 512-token sequence and how many straddle a boundary (the
@@ -3097,7 +3112,7 @@ object SparkEntry {
     "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
     "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
     "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier",
-    "q_compression_ratio")
+    "q_compression_ratio", "q_pack_nosplit")
 
   private val GoldenDir = "/root/repo/golden"
 }

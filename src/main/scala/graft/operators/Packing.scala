@@ -55,6 +55,79 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Sequence packing WITHOUT document splitting (Krell et al. 2021,
+    * "Efficient Sequence Packing without Cross-contamination"): each
+    * bin holds whole documents up to `seqLen` tokens — no straddling,
+    * no cross-document attention contamination, the layout fine-tuning
+    * and alignment pipelines use where [[packOffsets]]'s concat-and-cut
+    * is the pretraining one.
+    *
+    * Exact bin packing is NP-hard; the standard approximation is
+    * first-fit-decreasing (FFD, ≤ 11/9·OPT + 6/9 bins). FFD is
+    * inherently sequential, so the distributed form shards documents
+    * into `nBuckets` deterministic hash buckets and runs FFD
+    * INDEPENDENTLY per bucket — each bucket's packing depends only on
+    * its own (length desc, id) sorted members, so the result is a pure
+    * function of (data, seqLen, nBuckets): partition layout, task
+    * timing, and cluster size cannot change a single assignment
+    * (golden-able, and re-runnable incrementally per bucket). The
+    * approximation cost of sharding is bounded: each bucket wastes at
+    * most one partially-empty tail bin per capacity class.
+    *
+    * Docs LONGER than seqLen cannot pack whole; they are flagged
+    * `oversize` in their own single-doc bin (callers route them to the
+    * splitting packer or truncation — never silently dropped).
+    *
+    * Output: (id, n_tokens, bucket, bin, oversize) — `bin` is dense
+    * per bucket in FFD order. 100-TB shape: one narrow projection, one
+    * hash repartition on the bucket key, per-partition sorted greedy
+    * packing via mapPartitions (the documented last-resort tier — FFD
+    * is genuinely imperative); driver sees nothing. Per-doc cost is
+    * O(open bins) per bucket; production bucket sizes (1e5-1e6 docs)
+    * keep that trivial next to the scan. */
+  def packWithoutSplitting(docs: DataFrame, idCol: String, textCol: String,
+                           seqLen: Int, nBuckets: Int = 32,
+                           tokenCount: org.apache.spark.sql.Column =>
+                             org.apache.spark.sql.Column =
+                             TextFunctions.wsTokenCount): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs.select(col(idCol).cast("long").as("id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      pmod(xxhash64(col(idCol)), lit(nBuckets)).cast("int").as("bucket"))
+    val packed = counted
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("n_tokens").desc, col("id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // rows arrive grouped by bucket (sorted); FFD state resets at
+        // each bucket boundary so co-located buckets stay independent
+        var curBucket = -1
+        var bins = scala.collection.mutable.ArrayBuffer[Long]() // remaining
+        it.map { case (id, n, bucket) =>
+          if (bucket != curBucket) {
+            curBucket = bucket
+            bins = scala.collection.mutable.ArrayBuffer[Long]()
+          }
+          if (n > seqLen) {
+            // oversize: its own flagged bin
+            bins += 0L
+            (id, n, bucket, bins.length - 1, true)
+          } else {
+            var i = 0
+            while (i < bins.length && bins(i) < n) i += 1
+            if (i == bins.length) bins += seqLen.toLong
+            bins(i) -= n
+            (id, n, bucket, i, false)
+          }
+        }
+      }
+      .toDF("id", "n_tokens", "bucket", "bin", "oversize")
+    packed.withColumnRenamed("id", idCol)
+  }
+
   /** Sequence-level manifest: for each packed sequence, how many docs
     * contribute tokens to it and how many of those straddle either
     * boundary — the packing-quality summary (a high straddle share

@@ -269,6 +269,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pack without splitting: capacity respected, FFD order, oversize routed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(60)("w").mkString(" ")),   // 60
+      (2L, Seq.fill(50)("w").mkString(" ")),   // 50
+      (3L, Seq.fill(40)("w").mkString(" ")),   // 40
+      (4L, Seq.fill(30)("w").mkString(" ")),   // 30
+      (5L, Seq.fill(150)("w").mkString(" ")),  // oversize at 100
+      (6L, Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.packWithoutSplitting(docs, "doc_id", "text",
+      seqLen = 100, nBuckets = 1).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3), r.getBoolean(4)))).toMap
+    // single bucket, FFD over lengths desc: 150(oversize own bin),
+    // 60 -> bin, 50 -> same? 60+50 > 100 so new bin; 40 -> first bin
+    // with room (60+40=100), 30 -> bin with 50 (80), 10 -> bin w/ 100? full ->
+    // bin with 80 -> 90
+    assert(out(5L)._3, "150-token doc must flag oversize")
+    // capacity: total per (non-oversize) bin <= seqLen
+    val byBin = out.toSeq.filterNot(_._2._3)
+      .groupBy(_._2._2).view.mapValues(_.map(_._2._1).sum).toMap
+    byBin.foreach { case (bin, tot) =>
+      assert(tot <= 100, s"bin $bin holds $tot tokens")
+    }
+    // every doc assigned exactly once
+    assert(out.size == 6)
+    // FFD quality on this instance: 60+40, 50+30+10 fit in 2 bins
+    assert(byBin.size == 2, s"FFD should use 2 bins here: $byBin")
+    // determinism: a re-run (different partition count) is identical
+    val rerun = Packing.packWithoutSplitting(docs.repartition(5),
+      "doc_id", "text", seqLen = 100, nBuckets = 1).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(rerun == out)
+    // bucketed run still packs everything, within capacity, per bucket
+    val bucketed = Packing.packWithoutSplitting(docs, "doc_id", "text",
+      seqLen = 100, nBuckets = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(1),
+        r.getBoolean(4)))
+    assert(bucketed.length == 6)
+    bucketed.groupBy(r => (r._2, r._3)).foreach { case (k, rows) =>
+      if (!rows.head._5)
+        assert(rows.map(_._4).sum <= 100, s"bucket-bin $k over capacity")
+    }
+  }
+
   test("incremental dedup: corpus outranks batch, batch keep-first, new passes") {
     val corpus = docsDf(Seq(
       1L -> "shared content alpha",
