@@ -439,6 +439,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_url_blocklist" -> ((s, dir) => {
+      // domain blocklist filter over the synthetic URL universe (same
+      // construction as q_url_dedup): h1 is blocked directly, and
+      // every host is ALSO a subdomain probe against the blocked
+      // parent zone graft.test (no host matches it — negative control
+      // alongside sub.h2's positive). Output: per-host kept/blocked
+      val page = col("doc_id") % 100
+      val hostIdx = page % 4
+      // doc_id % 10 == 7 fetches arrive via a tracking SUBDOMAIN of
+      // their host — blocked when the parent host is blocked
+      val baseHost = concat(lit("h"), hostIdx, lit(".graft.example"))
+      val host = when(col("doc_id") % 10 === 7,
+        concat(lit("track."), baseHost)).otherwise(baseHost)
+      val raw = concat(lit("http://"), host, lit("/docs/"), page)
+      val blocked = graft.functions.UrlFunctions.hostBlocked(raw,
+        Seq("h1.graft.example", "graft.test"))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.UrlFunctions.urlHost(raw).as("host"),
+        blocked.as("blocked"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+        .orderBy("host")
+    }),
+
     "q_gopher_rules" -> ((s, dir) => {
       // the Gopher rule gate (Rae et al. 2021 A1.1, delimiter-free
       // adaptation): every rule an auditable boolean next to its
@@ -2188,6 +2213,25 @@ object SparkEntry {
                / any_value(e.n_sh), 6) AS novelty_ratio
            FROM e JOIN fo USING (s)
            GROUP BY e.doc_id ORDER BY e.doc_id""",
+
+      "q_url_blocklist" ->
+        s"""WITH u AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 10 = 7
+                 THEN 'track.h' || ((doc_id % 100) % 4) || '.graft.example'
+                 ELSE 'h' || ((doc_id % 100) % 4) || '.graft.example'
+               END AS host
+             FROM documents),
+           f AS (
+             SELECT doc_id, host,
+               (host = 'h1.graft.example'
+                 OR host LIKE '%.h1.graft.example'
+                 OR host = 'graft.test'
+                 OR host LIKE '%.graft.test') AS blocked
+             FROM u)
+           SELECT host, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+           FROM f GROUP BY host ORDER BY host""",
 
       "q_gopher_rules" -> {
         val stops = graft.operators.Quality.GopherStopwords

@@ -38,6 +38,22 @@ object UrlFunctions {
     * its embedded `ref=`); `\b` is in the Java ∩ RE2 subset. */
   val TrackingParamsPattern = "\\b(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?"
 
+  /** True when the canonical host is a blocklisted domain or any
+    * subdomain of one (`ads.example.com` matches blocked `example.com`
+    * but `notexample.com` does not) — the crawl-pipeline domain
+    * filter. NULL host (unparseable URL) yields false: quarantine
+    * routing decides those rows, not the blocklist. Pure codegen'd
+    * literal-array `exists`, broadcast-free for list sizes a filter
+    * config realistically holds; a million-domain list would move to a
+    * broadcast join on a reversed-host prefix instead. */
+  def hostBlocked(c: Column, blockedDomains: Seq[String]): Column = {
+    require(blockedDomains.nonEmpty, "hostBlocked: empty blocklist")
+    val h = urlHost(c)
+    val hit = exists(array(blockedDomains.map(d => lit(d.toLowerCase)): _*),
+      d => h === d || h.endsWith(concat(lit("."), d)))
+    coalesce(hit && h =!= "", lit(false))
+  }
+
   /** Canonical URL: lowercased scheme + canonical host + path/query
     * with tracking params, fragments, dangling `?`/`&`, and trailing
     * slashes (path-only URLs) removed. Rows that don't parse as

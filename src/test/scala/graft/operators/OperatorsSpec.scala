@@ -1795,6 +1795,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!flags(9L) && !flags(10L), "quarantine rows never flagged dup")
   }
 
+  test("host blocklist: exact + subdomain match, no suffix false positives") {
+    import spark.implicits._
+    val rows = Seq(
+      "http://bad.example/x",          // exact
+      "http://ads.bad.example/x",      // subdomain
+      "http://deep.ads.bad.example/x", // nested subdomain
+      "http://notbad.example/x",       // suffix but NOT a subdomain
+      "http://BAD.EXAMPLE:80/x",       // case + port folds first
+      "http://good.example/x",
+      "junk")                          // unparseable -> false
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val got = rows.toDF("id", "url")
+      .select(col("id"), graft.functions.UrlFunctions
+        .hostBlocked(col("url"), Seq("bad.example")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(0L -> true, 1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false), s"$got")
+  }
+
   test("paragraph dedup: normalization folds case/punct variants to one keeper") {
     import spark.implicits._
     val in = Seq(
