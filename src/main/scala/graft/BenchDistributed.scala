@@ -79,6 +79,25 @@ object BenchDistributed {
           gaussP.copy(nSigma = 6), qs = Seq(0.1, 0.2), number = 3,
           repeats = 1, measures = Seq("mse"), parallelism = 2)
         (cv.model.passes.sum, cv.model.nSteps)
+      }),
+      // round-9 FISTA refinements (lr carry across sigma steps +
+      // O'Donoghue-Candes gradient restart), profiled against the
+      // plain scenarios above so the pass-count win is ON RECORD per
+      // family, not just inside the q_slope_binom_dist query
+      "binomial_fit_dist_lrcarry" -> (() => {
+        val m = Slope.fit(binomDf, "features", "label",
+          binomP.copy(carryLearningRate = true, adaptiveRestart = true))
+        (m.passes.sum, m.nSteps)
+      }),
+      "poisson_fit_dist_lrcarry" -> (() => {
+        val m = Slope.fit(poisDf, "features", "label",
+          poisP.copy(carryLearningRate = true, adaptiveRestart = true))
+        (m.passes.sum, m.nSteps)
+      }),
+      "multinomial_fit_dist_lrcarry" -> (() => {
+        val m = Slope.fit(multiDf, "features", "label",
+          multiP.copy(carryLearningRate = true, adaptiveRestart = true))
+        (m.passes.sum, m.nSteps)
       }))
 
     case class Sample(wall: Double, jobs: Long, passes: Int, steps: Int)
