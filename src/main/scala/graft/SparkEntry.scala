@@ -607,6 +607,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("score"), col("n_terms_hit"))
     }),
 
+    "q_chunking" -> ((s, dir) => {
+      // RAG-ingestion chunking: 32-word windows with 8-word overlap
+      // (stride 24). Per chunk: position, word count, md5 — the
+      // retrieval corpus a vector store ingests, checked byte-for-byte
+      // against the oracle's slice arithmetic
+      val chunks = TextFunctions.chunkWords(col("text"), 32, 8)
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          when(length(col("chunk")) === 0, 0)
+            .otherwise(size(split(col("chunk"), " "))).as("n_words"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
       // top-50 and the embedding-cosine top-50 for one query (terms +
@@ -2444,6 +2459,25 @@ object SparkEntry {
                   FROM tf JOIN dfs USING (term), st GROUP BY 1)
            SELECT doc_id, round(s, 6) AS score, nt::BIGINT AS n_terms_hit
            FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+
+      "q_chunking" ->
+        s"""WITH d AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS dw,
+               $NormSql AS norm
+             FROM documents),
+           c AS (
+             SELECT doc_id,
+               CASE WHEN norm = '' THEN []::VARCHAR[]
+                 ELSE list_transform(
+                   range(1 + (greatest(len(dw) - 32, 0) + 23) // 24),
+                   i -> array_to_string(dw[i*24+1:i*24+32], ' ')) END AS ch
+             FROM d),
+           e AS (SELECT doc_id, ch, unnest(range(len(ch))) AS i0 FROM c)
+           SELECT doc_id, i0::INT AS chunk_idx,
+             CASE WHEN ch[i0+1] = '' THEN 0
+               ELSE len(string_split(ch[i0+1], ' ')) END::INT AS n_words,
+             md5(ch[i0+1]) AS chunk_md5
+           FROM e ORDER BY doc_id, chunk_idx""",
 
       "q_hybrid_rrf" ->
         s"""WITH t AS (

@@ -208,6 +208,30 @@ object TextFunctions {
     when(octet_length(c) === 0, lit(0.0))
       .otherwise(deflateSize(c).cast("double") / octet_length(c))
 
+  /** Overlapping sliding-window chunks of the normalized words — the
+    * RAG-ingestion decomposition (fixed chunk size with overlap so no
+    * sentence-boundary fact is stranded at a cut). Chunk i covers
+    * words [i*stride, i*stride + chunkSize) with
+    * stride = chunkSize - overlap; the tail chunk may be short; a
+    * chunk is emitted only while it contributes at least one new word
+    * (n_chunks = 1 + ceil(max(n - chunkSize, 0) / stride)); empty
+    * docs yield an empty array. Pure codegen'd built-ins — per-row
+    * work, no shuffle, replayable in any SQL engine. */
+  def chunkWords(c: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val ws = normalizedWords(c)
+    val n = when(length(normalizeText(c)) === 0, lit(0)).otherwise(size(ws))
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      lit(1) + ((greatest(n - chunkSize, lit(0)) + (stride - 1)) / stride)
+        .cast("int"))
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ws, i * stride + 1, lit(chunkSize)), " ")))
+  }
+
   /** Stopword marker lists for the language-ID heuristic. Tiny
     * per-language function-word sets — the classic n-gram/stopword
     * profile trick at its smallest. */

@@ -1795,6 +1795,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!flags(9L) && !flags(10L), "quarantine rows never flagged dup")
   }
 
+  test("chunking: stride/overlap arithmetic, tail chunk, empty doc") {
+    import spark.implicits._
+    // 10 words, size 4, overlap 1 (stride 3): [0,4) [3,7) [6,10)
+    val words10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val got = Seq((1L, words10), (2L, ""), (3L, "a b"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.chunkWords(col("text"), 4, 1).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(got(2L).isEmpty, "empty doc yields no chunks")
+    assert(got(3L) == Seq("a b"), "short doc is one whole chunk")
+    // 11 words: tail chunk is short but every word is covered
+    val words11 = (1 to 11).map(i => s"w$i").mkString(" ")
+    val t = Seq((1L, words11)).toDF("doc_id", "text")
+      .select(TextFunctions.chunkWords(col("text"), 4, 1).as("ch"))
+      .collect().head.getSeq[String](0)
+    assert(t == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10 w11"))
+    // zero overlap degenerates to disjoint spans
+    val z = Seq((1L, words10)).toDF("doc_id", "text")
+      .select(TextFunctions.chunkWords(col("text"), 5, 0).as("ch"))
+      .collect().head.getSeq[String](0)
+    assert(z == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
+  }
+
   test("host blocklist: exact + subdomain match, no suffix false positives") {
     import spark.implicits._
     val rows = Seq(
