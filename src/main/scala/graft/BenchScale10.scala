@@ -46,7 +46,10 @@ object BenchScale10 {
     // positional 5-gram cross-doc stats) and the two new shapes worth
     // proving at 10x — fingerprint-window paragraph dedup and the
     // vocab x groups JS-drift frame
-    "q_bm25", "q_crossdoc_spans", "q_paragraph_dedup", "q_token_drift")
+    "q_bm25", "q_crossdoc_spans", "q_paragraph_dedup", "q_token_drift",
+    // round-9c: the semi-join-bounded ingestion dedup and the per-row
+    // chunking explode
+    "q_incremental_dedup", "q_chunking")
 
   private val KeyOff = 100000000L
 
