@@ -464,6 +464,24 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    "q_mixture_rebalance" -> ((s, dir) => {
+      // token-budget equalization: every source hash-downsampled so
+      // its expected kept tokens match the smallest source's — the
+      // fractions derive IN-PLAN from one groupBy + broadcast min,
+      // and the keep decision is the engine-portable md5 bucket
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.rebalanceToMinTokens(
+        d, "doc_id", "source", "n_tokens")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_before"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"),
+          round(max(col("keep_fraction")), 6).as("keep_fraction"))
+        .orderBy("source")
+    }),
+
     "q_gopher_rules" -> ((s, dir) => {
       // the Gopher rule gate (Rae et al. 2021 A1.1, delimiter-free
       // adaptation): every rule an auditable boolean next to its
@@ -2247,6 +2265,25 @@ object SparkEntry {
            SELECT host, count(*)::BIGINT AS n_docs,
              sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked
            FROM f GROUP BY host ORDER BY host""",
+
+      "q_mixture_rebalance" ->
+        s"""WITH d AS (
+             SELECT doc_id, source, ($wcSql)::BIGINT AS n_tokens
+             FROM documents),
+           tot AS (SELECT source, sum(n_tokens) AS tok FROM d GROUP BY 1),
+           mn AS (SELECT min(tok) AS m FROM tot),
+           fr AS (SELECT source, m::DOUBLE / tok AS f FROM tot, mn),
+           k AS (
+             SELECT d.source, d.n_tokens, fr.f,
+               (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'rebalance'), 1, 8))::UBIGINT)::DOUBLE
+                 / 4294967296.0 < fr.f AS keep
+             FROM d JOIN fr USING (source))
+           SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS tokens_before,
+             coalesce(sum(n_tokens) FILTER (WHERE keep), 0)::BIGINT
+               AS tokens_kept,
+             round(max(f), 6) AS keep_fraction
+           FROM k GROUP BY source ORDER BY source""",
 
       "q_gopher_rules" -> {
         val stops = graft.operators.Quality.GopherStopwords

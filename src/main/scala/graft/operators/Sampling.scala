@@ -93,6 +93,34 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < frac)
   }
 
+  /** Token-budget equalization across groups: every group is
+    * deterministically downsampled (hash order, like every sampler
+    * here) so its EXPECTED kept token total matches the smallest
+    * group's — the "don't let CommonCrawl drown the books" rebalance,
+    * stated in tokens rather than rows because training budgets are
+    * token budgets. Keep fraction f_g = min_tokens / tokens_g, derived
+    * IN-PLAN (one groupBy + one broadcast min — no driver map, unlike
+    * [[temperatureFractions]] which takes counts the caller collected);
+    * the dominant groups downsample, the smallest keeps everything.
+    *
+    * Output = input rows + `keep_fraction` + `keep`; callers filter on
+    * `keep` or audit the flags. 100-TB shape: the fraction table is
+    * |groups| rows joined broadcast onto one scan; the keep decision
+    * is a pure per-row hash compare. */
+  def rebalanceToMinTokens(df: DataFrame, idCol: String, groupCol: String,
+                           tokensCol: String,
+                           salt: String = "rebalance"): DataFrame = {
+    val tot = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).as("__tok"))
+    val mn = tot.agg(min(col("__tok")).as("__mn"))
+    val frac = tot.crossJoin(broadcast(mn))
+      .select(col(groupCol),
+        (col("__mn").cast("double") / col("__tok")).as("keep_fraction"))
+    df.join(broadcast(frac), Seq(groupCol))
+      .withColumn("keep",
+        hashBucket(col(idCol), salt) < col("keep_fraction"))
+  }
+
   /** Per-group quota cap: keep at most `quota` rows per group, chosen
     * in deterministic hash order (`hashBucket(id)` asc, id asc) — the
     * "cap CommonCrawl at N docs, books at M" mixing step, stable

@@ -355,6 +355,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2.head.getInt(1) == 1 && got2.head.getDouble(3) == 1.0)
   }
 
+  test("rebalance to min tokens: fractions exact, smallest source keeps all") {
+    import spark.implicits._
+    // source a: 100 tokens, b: 50, c: 200 -> min 50; f = 0.5 / 1.0 / 0.25
+    val rows = Seq(
+      (1L, "a", 60L), (2L, "a", 40L),
+      (3L, "b", 50L),
+      (4L, "c", 120L), (5L, "c", 80L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.rebalanceToMinTokens(rows, "doc_id", "source",
+      "n_tokens").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("keep_fraction"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L)._1 == 0.5 && out(2L)._1 == 0.5)
+    assert(out(3L)._1 == 1.0 && out(3L)._2, "smallest source keeps everything")
+    assert(out(4L)._1 == 0.25 && out(5L)._1 == 0.25)
+    // keep decision matches the hash bucket exactly (determinism)
+    val buckets = rows.select(col("doc_id"),
+      Sampling.hashBucket(col("doc_id"), "rebalance").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (id, (f, keep)) =>
+      assert(keep == (buckets(id) < f), s"doc $id")
+    }
+  }
+
   test("gopher rules: each rule fails on its crafted violator, good doc passes") {
     import spark.implicits._
     val good = (1 to 30).map(i => s"the quick value$i")
