@@ -413,6 +413,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_contamination_semantic" -> ((s, dir) => {
+      // embedding-space decontamination (the complement of the n-gram
+      // q_contamination: paraphrased eval leakage shares no 3-gram but
+      // sits next to the benchmark in embedding space). Same split
+      // convention: vec_id < 20 is the benchmark, the rest trains
+      val e = emb(s, dir)
+      graft.operators.Dedup.semanticContamination(
+        e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", threshold = 0.35)
+        .select(col("train_id"), col("bench_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("train_id", "bench_id")
+    }),
+
     "q_incremental_dedup" -> ((s, dir) => {
       // incremental ingestion dedup: docs >= 400 arrive as the new
       // batch against the < 400 corpus. Corpus matches outrank
@@ -2208,6 +2222,19 @@ object SparkEntry {
                string_agg(para, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
                '')) AS clean_md5
            FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_contamination_semantic" ->
+        """WITH b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+                      FROM embeddings WHERE vec_id < 20),
+           t AS (SELECT vec_id AS train_id, embedding::DOUBLE[] AS tv
+                 FROM embeddings WHERE vec_id >= 20),
+           s AS (
+             SELECT train_id, bench_id,
+               CASE WHEN sqrt(list_dot_product(bv, bv)) = 0 OR sqrt(list_dot_product(tv, tv)) = 0 THEN 0.0
+                    ELSE list_dot_product(bv, tv) / (sqrt(list_dot_product(bv, bv)) * sqrt(list_dot_product(tv, tv))) END AS c
+             FROM b, t)
+           SELECT train_id, bench_id, round(c, 6) AS cosine
+           FROM s WHERE c >= 0.35 ORDER BY train_id, bench_id""",
 
       "q_incremental_dedup" ->
         s"""WITH fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),

@@ -674,6 +674,54 @@ object Dedup {
       .select(col("id"), col("n_paras"), col("n_kept"), col("clean_text"))
   }
 
+  /** Semantic benchmark decontamination: flag training documents whose
+    * EMBEDDING is near a benchmark item's — the representation-space
+    * complement of the n-gram contamination check (paraphrased or
+    * translated eval leakage shares no 3-gram but sits next to the
+    * benchmark in embedding space; n-gram decontamination alone misses
+    * it, which is why eval suites now run both).
+    *
+    * 100-TB shape: identical to the ANN scans — the benchmark side is
+    * driver-sized by contract, L2-normalized and broadcast; ONE narrow
+    * pass over the training corpus computes primitive-array dots and
+    * emits only pairs over the threshold. The corpus never shuffles,
+    * and output volume is bounded by actual contamination. Arithmetic
+    * matches `list_dot_product / (sqrt*sqrt)` for the SQL oracle. */
+  def semanticContamination(train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val qArr = bench
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qArr)
+    train
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        def nrm(v: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          math.sqrt(s)
+        }
+        val qn = qs.map(q => nrm(q._2))
+        it.flatMap { case (tid, tv) =>
+          val tn = nrm(tv)
+          qs.indices.iterator.flatMap { qi =>
+            val (bid, bv) = qs(qi)
+            var d = 0.0; var j = 0
+            while (j < bv.length) { d += bv(j) * tv(j); j += 1 }
+            val c = if (qn(qi) == 0.0 || tn == 0.0) 0.0 else d / (qn(qi) * tn)
+            if (c >= threshold) Some((tid, bid, c)) else None
+          }
+        }
+      }
+      .toDF("train_id", "bench_id", "cosine")
+  }
+
   /** Incremental exact dedup: flag an INCOMING BATCH against an
     * existing corpus — the production ingestion shape (a crawl
     * snapshot lands daily; re-deduplicating the whole corpus per batch

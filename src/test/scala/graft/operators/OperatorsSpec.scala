@@ -316,6 +316,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic contamination: threshold pairs match brute-force cosine") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val dim = 8
+    val bench = (0L until 4L).map(i =>
+      (i, Array.fill(dim)(rng.nextGaussian())))
+    // train: 2 planted near-copies of bench items + 20 random
+    val train = Seq(
+      (100L, bench(1)._2.map(_ + rng.nextGaussian() * 0.05)),
+      (101L, bench(3)._2.map(_ + rng.nextGaussian() * 0.05))) ++
+      (102L until 122L).map(i => (i, Array.fill(dim)(rng.nextGaussian())))
+    val got = Dedup.semanticContamination(
+      train.toDF("vec_id", "embedding"), bench.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((s, j) => s + a(j) * b(j))
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (tid, tv) <- train; (bid, bv) <- bench
+      c = cos(bv, tv) if c >= 0.9
+    } yield (tid, bid) -> c).toMap
+    assert(got.keySet == expected.keySet, s"$got vs $expected")
+    assert(expected.contains((100L, 1L)) && expected.contains((101L, 3L)),
+      "planted near-copies must be flagged")
+    got.foreach { case (k, c) => assert(math.abs(c - expected(k)) < 1e-12) }
+  }
+
   test("incremental dedup: corpus outranks batch, batch keep-first, new passes") {
     val corpus = docsDf(Seq(
       1L -> "shared content alpha",
