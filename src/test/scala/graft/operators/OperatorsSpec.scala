@@ -316,6 +316,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 edges: single-system rrf, empty-doc gopher, cased blocklist, zero-vec contamination") {
+    import spark.implicits._
+    // rrfFuse degenerates cleanly with one system
+    val one = Retrieval.rrfFuse(
+      Seq("only" -> Seq((5L, 1), (6L, 2)).toDF("id", "rank")), kRrf = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(one == Map(5L -> r6(1.0 / 61), 6L -> r6(1.0 / 62)))
+    // gopher gate on an empty doc: all signals zero, no NaN, pass=false
+    val g = Quality.gopherFlags(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(g.getInt(1) == 0 && g.getDouble(2) == 0.0 &&
+      g.getDouble(3) == 0.0 && g.getDouble(4) == 0.0 &&
+      !g.getAs[Boolean]("pass"))
+    // blocklist entries fold case like the host does
+    val b = Seq((1L, "http://ads.bad.example/x"))
+      .toDF("id", "url")
+      .select(graft.functions.UrlFunctions
+        .hostBlocked(col("url"), Seq("BAD.Example")).as("b"))
+      .collect().head.getBoolean(0)
+    assert(b, "uppercase blocklist entry must still match")
+    // zero vectors score cosine 0 and are never flagged
+    val z = Dedup.semanticContamination(
+      Seq((10L, Array.fill(4)(0.0))).toDF("vec_id", "embedding"),
+      Seq((0L, Array(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.1).collect()
+    assert(z.isEmpty)
+  }
+
   test("semantic contamination: threshold pairs match brute-force cosine") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
