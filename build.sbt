@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout RAW: sbt's default logger
+// wraps every forked line in "[info] ", which breaks the round
+// driver's GRAFT_BENCH_* JSON extraction (json.loads on an
+// "[info] {...}" line can never parse — a likely cause of the
+// three-rounds-running "parsed": null alongside tail truncation).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

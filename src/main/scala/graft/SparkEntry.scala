@@ -466,11 +466,17 @@ object SparkEntry {
       val baseHost = concat(lit("h"), hostIdx, lit(".graft.example"))
       val host = when(col("doc_id") % 10 === 7,
         concat(lit("track."), baseHost)).otherwise(baseHost)
-      val raw = concat(lit("http://"), host, lit("/docs/"), page)
+      // doc_id % 10 == 3 fetches arrive with crawler userinfo on a
+      // non-default port — the blocklist must strip both (r9 ADVICE:
+      // http://u@evil.com:8080/ may not bypass a block on evil.com),
+      // and urlBareHost must reduce them to the same host group
+      val raw = when(col("doc_id") % 10 === 3,
+        concat(lit("http://crawler:pw@"), host, lit(":8080/docs/"), page))
+        .otherwise(concat(lit("http://"), host, lit("/docs/"), page))
       val blocked = graft.functions.UrlFunctions.hostBlocked(raw,
         Seq("h1.graft.example", "graft.test"))
       docs(s, dir).select(col("doc_id"),
-        graft.functions.UrlFunctions.urlHost(raw).as("host"),
+        graft.functions.UrlFunctions.urlBareHost(raw).as("host"),
         blocked.as("blocked"))
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"),

@@ -18,9 +18,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // the query is materialized: release operator-scoped caches so
+        // a 110-query session doesn't accumulate them (r9 VERDICT #5)
+        CacheRegistry.releaseAll()
+      } catch { case e: Throwable =>
+        CacheRegistry.releaseAll()
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val dir = Paths.get(s"$outDir/$name")

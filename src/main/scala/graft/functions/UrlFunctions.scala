@@ -24,9 +24,20 @@ object UrlFunctions {
   def urlHostPort(c: Column): Column =
     lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
 
-  /** Canonical host: lowercased, default ports (:80, :443) stripped. */
+  /** Canonical host: lowercased, default ports (:80, :443) stripped.
+    * Non-default ports are PRESERVED — for identity dedup,
+    * `http://h:8080/x` and `http://h/x` are different resources. */
   def urlHost(c: Column): Column =
     regexp_replace(urlHostPort(c), ":(80|443)$", "")
+
+  /** Authority reduced to the bare host for SECURITY matching:
+    * userinfo (`user:pass@`) and ANY port stripped, so
+    * `http://u@evil.com/` or `http://evil.com:8080/` still hits a
+    * blocklist entry for `evil.com`. Distinct from [[urlHost]], which
+    * keeps non-default ports as part of dedup identity. */
+  def urlBareHost(c: Column): Column =
+    regexp_replace(regexp_replace(urlHostPort(c), "^[^/?#@]*@", ""),
+      ":[0-9]*$", "")
 
   /** path + query with the fragment already excluded (the `[^#]*`
     * capture stops at '#'); case preserved — paths are case-sensitive. */
@@ -38,17 +49,20 @@ object UrlFunctions {
     * its embedded `ref=`); `\b` is in the Java ∩ RE2 subset. */
   val TrackingParamsPattern = "\\b(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?"
 
-  /** True when the canonical host is a blocklisted domain or any
+  /** True when the bare host is a blocklisted domain or any
     * subdomain of one (`ads.example.com` matches blocked `example.com`
     * but `notexample.com` does not) — the crawl-pipeline domain
-    * filter. NULL host (unparseable URL) yields false: quarantine
-    * routing decides those rows, not the blocklist. Pure codegen'd
-    * literal-array `exists`, broadcast-free for list sizes a filter
-    * config realistically holds; a million-domain list would move to a
-    * broadcast join on a reversed-host prefix instead. */
+    * filter. Matches on [[urlBareHost]] (userinfo and every port
+    * stripped) so `http://evil.com:8080/` and `http://u@evil.com/`
+    * cannot slip past a blocklist entry for `evil.com`. NULL host
+    * (unparseable URL) yields false: quarantine routing decides those
+    * rows, not the blocklist. Pure codegen'd literal-array `exists`,
+    * broadcast-free for list sizes a filter config realistically
+    * holds; a million-domain list would move to a broadcast join on a
+    * reversed-host prefix instead. */
   def hostBlocked(c: Column, blockedDomains: Seq[String]): Column = {
     require(blockedDomains.nonEmpty, "hostBlocked: empty blocklist")
-    val h = urlHost(c)
+    val h = urlBareHost(c)
     val hit = exists(array(blockedDomains.map(d => lit(d.toLowerCase)): _*),
       d => h === d || h.endsWith(concat(lit("."), d)))
     coalesce(hit && h =!= "", lit(false))

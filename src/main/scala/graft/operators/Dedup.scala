@@ -686,17 +686,29 @@ object Dedup {
     * pass over the training corpus computes primitive-array dots and
     * emits only pairs over the threshold. The corpus never shuffles,
     * and output volume is bounded by actual contamination. Arithmetic
-    * matches `list_dot_product / (sqrt*sqrt)` for the SQL oracle. */
+    * matches `list_dot_product / (sqrt*sqrt)` for the SQL oracle.
+    *
+    * The bench-side driver collect is ENFORCED, not assumed (r9
+    * VERDICT): at most `maxBenchRows` rows are ever fetched (the limit
+    * is pushed into the plan, so an oversized bench set cannot OOM the
+    * driver before the check fires) and exceeding the bound fails
+    * loudly — same gate discipline as the ANN query broadcasts. */
   def semanticContamination(train: DataFrame, bench: DataFrame,
                             idCol: String, vecCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxBenchRows: Int = 200000): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     val qArr = bench
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(maxBenchRows + 1)
       .as[(Long, Array[Double])].collect()
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(qArr)
+    require(qArr.length <= maxBenchRows,
+      s"semanticContamination: benchmark side exceeds maxBenchRows=" +
+        s"$maxBenchRows — the bench set must be driver/broadcast-sized " +
+        s"by contract; raise maxBenchRows deliberately or pre-filter")
+    val qSorted = qArr.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qSorted)
     train
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]

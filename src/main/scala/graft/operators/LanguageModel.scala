@@ -64,7 +64,8 @@ object LanguageModel {
     // self-LM mode scans tokens twice -> cache them (lazy persist);
     // external-LM mode scans once -> no cache needed
     val tokens = if (lm.isEmpty)
-      tokensRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheRegistry.register(tokensRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else tokensRaw
     val model = lm.getOrElse {
       val counts = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -117,12 +118,13 @@ object LanguageModel {
       struct(i.as("pos"), element_at(w, i + 1).as("word"),
         when(i === 0, lit(null).cast("string"))
           .otherwise(element_at(w, i)).as("prev")))
-    val tokens = docs
+    val tokensRaw = docs
       .select(col(idCol), explode(pairs).as("t"))
       .select(col(idCol), col("t.pos").as("pos"),
         col("t.word").as("word"), col("t.prev").as("prev"))
       .filter(length(col("word")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = graft.CacheRegistry.register(tokensRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val c1 = tokens.groupBy("word").agg(count(lit(1)).cast("double").as("c1"))
     val total = c1.agg(sum("c1").as("n"))
     val uni = c1.crossJoin(broadcast(total))

@@ -112,8 +112,10 @@ object Packing {
             bins = scala.collection.mutable.ArrayBuffer[Long]()
           }
           if (n > seqLen) {
-            // oversize: its own flagged bin
-            bins += 0L
+            // oversize: its own flagged bin, marked -1 so the first-fit
+            // scan below skips it for every n >= 0 (a 0-token doc must
+            // not land in an oversize doc's dead bin)
+            bins += -1L
             (id, n, bucket, bins.length - 1, true)
           } else {
             var i = 0

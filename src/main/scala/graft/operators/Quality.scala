@@ -90,9 +90,9 @@ object Quality {
                      vecCol: String): DataFrame = {
     val e = df.select(col(groupCol).as("grp"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "v")))
-    val g = e.groupBy("grp", "i")
+    val g = graft.CacheRegistry.register(e.groupBy("grp", "i")
       .agg(sum("v").as("s"), count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gm = g.select(col("grp"), col("i"), (col("s") / col("n")).as("m"))
     val cm = g.groupBy("i")
       .agg((sum("s") / sum("n")).as("c"))
@@ -133,8 +133,9 @@ object Quality {
     val tok = df.select(col(groupCol).as("grp"),
       explode(TextFunctions.normalizedWords(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-    val gt = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gt = graft.CacheRegistry.register(
+      tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gTot = gt.groupBy("grp").agg(sum("c").as("gn"))
     val cTok = gt.groupBy("token").agg(sum("c").as("cc"))
     val cTot = cTok.agg(sum("cc").as("cn"))

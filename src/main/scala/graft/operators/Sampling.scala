@@ -114,9 +114,9 @@ object Sampling {
     // the fraction projection consume it, and without the cache each
     // consumer re-tokenizes the corpus from the scan (the tokenDrift/
     // pseudoPerplexity cache contract; the frame is groups-sized)
-    val tot = df.groupBy(col(groupCol))
+    val tot = graft.CacheRegistry.register(df.groupBy(col(groupCol))
       .agg(sum(col(tokensCol)).as("__tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mn = tot.agg(min(col("__tok")).as("__mn"))
     val frac = tot.crossJoin(broadcast(mn))
       .select(col(groupCol),

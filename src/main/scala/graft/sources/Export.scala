@@ -25,14 +25,29 @@ object Export {
 
   /** Write `df` as a `partitionCol`-partitioned parquet snapshot, one
     * file per partition value. Skipped when the `_GRAFT_EXPORT_DONE`
-    * marker exists (fixture reuse across verify/bench runs). */
+    * marker exists AND its recorded input fingerprint (row count +
+    * order-independent content hash, one cheap aggregate over `df`)
+    * matches — so a CHANGED source dataset re-exports instead of
+    * silently reusing a stale snapshot (r9 ADVICE). The marker
+    * mechanism is driver-local `java.nio` and is scoped to local-
+    * filesystem fixture reuse across verify/bench runs; a cluster
+    * deployment would key the check on a catalog/_SUCCESS commit
+    * protocol instead. */
   def writeSnapshot(df: DataFrame, dir: String,
                     partitionCol: String): Unit = {
+    val fp = df
+      .agg(count(lit(1)).cast("long"),
+        coalesce(expr(s"bit_xor(xxhash64(struct(*)))"), lit(0L)))
+      .head()
+    val want = s"${fp.getLong(0)}:${fp.getLong(1)}"
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_EXPORT_DONE")
-    if (java.nio.file.Files.exists(marker)) return
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8) == want) return
     df.repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
-    java.nio.file.Files.createFile(marker)
+    java.nio.file.Files.write(marker,
+      want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Manifest of a partitioned snapshot: one row per partition value

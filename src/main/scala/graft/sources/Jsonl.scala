@@ -58,8 +58,14 @@ object Jsonl {
   }
 
   /** Write a documents DataFrame (`doc_id`, `source`, `text`) as a
-    * deterministic JSONL fixture: `nFiles` files keyed by
-    * `doc_id % nFiles`, ascending `doc_id` within each. Every
+    * deterministic JSONL fixture: `nFiles` files, docs DETERMINISTICALLY
+    * HASH-DISTRIBUTED across them (the repartition hash-partitions the
+    * `doc_id % nFiles` value, so key groups land in stable but
+    * arbitrary files — not modulo-keyed file assignment), ascending
+    * `doc_id` within each. Executor-local `FileOutputStream` writes
+    * assume local mode / a shared filesystem — this is a test-fixture
+    * writer, not a cluster sink (that is what `df.write.json` is
+    * for). Every
     * `corruptEvery`-th doc (doc_id % corruptEvery == 0, when > 0) is
     * deliberately TRUNCATED mid-string — the quarantine-path probe.
     * Skipped when the `_GRAFT_JSONL_DONE` marker exists. */

@@ -56,6 +56,45 @@ class HarnessSpec extends AnyFunSuite {
       spark.read.parquet(out.resolve("q_x").toString).collect() }
   }
 
+  test("operator-scoped caches drain to zero after Verify materializes a query") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the operators r9 VERDICT flagged as leak sites: tokenDrift,
+    // embeddingDrift, rebalanceToMinTokens, both LM gates. Each
+    // registers its persisted intermediates with CacheRegistry; the
+    // Verify path releases after every query's parquet write. None of
+    // these checkpoint, so the block manager must end EMPTY.
+    val docs = (0L until 60L)
+      .map(i => (i, s"s${i % 3}", s"alpha beta gamma delta token$i end"))
+      .toDF("doc_id", "source", "text")
+    val embs = (0L until 30L)
+      .map(i => (i, s"s${i % 3}", Array.fill(4)((i % 7).toDouble)))
+      .toDF("doc_id", "source", "embedding")
+    // clean slate: suites sharing this session may have registered
+    // caches of their own (they don't run the Verify release path)
+    CacheRegistry.releaseAll()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q_c_drift" -> ((_, _) =>
+        graft.operators.Quality.tokenDrift(docs, "source", "text")),
+      "q_c_edrift" -> ((_, _) =>
+        graft.operators.Quality.embeddingDrift(embs, "source", "embedding")),
+      "q_c_rebal" -> ((_, _) => graft.operators.Sampling
+        .rebalanceToMinTokens(docs.withColumn("n_tokens",
+          size(split(col("text"), " "))), "doc_id", "source", "n_tokens")),
+      "q_c_ppl" -> ((_, _) => graft.operators.LanguageModel
+        .pseudoPerplexity(docs, "doc_id", "text")),
+      "q_c_ppl2" -> ((_, _) => graft.operators.LanguageModel
+        .bigramPseudoPerplexity(docs, "doc_id", "text")))
+    val out = tmpDir()
+    assert(Verify.dump(spark, qs, "/unused", out.toString).isEmpty)
+    assert(CacheRegistry.pending == 0,
+      "Verify must release every registered cache")
+    val persisted = spark.sparkContext.getPersistentRDDs
+    assert(persisted.isEmpty,
+      s"block manager still holds: ${persisted.values.map(_.name)}")
+  }
+
   test("every SparkEntry query name has oracle SQL or a documented rows-only check") {
     // names without oracleSql get only the driver's weaker rows>0 check;
     // keep that set explicit so additions are a conscious choice

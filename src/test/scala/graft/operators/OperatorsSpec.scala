@@ -316,6 +316,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("FFD packing: zero-token doc never lands in an oversize doc's dead bin") {
+    import spark.implicits._
+    // oversize first in FFD order (desc), then the empty doc: before the
+    // r9 ADVICE fix the empty doc's first-fit scan stopped at the
+    // oversize bin (remaining 0, and 0 < 0 is false) and shared it
+    val docs = Seq(
+      (1L, Seq.fill(150)("w").mkString(" ")), // oversize (seqLen 100)
+      (2L, ""),                               // zero tokens
+      (3L, Seq.fill(60)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.packWithoutSplitting(docs, "doc_id", "text",
+      seqLen = 100, nBuckets = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._2, "150-token doc must flag oversize")
+    assert(out(2L)._1 != out(1L)._1,
+      s"empty doc shares the oversize doc's bin: $out")
+    assert(!out(2L)._2 && !out(3L)._2)
+  }
+
+  test("semantic contamination: bench-side collect gate enforces the contract") {
+    import spark.implicits._
+    val train = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val bench = (0L until 10L).map(i => (i, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticContamination(train, bench, "vec_id", "embedding",
+        threshold = 0.5, maxBenchRows = 5)
+    }
+    assert(e.getMessage.contains("maxBenchRows"))
+    // at the bound it still runs (gate is >, not >=)
+    val ok = Dedup.semanticContamination(train, bench, "vec_id",
+      "embedding", threshold = 0.5, maxBenchRows = 10).collect()
+    assert(ok.length == 10)
+  }
+
   test("round-9 edges: single-system rrf, empty-doc gopher, cased blocklist, zero-vec contamination") {
     import spark.implicits._
     // rrfFuse degenerates cleanly with one system
@@ -1911,14 +1946,24 @@ class OperatorsSpec extends AnyFunSuite {
       "http://notbad.example/x",       // suffix but NOT a subdomain
       "http://BAD.EXAMPLE:80/x",       // case + port folds first
       "http://good.example/x",
-      "junk")                          // unparseable -> false
+      "junk",                          // unparseable -> false
+      // r9 ADVICE bypass probes: non-default port and userinfo may
+      // not defeat the blocklist
+      "http://bad.example:8080/x",
+      "http://u@bad.example/x",
+      "http://u:pw@bad.example:8443/x",
+      "http://u@ads.bad.example:8080/x",
+      // userinfo that merely CONTAINS a blocked name on a clean host
+      // must not create a false positive
+      "http://bad.example@good.example/x")
       .zipWithIndex.map { case (u, i) => (i.toLong, u) }
     val got = rows.toDF("id", "url")
       .select(col("id"), graft.functions.UrlFunctions
         .hostBlocked(col("url"), Seq("bad.example")).as("b"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(0L -> true, 1L -> true, 2L -> true, 3L -> false,
-      4L -> true, 5L -> false, 6L -> false), s"$got")
+      4L -> true, 5L -> false, 6L -> false, 7L -> true, 8L -> true,
+      9L -> true, 10L -> true, 11L -> false), s"$got")
   }
 
   test("paragraph dedup: normalization folds case/punct variants to one keeper") {

@@ -39,8 +39,24 @@ class ExportSpec extends AnyFunSuite {
     truth.foreach { case (s, (n, chars)) =>
       assert(m(s) == ((1L, n, chars)), s"$s: ${m(s)} vs ($n, $chars)")
     }
-    // marker: second write is a no-op even with different data
+    // marker: a rewrite with IDENTICAL input is a no-op (fingerprint
+    // matches — the data files are untouched) ...
+    val mtimes = parts.flatMap(_.listFiles()).map(f => f.getPath ->
+      f.lastModified()).toMap
+    Export.writeSnapshot(docs, dir, "source")
+    parts.flatMap(_.listFiles()).foreach { f =>
+      assert(f.lastModified() == mtimes(f.getPath),
+        s"identical input must not rewrite ${f.getPath}")
+    }
+    // ... but CHANGED input re-exports instead of silently reusing the
+    // stale snapshot (r9 ADVICE: the marker now embeds the input
+    // fingerprint)
     Export.writeSnapshot(docs.limit(1), dir, "source")
+    assert(spark.read.parquet(dir).count() == 1,
+      "changed input must invalidate the export marker")
+    // and writing the original back restores it (fingerprint differs
+    // from the 1-row marker)
+    Export.writeSnapshot(docs, dir, "source")
     assert(spark.read.parquet(dir).count() == 40)
   }
 
