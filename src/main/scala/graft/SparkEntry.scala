@@ -634,6 +634,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pseudo_ppl_tri" -> ((s, dir) => {
+      // trigram Stupid-Backoff gate (r9 ask #2): PHRASE-order
+      // sensitivity one level past the bigram model — three groupBys
+      // over the same one exploded pass, trigram denominators from the
+      // bigram model frame keyed one position over, still declarative
+      val out = graft.operators.LanguageModel.trigramPseudoPerplexity(
+        docs(s, dir), "doc_id", "text")
+      out.select(col("doc_id"), col("n_words"),
+        round(col("pseudo_ppl_tri"), 6).as("pseudo_ppl_tri"))
+        .orderBy("doc_id")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 top-k keyword retrieval (Robertson-Zaragoza 2009, Lucene
       // idf): postings of the 5 query terms only ever shuffle — the
@@ -2507,6 +2519,43 @@ object SparkEntry {
                   tot)
            SELECT doc_id, count(*)::BIGINT AS n_words,
              round(exp(-avg(ls)), 6) AS pseudo_ppl_bigram
+           FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_pseudo_ppl_tri" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           e AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t),
+           tok AS (SELECT doc_id, pos, w[pos+1] AS word,
+                     CASE WHEN pos = 0 THEN NULL ELSE w[pos] END AS prev,
+                     CASE WHEN pos <= 1 THEN NULL ELSE w[pos-1] END AS prev2
+                   FROM e WHERE length(w[pos+1]) > 0),
+           c1 AS (SELECT word, count(*)::DOUBLE AS c1 FROM tok GROUP BY word),
+           tot AS (SELECT sum(c1) AS n FROM c1),
+           c2 AS (SELECT prev, word, count(*)::DOUBLE AS c2 FROM tok
+                  WHERE prev IS NOT NULL GROUP BY prev, word),
+           blm AS (SELECT c2.prev, c2.word, ln(c2.c2) - ln(p.c1) AS ls2
+                   FROM c2 JOIN c1 p ON c2.prev = p.word),
+           c3 AS (SELECT prev2, prev, word, count(*)::DOUBLE AS c3 FROM tok
+                  WHERE prev2 IS NOT NULL GROUP BY prev2, prev, word),
+           tlm AS (SELECT c3.prev2, c3.prev, c3.word,
+                     ln(c3.c3) - ln(ctx.c2) AS ls3
+                   FROM c3 JOIN c2 ctx
+                     ON c3.prev2 = ctx.prev AND c3.prev = ctx.word),
+           sc AS (SELECT tok.doc_id,
+                    CASE WHEN tok.prev IS NULL THEN ln(u.c1) - ln(tot.n)
+                         WHEN tok.prev2 IS NULL THEN coalesce(blm.ls2,
+                           ln(0.4::DOUBLE) + (ln(u.c1) - ln(tot.n)))
+                         ELSE coalesce(tlm.ls3,
+                           ln(0.4::DOUBLE) + coalesce(blm.ls2,
+                             ln(0.4::DOUBLE) + (ln(u.c1) - ln(tot.n)))) END AS ls
+                  FROM tok JOIN c1 u ON tok.word = u.word
+                  LEFT JOIN blm ON blm.prev = tok.prev AND blm.word = tok.word
+                  LEFT JOIN tlm ON tlm.prev2 = tok.prev2
+                    AND tlm.prev = tok.prev AND tlm.word = tok.word,
+                  tot)
+           SELECT doc_id, count(*)::BIGINT AS n_words,
+             round(exp(-avg(ls)), 6) AS pseudo_ppl_tri
            FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
       "q_bm25" ->

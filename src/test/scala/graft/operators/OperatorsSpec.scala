@@ -1219,6 +1219,51 @@ class OperatorsSpec extends AnyFunSuite {
       assert(n == 2 && math.abs(p - want) < 1e-12, s"got $got want $want") }
   }
 
+  test("trigram LM separates a bigram-preserving half-swap the bigram model scores flat") {
+    import spark.implicits._
+    val lm = graft.operators.LanguageModel
+    val orig = "a b c d e f g h"
+    val swap = "e f g h a b c d" // distant halves swapped
+    // corpus: the original phrasing dominates; "x h a y e" docs support
+    // the swap's junction BIGRAM (h,a) — so the bigram model sees every
+    // bigram of BOTH probes at healthy counts — without supporting its
+    // junction TRIGRAMS (g,h,a) and (h,a,b). The trailing "e" equalizes
+    // the probes' FIRST-token unigram counts (c(a) = c(e)), so the
+    // bigram scores differ only at the junction pair itself.
+    val corpus = (1L to 8L).map(i => (i, orig)) ++
+      (20L until 28L).map(i => (i, "x h a y e")) ++
+      Seq(100L -> orig, 101L -> swap)
+    val df = corpus.toDF("doc_id", "text")
+    val bi = lm.bigramPseudoPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val tri = lm.trigramPseudoPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // bigram: every bigram of both probes is in-model -> near-flat
+    val biRatio = bi(101L) / bi(100L)
+    val triRatio = tri(101L) / tri(100L)
+    assert(biRatio < 1.15,
+      s"bigram should stay near-flat: orig=${bi(100L)} swap=${bi(101L)}")
+    // trigram: the two junction trigrams back off (alpha * bigram) ->
+    // the swapped doc's score must collapse well past the bigram gap
+    assert(triRatio > 1.35 && triRatio > 2 * (biRatio - 1) + 1.2,
+      s"trigram must separate: orig=${tri(100L)} swap=${tri(101L)} " +
+        s"(ratio $triRatio, bigram ratio $biRatio)")
+    // closed-corpus exactness: doc "a b c" twice -> token1 ln(2/6),
+    // token2 ln(c(ab)/c(a)) = 0, token3 ln(c(abc)/c(ab)) = 0
+    val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = lm.trigramPseudoPerplexity(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = math.exp(-math.log(2.0 / 6.0) / 3.0)
+    got.foreach { case (_, n, p) =>
+      assert(n == 3 && math.abs(p - want) < 1e-12, s"got $got want $want") }
+    // and an unseen-everything token pays the full double backoff:
+    // doc "q" once in a corpus of "a b c"s -> ln(c(q)/N) for pos 0
+    val uq = Seq((1L, "a b c"), (2L, "q")).toDF("doc_id", "text")
+    val gq = lm.trigramPseudoPerplexity(uq, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(gq(2L) - math.exp(-math.log(1.0 / 4.0))) < 1e-12)
+  }
+
   test("multimodal: real WAV codec roundtrips the sample formula exactly") {
     import spark.implicits._
     val mm = graft.multimodal.Multimodal
