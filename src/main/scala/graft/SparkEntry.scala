@@ -712,6 +712,20 @@ object SparkEntry {
           col("covered_words"), col("dup_ratio"))
     }),
 
+    "q_exact_substr" -> ((s, dir) => {
+      // maximal exact-substring duplicated spans (Lee et al. 2022
+      // ExactSubstr semantics, r9 ask #3): adjacent duplicated 5-gram
+      // positions collapse into maximal runs keyed by a partner-set
+      // fingerprint — suffix-array results at inverted-index cost,
+      // islands window bounded by DOC length (never a posting list)
+      graft.operators.Retrieval.exactSubstrSpans(docs(s, dir),
+        "doc_id", "text", n = 5, minSpanWords = 10,
+        parallelism = OpParallelism)
+        .select(col("id").as("doc_id"), col("start_word"),
+          col("end_word"), col("span_words"), col("n_docs"))
+        .orderBy("doc_id", "start_word")
+    }),
+
     "q_warc_roundtrip" -> ((s, dir) => {
       // WARC (ISO 28500) source: write the documents table as a
       // deterministic WARC fixture (8 files, the Common Crawl segment
@@ -2670,6 +2684,39 @@ object SparkEntry {
              round(count(*)::DOUBLE / any_value(d.n_pos), 6) AS dup_ratio
            FROM d JOIN cov ON d.doc_id = cov.doc_id
            GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+      "q_exact_substr" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           shl AS (
+             SELECT doc_id, len(w) AS nw,
+               CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(len(w) - 4), i ->
+                   w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])
+               END AS sh
+             FROM t),
+           pos AS (SELECT doc_id, nw, sh, unnest(range(len(sh))) AS p0
+                   FROM shl),
+           e AS (SELECT doc_id, nw, p0 + 1 AS p, sh[p0+1] AS s FROM pos),
+           sd AS (SELECT DISTINCT s, doc_id FROM e),
+           ph AS (SELECT s, count(*)::BIGINT AS n_docs,
+                    bit_xor((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT) AS psh
+                  FROM sd GROUP BY s HAVING count(*) >= 2),
+           d AS (SELECT e.doc_id, e.nw, e.p, ph.psh, ph.n_docs
+                 FROM e JOIN ph USING (s)),
+           isl AS (SELECT doc_id, nw, p, psh, n_docs,
+                     p - row_number() OVER (PARTITION BY doc_id, psh
+                                            ORDER BY p) AS g
+                   FROM d),
+           sp AS (SELECT doc_id, min(p) AS sw,
+                    least(max(p) + 4, any_value(nw)) AS ew,
+                    max(n_docs) AS nd
+                  FROM isl GROUP BY doc_id, psh, g)
+           SELECT doc_id, sw::INT AS start_word, ew::INT AS end_word,
+             (ew - sw + 1)::INT AS span_words, nd AS n_docs
+           FROM sp WHERE ew - sw + 1 >= 10
+           ORDER BY doc_id, start_word""",
 
       "q_warc_roundtrip" ->
         s"""SELECT doc_id,

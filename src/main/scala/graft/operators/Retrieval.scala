@@ -177,4 +177,70 @@ object Retrieval {
           .as("dup_ratio"))
       .orderBy("id")
   }
+
+  /** Maximal exact-substring duplicated SPANS — Lee et al. 2022's
+    * ExactSubstr semantics (their dedup removes verbatim repeats of
+    * >= 50 tokens found via suffix arrays) at inverted-index cost
+    * (r9 VERDICT #3): instead of building suffix arrays, collapse
+    * ADJACENT duplicated n-gram positions into maximal runs.
+    *
+    * A run only counts as ONE span while its cross-document sharing
+    * set stays constant: each duplicated shingle carries an order-
+    * independent fingerprint of the doc set containing it (XOR of
+    * per-doc md5-derived 60-bit hashes — a pure streaming aggregate,
+    * no collected sets), and the gaps-and-islands step keys on (doc,
+    * fingerprint). Two overlapping planted spans with different
+    * partners therefore split exactly at their boundary: prefix
+    * shared with {B}, overlap with {B, C}, suffix with {C}. Output
+    * per span: 1-based [start_word, end_word], word length, and the
+    * sharing-doc count; only spans of >= `minSpanWords` emit.
+    *
+    * 100-TB plan: one shingle scan; ONE shingle-keyed exchange feeds
+    * both the partner-set aggregate and the flag join (same reuse as
+    * [[crossDocSpanStats]]); the islands window partitions by (doc,
+    * fingerprint) — bounded by a DOCUMENT's length, never by a
+    * shingle's corpus-wide posting list, so a boilerplate 5-gram in
+    * a billion docs cannot produce a fat window partition here. The
+    * md5/XOR fingerprint is engine-portable, so a DuckDB oracle
+    * replays spans bit-for-bit. */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, minSpanWords: Int = 50,
+                       minDocs: Int = 2, parallelism: Int = 0): DataFrame = {
+    require(n >= 1, "exactSubstrSpans: n must be >= 1")
+    require(minDocs >= 2, "exactSubstrSpans: minDocs must be >= 2")
+    val base = if (parallelism > 0) df.repartition(parallelism) else df
+    val sh = base.select(col(idCol).as("id"),
+      TextFunctions.normalizedWords(col(textCol)).as("__w"))
+      .select(col("id"), size(col("__w")).as("nw"),
+        TextFunctions.shinglesFromWords(col("__w"), n).as("sh"))
+      .select(col("id"), col("nw"), posexplode(col("sh")).as(Seq("p0", "s")))
+      .select(col("id"), col("nw"), (col("p0") + 1).as("p"), col("s"))
+    val parted = sh.repartition(col("s"))
+    // per-shingle sharing-set fingerprint: distinct (shingle, doc)
+    // first so intra-doc repetition doesn't perturb the XOR, then a
+    // map-side-combined count + XOR — no arrays, skew-immune
+    val psets = parted
+      .select(col("s"), col("id"),
+        conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+      .distinct()
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("psh"))
+      .filter(col("n_docs") >= minDocs)
+    val dupPos = parted.join(psets, "s")
+    // gaps-and-islands on positions: consecutive p with one fingerprint
+    // merge; any gap or partner-set change starts a new span
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("psh")).orderBy(col("p"))
+    dupPos
+      .withColumn("__isl", col("p") - row_number().over(w))
+      .groupBy(col("id"), col("psh"), col("__isl"))
+      .agg(min("p").as("start_word"),
+        least(max(col("p")) + (n - 1), max(col("nw"))).as("end_word"),
+        max("n_docs").as("n_docs"))
+      .select(col("id"), col("start_word"), col("end_word"),
+        (col("end_word") - col("start_word") + 1).as("span_words"),
+        col("n_docs"))
+      .filter(col("span_words") >= minSpanWords)
+  }
 }

@@ -112,4 +112,63 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(1) == 1 && r.getLong(2) == 1L &&
       r.getLong(3) == 2L && r.getDouble(4) == 1.0))
   }
+
+  test("exactSubstrSpans: planted 60-word span recovered at exact boundaries") {
+    // doc A and doc B share words 21..80 of A verbatim (A: 120 words,
+    // B: the 60 shared + 40 own); everything else is unique
+    def wv(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val shared = wv("s", 60)
+    val a = wv("a", 20) ++ shared ++ wv("z", 40)
+    val b = wv("b", 15) ++ shared ++ wv("y", 25)
+    val out = Retrieval.exactSubstrSpans(
+      docsDf(Seq(1L -> a.mkString(" "), 2L -> b.mkString(" "))),
+      "doc_id", "text", n = 5, minSpanWords = 50).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).sortBy(x => (x._1, x._2))
+    // A: shingle positions 21..76 duplicated -> span words 21..80;
+    // B: positions 16..71 -> words 16..75; both exactly 60 words, 2 docs
+    assert(out.toSeq == Seq((1L, 21, 80, 60, 2L), (2L, 16, 75, 60, 2L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("exactSubstrSpans: overlapping spans split at partner-set boundaries") {
+    // A(150 words): words 21..80 shared with B, words 61..120 shared
+    // with C — the overlap 61..80 is shared with BOTH, so A must emit
+    // THREE spans split exactly at the partner-set changes
+    def wv(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val sb = wv("m", 40) // 21..60: A+B only
+    val so = wv("o", 20) // 61..80: A+B+C
+    val sc = wv("c", 40) // 81..120: A+C only
+    val a = wv("a", 20) ++ sb ++ so ++ sc ++ wv("z", 30)
+    val b = wv("b", 10) ++ sb ++ so ++ wv("y", 10)
+    val c = wv("q", 10) ++ so ++ sc ++ wv("x", 10)
+    val got = Retrieval.exactSubstrSpans(
+      docsDf(Seq(1L -> a.mkString(" "), 2L -> b.mkString(" "),
+        3L -> c.mkString(" "))),
+      "doc_id", "text", n = 5, minSpanWords = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    val aSpans = got.filter(_._1 == 1L)
+    // boundary math: a 5-gram at position p is {A,B}-shared while it
+    // stays inside 21..80 and outside C's 61..120 start window, so the
+    // islands split at p=57 ({A,B} -> {A,B,C}) and p=77 ({A,B,C} ->
+    // {A,C}); spans re-extend by n-1 words at their right edge
+    assert(aSpans.length == 3, s"A must split into 3 spans: ${got.toSeq}")
+    assert(aSpans.map(_._4).toSeq == Seq(2L, 3L, 2L),
+      s"partner counts must be 2/3/2: $aSpans")
+    // spans tile A's duplicated region contiguously at exact bounds
+    assert(aSpans.head._2 == 21 && aSpans.last._3 == 120, s"$aSpans")
+    // every span's text is genuinely shared: the {A,B} span ends
+    // before C's region fully starts, the {A,C} span starts after B's
+    // region ends
+    val Seq(s1, s2, s3) = aSpans.toSeq
+    assert(s1._3 < 85 && s2._2 > 50 && s2._3 < 85 && s3._2 > 55,
+      s"$aSpans")
+    // intra-doc repetition alone never creates a span
+    val solo = wv("r", 30) ++ wv("r", 30) ++ wv("u", 40)
+    val none = Retrieval.exactSubstrSpans(
+      docsDf(Seq(9L -> solo.mkString(" "), 10L -> wv("w", 50).mkString(" "))),
+      "doc_id", "text", n = 5, minSpanWords = 10).collect()
+    assert(none.isEmpty, s"intra-doc repeats must not span: ${none.toSeq}")
+  }
 }
