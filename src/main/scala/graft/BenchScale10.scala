@@ -49,7 +49,11 @@ object BenchScale10 {
     "q_bm25", "q_crossdoc_spans", "q_paragraph_dedup", "q_token_drift",
     // round-9c: the semi-join-bounded ingestion dedup and the per-row
     // chunking explode
-    "q_incremental_dedup", "q_chunking")
+    "q_incremental_dedup", "q_chunking",
+    // round-10: incremental NEAR-dup (batch grows 10x, corpus fixed at
+    // doc_id < 400 — the exponent certifies cost tracks the BATCH),
+    // the exact-substring span collapse, and the trigram LM gate
+    "q_incremental_minhash", "q_exact_substr", "q_pseudo_ppl_tri")
 
   private val KeyOff = 100000000L
 

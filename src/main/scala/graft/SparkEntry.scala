@@ -441,6 +441,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_incremental_minhash" -> ((s, dir) => {
+      // incremental NEAR-dup (r9 ask #1): batch docs >= 400 flagged
+      // against the < 400 corpus's persisted MinHash signature index.
+      // The batch's bucket set broadcasts as a semi-join filter, so
+      // the corpus-side shuffle is bounded by the BATCH; lanes and
+      // band buckets are md5-derived, so the oracle replays the whole
+      // pipeline — signatures, bands, candidate joins, flags — in SQL
+      val all = docs(s, dir)
+      val idx = graft.operators.Dedup.minhashSignatureIndex(
+        all.filter(col("doc_id") < 400), "doc_id", "text",
+        n = 2, numHashes = 16, bands = 8)
+      graft.operators.Dedup.incrementalMinhashFlags(idx,
+        all.filter(col("doc_id") >= 400), "doc_id", "text",
+        n = 2, numHashes = 16, bands = 8, threshold = 0.3)
+        .select(col("id").as("doc_id"), col("status"),
+          col("canonical_id"), col("est_jaccard"))
+        .orderBy("doc_id")
+    }),
+
     "q_ngram_novelty" -> ((s, dir) => {
       // per-doc novelty: share of its distinct 5-grams first seen (by
       // min doc_id) in this doc — who-said-it-first credit, the
@@ -2283,6 +2302,67 @@ object SparkEntry {
                CASE WHEN b.batch_first != b.doc_id THEN b.batch_first
                     ELSE b.doc_id END) AS canonical_id
            FROM b LEFT JOIN ck USING (f) ORDER BY b.doc_id""",
+
+      "q_incremental_minhash" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           shl AS (SELECT doc_id,
+               CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(len(w) - 1), i ->
+                   w[i+1] || ' ' || w[i+2]) END AS sh
+             FROM t),
+           shx AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+           ln0 AS (SELECT doc_id, k,
+               min((('0x' || substr(md5(k::VARCHAR || ':' || s), 1, 15))::UBIGINT)::BIGINT) AS v
+             FROM shx CROSS JOIN (SELECT unnest(range(16)) AS k) lk
+             GROUP BY doc_id, k),
+           sig AS (SELECT doc_id, list(v ORDER BY k) AS sig FROM ln0
+                   GROUP BY doc_id),
+           bnd AS (SELECT doc_id, sig, b,
+               (('0x' || substr(md5(array_to_string(
+                 list_transform(sig[b*2+1:b*2+2], x -> x::VARCHAR), ',')),
+                 1, 15))::UBIGINT)::BIGINT AS bucket
+             FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) lb),
+           cb0 AS (SELECT * FROM bnd WHERE doc_id < 400),
+           cb AS (SELECT cb0.* FROM cb0 JOIN (
+               SELECT b, bucket FROM cb0 GROUP BY b, bucket
+               HAVING count(*) <= 1000) g
+             ON cb0.b = g.b AND cb0.bucket = g.bucket),
+           bb0 AS (SELECT * FROM bnd WHERE doc_id >= 400),
+           bb AS (SELECT bb0.* FROM bb0 JOIN (
+               SELECT b, bucket FROM bb0 GROUP BY b, bucket
+               HAVING count(*) <= 1000) g
+             ON bb0.b = g.b AND bb0.bucket = g.bucket),
+           cme AS (SELECT x.doc_id AS id, y.doc_id AS cid,
+               list_sum(list_transform(range(16), i ->
+                 CASE WHEN x.sig[i+1] = y.sig[i+1] THEN 1 ELSE 0 END))::DOUBLE / 16 AS e
+             FROM bb0 x JOIN cb y ON x.b = y.b AND x.bucket = y.bucket),
+           cm AS (SELECT id, min(cid) AS corpus_canonical,
+               max(e) AS corpus_best
+             FROM cme WHERE e >= 0.3 GROUP BY id),
+           bme AS (SELECT y.doc_id AS id, x.doc_id AS aid,
+               list_sum(list_transform(range(16), i ->
+                 CASE WHEN x.sig[i+1] = y.sig[i+1] THEN 1 ELSE 0 END))::DOUBLE / 16 AS e
+             FROM bb x JOIN bb y ON x.b = y.b AND x.bucket = y.bucket
+               AND x.doc_id < y.doc_id),
+           bm AS (SELECT id, min(aid) AS batch_first, max(e) AS batch_best
+             FROM bme WHERE e >= 0.3 GROUP BY id),
+           ids AS (SELECT DISTINCT doc_id FROM bb0)
+           SELECT ids.doc_id,
+             CASE WHEN cm.corpus_canonical IS NOT NULL
+                    THEN 'near_dup_of_corpus'
+                  WHEN bm.batch_first IS NOT NULL THEN 'near_dup_in_batch'
+                  ELSE 'new' END AS status,
+             coalesce(cm.corpus_canonical, bm.batch_first, ids.doc_id)
+               AS canonical_id,
+             round(coalesce(
+               CASE WHEN cm.corpus_canonical IS NOT NULL
+                    THEN cm.corpus_best END,
+               bm.batch_best, 0.0::DOUBLE), 6) AS est_jaccard
+           FROM ids LEFT JOIN cm ON ids.doc_id = cm.id
+           LEFT JOIN bm ON ids.doc_id = bm.id
+           ORDER BY ids.doc_id""",
 
       "q_ngram_novelty" ->
         s"""WITH t AS (

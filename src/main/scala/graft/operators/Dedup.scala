@@ -774,6 +774,118 @@ object Dedup {
             .otherwise(col("id"))).as("canonical_id"))
   }
 
+  /** Engine-portable MinHash signature: lane k is the min over the
+    * document's shingles of the 60-bit value `md5("k:" ++ shingle)[0,15)`
+    * — one independent md5 oracle per lane. Strictly slower than the
+    * xxhash64 [[graft.functions.MinhashSig]] kernel (one md5 per lane
+    * per shingle), but exactly replayable by any engine with md5,
+    * which is what gives the incremental near-dup flags a FULL DuckDB
+    * oracle over signatures, bands, and flags. Values are positive
+    * (< 2^60), so signed/unsigned mins agree across engines. */
+  private[graft] def portableMinhashSig(shingles: Column,
+                                        numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      array_min(transform(shingles, s =>
+        conv(substring(md5(concat(lit(s"$k:"), s)), 1, 15), 16, 10)
+          .cast("long")))
+    }: _*)
+
+  /** The maintained LSH signature/bucket KEEPER TABLE for incremental
+    * near-dup (r9 VERDICT #1): one row per (doc, band) with the full
+    * signature and the band's bucket key. A production pipeline
+    * persists this table once for the corpus and appends each
+    * accepted batch's index (`index.union(minhashSignatureIndex(
+    * newDocs, ...))`) — the corpus text is never re-shingled. Bucket
+    * keys are md5-derived like the lanes, so the whole index is
+    * engine-portable. */
+  def minhashSignatureIndex(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 16,
+                            bands: Int = 8): DataFrame = {
+    val rpb = numHashes / bands
+    require(bands * rpb == numHashes, "bands must divide numHashes")
+    val sig = df.select(col(idCol).as("id"),
+      shinglesFromWords(normalizedWords(col(textCol)), n).as("__sh"))
+      .select(col("id"), portableMinhashSig(col("__sh"), numHashes).as("sig"))
+    sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          conv(substring(md5(concat_ws(",",
+            transform(slice(col("sig"), b * rpb + 1, lit(rpb)),
+              x => x.cast("string")))), 1, 15), 16, 10)
+            .cast("long").as("bucket")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+  }
+
+  /** Incremental NEAR-dup: flag an incoming batch against an existing
+    * corpus SIGNATURE INDEX ([[minhashSignatureIndex]] output) without
+    * re-bucketing the corpus — [[incrementalDupFlags]]' production
+    * asymmetry extended from exact hashes to MinHash-LSH. Output, one
+    * row per batch doc: `status` in {near_dup_of_corpus (priority),
+    * near_dup_in_batch, new}, `canonical_id` (minimum matching corpus
+    * id; else the minimum EARLIER matching batch id — single-pass
+    * keep-first, the streaming-dedup convention, deliberately not
+    * transitive closure; else own id), and the best matching
+    * `est_jaccard` (0.0 for new docs).
+    *
+    * 100-TB shape: the batch's distinct (band, bucket) keys BROADCAST
+    * as a semi-join filter over the index, so the corpus-side shuffle
+    * carries only buckets the batch actually touches — cost tracks the
+    * BATCH, not the corpus. Hot buckets (corpus-wide boilerplate) are
+    * dropped by the same `maxBucket` guard as every LSH operator here,
+    * on both the corpus and in-batch candidate stages. Band-collision
+    * duplicates need no distinct: the per-doc min/max aggregate
+    * absorbs them. */
+  def incrementalMinhashFlags(corpusIndex: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, numHashes: Int = 16,
+                              bands: Int = 8, threshold: Double = 0.5,
+                              maxBucket: Int = 1000): DataFrame = {
+    def est(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        v => v === 1)).cast("double") / size(a)
+    // the batch index feeds four plan branches (bucket set, corpus
+    // candidates, in-batch candidates x2) — cache it, release via the
+    // registry contract; the batch is bounded by the ingestion unit
+    val bIdx = graft.CacheRegistry.register(
+      minhashSignatureIndex(batch, idCol, textCol, n, numHashes, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val batchBuckets = bIdx.select("band", "bucket").distinct()
+    val corpusHit = pruneBuckets(
+      corpusIndex.join(broadcast(batchBuckets), Seq("band", "bucket"),
+        "left_semi"), maxBucket)
+    val corpusMatch = bIdx
+      .join(corpusHit.select(col("band"), col("bucket"),
+        col("id").as("cid"), col("sig").as("csig")), Seq("band", "bucket"))
+      .filter(col("cid") =!= col("id"))
+      .select(col("id"), col("cid"), est(col("sig"), col("csig")).as("e"))
+      .filter(col("e") >= threshold)
+      .groupBy("id")
+      .agg(min("cid").as("corpus_canonical"), max("e").as("corpus_best"))
+    val bPruned = pruneBuckets(bIdx, maxBucket)
+    val batchMatch = bPruned
+      .join(bPruned.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id_b").as("bid"), col("id"),
+        est(col("sig"), col("sig_b")).as("e"))
+      .filter(col("e") >= threshold)
+      .groupBy(col("bid"))
+      .agg(min("id").as("batch_first"), max("e").as("batch_best"))
+      .withColumnRenamed("bid", "id")
+    bIdx.select("id").distinct()
+      .join(corpusMatch, Seq("id"), "left")
+      .join(batchMatch, Seq("id"), "left")
+      .select(col("id"),
+        when(col("corpus_canonical").isNotNull, "near_dup_of_corpus")
+          .when(col("batch_first").isNotNull, "near_dup_in_batch")
+          .otherwise("new").as("status"),
+        coalesce(col("corpus_canonical"), col("batch_first"), col("id"))
+          .as("canonical_id"),
+        round(coalesce(
+          when(col("corpus_canonical").isNotNull, col("corpus_best")),
+          col("batch_best"), lit(0.0)), 6).as("est_jaccard"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * word n-grams whose corpus-wide first occurrence (minimum id) is
     * this document — "how much new content does this doc contribute",

@@ -409,6 +409,47 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case (k, c) => assert(math.abs(c - expected(k)) < 1e-12) }
   }
 
+  test("incremental minhash: corpus priority, batch keep-first, index maintenance") {
+    val lorem = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docsDf(Seq(
+      1L -> lorem,
+      2L -> "totally different corpus content about ships and sails"))
+    val batch = docsDf(Seq(
+      100L -> (lorem + " omega"),       // near-dups corpus doc 1
+      101L -> (lorem + " omega"),       // dups BOTH corpus 1 and batch 100
+      102L -> "brand new batch content nobody wrote before today",
+      103L -> "brand new batch content nobody wrote before today",
+      104L -> "a fully unique batch document with its own words"))
+    val idx = Dedup.minhashSignatureIndex(corpus, "doc_id", "text", n = 2)
+    def flags(index: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalMinhashFlags(index, b, "doc_id", "text",
+        n = 2, threshold = 0.3)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    val got = flags(idx, batch)
+    // corpus match takes PRIORITY over the in-batch pair (101 ~ 100)
+    assert(got(100L)._1 == "near_dup_of_corpus" && got(100L)._2 == 1L,
+      s"$got")
+    assert(got(101L)._1 == "near_dup_of_corpus" && got(101L)._2 == 1L,
+      s"101 must prefer its corpus match: $got")
+    // batch-internal near-dup: keep-first semantics, est exact 1.0
+    assert(got(102L) == (("new", 102L, 0.0)), s"$got")
+    assert(got(103L) == (("near_dup_in_batch", 102L, 1.0)), s"$got")
+    assert(got(104L) == (("new", 104L, 0.0)), s"$got")
+    // maintenance: append the accepted batch's signatures and the next
+    // batch near-dups against them WITHOUT re-indexing the corpus text
+    val idx2 = idx.union(
+      Dedup.minhashSignatureIndex(batch, "doc_id", "text", n = 2))
+    val batch2 = docsDf(Seq(
+      200L -> "a fully unique batch document with its own words"))
+    assert(flags(idx, batch2)(200L)._1 == "new")
+    val g2 = flags(idx2, batch2)(200L)
+    assert(g2._1 == "near_dup_of_corpus" && g2._2 == 104L && g2._3 == 1.0,
+      s"updated index must catch the cross-batch dup: $g2")
+  }
+
   test("incremental dedup: corpus outranks batch, batch keep-first, new passes") {
     val corpus = docsDf(Seq(
       1L -> "shared content alpha",
