@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryListener}
 
 /** Structured-Streaming operators over the `events` shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -115,5 +115,51 @@ object EventStreams {
             out.iterator
           }
       }.toDF()
+  }
+
+  /** Late-row accounting for a watermarked query (r9 VERDICT #8):
+    * total input rows the engine DROPPED for arriving behind the
+    * watermark, summed across the query's stateful operators and its
+    * retained progress updates. Structured Streaming drops such rows
+    * silently inside the stateful operator; this surfaces the count
+    * so an ingestion pipeline can alert on late-data loss instead of
+    * discovering it in a reconciliation audit. Reads the query's
+    * progress ring (default retention 100 updates) — correct for
+    * tests and short jobs; attach a [[LateDataListener]] for
+    * long-running queries whose ring rolls over. */
+  def rowsDroppedLate(q: StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark))
+      .sum
+
+  /** Cumulative late-row accounting across a session's queries via a
+    * `StreamingQueryListener` — unlike the progress ring this never
+    * loses updates, the right mechanism for a production pipeline.
+    * Register with `spark.streams.addListener(listener)`; progress
+    * events arrive ASYNCHRONOUSLY, so tests must poll
+    * [[LateDataListener.totalDropped]], not read it right after
+    * `processAllAvailable()`. */
+  final class LateDataListener extends StreamingQueryListener {
+    private val dropped =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      // per-batch deltas: StateOperatorProgress metrics are per update
+      val d = e.progress.stateOperators.iterator
+        .map(_.numRowsDroppedByWatermark).sum
+      if (d > 0) dropped.merge(e.progress.id, d,
+        (a, b) => java.lang.Long.valueOf(a + b))
+    }
+    def droppedFor(id: java.util.UUID): Long =
+      Option(dropped.get(id)).map(_.longValue).getOrElse(0L)
+    def totalDropped: Long = {
+      var s = 0L
+      dropped.values.forEach(v => s += v)
+      s
+    }
   }
 }

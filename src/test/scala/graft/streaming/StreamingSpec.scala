@@ -75,6 +75,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getInt(3) == 2 && math.abs(r.getDouble(4) - 3.0) < 1e-12)
   }
 
+  test("windowed counts: late rows drop, the drop is surfaced, stream matches on-time batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val T0 = 1700002800L // hour-aligned epoch seconds
+    def ev(id: Long, plusSec: Long, typ: String) =
+      (id, (T0 + plusSec) * 1000000000L, 1L, typ, 1.0)
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val listener = new EventStreams.LateDataListener
+    spark.streams.addListener(listener)
+    val q = EventStreams.windowedTypeCounts(streamDf,
+      windowLen = "1 hour", watermark = "10 seconds")
+      .writeStream.format("memory").queryName("late_win_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: hour-0 + hour-3 events; max event time advances the
+      // watermark to 3h+90s once the batch completes
+      stream.addData(ev(1, 100, "click"), ev(2, 3 * 3600 + 100, "click"))
+      q.processAllAvailable()
+      // batch 2: a LATE hour-0 event (its window END 1h is behind the
+      // watermark -> silently dropped by the agg, surfaced by the
+      // accounting) plus an hour-4 event that finalizes hours 0..3
+      stream.addData(ev(3, 200, "click"), ev(4, 4 * 3600 + 100, "view"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past hour-4 to flush it
+      stream.addData(ev(5, 5 * 3600 + 100, "view"))
+      q.processAllAvailable()
+      val got = spark.table("late_win_test")
+        .select("window_start", "event_type", "n_events")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000 - T0,
+          r.getString(1), r.getLong(2))).toSet
+      // parity INCLUDING late arrivals: the stream result equals the
+      // BATCH run over the on-time rows only, restricted to finalized
+      // windows (final watermark 5h+90s -> window starts <= 4h)
+      val onTime = Seq(ev(1, 100, "click"), ev(2, 3 * 3600 + 100, "click"),
+        ev(4, 4 * 3600 + 100, "view"), ev(5, 5 * 3600 + 100, "view"))
+      val batchAll = EventStreams.windowedTypeCounts(
+        onTime.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .select("window_start", "event_type", "n_events")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000 - T0,
+          r.getString(1), r.getLong(2))).toSet
+      assert(got == batchAll.filter(_._1 <= 4 * 3600),
+        s"stream $got vs on-time batch $batchAll")
+      assert(!got.exists(_._3 > 1),
+        s"the late hour-0 event must not be counted: $got")
+      // the drop is SURFACED: progress-ring accounting is synchronous
+      assert(EventStreams.rowsDroppedLate(q) == 1L,
+        s"rowsDroppedLate=${EventStreams.rowsDroppedLate(q)}")
+      // listener accounting arrives asynchronously -> poll
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (listener.droppedFor(q.id) < 1L && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(listener.droppedFor(q.id) == 1L && listener.totalDropped >= 1L)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("streaming sessionization: a late event behind the watermark cannot resurrect a flushed session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000000000L
+    def ev(id: Long, plusSec: Long, uid: Long, v: Double) =
+      (id, t0 + plusSec * 1000000000L, uid, "click", v)
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.sessionizeStream(streamDf, gapSec = 1800,
+      watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("late_sess_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 0, 1, 1.0), ev(2, 600, 1, 2.0))
+      q.processAllAvailable()
+      // past-gap event finalizes session [0, 600] and moves the
+      // watermark to 5000-10s
+      stream.addData(ev(3, 5000, 1, 3.0))
+      q.processAllAvailable()
+      assert(spark.table("late_sess_test").count() == 1)
+      // a late event inside the ALREADY-FLUSHED session's time range,
+      // far behind the watermark: the event-time-timeout path drops it
+      // (and the accounting surfaces the drop) — the emitted session
+      // stays exactly as finalized, no duplicate/resurrected session
+      stream.addData(ev(4, 300, 1, 99.0))
+      q.processAllAvailable()
+      stream.addData(ev(5, 20000, 1, 4.0)) // flush session {3}
+      q.processAllAvailable()
+      val got = spark.table("late_sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4))).sortBy(_._2)
+      assert(got.length == 2, s"flushed + second session only: ${got.toList}")
+      assert(got(0) == ((1L, 1700000000L, 1700000600L, 2, 3.0)),
+        s"finalized session must be untouched by the late event: ${got.toList}")
+      assert(got(1) == ((1L, 1700005000L, 1700005000L, 1, 3.0)),
+        s"${got.toList}")
+      assert(EventStreams.rowsDroppedLate(q) == 1L,
+        s"late session event must be dropped+counted: ${EventStreams.rowsDroppedLate(q)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup map: single batch reproduces batch exactGroups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
