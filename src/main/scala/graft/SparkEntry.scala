@@ -1664,8 +1664,25 @@ object SparkEntry {
       val pp = SlopeParams(family = "binomial", nSigma = 6,
         tolDevChange = 0.0, tolDevRatio = 2.0,
         carryLearningRate = true, adaptiveRestart = true)
-      val dist = Slope.fit(base, "features", "label", pp.copy(localCellLimit = 0))
-      val loc = Slope.fit(base, "features", "label", pp)
+      // the two certificate halves run CONCURRENTLY (r9 ask #7, the
+      // q_slope_cv_dist pattern): the local half burns one driver
+      // thread while the distributed half waits on executor jobs, so
+      // wall time is max(dist, local) instead of their sum — the
+      // halves stay fully independent (no warm-start coupling), which
+      // is what makes the 1e-4 match a real certificate
+      val (dist, loc) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fd = Future(Slope.fit(base, "features", "label",
+          pp.copy(localCellLimit = 0)))
+        val fl = Future(Slope.fit(base, "features", "label", pp))
+        val out = (Await.result(fd, Duration.Inf), Await.result(fl, Duration.Inf))
+        pool.shutdown()
+        out
+      }
       import s.implicits._
       val shapeOk = dist.nSteps == 6 && loc.nSteps == 6
       (0 until 6).map { st =>

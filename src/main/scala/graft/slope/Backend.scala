@@ -274,14 +274,41 @@ private[slope] object BackendKernels extends Serializable {
   * one shuffle-free map + tree reduction per solver pass.
   */
 class DistributedBackend(
-    val rows: RDD[(Vector, Array[Double])],
+    rowsIn: RDD[(Vector, Array[Double])],
     val pRaw: Int,
     val m: Int,
     val fitIntercept: Boolean,
     treeDepth: Int = 2,
     knownN: Long = -1L) extends SlopeBackend {
 
+  // Size-aware task sizing: every solver pass is ONE treeAggregate job
+  // over these rows, so a small fit forced down the distributed path
+  // pays the per-job floor (task launch + result collection — ~110 ms
+  // on the bench box when the pass runs 32 near-empty tasks; see
+  // PERF_DISTRIBUTED.md). Give each task a meaningful slab of work
+  // (~1M feature cells) instead of inheriting the scan/shuffle layout,
+  // floored at 8 tasks so the pass still exercises real parallelism.
+  // At cluster scale the policy never binds — 100 TB of cells over 1M
+  // cells/task wants far more tasks than any scan layout provides —
+  // so it only ever COALESCES waste (narrow, no shuffle). Inputs with
+  // no prior count (knownN < 0) keep their layout: sizing is not
+  // worth an extra full pass.
+  val rows: RDD[(Vector, Array[Double])] =
+    if (knownN < 0) rowsIn
+    else {
+      val cells = knownN.toDouble * math.max(1, pRaw) * math.max(1, m)
+      val target = math.max(8, math.ceil(cells / 1e6).toInt)
+      if (target < rowsIn.getNumPartitions) rowsIn.coalesce(target)
+      else rowsIn
+    }
+
   rows.persist(StorageLevel.MEMORY_AND_DISK)
+
+  // shallow trees for small fan-in: depth 2 inserts an extra stage per
+  // job; with <= 64 tiny partials the driver combine is faster than a
+  // scheduled intermediate stage
+  private val effDepth =
+    if (rows.getNumPartitions <= 64) 1 else treeDepth
   // callers that already counted (Slope.fit does, for the backend
   // decision) pass n in — saves a full scan per fit
   lazy val n: Long = if (knownN >= 0) knownN else rows.count()
@@ -306,7 +333,7 @@ class DistributedBackend(
       combOp = { case ((a1, c1, s1), (a2, c2, s2)) =>
         var j = 0; while (j < p) { a1(j) += a2(j); j += 1 }
         (a1, c1 + c2, s1 || s2)
-      }, depth = treeDepth)
+      }, depth = effDepth)
     (sum.map(_ / cnt), sparse)
   }
 
@@ -326,7 +353,7 @@ class DistributedBackend(
             acc
           },
           { (a1, a2) => var j = 0; while (j < p) { a1(j) += a2(j); j += 1 }; a1 },
-          depth = treeDepth)
+          depth = effDepth)
       case "l2" | "sd" | "max" =>
         // sufficient stats: sumsq, max (centered l2/sd derive from moments)
         val (sumsq, mx, cnt) = rows.treeAggregate(
@@ -352,7 +379,7 @@ class DistributedBackend(
               q1(j) += q2(j); if (m2(j) > m1(j)) m1(j) = m2(j); j += 1
             }
             (q1, m1, c1 + c2)
-          }, depth = treeDepth)
+          }, depth = effDepth)
         scale match {
           case "l2" =>
             Array.tabulate(p)(j => math.sqrt(math.max(0.0, sumsq(j) - cnt * center(j) * center(j))))
@@ -376,7 +403,7 @@ class DistributedBackend(
       { case ((s1, q1, c1), (s2, q2, c2)) =>
         var k = 0; while (k < mm) { s1(k) += s2(k); q1(k) += q2(k); k += 1 }
         (s1, q1, c1 + c2)
-      }, depth = treeDepth)
+      }, depth = effDepth)
     val mean = sum.map(_ / cnt)
     val sd = Array.tabulate(mm)(k =>
       math.sqrt(math.max(0.0, sumsq(k) / cnt - mean(k) * mean(k))))
@@ -421,7 +448,7 @@ class DistributedBackend(
       },
       { (b1, b2) =>
         var i = 0; while (i < bufLen) { b1(i) += b2(i); i += 1 }; b1
-      }, depth = treeDepth)
+      }, depth = effDepth)
 
     bcW.destroy(); bcB.destroy(); bcSlot.destroy()
 
@@ -484,7 +511,7 @@ class DistributedBackend(
       },
       { (b1, b2) =>
         var i = 0; while (i < bufLen) { b1(i) += b2(i); i += 1 }; b1
-      }, depth = treeDepth)
+      }, depth = effDepth)
 
     bcWc.destroy(); bcBc.destroy(); bcWn.destroy(); bcBn.destroy()
     bcSlot.destroy()
@@ -509,7 +536,7 @@ class DistributedBackend(
       },
       { (b1, b2) =>
         var i = 0; while (i < bufLen) { b1(i) += b2(i); i += 1 }; b1
-      }, depth = treeDepth)
+      }, depth = effDepth)
     bcSlot.destroy()
     BackendKernels.assembleGram(active, res, a, mm, n, fitIntercept, xCenter, xScale)
   }
@@ -535,7 +562,7 @@ class DistributedBackend(
       },
       { (b1, b2) =>
         var i = 0; while (i < bufLen) { b1(i) += b2(i); i += 1 }; b1
-      }, depth = treeDepth)
+      }, depth = effDepth)
     val out = new Array[Double](a * mm)
     var k = 0
     while (k < mm) {
