@@ -662,6 +662,43 @@ object Dedup {
       .select(col(idCol).as("id"), posexplode(col(parasCol)).as(Seq("pos", "para")))
       .select(col("id"), col("pos"), col("para"),
         fingerprint(col("para")).as("fp"))
+    // keeper per paragraph = MIN (id, pos) occurrence — an ASSOCIATIVE
+    // aggregate, so the hot fingerprint (corpus-wide boilerplate)
+    // collapses in the map-side combiner: the exchange carries at most
+    // one row per (fp, map partition), and NO reducer ever holds a
+    // whole occurrence list (r10 skew certification; the previous
+    // window formulation shipped the full posting list into one sorted
+    // partition). The kept paragraph's text rides in the min struct,
+    // so nothing ever joins back to the occurrence stream.
+    val keepers = occ.groupBy("fp")
+      .agg(min(struct(col("id"), col("pos"), col("para"))).as("k"))
+    val kept = keepers.groupBy(col("k.id").as("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("k.pos").as("pos"),
+            col("k.para").as("para")))),
+          s => s.getField("para")), " ").as("clean_text"))
+    // per-doc totals: a narrow projection (ids are unique), joined on
+    // the unique id key — skew-free by construction
+    df.select(col(idCol).as("id"),
+      size(col(parasCol)).cast("long").as("n_paras"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** The round-9 window formulation of [[paragraphDedup]] — kept as the
+    * differential-test anchor for the combiner rewrite (identical
+    * output; the window ships each fingerprint's WHOLE occurrence list
+    * into one sorted partition, which is the skew shape the rewrite
+    * removes). Test scope only. */
+  private[graft] def paragraphDedupWindowed(df: DataFrame, idCol: String,
+                                            parasCol: String): DataFrame = {
+    val occ = df
+      .select(col(idCol).as("id"), posexplode(col(parasCol)).as(Seq("pos", "para")))
+      .select(col("id"), col("pos"), col("para"),
+        fingerprint(col("para")).as("fp"))
     val w = Window.partitionBy("fp").orderBy(col("id"), col("pos"))
     val flagged = occ
       .withColumn("keep", row_number().over(w) === 1)
@@ -895,17 +932,43 @@ object Dedup {
     * Low-novelty docs are quote-heavy/boilerplate/aggregator content —
     * a standard curation down-weight signal.
     *
-    * 100-TB shape: distinct shingles per doc (the explode is linear in
-    * distinct shingles), ONE shingle-keyed exchange whose window-min
-    * assigns the first owner (single scan — the groupBy-plus-join-back
-    * form re-evaluates the shingle expression on both branches), then
-    * one id-keyed aggregate. A window partition is one shingle's
-    * posting list; df-skew there is the same bounded-boilerplate story
-    * as [[paragraphDedup]]'s fingerprint groups. */
+    * 100-TB shape (r10 skew rewrite): the first owner per shingle is
+    * `min(id)` — ASSOCIATIVE, so the shingle-keyed exchange map-side
+    * combines and a corpus-wide boilerplate shingle collapses to one
+    * row per map partition; no reducer ever holds a posting list (the
+    * previous window formulation shipped each shingle's WHOLE posting
+    * list into one sorted partition). Per-doc novel counts then come
+    * from grouping the OWNER table by doc — the posting stream is
+    * never joined back at all. Price: the corpus is scanned twice
+    * (owner pass + per-doc totals projection), both narrow and fully
+    * parallel — linear work instead of a straggler partition. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, parallelism: Int = 0): DataFrame = {
     require(n >= 1, "ngramNovelty: n must be >= 1")
-    val sh = spread(df, parallelism)
+    val base = spread(df, parallelism)
+      .select(col(idCol).as("id"),
+        array_distinct(shinglesFromWords(
+          normalizedWords(col(textCol)), n)).as("sh"))
+    val owners = base
+      .select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("s").agg(min("id").as("first"))
+    val novel = owners.groupBy(col("first").as("id"))
+      .agg(count(lit(1)).as("n_novel"))
+    base.select(col("id"), size(col("sh")).as("n_shingles"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("novelty_ratio"))
+  }
+
+  /** The round-9 window formulation of [[ngramNovelty]] — differential
+    * -test anchor for the combiner rewrite (identical output, fat
+    * posting-list window partitions). Test scope only. */
+  private[graft] def ngramNoveltyWindowed(df: DataFrame, idCol: String,
+                                          textCol: String,
+                                          n: Int = 5): DataFrame = {
+    val sh = df
       .select(col(idCol).as("id"),
         normalizedWords(col(textCol)).as("__w"))
       .select(col("id"),

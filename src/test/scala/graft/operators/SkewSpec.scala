@@ -288,4 +288,53 @@ class SkewSpec extends AnyFunSuite {
       s"over-cap clusters ${overCap.map(clusterSize).toSeq.sorted.mkString(",")}, " +
       s"planted recall ${surviving.size}/20")
   }
+
+  test("posting-list skew: combiner rewrites equal the window forms; boilerplate collapses map-side") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // adversarial shape (r9 VERDICT #4): 10% of docs share one
+    // boilerplate paragraph AND one boilerplate word run, so both the
+    // paragraph fingerprint and each boilerplate 5-gram have a posting
+    // list of 60 docs — the window forms ship each such list into ONE
+    // sorted partition; the combiner rewrites must produce identical
+    // output with no Window/posting-list partition at all
+    // exactly 10 words = exactly one 10-word span, identical everywhere
+    val boiler = "all rights reserved contact us for more information today now"
+    val docs = (0L until 600L).map { i =>
+      val own = (0 until 40).map(w => s"u${i}w$w").mkString(" ")
+      (i, if (i % 10 == 0) s"$boiler $own" else own)
+    }.toDF("doc_id", "text").repartition(8)
+    val paras = docs.select(col("doc_id"),
+      TextFunctions.spanArray(col("text"), 10).as("paras"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val pNew = Dedup.paragraphDedup(paras, "doc_id", "paras")
+    val pOld = Dedup.paragraphDedupWindowed(paras, "doc_id", "paras")
+    assert(rows(pNew) == rows(pOld),
+      "paragraph combiner rewrite must match the window form exactly")
+    val nNew = Dedup.ngramNovelty(docs, "doc_id", "text", n = 5)
+    val nOld = Dedup.ngramNoveltyWindowed(docs, "doc_id", "text", n = 5)
+    assert(rows(nNew) == rows(nOld),
+      "novelty combiner rewrite must match the window form exactly")
+
+    // the rewrites carry NO window operator: the first-owner aggregate
+    // is partial (map-side combined), so the hot key arrives at the
+    // reducer as <= one row per map partition instead of its whole
+    // posting list
+    Seq(pNew, nNew).foreach { d =>
+      val plan = d.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"combiner form must not contain a window:\n$plan")
+      assert(plan.contains("partial_min"),
+        s"first-owner aggregate must map-side combine:\n$plan")
+    }
+    // and the boilerplate really is the skew shape: its occurrence
+    // list is 60 docs deep (10% of the corpus), vs 1 for unique paras
+    val occ = paras
+      .select(col("doc_id"), explode(col("paras")).as("para"))
+      .groupBy(TextFunctions.fingerprint(col("para")).as("fp"))
+      .agg(count(lit(1)).as("c")).agg(max("c")).head.getLong(0)
+    assert(occ == 60L, s"hot paragraph multiplicity $occ")
+  }
 }
