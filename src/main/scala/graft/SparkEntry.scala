@@ -745,6 +745,20 @@ object SparkEntry {
         .orderBy("doc_id", "start_word")
     }),
 
+    "q_exact_substr_dedup" -> ((s, dir) => {
+      // the REMOVAL transform over the q_exact_substr signal (Lee et
+      // al.'s actual dedup): every >= 10-word verbatim duplicated span
+      // is dropped everywhere except its first owner (min doc_id), and
+      // docs are rebuilt from surviving words — owner table map-side
+      // combined, islands per DOC, rebuild via anti-join (all linear)
+      graft.operators.Retrieval.exactSubstrDedup(docs(s, dir),
+        "doc_id", "text", n = 5, minSpanWords = 10,
+        parallelism = OpParallelism)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_warc_roundtrip" -> ((s, dir) => {
       // WARC (ISO 28500) source: write the documents table as a
       // deterministic WARC fixture (8 files, the Common Crawl segment
@@ -2814,6 +2828,50 @@ object SparkEntry {
              (ew - sw + 1)::INT AS span_words, nd AS n_docs
            FROM sp WHERE ew - sw + 1 >= 10
            ORDER BY doc_id, start_word""",
+
+      "q_exact_substr_dedup" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           shl AS (
+             SELECT doc_id, len(w) AS nw,
+               CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(range(len(w) - 4), i ->
+                   w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])
+               END AS sh
+             FROM t),
+           pos AS (SELECT doc_id, nw, sh, unnest(range(len(sh))) AS p0
+                   FROM shl),
+           e AS (SELECT doc_id, nw, p0 + 1 AS p, sh[p0+1] AS s FROM pos),
+           own AS (SELECT s, min(doc_id) AS owner FROM e GROUP BY s
+                   HAVING count(DISTINCT doc_id) >= 2),
+           rm AS (SELECT e.doc_id, e.nw, e.p FROM e JOIN own USING (s)
+                  WHERE own.owner <> e.doc_id),
+           isl AS (SELECT doc_id, nw, p,
+                     p - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY p) AS g
+                   FROM rm),
+           sp AS (SELECT doc_id, min(p) AS spp,
+                    least(max(p) + 4, any_value(nw)) AS epp
+                  FROM isl GROUP BY doc_id, g
+                  HAVING least(max(p) + 4, any_value(nw)) - min(p) + 1 >= 10),
+           ru AS (SELECT DISTINCT doc_id, unnest(range(spp, epp + 1)) AS u
+                  FROM sp),
+           wx AS (SELECT doc_id, u, word FROM (
+                    SELECT t.doc_id, unnest(t.w) AS word,
+                      generate_subscripts(t.w, 1) AS u FROM t)),
+           keep AS (SELECT wx.doc_id, wx.u, wx.word FROM wx
+                    LEFT JOIN ru ON wx.doc_id = ru.doc_id AND wx.u = ru.u
+                    WHERE ru.u IS NULL),
+           reb AS (SELECT doc_id,
+                     coalesce(string_agg(word, ' ' ORDER BY u), '') AS ct,
+                     count(*) AS n_kept
+                   FROM keep GROUP BY doc_id)
+           SELECT t.doc_id, len(t.w)::BIGINT AS n_words,
+             (len(t.w) - coalesce(reb.n_kept, 0))::BIGINT AS n_removed,
+             md5(coalesce(reb.ct, '')) AS clean_md5
+           FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+           ORDER BY t.doc_id""",
 
       "q_warc_roundtrip" ->
         s"""SELECT doc_id,

@@ -243,4 +243,73 @@ object Retrieval {
         col("n_docs"))
       .filter(col("span_words") >= minSpanWords)
   }
+
+  /** Exact-substring DEDUP — the removal transform Lee et al. 2022
+    * actually apply: every verbatim duplicated span of >= `minSpanWords`
+    * words is removed from every document EXCEPT the span's first
+    * owner (minimum doc id — the same keep-first convention as every
+    * dedup here), and each document's text is rebuilt from its
+    * surviving words in order. [[exactSubstrSpans]] is the audit view
+    * of the same signal; this is the transformation.
+    *
+    * Position semantics: a position is REMOVABLE when its n-gram
+    * occurs in >= 2 docs and this doc is not the n-gram's first owner;
+    * maximal runs of removable positions of span length >=
+    * `minSpanWords` have their covered words dropped. When a doc owns
+    * part of a span (it first-authored the prefix but copied the
+    * rest), only the copied positions are removable — boundaries
+    * follow ownership, and sub-threshold remainders survive
+    * (documented divergence from suffix-array removal, which has no
+    * ownership notion inside one span).
+    *
+    * 100-TB plan: the owner table is a map-side-combined aggregate
+    * (hot shingles collapse in the combiner); the one posting-keyed
+    * join back carries only (n_docs, owner) per shingle; islands
+    * windows partition by DOC (bounded by document length); the text
+    * rebuild is a left-anti join on (doc, word index) + one per-doc
+    * sorted collect — linear everywhere, no per-doc quadratic
+    * membership scans. */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, minSpanWords: Int = 50,
+                       parallelism: Int = 0): DataFrame = {
+    require(n >= 1, "exactSubstrDedup: n must be >= 1")
+    val base = if (parallelism > 0) df.repartition(parallelism) else df
+    val words = base.select(col(idCol).as("id"),
+      TextFunctions.normalizedWords(col(textCol)).as("__w"))
+    val sh = words
+      .select(col("id"), size(col("__w")).as("nw"),
+        TextFunctions.shinglesFromWords(col("__w"), n).as("sh"))
+      .select(col("id"), col("nw"), posexplode(col("sh")).as(Seq("p0", "s")))
+      .select(col("id"), col("nw"), (col("p0") + 1).as("p"), col("s"))
+    val own = sh.groupBy("s")
+      .agg(countDistinct(col("id")).as("nd"), min("id").as("owner"))
+      .filter(col("nd") >= 2)
+    val removable = sh.join(own, "s")
+      .filter(col("owner") =!= col("id"))
+      .select(col("id"), col("nw"), col("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p"))
+    val removedIdx = removable
+      .withColumn("__isl", col("p") - row_number().over(w))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min("p").as("sp"),
+        least(max(col("p")) + (n - 1), max(col("nw"))).as("ep"))
+      .filter(col("ep") - col("sp") + 1 >= minSpanWords)
+      .select(col("id"), explode(sequence(col("sp"), col("ep"))).as("u"))
+      .distinct()
+    val kept = words
+      .select(col("id"), posexplode(col("__w")).as(Seq("i0", "word")))
+      .select(col("id"), (col("i0") + 1).as("u"), col("word"))
+      .join(removedIdx, Seq("id", "u"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("u"), col("word")))),
+          s => s.getField("word")), " ").as("clean_text"))
+    words.select(col("id"), size(col("__w")).cast("long").as("n_words"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

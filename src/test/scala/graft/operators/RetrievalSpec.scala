@@ -171,4 +171,49 @@ class RetrievalSpec extends AnyFunSuite {
       "doc_id", "text", n = 5, minSpanWords = 10).collect()
     assert(none.isEmpty, s"intra-doc repeats must not span: ${none.toSeq}")
   }
+
+  test("exactSubstrDedup: non-owners lose the span, the owner keeps it, short dups survive") {
+    def wv(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val shared = wv("s", 60)
+    val shortDup = wv("d", 8) // 8 words < minSpanWords -> never removed
+    val a = wv("a", 20) ++ shared ++ wv("z", 10)          // owner (min id)
+    val b = wv("b", 5) ++ shared ++ shortDup ++ wv("y", 5)
+    val c = wv("c", 10) ++ shortDup                        // shares only short
+    val out = Retrieval.exactSubstrDedup(
+      docsDf(Seq(1L -> a.mkString(" "), 2L -> b.mkString(" "),
+        3L -> c.mkString(" "))),
+      "doc_id", "text", n = 5, minSpanWords = 50).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // owner keeps everything
+    assert(out(1L) == ((90L, 0L, a.mkString(" "))), s"${out(1L)}")
+    // non-owner loses EXACTLY the 60 shared words; its own text and
+    // the sub-threshold duplicate run survive
+    assert(out(2L) ==
+      ((78L, 60L, (wv("b", 5) ++ shortDup ++ wv("y", 5)).mkString(" "))),
+      s"${out(2L)}")
+    // a doc whose only duplication is sub-threshold is untouched
+    assert(out(3L) == ((18L, 0L, c.mkString(" "))), s"${out(3L)}")
+  }
+
+  test("exactSubstrDedup: ownership splits a span; only the copied part is removed") {
+    def wv(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val front = wv("f", 55) // doc 1 authored (owner)
+    val back = wv("k", 55)  // doc 0 authored (owner)
+    // doc 5 = front ++ back: owns neither (docs 1 and 0 are the min
+    // ids) -> BOTH halves removed; doc 1 keeps front, loses back? no —
+    // doc 1 only has front. doc 0 only has back.
+    val corpus = Seq(
+      0L -> back.mkString(" "),
+      1L -> front.mkString(" "),
+      5L -> (front ++ back).mkString(" "))
+    val out = Retrieval.exactSubstrDedup(docsDf(corpus),
+      "doc_id", "text", n = 5, minSpanWords = 50).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((0L, back.mkString(" "))))
+    assert(out(1L) == ((0L, front.mkString(" "))))
+    // the copier loses everything (both spans >= threshold, plus the
+    // bridging n-grams spanning the junction are also non-owned)
+    assert(out(5L)._1 == 110L && out(5L)._2 == "", s"${out(5L)}")
+  }
 }
