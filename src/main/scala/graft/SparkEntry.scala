@@ -521,6 +521,36 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_mixture_weights" -> ((s, dir) => {
+      // target-weight rebalancing (the DoReMi/data-mixing shape):
+      // expected kept tokens proportional to caller weights, largest
+      // achievable by downsampling only — the binding source keeps
+      // everything; scaling constant derived IN-PLAN (broadcast min)
+      val wts = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1.0)).toMap
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.rebalanceToWeights(
+        d, "doc_id", "source", "n_tokens", wts)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"),
+          round(max(col("keep_fraction")), 6).as("keep_fraction"))
+        .orderBy("source")
+    }),
+
+    "q_leakage_split" -> ((s, dir) => {
+      // leakage-safe train/val/test assignment: split keyed by each
+      // doc's exact-dup canonical (min doc_id per fingerprint), so a
+      // duplicate group can never straddle train and test — the
+      // contamination guard id-keyed splitting lacks
+      graft.operators.Sampling.leakageSafeSplit(docs(s, dir),
+        "doc_id", "text",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q_gopher_rules" -> ((s, dir) => {
       // the Gopher rule gate (Rae et al. 2021 A1.1, delimiter-free
       // adaptation): every rule an auditable boolean next to its
@@ -2454,6 +2484,41 @@ object SparkEntry {
                AS tokens_kept,
              round(max(f), 6) AS keep_fraction
            FROM k GROUP BY source ORDER BY source""",
+
+      "q_mixture_weights" ->
+        s"""WITH d AS (
+             SELECT doc_id, source, ($wcSql)::BIGINT AS n_tokens
+             FROM documents),
+           tot AS (SELECT source,
+               sum(n_tokens) AS tok,
+               ((CAST(substr(source, 4) AS INT) % 4) + 1)::DOUBLE AS w
+             FROM d GROUP BY source),
+           mn AS (SELECT min(tok::DOUBLE / w) AS c FROM tot),
+           fr AS (SELECT source,
+               least(1.0::DOUBLE, c * w / tok::DOUBLE) AS f
+             FROM tot, mn),
+           k AS (
+             SELECT d.source, d.n_tokens, fr.f,
+               (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'rebalance'), 1, 8))::UBIGINT)::DOUBLE
+                 / 4294967296.0 < fr.f AS keep
+             FROM d JOIN fr USING (source))
+           SELECT source, count(*)::BIGINT AS n_docs,
+             coalesce(sum(n_tokens) FILTER (WHERE keep), 0)::BIGINT
+               AS tokens_kept,
+             round(max(f), 6) AS keep_fraction
+           FROM k GROUP BY source ORDER BY source""",
+
+      "q_leakage_split" ->
+        s"""WITH fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),
+           c AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY f),
+           b AS (SELECT fp.doc_id,
+               (('0x' || substr(md5(CAST(c.canon AS VARCHAR) || 'graft'), 1, 8))::UBIGINT)::DOUBLE
+                 / 4294967296.0 AS u
+             FROM fp JOIN c USING (f))
+           SELECT doc_id,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+           FROM b ORDER BY doc_id""",
 
       "q_gopher_rules" -> {
         val stops = graft.operators.Quality.GopherStopwords

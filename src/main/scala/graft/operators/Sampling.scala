@@ -93,6 +93,89 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt) < frac)
   }
 
+  /** LEAKAGE-SAFE split: [[hashSplit]] keyed by each document's
+    * duplicate-cluster CANONICAL id instead of its own id, so every
+    * member of a duplicate group lands in the same split — the
+    * train/test-leakage guard (a near-copy of a test doc in train is
+    * exactly the contamination eval decks exist to prevent, and
+    * id-keyed splitting produces it whenever the corpus has dups).
+    *
+    * This overload derives the canonical from the EXACT normalized-
+    * text fingerprint (one map-side-combined groupBy + one keyed join
+    * — the [[graft.operators.Dedup.exactGroups]] identity); for
+    * near-dup safety pass a cluster column from
+    * [[graft.operators.Dedup.dupClusters]] to the column overload.
+    * Both the fingerprint and the split bucket are md5-derived, so the
+    * assignment replays in any engine. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       splits: Seq[(String, Double)],
+                       salt: String = "graft"): DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
+    val withFp = df.withColumn("__lsfp", fp)
+    val canon = withFp.groupBy("__lsfp")
+      .agg(min(col(idCol)).as("__lscanon"))
+    leakageSafeSplitByKey(withFp.join(canon, Seq("__lsfp")), "__lscanon",
+      splits, salt).drop("__lsfp", "__lscanon")
+  }
+
+  /** Column overload of [[leakageSafeSplit]]: the caller supplies the
+    * cluster/canonical key (e.g. `dupClusters` output joined on) and
+    * the split is keyed by it. */
+  def leakageSafeSplitByKey(df: DataFrame, canonicalCol: String,
+                            splits: Seq[(String, Double)],
+                            salt: String = "graft"): DataFrame =
+    hashSplit(df, canonicalCol, splits, salt)
+
+  /** Rebalance every group toward caller-supplied TARGET WEIGHTS (the
+    * DoReMi/data-mixing shape: "train on 30% web, 40% books, 30%
+    * code"), by deterministic hash downsampling only — no group is
+    * ever upsampled. The achievable mixture is the largest c with
+    * c * w_g <= tokens_g for all g, i.e. c = min_g tokens_g / w_g;
+    * keep fraction f_g = c * w_g / tokens_g (the binding group keeps
+    * everything; expected kept tokens are exactly proportional to the
+    * weights). Generalizes [[rebalanceToMinTokens]] (= equal weights).
+    *
+    * 100-TB shape identical to it: per-group token totals in ONE
+    * map-side-combined groupBy, the scaling constant derived in-plan
+    * via a broadcast min, fractions broadcast-joined onto one scan,
+    * keep = engine-portable md5 bucket compare. Groups absent from
+    * `weights` get weight 0 (dropped) — an explicit mixture decision,
+    * not an accident, so it requires `weights` to cover every group
+    * unless `allowMissing`. */
+  def rebalanceToWeights(df: DataFrame, idCol: String, groupCol: String,
+                         tokensCol: String, weights: Map[String, Double],
+                         allowMissing: Boolean = false,
+                         salt: String = "rebalance"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "rebalanceToWeights: weights must be positive")
+    val wCol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, wv)) => when(col(groupCol) === g, wv).otherwise(acc)
+    }
+    val tot = graft.CacheRegistry.register(df
+      .groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).as("__tok"))
+      .withColumn("__w", wCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (!allowMissing) {
+      val missing = tot.filter(col("__w").isNull)
+        .select(col(groupCol)).limit(10).collect().map(_.get(0))
+      require(missing.isEmpty,
+        s"rebalanceToWeights: groups without a weight: " +
+          s"${missing.mkString(", ")} — pass allowMissing = true to DROP them")
+    }
+    val c = tot.filter(col("__w").isNotNull)
+      .agg(min(col("__tok").cast("double") / col("__w")).as("__c"))
+    val frac = tot.crossJoin(broadcast(c))
+      .select(col(groupCol),
+        when(col("__w").isNull, 0.0)
+          .otherwise(least(lit(1.0),
+            col("__c") * col("__w") / col("__tok").cast("double")))
+          .as("keep_fraction"))
+    df.join(broadcast(frac), Seq(groupCol))
+      .withColumn("keep",
+        hashBucket(col(idCol), salt) < col("keep_fraction"))
+  }
+
   /** Token-budget equalization across groups: every group is
     * deterministically downsampled (hash order, like every sampler
     * here) so its EXPECTED kept token total matches the smallest

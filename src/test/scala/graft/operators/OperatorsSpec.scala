@@ -409,6 +409,82 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case (k, c) => assert(math.abs(c - expected(k)) < 1e-12) }
   }
 
+  test("leakage-safe split: duplicate groups never straddle splits") {
+    import spark.implicits._
+    // 400 docs in 100 exact-dup groups of 4 (whitespace/case variants
+    // of one text) — id-keyed splitting WOULD scatter most groups
+    val docs = (0L until 400L).map { i =>
+      val g = i / 4
+      val base = s"group $g content alpha beta gamma delta"
+      val variant = (i % 4) match {
+        case 0 => base
+        case 1 => base.toUpperCase
+        case 2 => base.replace(" ", "   ")
+        case 3 => base + "!!!"
+      }
+      (i, variant)
+    }.toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == 400)
+    // every group of 4 lands in exactly one split
+    out.groupBy(_._1 / 4).foreach { case (g, members) =>
+      assert(members.map(_._2).toSet.size == 1,
+        s"group $g straddles splits: ${members.toSeq}")
+    }
+    // the split is genuinely keyed by the group, and all three splits
+    // materialize across the 100 groups
+    val perGroup = out.groupBy(_._1 / 4).view.mapValues(_.head._2).toMap
+    assert(perGroup.values.toSet == Set("train", "val", "test"))
+    // id-keyed hashSplit on the same corpus DOES scatter groups —
+    // the contrast that makes this operator exist
+    val naive = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scattered = naive.groupBy(_._1 / 4)
+      .count(_._2.map(_._2).toSet.size > 1)
+    assert(scattered > 10, s"fixture too easy: only $scattered scattered")
+  }
+
+  test("rebalanceToWeights: closed-form fractions, binding group keeps all, missing weights loud") {
+    import spark.implicits._
+    // per-doc tokens chosen so totals are A=1000, B=500, C=100
+    val d = ((0L until 10L).map(i => (i, "A", 100L)) ++
+      (10L until 20L).map(i => (i, "B", 50L)) ++
+      (20L until 30L).map(i => (i, "C", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    // weights 2:1:1 -> c = min(1000/2, 500/1, 100/1) = 100 ->
+    // f_A = 200/1000 = 0.2, f_B = 100/500 = 0.2, f_C = 1.0 (binding)
+    val out = Sampling.rebalanceToWeights(d, "doc_id", "source",
+      "n_tokens", Map("A" -> 2.0, "B" -> 1.0, "C" -> 1.0))
+      .groupBy("source").agg(max("keep_fraction").as("f"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out("A")._1 == 0.2 && out("B")._1 == 0.2 && out("C")._1 == 1.0,
+      s"$out")
+    assert(out("C")._2 == 10L, "the binding group keeps every row")
+    // a group without a weight fails loudly...
+    val e = intercept[IllegalArgumentException] {
+      Sampling.rebalanceToWeights(d, "doc_id", "source", "n_tokens",
+        Map("A" -> 1.0, "B" -> 1.0)).collect()
+    }
+    assert(e.getMessage.contains("without a weight") &&
+      e.getMessage.contains("C"))
+    graft.CacheRegistry.releaseAll()
+    // ...unless dropping it is the explicit mixture decision
+    val dropped = Sampling.rebalanceToWeights(d, "doc_id", "source",
+      "n_tokens", Map("A" -> 1.0, "B" -> 1.0), allowMissing = true)
+      .filter(col("source") === "C")
+      .agg(max("keep_fraction"), sum(when(col("keep"), 1L).otherwise(0L)))
+      .head()
+    assert(dropped.getDouble(0) == 0.0 && dropped.getLong(1) == 0L)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("incremental minhash: corpus priority, batch keep-first, index maintenance") {
     val lorem = "alpha beta gamma delta epsilon zeta eta theta"
     val corpus = docsDf(Seq(
