@@ -551,6 +551,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_leakage_split_neardup" -> ((s, dir) => {
+      // the NEAR-dup-safe variant: split keyed by the connected-
+      // component cluster label from the jaccard pair graph (docs
+      // outside any cluster key by themselves) — near-copies of a test
+      // doc can no longer surface in train. Composes three operators:
+      // pair generation -> CC clustering -> canonical-keyed split
+      val d = docs(s, dir)
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id",
+        "text", n = 3, threshold = 0.05, maxDf = MaxDfShipped,
+        parallelism = OpParallelism)
+      val clusters = graft.operators.Dedup.dupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val keyed = d.join(clusters, Seq("doc_id"), "left")
+        .withColumn("__canon", coalesce(col("cluster_id"), col("doc_id")))
+      graft.operators.Sampling.leakageSafeSplitByKey(keyed, "__canon",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("__canon").as("cluster_key"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q_gopher_rules" -> ((s, dir) => {
       // the Gopher rule gate (Rae et al. 2021 A1.1, delimiter-free
       // adaptation): every rule an auditable boolean next to its
@@ -2516,6 +2537,21 @@ object SparkEntry {
                  / 4294967296.0 AS u
              FROM fp JOIN c USING (f))
            SELECT doc_id,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+           FROM b ORDER BY doc_id""",
+
+      "q_leakage_split_neardup" ->
+        s"""$DupClusterCte,
+           cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           k AS (SELECT d.doc_id,
+               coalesce(cl.cluster_id, d.doc_id) AS cluster_key
+             FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+           b AS (SELECT doc_id, cluster_key,
+               (('0x' || substr(md5(CAST(cluster_key AS VARCHAR) || 'graft'), 1, 8))::UBIGINT)::DOUBLE
+                 / 4294967296.0 AS u
+             FROM k)
+           SELECT doc_id, cluster_key,
              CASE WHEN u < 0.75 THEN 'train'
                   WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
            FROM b ORDER BY doc_id""",

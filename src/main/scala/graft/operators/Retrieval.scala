@@ -195,11 +195,14 @@ object Retrieval {
     * per span: 1-based [start_word, end_word], word length, and the
     * sharing-doc count; only spans of >= `minSpanWords` emit.
     *
-    * 100-TB plan: one shingle scan; ONE shingle-keyed exchange feeds
-    * both the partner-set aggregate and the flag join (same reuse as
-    * [[crossDocSpanStats]]); the islands window partitions by (doc,
-    * fingerprint) — bounded by a DOCUMENT's length, never by a
-    * shingle's corpus-wide posting list, so a boilerplate 5-gram in
+    * 100-TB plan: the partner-set table aggregates STRAIGHT off the
+    * explode (map-side combined — a boilerplate shingle collapses in
+    * the combiner) and only that duplicated-shingle table joins back
+    * to the posting stream (AQE broadcasts it when it fits; a raw
+    * -posting repartition was 8x slower even at sf0.1 because it
+    * ships every posting uncombined). The islands window partitions
+    * by (doc, fingerprint) — bounded by a DOCUMENT's length, never by
+    * a shingle's corpus-wide posting list, so a boilerplate 5-gram in
     * a billion docs cannot produce a fat window partition here. The
     * md5/XOR fingerprint is engine-portable, so a DuckDB oracle
     * replays spans bit-for-bit. */
@@ -215,11 +218,10 @@ object Retrieval {
         TextFunctions.shinglesFromWords(col("__w"), n).as("sh"))
       .select(col("id"), col("nw"), posexplode(col("sh")).as(Seq("p0", "s")))
       .select(col("id"), col("nw"), (col("p0") + 1).as("p"), col("s"))
-    val parted = sh.repartition(col("s"))
     // per-shingle sharing-set fingerprint: distinct (shingle, doc)
     // first so intra-doc repetition doesn't perturb the XOR, then a
     // map-side-combined count + XOR — no arrays, skew-immune
-    val psets = parted
+    val psets = sh
       .select(col("s"), col("id"),
         conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
           .cast("long").as("__h"))
@@ -227,7 +229,7 @@ object Retrieval {
       .groupBy("s")
       .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("psh"))
       .filter(col("n_docs") >= minDocs)
-    val dupPos = parted.join(psets, "s")
+    val dupPos = sh.join(psets, "s")
     // gaps-and-islands on positions: consecutive p with one fingerprint
     // merge; any gap or partner-set change starts a new span
     val w = org.apache.spark.sql.expressions.Window
