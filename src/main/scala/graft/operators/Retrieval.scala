@@ -131,13 +131,20 @@ object Retrieval {
     * positions, distinct words covered by duplicated n-grams, and the
     * duplicated-position ratio.
     *
-    * Plan: shingles WITH positions (posexplode) -> repartition by
-    * shingle so the distinct-doc count and the flag join reuse one
-    * exchange -> per-doc aggregate. Everything is linear in postings;
-    * the quadratic pair join of the Jaccard operator never happens —
-    * the only thing joined back is the per-shingle "duplicated" flag.
-    * Documents of <= n words contribute their whole text as one
-    * shingle (same convention as `shinglesFromWords`).
+    * Plan: shingles WITH positions (posexplode) -> the duplicated-
+    * shingle flag table aggregates STRAIGHT off the explode (map-side
+    * combined partials per (shingle, doc), so a boilerplate shingle
+    * collapses in the combiner) and only that flag table joins back
+    * to the posting stream (AQE broadcasts it when it fits). r10
+    * retired the old repartition-for-exchange-reuse form: at sf0.1
+    * the two are within noise, but the combiner form's exchange
+    * volume for the aggregate is bounded by map partitions per key
+    * where the raw repartition shipped every uncombined posting — at
+    * corpus scale that difference is the skew story, not a constant.
+    * Everything is linear in postings; the quadratic pair join of
+    * the Jaccard operator never happens. Documents of <= n words
+    * contribute their whole text as one shingle (same convention as
+    * `shinglesFromWords`).
     */
   def crossDocSpanStats(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, minDocs: Int = 2,
@@ -153,14 +160,10 @@ object Retrieval {
         posexplode(col("sh")).as(Seq("p0", "s")))
       .select(col("id"), col("nw"), col("n_pos"),
         (col("p0") + 1).as("p"), col("s"))
-    // one exchange on the shingle key feeds BOTH the distinct-doc
-    // count and the flag join (ReuseExchange) — the shingle/normalize
-    // expression evaluates once
-    val parted = sh.repartition(col("s"))
-    val dup = parted.groupBy("s")
+    val dup = sh.groupBy("s")
       .agg(countDistinct(col("id")).as("__nd"))
       .filter(col("__nd") >= minDocs).drop("__nd")
-    val dupPos = parted.join(dup, "s")
+    val dupPos = sh.join(dup, "s")
     // coverage: shingle at 1-based position p covers words p..p+n-1,
     // clamped to the word count (the <=n-word whole-doc shingle covers
     // everything)
