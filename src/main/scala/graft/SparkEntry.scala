@@ -684,7 +684,7 @@ object SparkEntry {
       // gate, unigram so it stays declarative): LM = one groupBy over
       // exploded words; scoring = one keyed join + per-doc agg
       val out = graft.operators.LanguageModel.pseudoPerplexity(
-        docs(s, dir), "doc_id", "text")
+        docs(s, dir), "doc_id", "text", parallelism = OpParallelism)
       out.select(col("doc_id"), col("n_words"),
         round(col("pseudo_ppl"), 6).as("pseudo_ppl"))
         .orderBy("doc_id")
@@ -698,7 +698,7 @@ object SparkEntry {
       // pass + keyed score joins, bigrams from a per-row transform
       // (no window, no self-join)
       val out = graft.operators.LanguageModel.bigramPseudoPerplexity(
-        docs(s, dir), "doc_id", "text")
+        docs(s, dir), "doc_id", "text", parallelism = OpParallelism)
       out.select(col("doc_id"), col("n_words"),
         round(col("pseudo_ppl_bigram"), 6).as("pseudo_ppl_bigram"))
         .orderBy("doc_id")
@@ -710,7 +710,7 @@ object SparkEntry {
       // over the same one exploded pass, trigram denominators from the
       // bigram model frame keyed one position over, still declarative
       val out = graft.operators.LanguageModel.trigramPseudoPerplexity(
-        docs(s, dir), "doc_id", "text")
+        docs(s, dir), "doc_id", "text", parallelism = OpParallelism)
       out.select(col("doc_id"), col("n_words"),
         round(col("pseudo_ppl_tri"), 6).as("pseudo_ppl_tri"))
         .orderBy("doc_id")

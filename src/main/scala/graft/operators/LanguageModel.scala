@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** Fan a SMALL input out before the per-row tokenize/transform work
+    * — same rationale as the dedup family's spread: a sub-megabyte
+    * parquet arrives as ONE scan partition, serializing all regex and
+    * n-gram construction onto a single task (measured 10-16 s at
+    * sf0.1 on one core vs sub-second spread over 32). `parallelism =
+    * 0` leaves large inputs' natural splits alone. */
+  private def spread(df: DataFrame, parallelism: Int): DataFrame =
+    if (parallelism > 0) df.repartition(parallelism) else df
+
   /** Unigram log-probabilities of the corpus: (word, logp) with
     * logp = ln(count / total). Deterministic: counts are exact longs
     * and the log runs per-word. */
@@ -56,8 +65,9 @@ object LanguageModel {
     * nothing. */
   def pseudoPerplexity(docs: DataFrame, idCol: String, textCol: String,
                        lm: Option[DataFrame] = None,
-                       oovLogp: Double = math.log(1e-9)): DataFrame = {
-    val tokensRaw = docs
+                       oovLogp: Double = math.log(1e-9),
+                       parallelism: Int = 0): DataFrame = {
+    val tokensRaw = spread(docs, parallelism)
       .select(col(idCol),
         explode(TextFunctions.normalizedWords(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -109,7 +119,8 @@ object LanguageModel {
     * AQE broadcasts them when they fit. Tokens are persisted across
     * the three scans (same caveat as self-LM mode above). */
   def bigramPseudoPerplexity(docs: DataFrame, idCol: String, textCol: String,
-                             alpha: Double = 0.4): DataFrame = {
+                             alpha: Double = 0.4,
+                             parallelism: Int = 0): DataFrame = {
     // raw split (not pre-filtered) so token POSITIONS mirror the oracle
     // exactly; normalizeText collapses runs of spaces, so the only
     // empty word is the whole-empty-text case, filtered after explode
@@ -118,7 +129,7 @@ object LanguageModel {
       struct(i.as("pos"), element_at(w, i + 1).as("word"),
         when(i === 0, lit(null).cast("string"))
           .otherwise(element_at(w, i)).as("prev")))
-    val tokensRaw = docs
+    val tokensRaw = spread(docs, parallelism)
       .select(col(idCol), explode(pairs).as("t"))
       .select(col(idCol), col("t.pos").as("pos"),
         col("t.word").as("word"), col("t.prev").as("prev"))
@@ -177,7 +188,8 @@ object LanguageModel {
     * contract like both lower-order gates. */
   def trigramPseudoPerplexity(docs: DataFrame, idCol: String,
                               textCol: String,
-                              alpha: Double = 0.4): DataFrame = {
+                              alpha: Double = 0.4,
+                              parallelism: Int = 0): DataFrame = {
     val w = split(TextFunctions.normalizeText(col(textCol)), " ")
     val pairs = transform(sequence(lit(0), size(w) - 1), i =>
       struct(i.as("pos"), element_at(w, i + 1).as("word"),
@@ -185,7 +197,7 @@ object LanguageModel {
           .otherwise(element_at(w, i)).as("prev"),
         when(i <= 1, lit(null).cast("string"))
           .otherwise(element_at(w, i - 1)).as("prev2")))
-    val tokensRaw = docs
+    val tokensRaw = spread(docs, parallelism)
       .select(col(idCol), explode(pairs).as("t"))
       .select(col(idCol), col("t.word").as("word"),
         col("t.prev").as("prev"), col("t.prev2").as("prev2"))
