@@ -451,10 +451,11 @@ object SparkEntry {
       val all = docs(s, dir)
       val idx = graft.operators.Dedup.minhashSignatureIndex(
         all.filter(col("doc_id") < 400), "doc_id", "text",
-        n = 2, numHashes = 16, bands = 8)
+        n = 2, numHashes = 16, bands = 8, parallelism = OpParallelism)
       graft.operators.Dedup.incrementalMinhashFlags(idx,
         all.filter(col("doc_id") >= 400), "doc_id", "text",
-        n = 2, numHashes = 16, bands = 8, threshold = 0.3)
+        n = 2, numHashes = 16, bands = 8, threshold = 0.3,
+        parallelism = OpParallelism)
         .select(col("id").as("doc_id"), col("status"),
           col("canonical_id"), col("est_jaccard"))
         .orderBy("doc_id")

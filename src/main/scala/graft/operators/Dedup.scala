@@ -837,10 +837,10 @@ object Dedup {
     * engine-portable. */
   def minhashSignatureIndex(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, numHashes: Int = 16,
-                            bands: Int = 8): DataFrame = {
+                            bands: Int = 8, parallelism: Int = 0): DataFrame = {
     val rpb = numHashes / bands
     require(bands * rpb == numHashes, "bands must divide numHashes")
-    val sig = df.select(col(idCol).as("id"),
+    val sig = spread(df, parallelism).select(col(idCol).as("id"),
       shinglesFromWords(normalizedWords(col(textCol)), n).as("__sh"))
       .select(col("id"), portableMinhashSig(col("__sh"), numHashes).as("sig"))
     sig.select(col("id"), col("sig"),
@@ -876,7 +876,8 @@ object Dedup {
                               idCol: String, textCol: String,
                               n: Int = 3, numHashes: Int = 16,
                               bands: Int = 8, threshold: Double = 0.5,
-                              maxBucket: Int = 1000): DataFrame = {
+                              maxBucket: Int = 1000,
+                              parallelism: Int = 0): DataFrame = {
     def est(a: Column, b: Column): Column =
       size(filter(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         v => v === 1)).cast("double") / size(a)
@@ -884,7 +885,8 @@ object Dedup {
     // candidates, in-batch candidates x2) — cache it, release via the
     // registry contract; the batch is bounded by the ingestion unit
     val bIdx = graft.CacheRegistry.register(
-      minhashSignatureIndex(batch, idCol, textCol, n, numHashes, bands)
+      minhashSignatureIndex(batch, idCol, textCol, n, numHashes, bands,
+        parallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val batchBuckets = bIdx.select("band", "bucket").distinct()
     val corpusHit = pruneBuckets(
