@@ -39,15 +39,24 @@ object DocStreams {
     * `shouldRunAnotherBatch = true` unconditionally, so the default
     * ASAP trigger busy-loops no-data micro-batches; an interval
     * trigger turns that into one eviction sweep per interval.
-    */
+    *
+    * `initialKeepers` SEEDS the state with an existing corpus keeper
+    * table ((fp, canonical_id) — exactly `Dedup.exactGroups` output):
+    * the streaming face of `Dedup.incrementalDupFlags`' production
+    * asymmetry. A stream started against a 100-TB corpus's keeper
+    * table tombstones corpus duplicates from the FIRST micro-batch,
+    * without replaying the corpus through the stream; Spark
+    * distributes the initial state through the state store exactly
+    * like live state (one long per fingerprint). */
   def streamingDupMap(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      stateTtlMs: Option[Long] = None): DataFrame = {
+                      stateTtlMs: Option[Long] = None,
+                      initialKeepers: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     keyedDupMap(docs.select(col(idCol).cast("long").as("id"),
       TextFunctions.fingerprint(col(textCol)).as("fp"))
-      .as[(Long, String)], stateTtlMs)
+      .as[(Long, String)], stateTtlMs, initialKeepers)
   }
 
   /** Streaming URL-identity dedup map: [[streamingDupMap]] keyed by the
@@ -60,7 +69,8 @@ object DocStreams {
     * operator. State = one long per distinct canonical URL. */
   def streamingUrlDupMap(docs: DataFrame, idCol: String = "doc_id",
                          urlCol: String = "url",
-                         stateTtlMs: Option[Long] = None): DataFrame = {
+                         stateTtlMs: Option[Long] = None,
+                         initialKeepers: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val typed = docs.select(col(idCol).cast("long").as("id"),
@@ -69,47 +79,63 @@ object DocStreams {
       .select(col("id").as("doc_id"), col("id").as("canonical_id"),
         lit(false).as("is_duplicate"))
     keyedDupMap(typed.filter(col("fp").isNotNull).as[(Long, String)],
-      stateTtlMs).unionByName(quarantine)
+      stateTtlMs, initialKeepers).unionByName(quarantine)
   }
 
   /** Shared stateful core of the dedup maps: first-seen-wins canonical
-    * per key, one long of state per distinct key. */
+    * per key, one long of state per distinct key; optionally seeded
+    * from a (fp, canonical_id) keeper table via Spark's initial-state
+    * API (state-store-distributed, never driver-collected). */
   private def keyedDupMap(typed: org.apache.spark.sql.Dataset[(Long, String)],
-                          stateTtlMs: Option[Long]): DataFrame = {
+                          stateTtlMs: Option[Long],
+                          initialKeepers: Option[DataFrame] = None): DataFrame = {
     val spark = typed.sparkSession
     import spark.implicits._
     val timeoutConf = if (stateTtlMs.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
-    typed.groupByKey(_._2)
-      .flatMapGroupsWithState[Long, DupMapOut](
-        OutputMode.Append(), timeoutConf) {
-        case (_, rows, state: GroupState[Long]) =>
-          if (state.hasTimedOut) {
-            // idle past TTL: evict (groups receiving data in this batch
-            // are invoked with hasTimedOut = false instead)
-            state.remove()
-            Iterator.empty
+    val func = (key: String, rows: Iterator[(Long, String)],
+                state: GroupState[Long]) =>
+      if (state.hasTimedOut) {
+        // idle past TTL: evict (groups receiving data in this batch
+        // are invoked with hasTimedOut = false instead)
+        state.remove()
+        Iterator.empty
+      } else {
+        // ascend by id: deterministic within a micro-batch, and the
+        // canonical of a fresh fingerprint is the batch-minimum id
+        val ids = rows.map(_._1).toArray.sorted
+        var canon = state.getOption.getOrElse(-1L)
+        val out = new Array[DupMapOut](ids.length)
+        var i = 0
+        while (i < ids.length) {
+          if (canon < 0) {
+            canon = ids(i)
+            state.update(canon)
+            out(i) = DupMapOut(ids(i), canon, is_duplicate = false)
           } else {
-            // ascend by id: deterministic within a micro-batch, and the
-            // canonical of a fresh fingerprint is the batch-minimum id
-            val ids = rows.map(_._1).toArray.sorted
-            var canon = state.getOption.getOrElse(-1L)
-            val out = new Array[DupMapOut](ids.length)
-            var i = 0
-            while (i < ids.length) {
-              if (canon < 0) {
-                canon = ids(i)
-                state.update(canon)
-                out(i) = DupMapOut(ids(i), canon, is_duplicate = false)
-              } else {
-                out(i) = DupMapOut(ids(i), canon, is_duplicate = true)
-              }
-              i += 1
-            }
-            stateTtlMs.foreach(state.setTimeoutDuration)
-            out.iterator
+            out(i) = DupMapOut(ids(i), canon, is_duplicate = true)
           }
-      }.toDF()
+          i += 1
+        }
+        stateTtlMs.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    val grouped = typed.groupByKey(_._2)
+    initialKeepers match {
+      case Some(keepers) =>
+        val init = keepers
+          .select(col("fp").cast("string"),
+            col("canonical_id").cast("long"))
+          .as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState[Long, DupMapOut](
+          OutputMode.Append(), timeoutConf, init)(func)
+          .toDF()
+      case None =>
+        grouped.flatMapGroupsWithState[Long, DupMapOut](
+          OutputMode.Append(), timeoutConf)(func)
+          .toDF()
+    }
   }
 
   case class PairOut(id_a: Long, id_b: Long, est_jaccard: Double)

@@ -179,6 +179,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup map seeded with a corpus keeper table links corpus dups from batch one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the existing corpus's keeper table — built ONCE by batch
+    // exactGroups, never replayed through the stream
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "corpus only delta")).toDF("doc_id", "text")
+    val keepers = graft.operators.Dedup.exactGroups(corpus, "doc_id", "text")
+      .select(col("fp"), col("canonical_id"))
+    val stream = MemoryStream[(Long, String)]
+    val streamDf = stream.toDF().toDF("doc_id", "text")
+    val q = DocStreams.streamingDupMap(streamDf,
+      initialKeepers = Some(keepers))
+      .writeStream.format("memory").queryName("seeded_dup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: a corpus duplicate (case/space variant) + a new doc
+      stream.addData((10L, "ALPHA   beta gamma!"), (11L, "fresh content"))
+      q.processAllAvailable()
+      val b1 = spark.table("seeded_dup_test").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(b1(10L) == ((1L, true)),
+        s"corpus dup must link to the CORPUS canonical in batch 1: $b1")
+      assert(b1(11L) == ((11L, false)), s"$b1")
+      // batch 2: dup of the batch-1 NEW doc + another corpus dup
+      stream.addData((12L, "fresh content"), (13L, "corpus only delta"))
+      q.processAllAvailable()
+      val b2 = spark.table("seeded_dup_test").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(b2(12L) == ((11L, true)) && b2(13L) == ((3L, true)), s"$b2")
+    } finally q.stop()
+  }
+
   test("streaming dedup map: single batch reproduces batch exactGroups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
