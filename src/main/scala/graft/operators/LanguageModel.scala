@@ -147,13 +147,22 @@ object LanguageModel {
       .select(col("prev"), col("word"),
         (log(col("c2")) - log(col("cprev"))).as("ls2"))
     val logp1 = log(col("c1")) - log(col("n"))
-    tokens
+    // Self-LM scoring: the model is built from the same token frame, so
+    // every observed bigram is in blm by construction — the alpha
+    // backoff branch can never fire here (it matters only for an
+    // external-model variant). Each position class therefore needs
+    // exactly ONE join: pos 0 (one row per doc) against the vocab-sized
+    // unigram frame, pos >= 1 against the bigram model. This halves the
+    // corpus-token-sized join work vs routing every token through both
+    // joins; values are identical because the skipped branches were
+    // unreachable.
+    val firstLs = tokens.filter(col("prev").isNull)
       .join(uni, Seq("word"))
-      .join(blm, Seq("prev", "word"), "left")
-      .select(col(idCol),
-        when(col("prev").isNull, logp1)
-          .otherwise(coalesce(col("ls2"), log(lit(alpha)) + logp1))
-          .as("ls"))
+      .select(col(idCol), logp1.as("ls"))
+    val restLs = tokens.filter(col("prev").isNotNull)
+      .join(blm, Seq("prev", "word"))
+      .select(col(idCol), col("ls2").as("ls"))
+    firstLs.unionByName(restLs)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), avg(col("ls")).as("mean_ls"))
       .select(col(idCol), col("n_words"),
@@ -225,16 +234,25 @@ object LanguageModel {
       .select(col("prev2"), col("prev"), col("word"),
         (log(col("c3")) - log(col("cctx"))).as("ls3"))
     val logp1 = log(col("c1")) - log(col("n"))
-    val sBigram = coalesce(col("ls2"), log(lit(alpha)) + logp1)
-    tokens
+    // Self-LM scoring, same argument as the bigram gate one order up:
+    // every observed trigram is in tlm and every observed bigram in blm
+    // (the models are built from this very token frame), so the alpha
+    // backoff branches are unreachable and each position class needs
+    // exactly ONE join — pos 0 -> unigram (one row per doc), pos 1 ->
+    // bigram (one row per doc), pos >= 2 -> trigram. That turns three
+    // corpus-token-sized joins into one (the trigram join) plus two
+    // doc-count-sized ones; values are identical to the routed-through
+    // formulation because the skipped branches could never fire.
+    val firstLs = tokens.filter(col("prev").isNull)
       .join(uni, Seq("word"))
-      .join(blm, Seq("prev", "word"), "left")
-      .join(tlm, Seq("prev2", "prev", "word"), "left")
-      .select(col(idCol),
-        when(col("prev").isNull, logp1)
-          .otherwise(when(col("prev2").isNull, sBigram)
-            .otherwise(coalesce(col("ls3"), log(lit(alpha)) + sBigram)))
-          .as("ls"))
+      .select(col(idCol), logp1.as("ls"))
+    val secondLs = tokens.filter(col("prev").isNotNull && col("prev2").isNull)
+      .join(blm, Seq("prev", "word"))
+      .select(col(idCol), col("ls2").as("ls"))
+    val restLs = tokens.filter(col("prev2").isNotNull)
+      .join(tlm, Seq("prev2", "prev", "word"))
+      .select(col(idCol), col("ls3").as("ls"))
+    firstLs.unionByName(secondLs).unionByName(restLs)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), avg(col("ls")).as("mean_ls"))
       .select(col(idCol), col("n_words"),
