@@ -1336,6 +1336,74 @@ class OperatorsSpec extends AnyFunSuite {
       assert(n == 2 && math.abs(p - want) < 1e-12, s"got $got want $want") }
   }
 
+  test("bigram/trigram LM match a full-backoff driver reference on a random corpus") {
+    import spark.implicits._
+    // The operators score each position class with exactly ONE model
+    // join, on the argument that self-LM backoff branches can never
+    // fire. This reference implements the FULL Stupid-Backoff
+    // recursion (backoff branches included) driver-side and must agree
+    // exactly — and its backoff counters must stay at zero, proving
+    // the dead-branch invariant on arbitrary data, not just the
+    // closed-form corpora above.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "Gamma", "delta-9", "ε", "zed",
+      "the", "of", "and", "x7")
+    val docs = (1L to 60L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else ", ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    def norm(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9]", " ")
+        .replaceAll(" +", " ").trim.split(" ").toSeq.filter(_.nonEmpty)
+    val toks = docs.map { case (id, t) => id -> norm(t) }.filter(_._2.nonEmpty)
+    val all = toks.flatMap(_._2)
+    val nTot = all.size.toDouble
+    val c1 = all.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c2 = toks.flatMap(_._2.sliding(2).filter(_.size == 2))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c3 = toks.flatMap(_._2.sliding(3).filter(_.size == 3))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    var backoffs = 0
+    def sUni(w: String) = math.log(c1(w) / nTot)
+    def sBi(v: String, w: String) = c2.get(Seq(v, w)) match {
+      case Some(c) => math.log(c / c1(v))
+      case None => backoffs += 1; math.log(0.4) + sUni(w)
+    }
+    def sTri(u: String, v: String, w: String) = c3.get(Seq(u, v, w)) match {
+      case Some(c) => math.log(c / c2(Seq(u, v)))
+      case None => backoffs += 1; math.log(0.4) + sBi(v, w)
+    }
+    val wantBi = toks.map { case (id, ws) =>
+      val ls = ws.zipWithIndex.map { case (w, i) =>
+        if (i == 0) sUni(w) else sBi(ws(i - 1), w) }
+      id -> math.exp(-ls.sum / ls.size)
+    }.toMap
+    val wantTri = toks.map { case (id, ws) =>
+      val ls = ws.zipWithIndex.map { case (w, i) =>
+        if (i == 0) sUni(w)
+        else if (i == 1) sBi(ws(0), w)
+        else sTri(ws(i - 2), ws(i - 1), w) }
+      id -> math.exp(-ls.sum / ls.size)
+    }.toMap
+    val lm = graft.operators.LanguageModel
+    val gotBi = lm.bigramPseudoPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gotTri = lm.trigramPseudoPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gotBi.keySet == wantBi.keySet && gotTri.keySet == wantTri.keySet)
+    wantBi.foreach { case (id, w) =>
+      assert(math.abs(gotBi(id) - w) <= 1e-9 * math.max(1.0, w),
+        s"bigram doc $id: got ${gotBi(id)} want $w") }
+    wantTri.foreach { case (id, w) =>
+      assert(math.abs(gotTri(id) - w) <= 1e-9 * math.max(1.0, w),
+        s"trigram doc $id: got ${gotTri(id)} want $w") }
+    assert(backoffs == 0,
+      s"self-LM reference took $backoffs backoff branches — the " +
+        "one-join-per-position-class plan would be WRONG for this corpus")
+  }
+
   test("trigram LM separates a bigram-preserving half-swap the bigram model scores flat") {
     import spark.implicits._
     val lm = graft.operators.LanguageModel
