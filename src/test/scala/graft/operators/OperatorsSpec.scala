@@ -1360,45 +1360,37 @@ class OperatorsSpec extends AnyFunSuite {
     val toks = docs.map { case (id, t) => id -> norm(t) }.filter(_._2.nonEmpty)
     val all = toks.flatMap(_._2)
     val nTot = all.size.toDouble
-    val c1 = all.groupBy(identity).view.mapValues(_.size.toDouble).toMap
-    val c2 = toks.flatMap(_._2.sliding(2).filter(_.size == 2))
-      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
-    val c3 = toks.flatMap(_._2.sliding(3).filter(_.size == 3))
-      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    // cN(k): exact k-gram instance counts, k = 1..5
+    val cN = (1 to 5).map(k => k -> toks.flatMap(_._2.sliding(k).filter(_.size == k))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap).toMap
     var backoffs = 0
-    def sUni(w: String) = math.log(c1(w) / nTot)
-    def sBi(v: String, w: String) = c2.get(Seq(v, w)) match {
-      case Some(c) => math.log(c / c1(v))
-      case None => backoffs += 1; math.log(0.4) + sUni(w)
+    // full Stupid-Backoff recursion: S over the longest available
+    // context, alpha-backing off one context word at a time
+    def score(ws: Seq[String], i: Int, ord: Int): Double = {
+      val k = math.min(ord, i + 1)
+      if (k == 1) math.log(cN(1)(Seq(ws(i))) / nTot)
+      else cN(k).get(ws.slice(i - k + 1, i + 1)) match {
+        case Some(c) => math.log(c / cN(k - 1)(ws.slice(i - k + 1, i)))
+        case None => backoffs += 1; math.log(0.4) + score(ws, i, k - 1)
+      }
     }
-    def sTri(u: String, v: String, w: String) = c3.get(Seq(u, v, w)) match {
-      case Some(c) => math.log(c / c2(Seq(u, v)))
-      case None => backoffs += 1; math.log(0.4) + sBi(v, w)
-    }
-    val wantBi = toks.map { case (id, ws) =>
-      val ls = ws.zipWithIndex.map { case (w, i) =>
-        if (i == 0) sUni(w) else sBi(ws(i - 1), w) }
-      id -> math.exp(-ls.sum / ls.size)
-    }.toMap
-    val wantTri = toks.map { case (id, ws) =>
-      val ls = ws.zipWithIndex.map { case (w, i) =>
-        if (i == 0) sUni(w)
-        else if (i == 1) sBi(ws(0), w)
-        else sTri(ws(i - 2), ws(i - 1), w) }
+    def want(ord: Int): Map[Long, Double] = toks.map { case (id, ws) =>
+      val ls = ws.indices.map(i => score(ws, i, ord))
       id -> math.exp(-ls.sum / ls.size)
     }.toMap
     val lm = graft.operators.LanguageModel
-    val gotBi = lm.bigramPseudoPerplexity(df, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    val gotTri = lm.trigramPseudoPerplexity(df, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(gotBi.keySet == wantBi.keySet && gotTri.keySet == wantTri.keySet)
-    wantBi.foreach { case (id, w) =>
-      assert(math.abs(gotBi(id) - w) <= 1e-9 * math.max(1.0, w),
-        s"bigram doc $id: got ${gotBi(id)} want $w") }
-    wantTri.foreach { case (id, w) =>
-      assert(math.abs(gotTri(id) - w) <= 1e-9 * math.max(1.0, w),
-        s"trigram doc $id: got ${gotTri(id)} want $w") }
+    def check(tag: String, got: Map[Long, Double], w: Map[Long, Double]) = {
+      assert(got.keySet == w.keySet, s"$tag keyset mismatch")
+      w.foreach { case (id, v) =>
+        assert(math.abs(got(id) - v) <= 1e-9 * math.max(1.0, v),
+          s"$tag doc $id: got ${got(id)} want $v") }
+    }
+    check("bigram", lm.bigramPseudoPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap, want(2))
+    check("trigram", lm.trigramPseudoPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap, want(3))
+    check("5-gram", lm.ngramPseudoPerplexity(df, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap, want(5))
     assert(backoffs == 0,
       s"self-LM reference took $backoffs backoff branches — the " +
         "one-join-per-position-class plan would be WRONG for this corpus")
