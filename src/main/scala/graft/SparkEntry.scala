@@ -732,6 +732,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pseudo_ppl_ext" -> ((s, dir) => {
+      // cross-corpus LM gate — the CCNet PRODUCTION shape: train the
+      // trigram Stupid-Backoff LM on a clean reference subset
+      // (doc_id % 3 == 0 stands in for Wikipedia), score the whole
+      // corpus against it. Backoff is LIVE here (unseen n-grams/OOV
+      // words exist by construction): scoring cascades left joins over
+      // the shrinking miss set, one model order down per probe, with
+      // the ln(1e-9) OOV floor
+      val d = docs(s, dir)
+      val ref = d.filter(col("doc_id") % 3 === 0)
+      val out = graft.operators.LanguageModel.ngramPseudoPerplexity(
+        d, "doc_id", "text", 3, parallelism = OpParallelism,
+        modelDocs = Some(ref))
+      out.select(col("doc_id"), col("n_words"),
+        round(col("pseudo_ppl_3"), 6).as("pseudo_ppl_ext"))
+        .orderBy("doc_id")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 top-k keyword retrieval (Robertson-Zaragoza 2009, Lucene
       // idf): postings of the 5 query terms only ever shuffle — the
@@ -2865,6 +2883,52 @@ object SparkEntry {
                   tot)
            SELECT doc_id, count(*)::BIGINT AS n_words,
              round(exp(-avg(ls)), 6) AS pseudo_ppl_5
+           FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+      // cross-corpus gate: the trigram LM comes from the doc_id % 3 = 0
+      // subset, so backoff and the OOV floor are LIVE — unigram hits
+      // become LEFT joins with an ln(1e-9) fallback
+      "q_pseudo_ppl_ext" ->
+        s"""WITH t AS (
+             SELECT doc_id, regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           e AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t),
+           tok AS (SELECT doc_id, pos, w[pos+1] AS word,
+                     CASE WHEN pos < 1 THEN NULL ELSE w[pos] END AS p1,
+                     CASE WHEN pos < 2 THEN NULL ELSE w[pos-1] END AS p2
+                   FROM e WHERE length(w[pos+1]) > 0),
+           rtok AS (SELECT word, p1, p2 FROM tok WHERE doc_id % 3 = 0),
+           c1 AS (SELECT word, count(*)::DOUBLE AS c FROM rtok GROUP BY word),
+           tot AS (SELECT sum(c) AS n FROM c1),
+           c2 AS (SELECT p1, word, count(*)::DOUBLE AS c FROM rtok
+                  WHERE p1 IS NOT NULL GROUP BY p1, word),
+           c3 AS (SELECT p2, p1, word, count(*)::DOUBLE AS c FROM rtok
+                  WHERE p2 IS NOT NULL GROUP BY p2, p1, word),
+           l2 AS (SELECT c2.p1, c2.word, ln(c2.c) - ln(x.c) AS ls
+                  FROM c2 JOIN c1 x ON c2.p1 = x.word),
+           l3 AS (SELECT c3.p2, c3.p1, c3.word, ln(c3.c) - ln(x.c) AS ls
+                  FROM c3 JOIN c2 x ON c3.p2 = x.p1 AND c3.p1 = x.word),
+           sc AS (SELECT tok.doc_id,
+                    CASE WHEN tok.p1 IS NULL THEN
+                           coalesce(ln(u.c) - ln(tot.n),
+                             ln(0.000000001::DOUBLE))
+                         WHEN tok.p2 IS NULL THEN coalesce(l2.ls,
+                           ln(0.4::DOUBLE) +
+                             coalesce(ln(u.c) - ln(tot.n),
+                               ln(0.000000001::DOUBLE)))
+                         ELSE coalesce(l3.ls,
+                           ln(0.4::DOUBLE) + coalesce(l2.ls,
+                             ln(0.4::DOUBLE) +
+                               coalesce(ln(u.c) - ln(tot.n),
+                                 ln(0.000000001::DOUBLE))))
+                    END AS ls
+                  FROM tok LEFT JOIN c1 u ON tok.word = u.word
+                  LEFT JOIN l2 ON l2.p1 = tok.p1 AND l2.word = tok.word
+                  LEFT JOIN l3 ON l3.p2 = tok.p2 AND l3.p1 = tok.p1
+                    AND l3.word = tok.word,
+                  tot)
+           SELECT doc_id, count(*)::BIGINT AS n_words,
+             round(exp(-avg(ls)), 6) AS pseudo_ppl_ext
            FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
       "q_bm25" ->

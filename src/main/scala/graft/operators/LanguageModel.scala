@@ -170,14 +170,23 @@ object LanguageModel {
     * unnormalized). Output: (idCol, n_words, pseudo_ppl_<order>) with
     * pseudo_ppl = exp(-mean log S).
     *
-    * Self-LM scoring discipline (the r10 rewrite): the models are
-    * built from the very token frame being scored, so every observed
-    * k-gram is in its own model frame by construction and the alpha
-    * branches can never fire. Each position CLASS therefore takes
-    * exactly ONE inner model join — position p < order-1 (one row per
-    * doc each) joins the order-(p+1) frame, positions >= order-1 join
-    * the order-`order` frame. The classes are disjoint and exhaustive
-    * because a null prev_k implies null prev_{k+1}.
+    * Self-LM scoring discipline (the r10 rewrite): with `modelDocs`
+    * unset the models are built from the very token frame being
+    * scored, so every observed k-gram is in its own model frame by
+    * construction and the alpha branches can never fire. Each position
+    * CLASS therefore takes exactly ONE inner model join — position
+    * p < order-1 (one row per doc each) joins the order-(p+1) frame,
+    * positions >= order-1 join the order-`order` frame. The classes
+    * are disjoint and exhaustive because a null prev_k implies null
+    * prev_{k+1}.
+    *
+    * External-LM mode (`modelDocs = Some(reference)`) is the CCNet
+    * production shape — train the LM on a clean reference corpus,
+    * score the crawl — and there backoff IS live: each class cascades
+    * through left joins on the shrinking miss set, one model order
+    * down per probe, bottoming out at `oovLogp` (the floor for words
+    * the reference corpus has never seen, with the accumulated alpha
+    * chain applied — S(w) = exp(oovLogp) at order 1).
     *
     * 100-TB shape: `order` groupBys over ONE exploded token pass (all
     * map-side combined); each denominator c(u) is the already-built
@@ -190,29 +199,41 @@ object LanguageModel {
   def ngramPseudoPerplexity(docs: DataFrame, idCol: String,
                             textCol: String, order: Int,
                             alpha: Double = 0.4,
-                            parallelism: Int = 0): DataFrame = {
+                            parallelism: Int = 0,
+                            modelDocs: Option[DataFrame] = None,
+                            oovLogp: Double = math.log(1e-9)): DataFrame = {
     require(order >= 2 && order <= 8,
       s"order must be in [2, 8] (unigram = pseudoPerplexity), got $order")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
     // raw split (not pre-filtered) so token POSITIONS mirror the oracle
     // exactly; normalizeText collapses runs of spaces, so the only
     // empty word is the whole-empty-text case, filtered after explode
-    val w = split(TextFunctions.normalizeText(col(textCol)), " ")
-    val pairs = transform(sequence(lit(0), size(w) - 1), i =>
-      struct((Seq(i.as("pos"), element_at(w, i + 1).as("word")) ++
-        (1 until order).map(k =>
-          when(i < k, lit(null).cast("string"))
-            .otherwise(element_at(w, i + 1 - k)).as(s"prev$k"))): _*))
-    val tokensRaw = spread(docs, parallelism)
-      .select(col(idCol), explode(pairs).as("t"))
-      .select((col(idCol) +: col("t.word").as("word") +:
-        (1 until order).map(k => col(s"t.prev$k").as(s"prev$k"))): _*)
-      .filter(length(col("word")) > 0)
-    val tokens = graft.CacheRegistry.register(tokensRaw
+    def tokenize(src: DataFrame, withId: Boolean): DataFrame = {
+      val w = split(TextFunctions.normalizeText(col(textCol)), " ")
+      val pairs = transform(sequence(lit(0), size(w) - 1), i =>
+        struct((Seq(i.as("pos"), element_at(w, i + 1).as("word")) ++
+          (1 until order).map(k =>
+            when(i < k, lit(null).cast("string"))
+              .otherwise(element_at(w, i + 1 - k)).as(s"prev$k"))): _*))
+      val idCols = if (withId) Seq(col(idCol)) else Seq.empty
+      spread(src, parallelism)
+        .select((idCols :+ explode(pairs).as("t")): _*)
+        .select((idCols ++ (col("t.word").as("word") +:
+          (1 until order).map(k => col(s"t.prev$k").as(s"prev$k")))): _*)
+        .filter(length(col("word")) > 0)
+    }
+    val tokens = graft.CacheRegistry.register(tokenize(docs, withId = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // external mode builds the models from the reference corpus's
+    // tokens instead (cached: scanned once per order)
+    val modelTokens = modelDocs.map(md => graft.CacheRegistry.register(
+      tokenize(md, withId = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      .getOrElse(tokens)
     // context column names of an order-k gram, most distant first
     def ctxCols(k: Int): Seq[String] = (k - 1 to 1 by -1).map(j => s"prev$j")
-    val c1 = tokens.groupBy("word").agg(count(lit(1)).cast("double").as("cnt"))
+    val c1 = modelTokens.groupBy("word")
+      .agg(count(lit(1)).cast("double").as("cnt"))
     val total = c1.agg(sum("cnt").as("n"))
     val uniLs = c1.crossJoin(broadcast(total))
       .select(col("word"), (log(col("cnt")) - log(col("n"))).as("ls"))
@@ -222,7 +243,7 @@ object LanguageModel {
     var prevCounts = c1
     for (k <- 2 to order) {
       val keyCols = ctxCols(k) :+ "word"
-      val ck = tokens.filter(col(s"prev${k - 1}").isNotNull)
+      val ck = modelTokens.filter(col(s"prev${k - 1}").isNotNull)
         .groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).cast("double").as("cnt"))
       val ctx = prevCounts.select(
@@ -242,9 +263,38 @@ object LanguageModel {
         col(s"prev$k").isNull
       else col(s"prev${order - 1}").isNotNull
     val classLs = (1 to order).map { k =>
-      val keys = if (k == 1) Seq("word") else ctxCols(k) :+ "word"
-      tokens.filter(classFilter(k)).join(models(k), keys)
-        .select(col(idCol), col("ls"))
+      val classTok = tokens.filter(classFilter(k))
+      if (modelDocs.isEmpty) {
+        // self-LM fast path: every observed k-gram is in its own model
+        // frame, so the backoff branches are dead and ONE inner join
+        // per class suffices (see the scaladoc argument)
+        val keys = if (k == 1) Seq("word") else ctxCols(k) :+ "word"
+        classTok.join(models(k), keys).select(col(idCol), col("ls"))
+      } else {
+        // external-LM mode: backoff is LIVE. Cascade of left joins on
+        // the shrinking miss set — order j misses carry ln(alpha) into
+        // the order j-1 probe, bottoming out at the OOV floor. At scale
+        // the first join absorbs the seen majority, so the cascade's
+        // lower probes run on small residuals.
+        var residual = classTok.withColumn("pen", lit(0.0))
+        var parts = List.empty[DataFrame]
+        for (j <- k to 1 by -1) {
+          val keys = if (j == 1) Seq("word") else ctxCols(j) :+ "word"
+          val joined = residual.join(models(j), keys, "left")
+          parts ::= joined.filter(col("ls").isNotNull)
+            .select(col(idCol), (col("pen") + col("ls")).as("ls"))
+          residual = joined.filter(col("ls").isNull).drop("ls")
+          // ln(alpha) is the cost of DESCENDING an order; the OOV floor
+          // replaces S at order 1, it is not one more backoff step
+          if (j > 1)
+            residual = residual.withColumn("pen", col("pen") + log(lit(alpha)))
+        }
+        // OOV: the word itself is unseen in the reference corpus —
+        // floor log-prob, with the accumulated alpha chain applied
+        parts ::= residual
+          .select(col(idCol), (col("pen") + lit(oovLogp)).as("ls"))
+        parts.reduce(_ unionByName _)
+      }
     }
     classLs.reduce(_ unionByName _)
       .groupBy(idCol)

@@ -1396,6 +1396,72 @@ class OperatorsSpec extends AnyFunSuite {
         "one-join-per-position-class plan would be WRONG for this corpus")
   }
 
+  test("external-LM n-gram gate matches the live-backoff reference (CCNet shape)") {
+    import spark.implicits._
+    // Reference corpus and scored corpus DIFFER: the cascade of left
+    // joins must take real backoff branches, and words absent from the
+    // reference corpus must land on the OOV floor — the exact paths the
+    // self-LM fast path proves dead.
+    val rnd = new scala.util.Random(7)
+    val refVocab = Vector("alpha", "beta", "gamma", "delta", "zed", "the")
+    val refDocs = (1L to 40L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(10))(refVocab(rnd.nextInt(refVocab.size)))
+        .mkString(" ")
+    }
+    // scored docs mix reference vocab with OOV words and novel orders
+    val crawlVocab = refVocab ++ Vector("qqq", "zzz9")
+    val crawl = (100L to 140L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(9))(crawlVocab(rnd.nextInt(crawlVocab.size)))
+        .mkString(" ")
+    }
+    val refDf = refDocs.toDF("doc_id", "text")
+    val crawlDf = crawl.toDF("doc_id", "text")
+    def norm(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9]", " ")
+        .replaceAll(" +", " ").trim.split(" ").toSeq.filter(_.nonEmpty)
+    val refToks = refDocs.map(d => norm(d._2)).filter(_.nonEmpty)
+    val nTot = refToks.map(_.size).sum.toDouble
+    val cN = (1 to 4).map(k => k -> refToks.flatMap(_.sliding(k).filter(_.size == k))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap).toMap
+    val oov = math.log(1e-9)
+    var backoffs = 0
+    def score(ws: Seq[String], i: Int, ord: Int): Double = {
+      val k = math.min(ord, i + 1)
+      if (k == 1) cN(1).get(Seq(ws(i)))
+        .map(c => math.log(c / nTot)).getOrElse { oov }
+      else cN(k).get(ws.slice(i - k + 1, i + 1)) match {
+        case Some(c) => math.log(c / cN(k - 1)(ws.slice(i - k + 1, i)))
+        case None => backoffs += 1; math.log(0.4) + score(ws, i, k - 1)
+      }
+    }
+    val want = crawl.map { case (id, t) => id -> norm(t) }
+      .filter(_._2.nonEmpty).map { case (id, ws) =>
+        val ls = ws.indices.map(i => score(ws, i, 4))
+        id -> math.exp(-ls.sum / ls.size)
+      }.toMap
+    val got = graft.operators.LanguageModel
+      .ngramPseudoPerplexity(crawlDf, "doc_id", "text", 4,
+        modelDocs = Some(refDf))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, v) =>
+      assert(math.abs(got(id) - v) <= 1e-9 * math.max(1.0, v),
+        s"doc $id: got ${got(id)} want $v") }
+    assert(backoffs > 0,
+      "external-LM test corpus must actually exercise the backoff cascade")
+    // OOV words must floor, not drop: a doc of pure OOV words scores
+    // exp(-oovLogp) exactly (pos 0) and alpha-chained floors after
+    val pure = Seq(999L -> "qqq qqq").toDF("doc_id", "text")
+    val gp = graft.operators.LanguageModel
+      .ngramPseudoPerplexity(pure, "doc_id", "text", 2,
+        modelDocs = Some(refDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    // token 1: oov; token 2: bigram miss -> ln(0.4) + oov
+    val wantPure = math.exp(-(oov + (math.log(0.4) + oov)) / 2.0)
+    assert(gp._2 == 2 && math.abs(gp._3 - wantPure) <= 1e-9 * wantPure,
+      s"got $gp want $wantPure")
+  }
+
   test("trigram LM separates a bigram-preserving half-swap the bigram model scores flat") {
     import spark.implicits._
     val lm = graft.operators.LanguageModel
