@@ -271,29 +271,24 @@ object LanguageModel {
         val keys = if (k == 1) Seq("word") else ctxCols(k) :+ "word"
         classTok.join(models(k), keys).select(col(idCol), col("ls"))
       } else {
-        // external-LM mode: backoff is LIVE. Cascade of left joins on
-        // the shrinking miss set — order j misses carry ln(alpha) into
-        // the order j-1 probe, bottoming out at the OOV floor. At scale
-        // the first join absorbs the seen majority, so the cascade's
-        // lower probes run on small residuals.
-        var residual = classTok.withColumn("pen", lit(0.0))
-        var parts = List.empty[DataFrame]
+        // external-LM mode: backoff is LIVE. ONE pass of the class
+        // tokens through k left joins (orders k..1), then the alpha
+        // chain as a coalesce expression — exactly the oracle's shape.
+        // (A miss-set cascade looks cheaper but re-executes each join
+        // subtree once per deeper level unless every residual is
+        // persisted; the routed-through form scans the class once.)
+        var df = classTok
         for (j <- k to 1 by -1) {
           val keys = if (j == 1) Seq("word") else ctxCols(j) :+ "word"
-          val joined = residual.join(models(j), keys, "left")
-          parts ::= joined.filter(col("ls").isNotNull)
-            .select(col(idCol), (col("pen") + col("ls")).as("ls"))
-          residual = joined.filter(col("ls").isNull).drop("ls")
-          // ln(alpha) is the cost of DESCENDING an order; the OOV floor
-          // replaces S at order 1, it is not one more backoff step
-          if (j > 1)
-            residual = residual.withColumn("pen", col("pen") + log(lit(alpha)))
+          df = df.join(models(j).withColumnRenamed("ls", s"ls$j"),
+            keys, "left")
         }
-        // OOV: the word itself is unseen in the reference corpus —
-        // floor log-prob, with the accumulated alpha chain applied
-        parts ::= residual
-          .select(col(idCol), (col("pen") + lit(oovLogp)).as("ls"))
-        parts.reduce(_ unionByName _)
+        // ln(alpha) is the cost of DESCENDING an order; the OOV floor
+        // replaces S at order 1, it is not one more backoff step
+        var expr: org.apache.spark.sql.Column =
+          coalesce(col("ls1"), lit(oovLogp))
+        for (j <- 2 to k) expr = coalesce(col(s"ls$j"), log(lit(alpha)) + expr)
+        df.select(col(idCol), expr.as("ls"))
       }
     }
     classLs.reduce(_ unionByName _)
