@@ -157,6 +157,64 @@ object LanguageModel {
     ngramPseudoPerplexity(docs, idCol, textCol, 3, alpha, parallelism)
       .withColumnRenamed("pseudo_ppl_3", "pseudo_ppl_tri")
 
+  /** Context column names of an order-k gram, most distant first. */
+  private[graft] def ctxCols(k: Int): Seq[String] =
+    (k - 1 to 1 by -1).map(j => s"prev$j")
+
+  /** The n-gram token frame: one row per token with `word` and its
+    * `prev1..prev{order-1}` context columns (null at doc starts). Raw
+    * split (not pre-filtered) so token POSITIONS mirror the oracle
+    * exactly; normalizeText collapses runs of spaces, so the only
+    * empty word is the whole-empty-text case, filtered after explode.
+    * Works unchanged on a streaming `src` (pure per-row transform). */
+  private[graft] def tokenizeNgrams(src: DataFrame, idCol: Option[String],
+                                    textCol: String, order: Int,
+                                    parallelism: Int): DataFrame = {
+    val w = split(TextFunctions.normalizeText(col(textCol)), " ")
+    val pairs = transform(sequence(lit(0), size(w) - 1), i =>
+      struct((Seq(i.as("pos"), element_at(w, i + 1).as("word")) ++
+        (1 until order).map(k =>
+          when(i < k, lit(null).cast("string"))
+            .otherwise(element_at(w, i + 1 - k)).as(s"prev$k"))): _*))
+    val idCols = idCol.map(col).toSeq
+    spread(src, parallelism)
+      .select((idCols :+ explode(pairs).as("t")): _*)
+      .select((idCols ++ (col("t.word").as("word") +:
+        (1 until order).map(k => col(s"t.prev$k").as(s"prev$k")))): _*)
+      .filter(length(col("word")) > 0)
+  }
+
+  /** Stupid-Backoff model frames from a token frame: order-k frame
+    * keyed `ctxCols(k) :+ word` with `ls` = ln c_k(u, w) − ln c_{k−1}(u)
+    * — each denominator is the already-built order-(k−1) count frame
+    * re-keyed one position over (a model-frame join, never a corpus
+    * pass); order 1 carries ln c(w) − ln N. All counts are map-side
+    * combined groupBys over the one token pass. */
+  private[graft] def buildNgramModels(modelTokens: DataFrame,
+                                      order: Int): Map[Int, DataFrame] = {
+    val c1 = modelTokens.groupBy("word")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val total = c1.agg(sum("cnt").as("n"))
+    val uniLs = c1.crossJoin(broadcast(total))
+      .select(col("word"), (log(col("cnt")) - log(col("n"))).as("ls"))
+    val models = scala.collection.mutable.Map[Int, DataFrame](1 -> uniLs)
+    var prevCounts = c1
+    for (k <- 2 to order) {
+      val keyCols = ctxCols(k) :+ "word"
+      val ck = modelTokens.filter(col(s"prev${k - 1}").isNotNull)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val ctx = prevCounts.select(
+        ((1 to k - 2).map(j => col(s"prev$j").as(s"prev${j + 1}")) :+
+          col("word").as("prev1") :+ col("cnt").as("cctx")): _*)
+      models(k) = ck.join(ctx, ctxCols(k))
+        .select((keyCols.map(col) :+
+          (log(col("cnt")) - log(col("cctx"))).as("ls")): _*)
+      prevCounts = ck
+    }
+    models.toMap
+  }
+
   /** Order-`order` Stupid-Backoff pseudo-perplexity — the general gate
     * behind [[bigramPseudoPerplexity]] and [[trigramPseudoPerplexity]],
     * at `order = 5` the full CCNet/KenLM-order fluency filter. Score of
@@ -182,11 +240,13 @@ object LanguageModel {
     *
     * External-LM mode (`modelDocs = Some(reference)`) is the CCNet
     * production shape — train the LM on a clean reference corpus,
-    * score the crawl — and there backoff IS live: each class cascades
-    * through left joins on the shrinking miss set, one model order
-    * down per probe, bottoming out at `oovLogp` (the floor for words
-    * the reference corpus has never seen, with the accumulated alpha
-    * chain applied — S(w) = exp(oovLogp) at order 1).
+    * score the crawl — and there backoff IS live: each class routes
+    * ONCE through its k left model joins with the alpha chain as a
+    * coalesce expression, bottoming out at `oovLogp` (the floor for
+    * words the reference corpus has never seen, with the accumulated
+    * alpha chain applied — S(w) = exp(oovLogp) at order 1).
+    * [[graft.streaming.DocStreams.streamingLmGate]] is the streaming
+    * face: the same models as stream-static joins.
     *
     * 100-TB shape: `order` groupBys over ONE exploded token pass (all
     * map-side combined); each denominator c(u) is the already-built
@@ -205,55 +265,16 @@ object LanguageModel {
     require(order >= 2 && order <= 8,
       s"order must be in [2, 8] (unigram = pseudoPerplexity), got $order")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
-    // raw split (not pre-filtered) so token POSITIONS mirror the oracle
-    // exactly; normalizeText collapses runs of spaces, so the only
-    // empty word is the whole-empty-text case, filtered after explode
-    def tokenize(src: DataFrame, withId: Boolean): DataFrame = {
-      val w = split(TextFunctions.normalizeText(col(textCol)), " ")
-      val pairs = transform(sequence(lit(0), size(w) - 1), i =>
-        struct((Seq(i.as("pos"), element_at(w, i + 1).as("word")) ++
-          (1 until order).map(k =>
-            when(i < k, lit(null).cast("string"))
-              .otherwise(element_at(w, i + 1 - k)).as(s"prev$k"))): _*))
-      val idCols = if (withId) Seq(col(idCol)) else Seq.empty
-      spread(src, parallelism)
-        .select((idCols :+ explode(pairs).as("t")): _*)
-        .select((idCols ++ (col("t.word").as("word") +:
-          (1 until order).map(k => col(s"t.prev$k").as(s"prev$k")))): _*)
-        .filter(length(col("word")) > 0)
-    }
-    val tokens = graft.CacheRegistry.register(tokenize(docs, withId = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tokens = graft.CacheRegistry.register(
+      tokenizeNgrams(docs, Some(idCol), textCol, order, parallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // external mode builds the models from the reference corpus's
     // tokens instead (cached: scanned once per order)
     val modelTokens = modelDocs.map(md => graft.CacheRegistry.register(
-      tokenize(md, withId = false)
+      tokenizeNgrams(md, None, textCol, order, parallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
       .getOrElse(tokens)
-    // context column names of an order-k gram, most distant first
-    def ctxCols(k: Int): Seq[String] = (k - 1 to 1 by -1).map(j => s"prev$j")
-    val c1 = modelTokens.groupBy("word")
-      .agg(count(lit(1)).cast("double").as("cnt"))
-    val total = c1.agg(sum("cnt").as("n"))
-    val uniLs = c1.crossJoin(broadcast(total))
-      .select(col("word"), (log(col("cnt")) - log(col("n"))).as("ls"))
-    // order-k model frames: ls = ln c_k(u, w) - ln c_{k-1}(u), where the
-    // context u re-keys the order-(k-1) count frame one position over
-    val models = scala.collection.mutable.Map[Int, DataFrame](1 -> uniLs)
-    var prevCounts = c1
-    for (k <- 2 to order) {
-      val keyCols = ctxCols(k) :+ "word"
-      val ck = modelTokens.filter(col(s"prev${k - 1}").isNotNull)
-        .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).cast("double").as("cnt"))
-      val ctx = prevCounts.select(
-        ((1 to k - 2).map(j => col(s"prev$j").as(s"prev${j + 1}")) :+
-          col("word").as("prev1") :+ col("cnt").as("cctx")): _*)
-      models(k) = ck.join(ctx, ctxCols(k))
-        .select((keyCols.map(col) :+
-          (log(col("cnt")) - log(col("cctx"))).as("ls")): _*)
-      prevCounts = ck
-    }
+    val models = buildNgramModels(modelTokens, order)
     // position class k scores with the order-k model: class 1 = first
     // token, class k < order = exactly the token at position k-1,
     // class `order` = every later token

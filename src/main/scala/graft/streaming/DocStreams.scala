@@ -363,4 +363,74 @@ object DocStreams {
           out.iterator
       }.toDF()
   }
+
+  case class LmGateOut(doc_id: Long, n_words: Long, pseudo_ppl: Double)
+
+  /** Streaming LM quality gate — the streaming face of
+    * [[graft.operators.LanguageModel.ngramPseudoPerplexity]]'s
+    * external-model mode (the CCNet production shape run as an ingest
+    * filter): a pretrained order-`order` Stupid-Backoff LM from the
+    * STATIC `modelDocs` corpus scores every arriving document, with
+    * live backoff and the `oovLogp` floor.
+    *
+    * Plan shape: the model frames are built once, persisted, and hit
+    * as STREAM-STATIC left joins each micro-batch (the static side is
+    * state-store-free — at 100 TB the model is vocab/n-gram-type-sized
+    * and shuffles only against the batch's tokens, never the corpus).
+    * Tokens come from the same per-row transform as batch, so the
+    * stream needs no window or self-join; per-document aggregation
+    * runs through `flatMapGroupsWithState` that emits and REMOVES
+    * state in the same micro-batch — a document's tokens all arrive in
+    * its batch, so retained streaming state is ZERO (unlike a
+    * streaming groupBy().agg(), whose per-doc state never dies).
+    * Output: one (doc_id, n_words, pseudo_ppl) row per scored doc,
+    * Update mode. Fed the same data, results equal the batch
+    * external-mode operator doc-for-doc (tested; fp addition order
+    * differs, so compare at ~1e-12 relative).
+    *
+    * The model caches register with [[graft.CacheRegistry]]: release
+    * them after the stream stops. */
+  def streamingLmGate(docs: DataFrame, modelDocs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      order: Int = 3, alpha: Double = 0.4,
+                      oovLogp: Double = math.log(1e-9)): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val lm = graft.operators.LanguageModel
+    val models = lm.buildNgramModels(
+      lm.tokenizeNgrams(modelDocs, None, textCol, order, 0), order)
+      .map { case (k, df) => k -> graft.CacheRegistry.register(
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+    var scored = lm.tokenizeNgrams(docs, Some(idCol), textCol, order, 0)
+    for (j <- order to 1 by -1) {
+      val keys = if (j == 1) Seq("word") else lm.ctxCols(j) :+ "word"
+      scored = scored.join(models(j).withColumnRenamed("ls", s"ls$j"),
+        keys, "left")
+    }
+    // the alpha chain for a position-class-k token (ln(alpha) per
+    // descended order; the OOV floor replaces S at order 1)
+    def chain(k: Int) = {
+      var e = coalesce(col("ls1"), lit(oovLogp))
+      for (j <- 2 to k) e = coalesce(col(s"ls$j"), log(lit(alpha)) + e)
+      e
+    }
+    // class selection: prev_k null (and prev_{k-1} set, guaranteed by
+    // checking the most recent context first) <=> position k-1
+    var ls = chain(order)
+    for (k <- order - 1 to 1 by -1)
+      ls = when(col(s"prev$k").isNull, chain(k)).otherwise(ls)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    scored.select(col(idCol).cast("long").as("id"), ls.as("ls"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, LmGateOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (id, rows, state: GroupState[Boolean]) =>
+          var n = 0L; var s = 0.0
+          rows.foreach { r => n += 1; s += r._2 }
+          if (state.exists) state.remove()
+          Iterator(LmGateOut(id, n, math.exp(-s / n)))
+      }.toDF()
+  }
 }

@@ -508,6 +508,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming LM gate equals the batch external-mode gate across batches") {
+    // pretrain-batch / gate-stream: the CCNet ingest filter. The LM is
+    // built from a static reference corpus; arriving docs are scored
+    // via stream-static joins with live backoff + OOV floor, one
+    // result row per doc, zero retained state. Must equal the batch
+    // external-mode operator doc-for-doc (fp addition order differs —
+    // stream sums per group in iterator order, batch uses avg() —
+    // so ~1e-12 relative, not bit equality).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val refVocab = Vector("alpha", "beta", "gamma", "delta", "zed", "the")
+    val refDocs = (1L to 40L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(10))(refVocab(rnd.nextInt(refVocab.size)))
+        .mkString(" ")
+    }
+    val crawlVocab = refVocab ++ Vector("qqq", "zzz9")
+    val crawl = (100L to 160L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(9))(crawlVocab(rnd.nextInt(crawlVocab.size)))
+        .mkString(" ")
+    }
+    val refDf = refDocs.toDF("doc_id", "text")
+    val expected = graft.operators.LanguageModel
+      .ngramPseudoPerplexity(crawl.toDF("doc_id", "text"), "doc_id",
+        "text", 3, modelDocs = Some(refDf))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingLmGate(
+      stream.toDF().toDF("doc_id", "text"), refDf, order = 3)
+      .writeStream.format("memory").queryName("lmgate_test")
+      .outputMode("update").start()
+    stream.addData(crawl.take(30): _*)
+    q.processAllAvailable()
+    stream.addData(crawl.drop(30): _*)
+    q.processAllAvailable()
+    val got = spark.table("lmgate_test").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    q.stop()
+    graft.CacheRegistry.releaseAll()
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, p)) =>
+      assert(got(id)._1 == n, s"doc $id n_words: ${got(id)._1} != $n")
+      assert(math.abs(got(id)._2 - p) <= 1e-12 * math.max(1.0, p),
+        s"doc $id: stream ${got(id)._2} != batch $p")
+    }
+    // each doc emitted exactly once (state removed in its own batch)
+    assert(spark.table("lmgate_test").count() == expected.size)
+  }
+
   test("streaming token counts: complete-mode aggregation equals batch across batches") {
     // corpus heavy-hitter counting as a stream: one keyed aggregation
     // (state = one row per distinct token) in complete output mode —
