@@ -121,6 +121,44 @@ object BenchStreaming {
     } finally { out.stop(); spark.sql("DROP TABLE IF EXISTS bench_tokdf") }
   }
 
+  /** Streaming LM gate throughput: a pretrained trigram Stupid-Backoff
+    * model from a 500-doc static reference corpus scores arriving docs
+    * via stream-static joins (live backoff + OOV floor). State rows
+    * must read ZERO — the gate emits and removes per-doc state within
+    * each micro-batch. */
+  def benchLmGate(spark: SparkSession, batches: Int,
+                  batchSize: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = (0L until 500L).map(i => (i, docText(i, 30)))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.DocStreams.streamingLmGate(docs, ref,
+      broadcastModels = true)
+      .writeStream.format("memory").queryName("bench_lmgate")
+      .outputMode("update").start()
+    try {
+      var k = 100000L
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        val batch = Array.tabulate(batchSize)(i => (k + i, docText(k + i, 30)))
+        k += batchSize
+        stream.addData(batch.toIndexedSeq)
+        out.processAllAvailable()
+        b += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = batches.toLong * batchSize
+      Result("lm_gate_stream", rows, batches, dt, rows / dt,
+        stateRowsOf(out))
+    } finally {
+      out.stop(); graft.CacheRegistry.releaseAll()
+      spark.sql("DROP TABLE IF EXISTS bench_lmgate")
+    }
+  }
+
   /** MinHash-LSH near-dup pair stream throughput: every doc is
     * signatured (n-gram shingles -> 32 hashes), banded into 8 bucket
     * states, scored against stored members. ~6% of docs are exact
@@ -238,7 +276,9 @@ object BenchStreaming {
         "marginal_ms_per_doc" -> marginal(mBig, 1000)))
       benchTokenCounts(spark, batches = 2, batchSize = 200) // warm
       val t = benchTokenCounts(spark, batches = 10, batchSize = 1000)
-      Seq(s, m, floor, mBig2, t)
+      benchLmGate(spark, batches = 2, batchSize = 200) // warm
+      val g = benchLmGate(spark, batches = 10, batchSize = 1000)
+      Seq(s, m, floor, mBig2, t, g)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

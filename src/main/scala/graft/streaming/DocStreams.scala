@@ -393,14 +393,23 @@ object DocStreams {
   def streamingLmGate(docs: DataFrame, modelDocs: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text",
                       order: Int = 3, alpha: Double = 0.4,
-                      oovLogp: Double = math.log(1e-9)): DataFrame = {
+                      oovLogp: Double = math.log(1e-9),
+                      broadcastModels: Boolean = false): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
     val lm = graft.operators.LanguageModel
+    // AQE is disabled in stateful streaming queries, so the model joins
+    // default to sort-merge (a per-batch token shuffle). A PRUNED
+    // serving LM that fits the driver can opt into broadcast hints and
+    // make every micro-batch shuffle-free up to the per-doc agg; leave
+    // false for unbounded model corpora.
+    val hint: DataFrame => DataFrame =
+      if (broadcastModels) broadcast(_) else identity
     val models = lm.buildNgramModels(
       lm.tokenizeNgrams(modelDocs, None, textCol, order, 0), order)
-      .map { case (k, df) => k -> graft.CacheRegistry.register(
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) }
+      .map { case (k, df) => k -> hint(graft.CacheRegistry.register(
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      }
     var scored = lm.tokenizeNgrams(docs, Some(idCol), textCol, order, 0)
     for (j <- order to 1 by -1) {
       val keys = if (j == 1) Seq("word") else lm.ctxCols(j) :+ "word"
