@@ -161,6 +161,23 @@ object LanguageModel {
   private[graft] def ctxCols(k: Int): Seq[String] =
     (k - 1 to 1 by -1).map(j => s"prev$j")
 
+  /** Separator for single-column n-gram keys. `normalizeText` output is
+    * [a-z0-9 ] with single spaces, so U+0001 cannot occur in a word —
+    * the concatenated key is COLLISION-FREE (exact, not a hash). One
+    * string key per exchange instead of k keeps the near-corpus-sized
+    * order-k frames' shuffles narrow and their sort comparisons single
+    * -memcmp. */
+  private[graft] val GramSep = "\u0001"
+
+  /** The order-k gram key of a token row: context words most distant
+    * first, then the word. Only valid where the components are non-null
+    * (class-filtered frames); with nulls present concat_ws skips them,
+    * yielding a string with fewer separators that can never equal a
+    * true k-gram key — a harmless guaranteed-miss for left joins. */
+  private[graft] def gramKey(k: Int): org.apache.spark.sql.Column =
+    concat_ws(GramSep, ((if (k == 1) Seq.empty else ctxCols(k)) :+ "word")
+      .map(col): _*)
+
   /** The n-gram token frame: one row per token with `word` and its
     * `prev1..prev{order-1}` context columns (null at doc starts). Raw
     * split (not pre-filtered) so token POSITIONS mirror the oracle
@@ -185,31 +202,33 @@ object LanguageModel {
   }
 
   /** Stupid-Backoff model frames from a token frame: order-k frame
-    * keyed `ctxCols(k) :+ word` with `ls` = ln c_k(u, w) − ln c_{k−1}(u)
-    * — each denominator is the already-built order-(k−1) count frame
-    * re-keyed one position over (a model-frame join, never a corpus
-    * pass); order 1 carries ln c(w) − ln N. All counts are map-side
-    * combined groupBys over the one token pass. */
+    * keyed by the single-column `gram` key ([[gramKey]]) with `ls` =
+    * ln c_k(u, w) − ln c_{k−1}(u) — each denominator is the already
+    * -built order-(k−1) count frame, whose gram string IS the order-k
+    * gram's separator-truncated prefix (`substring_index`), so the
+    * denominator stays a model-frame join, never a corpus pass; order
+    * 1 carries ln c(w) − ln N. All counts are map-side combined
+    * groupBys over the one token pass, each shuffled on ONE string. */
   private[graft] def buildNgramModels(modelTokens: DataFrame,
                                       order: Int): Map[Int, DataFrame] = {
-    val c1 = modelTokens.groupBy("word")
-      .agg(count(lit(1)).cast("double").as("cnt"))
+    val c1 = modelTokens.select(col("word").as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("double").as("cnt"))
     val total = c1.agg(sum("cnt").as("n"))
     val uniLs = c1.crossJoin(broadcast(total))
-      .select(col("word"), (log(col("cnt")) - log(col("n"))).as("ls"))
+      .select(col("gram"), (log(col("cnt")) - log(col("n"))).as("ls"))
     val models = scala.collection.mutable.Map[Int, DataFrame](1 -> uniLs)
     var prevCounts = c1
     for (k <- 2 to order) {
-      val keyCols = ctxCols(k) :+ "word"
       val ck = modelTokens.filter(col(s"prev${k - 1}").isNotNull)
-        .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).cast("double").as("cnt"))
-      val ctx = prevCounts.select(
-        ((1 to k - 2).map(j => col(s"prev$j").as(s"prev${j + 1}")) :+
-          col("word").as("prev1") :+ col("cnt").as("cctx")): _*)
-      models(k) = ck.join(ctx, ctxCols(k))
-        .select((keyCols.map(col) :+
-          (log(col("cnt")) - log(col("cctx"))).as("ls")): _*)
+        .select(gramKey(k).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).cast("double").as("cnt"))
+      // the context (k-1)-gram's key = this key's first k-1 parts
+      val ctx = prevCounts.select(col("gram").as("ctx"),
+        col("cnt").as("cctx"))
+      models(k) = ck
+        .withColumn("ctx", substring_index(col("gram"), GramSep, k - 1))
+        .join(ctx, "ctx")
+        .select(col("gram"), (log(col("cnt")) - log(col("cctx"))).as("ls"))
       prevCounts = ck
     }
     models.toMap
@@ -289,8 +308,8 @@ object LanguageModel {
         // self-LM fast path: every observed k-gram is in its own model
         // frame, so the backoff branches are dead and ONE inner join
         // per class suffices (see the scaladoc argument)
-        val keys = if (k == 1) Seq("word") else ctxCols(k) :+ "word"
-        classTok.join(models(k), keys).select(col(idCol), col("ls"))
+        classTok.select(col(idCol), gramKey(k).as("gram"))
+          .join(models(k), "gram").select(col(idCol), col("ls"))
       } else {
         // external-LM mode: backoff is LIVE. ONE pass of the class
         // tokens through k left joins (orders k..1), then the alpha
@@ -298,12 +317,11 @@ object LanguageModel {
         // (A miss-set cascade looks cheaper but re-executes each join
         // subtree once per deeper level unless every residual is
         // persisted; the routed-through form scans the class once.)
-        var df = classTok
-        for (j <- k to 1 by -1) {
-          val keys = if (j == 1) Seq("word") else ctxCols(j) :+ "word"
-          df = df.join(models(j).withColumnRenamed("ls", s"ls$j"),
-            keys, "left")
-        }
+        var df = classTok.select(
+          (col(idCol) +: (1 to k).map(j => gramKey(j).as(s"gram$j"))): _*)
+        for (j <- k to 1 by -1)
+          df = df.join(models(j).withColumnRenamed("ls", s"ls$j")
+            .withColumnRenamed("gram", s"gram$j"), Seq(s"gram$j"), "left")
         // ln(alpha) is the cost of DESCENDING an order; the OOV floor
         // replaces S at order 1, it is not one more backoff step
         var expr: org.apache.spark.sql.Column =

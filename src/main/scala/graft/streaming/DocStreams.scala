@@ -410,11 +410,14 @@ object DocStreams {
       .map { case (k, df) => k -> hint(graft.CacheRegistry.register(
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
       }
+    // gram_j for a token whose class is below j concatenates fewer
+    // parts (concat_ws skips the null prevs) — a guaranteed join miss,
+    // and the class CASE below never reads those ls_j anyway
     var scored = lm.tokenizeNgrams(docs, Some(idCol), textCol, order, 0)
     for (j <- order to 1 by -1) {
-      val keys = if (j == 1) Seq("word") else lm.ctxCols(j) :+ "word"
-      scored = scored.join(models(j).withColumnRenamed("ls", s"ls$j"),
-        keys, "left")
+      scored = scored.withColumn(s"gram$j", lm.gramKey(j))
+        .join(models(j).withColumnRenamed("ls", s"ls$j")
+          .withColumnRenamed("gram", s"gram$j"), Seq(s"gram$j"), "left")
     }
     // the alpha chain for a position-class-k token (ln(alpha) per
     // descended order; the OOV floor replaces S at order 1)
