@@ -1396,6 +1396,31 @@ class OperatorsSpec extends AnyFunSuite {
         "one-join-per-position-class plan would be WRONG for this corpus")
   }
 
+  test("gram keys are collision-free: normalizeText can never emit the separator") {
+    import spark.implicits._
+    // The single-string n-gram key is exact (not a hash) because
+    // U+0001 cannot survive normalizeText — including when the RAW
+    // input contains U+0001, separators, or anything else outside
+    // [a-z0-9]: it all becomes a space, and words carry no spaces.
+    val adversarial = Seq(
+      "a\u0001b c", "x\u0001\u0001", "ab\u0001", "\u0001", "a  b",
+      "\u00dcn\u00efcode \u0001 mix 42", "tab\tand\u0001newline\n")
+    val got = adversarial.toDF("text")
+      .select(TextFunctions.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    got.foreach { n =>
+      assert(!n.contains('\u0001'), s"separator survived: '$n'")
+      assert(!n.split(" ").exists(_.contains(" ")))
+    }
+    // and key equality <=> tuple equality on sampled normalized tuples
+    val rnd = new scala.util.Random(3)
+    val words = Vector("a", "ab", "b", "ba", "aab", "1", "a1", "1a")
+    val tuples = Seq.fill(400)(Seq.fill(3)(words(rnd.nextInt(words.size))))
+    def key(t: Seq[String]) = t.mkString("\u0001")
+    for (t1 <- tuples.take(80); t2 <- tuples.take(80))
+      assert((key(t1) == key(t2)) == (t1 == t2), s"$t1 vs $t2")
+  }
+
   test("external-LM n-gram gate matches the live-backoff reference (CCNet shape)") {
     import spark.implicits._
     // Reference corpus and scored corpus DIFFER: the cascade of left
