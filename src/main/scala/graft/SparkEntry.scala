@@ -896,6 +896,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_zst_roundtrip" -> ((s, dir) => {
+      // zstd-compressed JSONL shards — the format crawl dumps actually
+      // ship in (The Pile / RedPajama / Dolma are .jsonl.zst). Hadoop's
+      // zstd text codec needs the NATIVE lib (absent in plain-JVM
+      // deployments); this source decodes shards through zstd-jni
+      // streams, one task per shard, same PERMISSIVE quarantine
+      // contract as the plain-JSONL source — the fixture truncates
+      // every 50th record mid-string inside a valid frame
+      val zdir = "/tmp/graft_zst_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.ZstJsonl.writeCorpus(
+        docs(s, dir).select("doc_id", "source", "text"), zdir,
+        nFiles = 8, corruptEvery = 50)
+      graft.sources.ZstJsonl.read(s, zdir)
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("text_md5"), col("parse_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_length_quantiles" -> ((s, dir) => {
       // per-source token-length distribution (the sequence-length
       // planning input): EXACT quantiles via the histogram reduction —
@@ -3134,6 +3152,14 @@ object SparkEntry {
            FROM documents GROUP BY source ORDER BY source""",
 
       "q_jsonl_roundtrip" ->
+        s"""SELECT doc_id, source, md5(text) AS text_md5, true AS parse_ok
+           FROM documents WHERE doc_id % 50 != 0
+           UNION ALL
+           SELECT NULL, NULL, NULL, false
+           FROM documents WHERE doc_id % 50 = 0
+           ORDER BY doc_id""",
+
+      "q_zst_roundtrip" ->
         s"""SELECT doc_id, source, md5(text) AS text_md5, true AS parse_ok
            FROM documents WHERE doc_id % 50 != 0
            UNION ALL
