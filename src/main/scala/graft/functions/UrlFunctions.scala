@@ -33,10 +33,15 @@ object UrlFunctions {
   /** Authority reduced to the bare host for SECURITY matching:
     * userinfo (`user:pass@`) and ANY port stripped, so
     * `http://u@evil.com/` or `http://evil.com:8080/` still hits a
-    * blocklist entry for `evil.com`. Distinct from [[urlHost]], which
-    * keeps non-default ports as part of dedup identity. */
+    * blocklist entry for `evil.com`. The userinfo strip is GREEDY
+    * (`^.*@` — everything through the LAST '@' in the authority):
+    * WHATWG/browser parsers split host at the last '@', so a lazy
+    * strip would let `http://x@y@evil.com/` keep `y@evil.com` and
+    * bypass the blocklist while the browser fetches `evil.com`.
+    * Distinct from [[urlHost]], which keeps non-default ports as part
+    * of dedup identity. */
   def urlBareHost(c: Column): Column =
-    regexp_replace(regexp_replace(urlHostPort(c), "^[^/?#@]*@", ""),
+    regexp_replace(regexp_replace(urlHostPort(c), "^.*@", ""),
       ":[0-9]*$", "")
 
   /** path + query with the fragment already excluded (the `[^#]*`

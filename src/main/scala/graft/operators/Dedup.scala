@@ -640,22 +640,29 @@ object Dedup {
     * fixed-width span chunking for delimiter-free text). Semantics:
     * for each distinct normalized-paragraph fingerprint, the GLOBAL
     * first occurrence (minimum (id, position)) is the keeper; every
-    * other occurrence is dropped. Output, one row per input document:
-    * paragraph count, kept count, and the cleaned document rebuilt
-    * from surviving paragraphs in original order.
+    * other occurrence is dropped. Output, one row per input document
+    * that has AT LEAST ONE paragraph (empty/NULL paragraph arrays
+    * carry nothing to dedup and are excluded, matching the r9 window
+    * formulation and the committed oracle): paragraph count, kept
+    * count, and the cleaned document rebuilt from surviving paragraphs
+    * in original order.
     *
-    * 100-TB shape: posexplode (linear in paragraphs) -> ONE
-    * fingerprint-keyed exchange whose per-fingerprint row_number
-    * assigns the keeper -> one id-keyed aggregate to reassemble. The
-    * corpus is scanned and the paragraph decomposition evaluated
-    * exactly ONCE (the aggregate-plus-join-back formulation reads the
-    * scan twice — Spark cannot reuse the exchange once one side
-    * aggregates and broadcasts). A window partition here is one
-    * fingerprint's occurrence list, i.e. the duplication multiplicity
-    * of ONE paragraph — sort-based, spillable, and the pathological
-    * corpus-wide boilerplate paragraph that would swell it is exactly
-    * what the operator removes (same trade [[dropExactDuplicates]]
-    * already makes at document granularity). */
+    * 100-TB shape (r10 combiner rewrite): posexplode (linear in
+    * paragraphs) -> keeper per fingerprint = `min(struct(id, pos,
+    * para))`, an ASSOCIATIVE aggregate that collapses the hot
+    * fingerprint in the map-side combiner — the exchange carries at
+    * most one row per (fp, map partition) and NO reducer ever holds a
+    * posting list, so a corpus-wide boilerplate paragraph cannot
+    * create a fat partition (the r9 window form shipped each
+    * fingerprint's whole occurrence list into one sorted partition;
+    * ~9x slower under 10% planted boilerplate, see SKEW.md). The kept
+    * text rides inside the min struct, so keepers reassemble into
+    * documents without ever joining back to the occurrence stream;
+    * the per-doc totals join is on the UNIQUE id key — skew-free by
+    * construction. Cost: the input is scanned twice (once for
+    * occurrences, once for totals) — two narrow scans for skew
+    * immunity is the right trade at 100 TB, where one straggler
+    * partition stalls the stage. */
   def paragraphDedup(df: DataFrame, idCol: String,
                      parasCol: String): DataFrame = {
     val occ = df
@@ -682,6 +689,11 @@ object Dedup {
     // the unique id key — skew-free by construction
     df.select(col(idCol).as("id"),
       size(col(parasCol)).cast("long").as("n_paras"))
+      // > 0 keeps the windowed-form contract: a doc with an empty or
+      // NULL paragraph array has no occurrence rows, so the window
+      // form omits it — the join-back must too, or the differential
+      // anchor and the oracle diverge on the first blank doc
+      .where(col("n_paras") > 0)
       .join(kept, Seq("id"), "left")
       .select(col("id"), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

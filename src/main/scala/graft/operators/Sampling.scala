@@ -106,11 +106,18 @@ object Sampling {
     * near-dup safety pass a cluster column from
     * [[graft.operators.Dedup.dupClusters]] to the column overload.
     * Both the fingerprint and the split bucket are md5-derived, so the
-    * assignment replays in any engine. */
+    * assignment replays in any engine.
+    *
+    * NULL text (quarantine rows from the JSONL/WARC sources) cannot be
+    * silently dropped by the inner join (NULL != NULL under equi-join
+    * semantics): each NULL-text row gets a per-id sentinel fingerprint
+    * — its own singleton group, which is also semantically right (no
+    * text means nothing to leak). */
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
                        splits: Seq[(String, Double)],
                        salt: String = "graft"): DataFrame = {
-    val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
+    val fp = coalesce(graft.functions.TextFunctions.fingerprint(col(textCol)),
+      concat(lit("@nulltext:"), col(idCol).cast("string")))
     val withFp = df.withColumn("__lsfp", fp)
     val canon = withFp.groupBy("__lsfp")
       .agg(min(col(idCol)).as("__lscanon"))

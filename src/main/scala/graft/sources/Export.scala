@@ -35,11 +35,17 @@ object Export {
     * protocol instead. */
   def writeSnapshot(df: DataFrame, dir: String,
                     partitionCol: String): Unit = {
+    // order-independent content hash = SUM of per-row hashes (wide
+    // decimal, no overflow). NOT bit_xor: xor cancels even-multiplicity
+    // rows ({X,X} -> 0 = {Y,Y} -> 0), so a changed source could still
+    // match a stale marker — the exact failure this fingerprint exists
+    // to prevent. Sum is duplicate-sensitive and commutative.
     val fp = df
       .agg(count(lit(1)).cast("long"),
-        coalesce(expr(s"bit_xor(xxhash64(struct(*)))"), lit(0L)))
+        coalesce(expr("sum(cast(xxhash64(struct(*)) as decimal(38,0)))"),
+          lit(java.math.BigDecimal.ZERO)))
       .head()
-    val want = s"${fp.getLong(0)}:${fp.getLong(1)}"
+    val want = s"${fp.getLong(0)}:${fp.getDecimal(1).toPlainString}"
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_EXPORT_DONE")
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker),

@@ -47,20 +47,38 @@ object ZstJsonl {
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
         files.flatMap { case (path, bytes) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var frameError: Option[String] = None
+          // LAZY line iterator: the task holds the compressed bytes
+          // (binaryFile already materialized those) plus ONE decoded
+          // line at a time — never the whole decompressed shard, which
+          // at crawl-dump ratios (3-6x over 100-500 MB files) would be
+          // gigabytes of Strings. A frame error surfaces as one final
+          // quarantine element; lines decoded before the damage were
+          // already emitted.
           val in = new BufferedReader(new InputStreamReader(
             new com.github.luben.zstd.ZstdInputStream(
               new ByteArrayInputStream(bytes)), UTF_8))
-          try {
-            var line = in.readLine()
-            while (line != null) { out += line; line = in.readLine() }
-          } catch {
-            case e: java.io.IOException =>
-              frameError = Some(s"_ZSTD_FRAME_ERROR $path: ${e.getMessage}")
-          } finally in.close()
-          out.iterator.map(l => (l, false)) ++
-            frameError.iterator.map(m => (m, true))
+          new Iterator[(String, Boolean)] {
+            private var pending: (String, Boolean) = _
+            private var closed = false
+            private def advance(): Unit = {
+              if (closed) { pending = null; return }
+              pending =
+                try {
+                  val line = in.readLine()
+                  if (line == null) { in.close(); closed = true; null }
+                  else (line, false)
+                } catch {
+                  case e: java.io.IOException =>
+                    in.close(); closed = true
+                    (s"_ZSTD_FRAME_ERROR $path: ${e.getMessage}", true)
+                }
+            }
+            advance()
+            override def hasNext: Boolean = pending != null
+            override def next(): (String, Boolean) = {
+              val r = pending; advance(); r
+            }
+          }
         }
       }.toDF("line", "frame_error")
     // the corrupt-record channel makes malformed-line detection exact:

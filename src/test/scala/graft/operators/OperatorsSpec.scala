@@ -2268,7 +2268,15 @@ class OperatorsSpec extends AnyFunSuite {
       "http://u@ads.bad.example:8080/x",
       // userinfo that merely CONTAINS a blocked name on a clean host
       // must not create a false positive
-      "http://bad.example@good.example/x")
+      "http://bad.example@good.example/x",
+      // multiple '@' signs: browsers split host at the LAST '@', so
+      // a lazy userinfo strip would keep "y@bad.example" and bypass
+      // the blocklist while the browser fetches bad.example
+      "http://x@y@bad.example/x",
+      "http://good.example@another@bad.example:8080/x",
+      // ...and the greedy strip must not flip the converse: blocked
+      // names inside a MULTI-@ userinfo on a clean host stay clean
+      "http://bad.example@bad.example@good.example/x")
       .zipWithIndex.map { case (u, i) => (i.toLong, u) }
     val got = rows.toDF("id", "url")
       .select(col("id"), graft.functions.UrlFunctions
@@ -2276,7 +2284,8 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(0L -> true, 1L -> true, 2L -> true, 3L -> false,
       4L -> true, 5L -> false, 6L -> false, 7L -> true, 8L -> true,
-      9L -> true, 10L -> true, 11L -> false), s"$got")
+      9L -> true, 10L -> true, 11L -> false, 12L -> true, 13L -> true,
+      14L -> false), s"$got")
   }
 
   test("paragraph dedup: normalization folds case/punct variants to one keeper") {
@@ -2287,5 +2296,44 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Dedup.paragraphDedup(in, "doc_id", "paras").collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == Map(10L -> 2L, 11L -> 1L))
+  }
+
+  test("paragraph dedup: empty and NULL paragraph arrays are excluded, matching the window anchor") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, Seq("alpha body", "beta body")),
+      (2L, Seq.empty[String]),                 // empty array: no occurrences
+      (3L, null.asInstanceOf[Seq[String]]),    // NULL array
+      (4L, Seq("alpha body"))                  // all paras owned elsewhere
+    ).toDF("doc_id", "paras")
+    val combiner = Dedup.paragraphDedup(in, "doc_id", "paras")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val windowed = Dedup.paragraphDedupWindowed(in, "doc_id", "paras")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the differential anchor holds on the empty/NULL edge, not just
+    // on dense fixtures: both forms omit docs 2 and 3, and doc 4
+    // (every paragraph kept elsewhere) appears with n_kept = 0
+    assert(combiner.toSeq == windowed.toSeq, s"${combiner.toSeq} vs ${windowed.toSeq}")
+    assert(combiner.map(_._1).toSeq == Seq(1L, 4L))
+    assert(combiner.find(_._1 == 4L).get._3 == 0L)
+  }
+
+  test("leakage-safe split: NULL-text quarantine rows are kept, each its own group") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "the same text"),
+      (2L, "the same text"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Sampling.leakageSafeSplit(in, "doc_id", "text",
+      Seq("train" -> 0.5, "test" -> 0.5)).collect()
+    // nothing silently dropped: all 4 rows come back (the inner join
+    // on the fingerprint key must not eat NULL-text rows)
+    assert(got.length == 4, s"expected 4 rows, got ${got.length}")
+    // exact-dup docs still land in the same split
+    val byId = got.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(1L) == byId(2L))
   }
 }

@@ -60,6 +60,24 @@ class ExportSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 40)
   }
 
+  test("export marker: even-multiplicity content change cannot collide (xor would cancel)") {
+    import spark.implicits._
+    // {X, X} and {Y, Y}: same count, and any per-row-hash XOR cancels
+    // both to 0 — the sum-based fingerprint must still tell them apart
+    val xs = Seq((1L, "s0", "xxx"), (1L, "s0", "xxx"))
+      .toDF("doc_id", "source", "text")
+    val ys = Seq((1L, "s0", "yyy"), (1L, "s0", "yyy"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_xor").toString
+    Export.writeSnapshot(xs, dir, "source")
+    assert(spark.read.parquet(dir).select("text").collect()
+      .forall(_.getString(0) == "xxx"))
+    Export.writeSnapshot(ys, dir, "source")
+    assert(spark.read.parquet(dir).select("text").collect()
+      .forall(_.getString(0) == "yyy"),
+      "duplicate-row content change must invalidate the export marker")
+  }
+
   test("bucketed layout: co-located join runs with zero shuffle exchanges") {
     import spark.implicits._
     val left = (0L until 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
