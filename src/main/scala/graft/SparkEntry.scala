@@ -583,6 +583,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_html_extract" -> ((s, dir) => {
+      // HTML main-content extraction (jusText-lite: Pomikálek 2011
+      // block segmentation + link-density/length scoring) — step 0 of
+      // a crawl pipeline. The documents table carries plain text and
+      // real crawls carry HTML, so each doc is wrapped in a
+      // deterministic page: title, nav bar, heading chrome, the doc
+      // text as the content paragraph with one inline link, an
+      // entity-bearing suffix on every 5th doc, a comment, and a
+      // linkful footer. The extractor must recover the content block
+      // and drop every piece of chrome; the DuckDB oracle replays
+      // page construction AND the full extraction chain, so title,
+      // density, block keep-decisions, and the rebuilt text (md5) are
+      // all value-checked. Pure codegen'd projection — no shuffle, no
+      // UDF (plan-asserted in HtmlSpec).
+      import graft.functions.HtmlFunctions
+      val entity = when(col("doc_id") % 5 === 0,
+        lit(" Tom &amp; Jerry &lt;3")).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit(" &amp; friends</title>" +
+          "<script>var x = \"<p>not text</p>\";</script>" +
+          "<style>p{color:red}</style></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+          "<a href=\"/contact\">Contact page</a></nav><h1>Menu</h1><p>"),
+        col("text"), entity,
+        lit(" see <a href=\"/more\">more details here</a></p>" +
+          "<!-- render 1234 --><footer><a href=\"/tos\">Terms</a> &amp; " +
+          "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      val blocks = HtmlFunctions.blockStats(html)
+      docs(s, dir).select(col("doc_id"),
+        HtmlFunctions.htmlTitle(html).as("title"),
+        HtmlFunctions.linkDensity(html).as("link_density"),
+        size(blocks).cast("long").as("n_blocks"),
+        size(filter(blocks, b => b.getField("words") >= 10 &&
+          b.getField("link_density") <= 0.35)).cast("long").as("n_kept"),
+        md5(HtmlFunctions.mainText(html).cast("binary")).as("main_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_embedding_drift" -> ((s, dir) => {
       // representation-space drift: per-source mean-embedding cosine
       // vs the corpus mean (vec_id == doc_id in the fixture) — the
@@ -1422,6 +1461,18 @@ object SparkEntry {
     }),
 
     // ---- events: relational windowed aggregation ----
+    "q_click_attribution" -> ((s, dir) => {
+      // stream-stream interval join run on its BATCH side (identical
+      // logical plan — the parity test in StreamingSpec proves the
+      // streaming run emits the same rows): every click joined to the
+      // same user's views in the preceding 4 hours, the attribution
+      // shape whose state Spark bounds via the two-sided watermark.
+      // round the double so agg-order variance can't flip the hash
+      graft.streaming.EventStreams.attributionJoin(events(s, dir))
+        .withColumn("click_value", round(col("click_value"), 6))
+        .orderBy("click_id", "view_id")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // ts may be a native timestamp (timestamp[us] fixture) or long
       // nanos (nanosAsLong reads of older fixtures) — dispatch on the
@@ -1796,9 +1847,10 @@ object SparkEntry {
         val fd = Future(Slope.fit(base, "features", "label",
           pp.copy(localCellLimit = 0)))
         val fl = Future(Slope.fit(base, "features", "label", pp))
-        val out = (Await.result(fd, Duration.Inf), Await.result(fl, Duration.Inf))
-        pool.shutdown()
-        out
+        // shutdown in finally: if either fit throws, the non-daemon
+        // pool threads must still die or the forked JVM never exits
+        try (Await.result(fd, Duration.Inf), Await.result(fl, Duration.Inf))
+        finally pool.shutdown()
       }
       import s.implicits._
       val shapeOk = dist.nSteps == 6 && loc.nSteps == 6
@@ -1832,9 +1884,10 @@ object SparkEntry {
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         val fd = Future(run(pp.copy(localCellLimit = 0)).summary)
         val fl = Future(run(pp).summary)
-        val out = (Await.result(fd, Duration.Inf), Await.result(fl, Duration.Inf))
-        pool.shutdown()
-        out
+        // shutdown in finally: a throwing fit must not leave non-daemon
+        // pool threads pinning the forked JVM open
+        try (Await.result(fd, Duration.Inf), Await.result(fl, Duration.Inf))
+        finally pool.shutdown()
       }
       val ok = dCells.length == lCells.length &&
         dCells.zip(lCells).forall { case (a, b) =>
@@ -2141,6 +2194,29 @@ object SparkEntry {
          SELECT id, id AS r FROM nodes
          UNION
          SELECT re.id, ed.dst AS r FROM reach re JOIN edges ed ON ed.src = re.r)"""
+
+  // --- q_html_extract oracle: the extraction chain as DuckDB SQL ---
+  // composed by string builders so the SQL provably applies the SAME
+  // kernel sequence as HtmlFunctions (strip non-content -> strip tags
+  // -> decode entities -> collapse whitespace), in the Java ∩ RE2
+  // regex subset with DuckDB's explicit 'g' flag
+  private def hStripNc(e: String): String =
+    Seq("script", "style", "noscript").foldLeft(
+      s"regexp_replace($e, '(?s)<!--.*?-->', ' ', 'g')") { (acc, t) =>
+      s"regexp_replace($acc, '(?is)<$t[^>]*>.*?</$t>', ' ', 'g')"
+    }
+  private def hTags(e: String): String =
+    s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
+  private def hEnt(e: String): String =
+    s"replace(replace(replace(replace(replace(replace($e, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), " +
+      "'&nbsp;', ' '), '&amp;', '&')"
+  private def hNorm(e: String): String =
+    s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+  private def hClean(e: String): String = hNorm(hEnt(hTags(e)))
+  private def hAnchor(e: String): String =
+    hClean(s"array_to_string(regexp_extract_all($e, " +
+      "'(?is)<a[^>]*>.*?</a>'), ' ')")
 
   def oracleSql: Map[String, String] = {
     val featRows = Feats.map { f =>
@@ -2650,6 +2726,56 @@ object SparkEntry {
                AND symr <= 0.1 AND alpha >= 0.8 AND stops >= 2
                AND uniq >= 0.3) AS pass
            FROM v ORDER BY doc_id"""
+      },
+
+      "q_html_extract" -> {
+        val bt = graft.functions.HtmlFunctions.BlockTags
+        s"""WITH h AS (
+             SELECT doc_id,
+               '<html><head><title>Doc ' || doc_id || ' &amp; friends</title><script>var x = "<p>not text</p>";</script><style>p{color:red}</style></head><body><nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact page</a></nav><h1>Menu</h1><p>'
+                 || text
+                 || CASE WHEN doc_id % 5 = 0 THEN ' Tom &amp; Jerry &lt;3' ELSE '' END
+                 || ' see <a href="/more">more details here</a></p><!-- render 1234 --><footer><a href="/tos">Terms</a> &amp; <a href="/privacy">Privacy</a></footer></body></html>'
+                 AS html
+             FROM documents),
+           b AS (SELECT doc_id, html, ${hStripNc("html")} AS body FROM h),
+           doc AS (
+             SELECT doc_id,
+               ${hNorm(hEnt("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)"))} AS title,
+               length(${hClean("body")}) AS vlen,
+               length(${hAnchor("body")}) AS alen
+             FROM b),
+           seg AS (
+             SELECT doc_id,
+               string_split(regexp_replace(body,
+                 '(?i)</?($bt)[^>]*>', chr(1), 'g'), chr(1)) AS bl
+             FROM b),
+           occ AS (SELECT doc_id, bl, unnest(range(len(bl))) AS i FROM seg),
+           blk AS (
+             SELECT doc_id, i,
+               ${hClean("bl[i+1]")} AS txt,
+               ${hAnchor("bl[i+1]")} AS anc
+             FROM occ),
+           nb AS (
+             SELECT doc_id, i, txt,
+               len(string_split(txt, ' ')) AS words,
+               round(length(anc)::DOUBLE / length(txt), 6) AS ld
+             FROM blk WHERE length(txt) > 0),
+           agg AS (
+             SELECT doc_id,
+               count(*)::BIGINT AS n_blocks,
+               sum(CASE WHEN words >= 10 AND ld <= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               md5(coalesce(string_agg(txt, chr(10) ORDER BY i)
+                 FILTER (WHERE words >= 10 AND ld <= 0.35), '')) AS main_md5
+             FROM nb GROUP BY doc_id)
+           SELECT d.doc_id, d.title,
+             CASE WHEN d.vlen > 0
+               THEN round(d.alen::DOUBLE / d.vlen, 6) ELSE 0.0 END
+               AS link_density,
+             coalesce(a.n_blocks, 0)::BIGINT AS n_blocks,
+             coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+             coalesce(a.main_md5, md5('')) AS main_md5
+           FROM doc d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
       },
 
       "q_embedding_drift" ->
@@ -3575,6 +3701,18 @@ object SparkEntry {
                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) >= 0.45
            ORDER BY id_a, id_b"""
       },
+
+      "q_click_attribution" ->
+        """SELECT c.event_id AS click_id, v.event_id AS view_id,
+             c.user_id,
+             (floor(epoch(c.ts))::BIGINT - floor(epoch(v.ts))::BIGINT)
+               AS lag_sec,
+             round(c.value, 6) AS click_value
+           FROM events c JOIN events v
+             ON c.user_id = v.user_id
+            AND c.event_type = 'click' AND v.event_type = 'view'
+            AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 14400 SECOND
+           ORDER BY click_id, view_id""",
 
       "q_events_window" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -47,6 +47,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution join: stream-stream interval self-join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = mkEvents(500)
+    val batchDf = data.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = EventStreams.attributionJoin(batchDf, windowSec = 900)
+      .orderBy("click_id", "view_id").collect()
+    assert(expected.nonEmpty, "fixture must exercise the join")
+
+    val stream = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = stream.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // both join sides are filtered branches of the SAME readStream —
+    // the self-join case; state on both sides, bounded by watermark
+    val q = EventStreams.attributionJoin(streamDf, windowSec = 900,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    val got = spark.table("attr_test").orderBy("click_id", "view_id").collect()
+    q.stop()
+
+    assert(got.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq,
+      s"stream ${got.length} rows vs batch ${expected.length}")
+  }
+
   test("streaming sessionization: gap splits emit finalized sessions once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
