@@ -622,6 +622,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_outlink_hosts" -> ((s, dir) => {
+      // outlink extraction + link-graph host degree (the crawl-graph
+      // signal: which hosts does the corpus point AT, and how much of
+      // that is blocked zones) — composes HtmlFunctions.outlinks with
+      // the URL kernels. Each synthetic page carries two absolute
+      // targets (every 7th doc links into a blocked ad zone; the rest
+      // a mixed-case non-default-port mirror that must canonicalize)
+      // plus relative/fragment/hrefless chrome anchors that must stay
+      // OUT of the host graph. Explode -> bare-host -> one groupBy:
+      // the link-graph degree plan at any scale.
+      import graft.functions.{HtmlFunctions, UrlFunctions}
+      val page = col("doc_id") % 100
+      val tgt1 = concat(lit("http://h"), page % 4,
+        lit(".graft.example/docs/"), page)
+      val tgt2 = when(col("doc_id") % 7 === 0,
+        concat(lit("http://ads.bad.graft.test/banner/"), col("doc_id") % 10))
+        .otherwise(concat(lit("https://MIRROR.h"), page % 4,
+          lit(".graft.example:8443/alt")))
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about'>About</a></nav><p>see <a href=\""),
+        tgt1, lit("\">first</a> and <a href='"), tgt2,
+        lit("'>second</a> plus <a href=\"#frag\">anchor</a> " +
+          "and <a>no href</a>.</p></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(HtmlFunctions.outlinks(html)).as("href"))
+        .filter(col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+        .select(UrlFunctions.urlBareHost(col("href")).as("host"),
+          UrlFunctions.hostBlocked(col("href"), Seq("bad.graft.test"))
+            .as("blocked"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+        .orderBy("host")
+    }),
+
     "q_embedding_drift" -> ((s, dir) => {
       // representation-space drift: per-source mean-embedding cosine
       // vs the corpus mean (vec_id == doc_id in the fixture) — the
@@ -2777,6 +2814,45 @@ object SparkEntry {
              coalesce(a.main_md5, md5('')) AS main_md5
            FROM doc d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
       },
+
+      "q_outlink_hosts" ->
+        """WITH pg AS (
+             SELECT doc_id,
+               'http://h' || ((doc_id % 100) % 4) || '.graft.example/docs/'
+                 || (doc_id % 100) AS t1,
+               CASE WHEN doc_id % 7 = 0
+                 THEN 'http://ads.bad.graft.test/banner/' || (doc_id % 10)
+                 ELSE 'https://MIRROR.h' || ((doc_id % 100) % 4)
+                   || '.graft.example:8443/alt' END AS t2
+             FROM documents),
+           h AS (
+             SELECT doc_id,
+               '<html><body><nav><a href="/">Home</a> <a href=''/about''>About</a></nav><p>see <a href="'
+                 || t1 || '">first</a> and <a href=''' || t2
+                 || '''>second</a> plus <a href="#frag">anchor</a> and <a>no href</a>.</p></body></html>'
+                 AS html
+             FROM pg),
+           l AS (
+             SELECT doc_id, unnest(list_concat(
+               regexp_extract_all(html, '(?is)<a[^>]*?href\s*=\s*"([^"]*)"', 1),
+               regexp_extract_all(html, '(?is)<a[^>]*?href\s*=\s*''([^'']*)''', 1)))
+               AS href
+             FROM h),
+           a AS (
+             SELECT doc_id, href FROM l
+             WHERE regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+           p AS (
+             SELECT href,
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(href,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                 '^.*@', ''), ':[0-9]*$', '') AS host
+             FROM a)
+           SELECT host, count(*)::BIGINT AS n_links,
+             sum(CASE WHEN host = 'bad.graft.test'
+               OR host LIKE '%.bad.graft.test' THEN 1 ELSE 0 END)::BIGINT
+               AS n_blocked
+           FROM p GROUP BY host ORDER BY host""",
 
       "q_embedding_drift" ->
         s"""WITH j AS (

@@ -116,6 +116,20 @@ object HtmlFunctions {
       }),
       b => b.getField("words") > 0)
 
+  /** All anchor href targets (quoted attribute values, double- then
+    * single-quoted — two RE2-safe passes since RE2 cannot express
+    * "either quote" without a backreference). Raw values: relative
+    * links and fragments included, so the caller decides what enters
+    * the link graph (the absolute-scheme filter in q_outlink_hosts is
+    * the usual one). Unquoted hrefs — rare in real markup, invalid in
+    * XHTML — are not matched; documented, not silent. */
+  def outlinks(c: Column): Column =
+    concat(
+      regexp_extract_all(c, lit("(?is)<a[^>]*?href\\s*=\\s*\"([^\"]*)\""),
+        lit(1)),
+      regexp_extract_all(c, lit("(?is)<a[^>]*?href\\s*=\\s*'([^']*)'"),
+        lit(1)))
+
   /** jusText-lite content extraction: keep blocks with at least
     * `minWords` words AND link density at most `maxLinkDensity`; the
     * kept blocks joined by single newlines are the training text.

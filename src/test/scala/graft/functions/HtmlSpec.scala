@@ -69,6 +69,16 @@ class HtmlSpec extends AnyFunSuite {
       rows(1).getDouble(2) == 1.0)
   }
 
+  test("outlinks: both quote styles extracted raw; hrefless anchors skipped") {
+    val html = "<a href=\"/rel\">r</a><a href='http://x.example/a'>x</a>" +
+      "<a href=\"#f\">f</a><a>none</a>" +
+      "<a id=\"z\" href=\"https://Y.example:8443/b\">y</a>"
+    val got = one(html, HtmlFunctions.outlinks).getSeq[String](0)
+    assert(got.toSet == Set("/rel", "http://x.example/a", "#f",
+      "https://Y.example:8443/b"), got.toString)
+    assert(got.length == 4, got.toString)
+  }
+
   test("malformed markup degrades to whitespace noise, never an exception") {
     val html = "<p>unclosed <div>nested <b>bold<p>and a stray > plus < floor"
     val got = one(html, HtmlFunctions.visibleText).getString(0)
