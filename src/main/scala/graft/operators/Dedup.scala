@@ -559,19 +559,42 @@ object Dedup {
     * the "keep the best copy" policy training pipelines use instead of
     * [[dupDropList]]'s min-id policy. `clusters` is [[dupClusters]]
     * output; `scores` maps `idCol` -> `scoreCol` (e.g. a quality or
-    * length score). The window partitions on cluster_id — near-dup
-    * clusters are bounded fan-in groups, so no single-reducer risk. */
+    * length score).
+    *
+    * r10 skew rewrite: keeper = `max(struct(score, -id))` — an
+    * ASSOCIATIVE aggregate (the paragraphDedup pattern), so a
+    * corpus-wide boilerplate MEGA-cluster collapses in the map-side
+    * combiner and the exchange carries at most one row per (cluster,
+    * map partition); the previous row_number window shipped each
+    * cluster's whole membership into one sorted partition. The id
+    * negation mixes the DESC score with the ASC tie-break inside one
+    * lexicographic struct ordering; non-numeric ids (dupClusters
+    * supports string/uuid keys) take the two-phase combiner form —
+    * max score per cluster, then min id among the maxima — still
+    * associative everywhere, one extra exchange, no window. */
   def keepBestPerCluster(clusters: DataFrame, scores: DataFrame,
                          idCol: String = "id",
                          clusterCol: String = "cluster_id",
                          scoreCol: String = "score"): DataFrame = {
-    val w = Window.partitionBy(clusterCol)
-      .orderBy(col(scoreCol).desc, col(idCol))
-    clusters.join(scores, Seq(idCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(clusterCol), col(idCol).as("keep_id"),
-        col(scoreCol).as("keep_score"))
+    val joined = clusters.join(scores, Seq(idCol))
+    clusters.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        joined
+          .groupBy(clusterCol)
+          .agg(max(struct(col(scoreCol).as("s"),
+            (-col(idCol)).cast("long").as("ni"))).as("k"))
+          .select(col(clusterCol), (-col("k.ni")).cast("long").as("keep_id"),
+            col("k.s").as("keep_score"))
+      case _ =>
+        val best = joined.groupBy(clusterCol)
+          .agg(max(col(scoreCol)).as("__bs"))
+        joined.join(best, Seq(clusterCol))
+          .filter(col(scoreCol) === col("__bs"))
+          .groupBy(clusterCol)
+          .agg(min(col(idCol)).as("keep_id"),
+            max(col(scoreCol)).as("keep_score"))
+          .select(col(clusterCol), col("keep_id"), col("keep_score"))
+    }
   }
 
   /** Embedding near-duplicate pairs: cosine >= `threshold` among

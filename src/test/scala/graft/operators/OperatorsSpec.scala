@@ -981,6 +981,25 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // cluster 1: 2 and 3 tie at 30 -> min id 2; cluster 5: tie -> 5
     assert(got.toSeq == Seq((1L, 2L, 30), (5L, 5L, 7)), got.toList.toString)
+    // the combiner rewrite must not ship a window: no Window node, and
+    // a partial max appears below the exchange (map-side combine)
+    val plan = graft.operators.Dedup.keepBestPerCluster(clusters, scores)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max") || plan.contains("partial(max"), plan)
+  }
+
+  test("keepBestPerCluster: string ids take the two-phase path, same argmax semantics") {
+    import spark.implicits._
+    val clusters = Seq(("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"))
+      .toDF("id", "cluster_id")
+    val scores = Seq(("a", 10), ("b", 30), ("c", 30), ("x", 5))
+      .toDF("id", "score")
+    val got = graft.operators.Dedup.keepBestPerCluster(clusters, scores)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // b and c tie at 30 -> min id "b"
+    assert(got.toSeq == Seq(("a", "b", 30), ("x", "x", 5)), got.toList.toString)
   }
 
   test("dup clusters: non-numeric (string/uuid) ids cluster on original ids") {
