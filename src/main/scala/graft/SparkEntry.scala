@@ -1126,18 +1126,24 @@ object SparkEntry {
     "q_dup_rate_by_source" -> ((s, dir) => {
       // redundancy per source: share of docs that exact-duplicate an
       // earlier doc (fingerprint group minimum = canonical) — the
-      // dedup column of the source-review table. Window partitions on
-      // the fingerprint: duplicate groups are bounded, no global sort.
-      val w = Window.partitionBy("fp")
-      docs(s, dir).select(col("source"), col("doc_id"),
+      // dedup column of the source-review table. No window (r10):
+      // n_dups(source) = n_docs(source) - #fingerprints whose ARGMIN
+      // doc lives in the source; the argmin's source rides inside
+      // min(struct(doc_id, source)) — associative, so a megadup
+      // fingerprint collapses map-side and nothing joins back to the
+      // doc stream (the previous per-fingerprint window shipped each
+      // duplicate set into one partition).
+      val base = docs(s, dir).select(col("source"), col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
-        .withColumn("canon", min("doc_id").over(w))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("doc_id") =!= col("canon"), 1L).otherwise(0L))
-            .as("n_dups"),
-          round(avg(when(col("doc_id") =!= col("canon"), 1.0)
-            .otherwise(0.0)), 6).as("dup_rate"))
+      val canon = base.groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("source"))).as("k"))
+        .groupBy(col("k.source").as("source"))
+        .agg(count(lit(1)).as("n_canon"))
+      val nd = col("n_docs") - coalesce(col("n_canon"), lit(0L))
+      base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(canon, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), nd.as("n_dups"),
+          round(nd.cast("double") / col("n_docs"), 6).as("dup_rate"))
         .orderBy("source")
     }),
 

@@ -57,11 +57,20 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("cnt"), min("id").as("canonical_id"))
 
-  /** Keep one representative row per normalized-text fingerprint. */
+  /** Keep one representative row per normalized-text fingerprint (the
+    * minimum id). No window (r10): keepers = min(id) per fingerprint —
+    * map-side combined, so a megadup fingerprint collapses in the
+    * combiner — then a left-semi join on (fingerprint, id). Both semi
+    * keys together are unique per row, so even the megadup's members
+    * hash-distribute across partitions; the row_number form shipped
+    * each fingerprint's whole duplicate set into one sorted
+    * partition. */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val keep = df
+      .select(fingerprint(col(textCol)).as("__kfp"), col(idCol).as("__kid"))
+      .groupBy("__kfp").agg(min("__kid").as("__kid"))
+    df.join(keep, fingerprint(col(textCol)) === col("__kfp") &&
+      col(idCol) === col("__kid"), "left_semi")
   }
 
   /** MinHash signature column over a MATERIALIZED words-array attribute

@@ -336,5 +336,30 @@ class SkewSpec extends AnyFunSuite {
       .groupBy(TextFunctions.fingerprint(col("para")).as("fp"))
       .agg(count(lit(1)).as("c")).agg(max("c")).head.getLong(0)
     assert(occ == 60L, s"hot paragraph multiplicity $occ")
+
+    // keepBestPerCluster under the same shape: the 60 boilerplate docs
+    // form ONE mega-cluster; the combiner must equal a row_number
+    // window reference (ties planted via score = id % 7) with no
+    // Window node and a map-side-combined max
+    val clusters = docs.select(col("doc_id").as("id"),
+      when(col("doc_id") % 10 === 0, 0L).otherwise(col("doc_id"))
+        .as("cluster_id"))
+    val scores = docs.select(col("doc_id").as("id"),
+      (col("doc_id") % 7).cast("int").as("score"))
+    val kNew = Dedup.keepBestPerCluster(clusters, scores)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("id"))
+    val kRef = clusters.join(scores, Seq("id"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"),
+        col("score").as("keep_score"))
+    assert(rows(kNew) == rows(kRef),
+      "keepBest combiner must match the window reference exactly")
+    val kPlan = kNew.queryExecution.executedPlan.toString
+    assert(!kPlan.contains("Window"), kPlan)
+    assert(kPlan.contains("partial_max") || kPlan.contains("partial(max"),
+      kPlan)
   }
 }
