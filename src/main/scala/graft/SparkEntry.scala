@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** The deterministic crawl page wrapped around each document's text
+    * (q_html_extract / q_warc_extract share it, and the DuckDB oracles
+    * replay it): title + nav + heading chrome + the doc text as the
+    * content paragraph with one inline link, an entity-bearing suffix
+    * on every 5th doc, a comment, and a linkful footer. */
+  private def syntheticPage(id: org.apache.spark.sql.Column,
+                            text: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val entity = when(id % 5 === 0,
+      lit(" Tom &amp; Jerry &lt;3")).otherwise(lit(""))
+    concat(
+      lit("<html><head><title>Doc "), id,
+      lit(" &amp; friends</title>" +
+        "<script>var x = \"<p>not text</p>\";</script>" +
+        "<style>p{color:red}</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+        "<a href=\"/contact\">Contact page</a></nav><h1>Menu</h1><p>"),
+      text, entity,
+      lit(" see <a href=\"/more\">more details here</a></p>" +
+        "<!-- render 1234 --><footer><a href=\"/tos\">Terms</a> &amp; " +
+        "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+  }
+
   private def li(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/lineitem.parquet")
   private def docs(s: SparkSession, dir: String) =
@@ -598,19 +621,7 @@ object SparkEntry {
       // all value-checked. Pure codegen'd projection — no shuffle, no
       // UDF (plan-asserted in HtmlSpec).
       import graft.functions.HtmlFunctions
-      val entity = when(col("doc_id") % 5 === 0,
-        lit(" Tom &amp; Jerry &lt;3")).otherwise(lit(""))
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit(" &amp; friends</title>" +
-          "<script>var x = \"<p>not text</p>\";</script>" +
-          "<style>p{color:red}</style></head><body>" +
-          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
-          "<a href=\"/contact\">Contact page</a></nav><h1>Menu</h1><p>"),
-        col("text"), entity,
-        lit(" see <a href=\"/more\">more details here</a></p>" +
-          "<!-- render 1234 --><footer><a href=\"/tos\">Terms</a> &amp; " +
-          "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      val html = syntheticPage(col("doc_id"), col("text"))
       val blocks = HtmlFunctions.blockStats(html)
       docs(s, dir).select(col("doc_id"),
         HtmlFunctions.htmlTitle(html).as("title"),
@@ -937,6 +948,32 @@ object SparkEntry {
             .cast("long").as("doc_id"),
           col("target_uri").as("url"), col("source"),
           col("content_length"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q_warc_extract" -> ((s, dir) => {
+      // the crawl pipeline END TO END: documents wrapped in the
+      // deterministic HTML page, written as WARC bytes (the Common
+      // Crawl segment shape), read back through the record parser,
+      // payload decoded, and the jusText-lite extractor recovers the
+      // content — WARC framing, byte roundtrip, and extraction all
+      // verified in one query; the oracle recomputes title and
+      // main-text md5 straight from `documents`, so ANY corruption in
+      // the write-read-decode-extract chain hash-mismatches.
+      import graft.functions.HtmlFunctions
+      val wdir = "/tmp/graft_warchtml_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Warc.writeCorpus(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          syntheticPage(col("doc_id"), col("text")).as("text")),
+        wdir, nFiles = 8)
+      val html = col("payload").cast("string")
+      graft.sources.Warc.read(s, wdir)
+        .filter(col("parse_ok"))
+        .select(
+          regexp_extract(col("target_uri"), "doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          HtmlFunctions.htmlTitle(html).as("title"),
+          md5(HtmlFunctions.mainText(html).cast("binary")).as("main_md5"))
         .orderBy("doc_id")
     }),
 
@@ -2261,6 +2298,53 @@ object SparkEntry {
     hClean(s"array_to_string(regexp_extract_all($e, " +
       "'(?is)<a[^>]*>.*?</a>'), ' ')")
 
+  /** Shared CTE chain for the HTML-extraction oracles: page
+    * construction (the [[syntheticPage]] replay) + the full extraction
+    * pipeline, ending in `doc` (title + page-level lengths) and `agg`
+    * (block decisions + rebuilt-text md5). q_html_extract and
+    * q_warc_extract select different columns from the same chain. */
+  private def htmlOracleCte: String = {
+    val bt = graft.functions.HtmlFunctions.BlockTags
+    s"""WITH h AS (
+         SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id || ' &amp; friends</title><script>var x = "<p>not text</p>";</script><style>p{color:red}</style></head><body><nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact page</a></nav><h1>Menu</h1><p>'
+             || text
+             || CASE WHEN doc_id % 5 = 0 THEN ' Tom &amp; Jerry &lt;3' ELSE '' END
+             || ' see <a href="/more">more details here</a></p><!-- render 1234 --><footer><a href="/tos">Terms</a> &amp; <a href="/privacy">Privacy</a></footer></body></html>'
+             AS html
+         FROM documents),
+       b AS (SELECT doc_id, html, ${hStripNc("html")} AS body FROM h),
+       doc AS (
+         SELECT doc_id,
+           ${hNorm(hEnt("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)"))} AS title,
+           length(${hClean("body")}) AS vlen,
+           length(${hAnchor("body")}) AS alen
+         FROM b),
+       seg AS (
+         SELECT doc_id,
+           string_split(regexp_replace(body,
+             '(?i)</?($bt)[^>]*>', chr(1), 'g'), chr(1)) AS bl
+         FROM b),
+       occ AS (SELECT doc_id, bl, unnest(range(len(bl))) AS i FROM seg),
+       blk AS (
+         SELECT doc_id, i,
+           ${hClean("bl[i+1]")} AS txt,
+           ${hAnchor("bl[i+1]")} AS anc
+         FROM occ),
+       nb AS (
+         SELECT doc_id, i, txt,
+           len(string_split(txt, ' ')) AS words,
+           round(length(anc)::DOUBLE / length(txt), 6) AS ld
+         FROM blk WHERE length(txt) > 0),
+       agg AS (
+         SELECT doc_id,
+           count(*)::BIGINT AS n_blocks,
+           sum(CASE WHEN words >= 10 AND ld <= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(txt, chr(10) ORDER BY i)
+             FILTER (WHERE words >= 10 AND ld <= 0.35), '')) AS main_md5
+         FROM nb GROUP BY doc_id)"""
+  }
+
   def oracleSql: Map[String, String] = {
     val featRows = Feats.map { f =>
       s"""SELECT '$f' AS feature, round(avg($f), 6) AS mean_v,
@@ -2771,46 +2855,8 @@ object SparkEntry {
            FROM v ORDER BY doc_id"""
       },
 
-      "q_html_extract" -> {
-        val bt = graft.functions.HtmlFunctions.BlockTags
-        s"""WITH h AS (
-             SELECT doc_id,
-               '<html><head><title>Doc ' || doc_id || ' &amp; friends</title><script>var x = "<p>not text</p>";</script><style>p{color:red}</style></head><body><nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact page</a></nav><h1>Menu</h1><p>'
-                 || text
-                 || CASE WHEN doc_id % 5 = 0 THEN ' Tom &amp; Jerry &lt;3' ELSE '' END
-                 || ' see <a href="/more">more details here</a></p><!-- render 1234 --><footer><a href="/tos">Terms</a> &amp; <a href="/privacy">Privacy</a></footer></body></html>'
-                 AS html
-             FROM documents),
-           b AS (SELECT doc_id, html, ${hStripNc("html")} AS body FROM h),
-           doc AS (
-             SELECT doc_id,
-               ${hNorm(hEnt("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)"))} AS title,
-               length(${hClean("body")}) AS vlen,
-               length(${hAnchor("body")}) AS alen
-             FROM b),
-           seg AS (
-             SELECT doc_id,
-               string_split(regexp_replace(body,
-                 '(?i)</?($bt)[^>]*>', chr(1), 'g'), chr(1)) AS bl
-             FROM b),
-           occ AS (SELECT doc_id, bl, unnest(range(len(bl))) AS i FROM seg),
-           blk AS (
-             SELECT doc_id, i,
-               ${hClean("bl[i+1]")} AS txt,
-               ${hAnchor("bl[i+1]")} AS anc
-             FROM occ),
-           nb AS (
-             SELECT doc_id, i, txt,
-               len(string_split(txt, ' ')) AS words,
-               round(length(anc)::DOUBLE / length(txt), 6) AS ld
-             FROM blk WHERE length(txt) > 0),
-           agg AS (
-             SELECT doc_id,
-               count(*)::BIGINT AS n_blocks,
-               sum(CASE WHEN words >= 10 AND ld <= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-               md5(coalesce(string_agg(txt, chr(10) ORDER BY i)
-                 FILTER (WHERE words >= 10 AND ld <= 0.35), '')) AS main_md5
-             FROM nb GROUP BY doc_id)
+      "q_html_extract" ->
+        s"""$htmlOracleCte
            SELECT d.doc_id, d.title,
              CASE WHEN d.vlen > 0
                THEN round(d.alen::DOUBLE / d.vlen, 6) ELSE 0.0 END
@@ -2818,8 +2864,13 @@ object SparkEntry {
              coalesce(a.n_blocks, 0)::BIGINT AS n_blocks,
              coalesce(a.n_kept, 0)::BIGINT AS n_kept,
              coalesce(a.main_md5, md5('')) AS main_md5
-           FROM doc d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
-      },
+           FROM doc d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+
+      "q_warc_extract" ->
+        s"""$htmlOracleCte
+           SELECT d.doc_id, d.title,
+             coalesce(a.main_md5, md5('')) AS main_md5
+           FROM doc d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
 
       "q_outlink_hosts" ->
         """WITH pg AS (
