@@ -627,8 +627,10 @@ object SparkEntry {
         HtmlFunctions.htmlTitle(html).as("title"),
         HtmlFunctions.linkDensity(html).as("link_density"),
         size(blocks).cast("long").as("n_blocks"),
-        size(filter(blocks, b => b.getField("words") >= 10 &&
-          b.getField("link_density") <= 0.35)).cast("long").as("n_kept"),
+        size(filter(blocks, b =>
+          b.getField("words") >= HtmlFunctions.DefaultMinWords &&
+            b.getField("link_density") <= HtmlFunctions.DefaultMaxLinkDensity))
+          .cast("long").as("n_kept"),
         md5(HtmlFunctions.mainText(html).cast("binary")).as("main_md5"))
         .orderBy("doc_id")
     }),
@@ -1169,7 +1171,9 @@ object SparkEntry {
       // min(struct(doc_id, source)) — associative, so a megadup
       // fingerprint collapses map-side and nothing joins back to the
       // doc stream (the previous per-fingerprint window shipped each
-      // duplicate set into one partition).
+      // duplicate set into one partition). Precondition (holds for the
+      // documents table): doc_id is unique — with duplicated ids the
+      // argmin credits ONE source where the per-row form credited each.
       val base = docs(s, dir).select(col("source"), col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       val canon = base.groupBy("fp")
@@ -2296,7 +2300,7 @@ object SparkEntry {
   private def hClean(e: String): String = hNorm(hEnt(hTags(e)))
   private def hAnchor(e: String): String =
     hClean(s"array_to_string(regexp_extract_all($e, " +
-      "'(?is)<a[^>]*>.*?</a>'), ' ')")
+      "'(?is)<a(?:\\s[^>]*)?>.*?</a>'), ' ')")
 
   /** Shared CTE chain for the HTML-extraction oracles: page
     * construction (the [[syntheticPage]] replay) + the full extraction
@@ -2323,7 +2327,7 @@ object SparkEntry {
        seg AS (
          SELECT doc_id,
            string_split(regexp_replace(body,
-             '(?i)</?($bt)[^>]*>', chr(1), 'g'), chr(1)) AS bl
+             '(?i)</?($bt)(\\s[^>]*|/)?>', chr(1), 'g'), chr(1)) AS bl
          FROM b),
        occ AS (SELECT doc_id, bl, unnest(range(len(bl))) AS i FROM seg),
        blk AS (
@@ -2339,9 +2343,9 @@ object SparkEntry {
        agg AS (
          SELECT doc_id,
            count(*)::BIGINT AS n_blocks,
-           sum(CASE WHEN words >= 10 AND ld <= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN words >= ${graft.functions.HtmlFunctions.DefaultMinWords} AND ld <= ${graft.functions.HtmlFunctions.DefaultMaxLinkDensity} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
            md5(coalesce(string_agg(txt, chr(10) ORDER BY i)
-             FILTER (WHERE words >= 10 AND ld <= 0.35), '')) AS main_md5
+             FILTER (WHERE words >= ${graft.functions.HtmlFunctions.DefaultMinWords} AND ld <= ${graft.functions.HtmlFunctions.DefaultMaxLinkDensity}), '')) AS main_md5
          FROM nb GROUP BY doc_id)"""
   }
 

@@ -37,6 +37,12 @@ object HtmlFunctions {
       "section|article|header|footer|nav|aside|blockquote|form|figure|" +
       "figcaption|pre|hr|dl|dt|dd|main|body|title"
 
+  /** [[mainText]]'s keep thresholds — named so query-side audit
+    * columns (q_html_extract's n_kept) and the DuckDB oracles cite
+    * the SAME values the md5'd text was cut with. */
+  val DefaultMinWords: Int = 10
+  val DefaultMaxLinkDensity: Double = 0.35
+
   /** Comments and non-content element bodies removed wholesale —
     * `<script>`/`<style>`/`<noscript>` interiors are code, not text.
     * Three literal passes because RE2 (the oracle engine) has no
@@ -64,12 +70,19 @@ object HtmlFunctions {
   private def normWs(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
+  /** [[visibleText]] minus the non-content strip — for callers that
+    * already hold a [[stripNonContent]]'d body (linkDensity strips
+    * once and reuses it; re-running four full-page regex passes in
+    * the documented hot path would double the scan cost). */
+  private def visibleOfStripped(body: Column): Column =
+    normWs(decodeEntities(stripTags(body)))
+
   /** Everything the page renders, flattened: non-content stripped,
     * tags to spaces, entities decoded, whitespace collapsed. The
     * "view-source:" complement of [[mainText]] — keeps nav chrome and
     * footers, so use it for page-level signals, not training text. */
   def visibleText(c: Column): Column =
-    normWs(decodeEntities(stripTags(stripNonContent(c))))
+    visibleOfStripped(stripNonContent(c))
 
   /** `<title>` contents (first match), entity-decoded and
     * whitespace-collapsed; empty string when absent. */
@@ -77,27 +90,37 @@ object HtmlFunctions {
     normWs(decodeEntities(
       regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)))
 
+  /** Anchor-element matcher: `<a>` bare or `<a ...attrs>` — the
+    * `(?:\s[^>]*)?` keeps `<article>`/`<aside>`/`<abbr>`/`<audio>`
+    * from being read as anchor opens (a prefix-match there would
+    * lazily swallow prose up to the next real `</a>` and score whole
+    * articles as link text). The close is exact: `</article>` does
+    * not contain `</a>` followed by `>`. */
+  private val AnchorRe = "(?is)<a(?:\\s[^>]*)?>.*?</a>"
+
   private def anchorVisible(c: Column): Column =
     normWs(decodeEntities(stripTags(
-      array_join(regexp_extract_all(c, lit("(?is)<a[^>]*>.*?</a>"), lit(0)),
-        " "))))
+      array_join(regexp_extract_all(c, lit(AnchorRe), lit(0)), " "))))
 
   /** Share of visible characters that sit inside `<a>` anchors — THE
     * boilerplate signal (nav bars and footers are nearly all links;
     * prose is nearly none). 0.0 on empty pages. */
   def linkDensity(c: Column): Column = {
     val body = stripNonContent(c)
-    val vis = length(visibleText(body)).cast("double")
+    val vis = length(visibleOfStripped(body)).cast("double")
     val anc = length(anchorVisible(body)).cast("double")
     when(vis > 0, round(anc / vis, 6)).otherwise(lit(0.0))
   }
 
   /** Raw block segments: non-content stripped, block-level tags
     * replaced by a \\u0001 sentinel, split. Inline tags (anchors!)
-    * survive inside each segment for per-block scoring. */
+    * survive inside each segment for per-block scoring. The
+    * `(\\s[^>]*|/)?` suffix anchors the tag NAME: `<path>`/`<param>`
+    * must not match the `p` alternative, while `<p>`, `<p class=x>`,
+    * and `<br/>` all do. */
   private def rawBlocks(c: Column): Column =
     split(regexp_replace(stripNonContent(c),
-      s"(?i)</?($BlockTags)[^>]*>", "\u0001"), "\u0001")
+      s"(?i)</?($BlockTags)(\\s[^>]*|/)?>", "\u0001"), "\u0001")
 
   /** Per-block structs: cleaned text, word count, link density —
     * the audit surface behind [[mainText]]'s keep decision. */
@@ -125,9 +148,9 @@ object HtmlFunctions {
     * XHTML — are not matched; documented, not silent. */
   def outlinks(c: Column): Column =
     concat(
-      regexp_extract_all(c, lit("(?is)<a[^>]*?href\\s*=\\s*\"([^\"]*)\""),
+      regexp_extract_all(c, lit("(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""),
         lit(1)),
-      regexp_extract_all(c, lit("(?is)<a[^>]*?href\\s*=\\s*'([^']*)'"),
+      regexp_extract_all(c, lit("(?is)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"),
         lit(1)))
 
   /** jusText-lite content extraction: keep blocks with at least
@@ -138,8 +161,8 @@ object HtmlFunctions {
     * the two-signal core of jusText with the stopword refinement left
     * to the downstream Gopher gate (which already owns a stopword
     * list). */
-  def mainText(c: Column, minWords: Int = 10,
-               maxLinkDensity: Double = 0.35): Column =
+  def mainText(c: Column, minWords: Int = DefaultMinWords,
+               maxLinkDensity: Double = DefaultMaxLinkDensity): Column =
     array_join(
       transform(
         filter(blockStats(c), b =>

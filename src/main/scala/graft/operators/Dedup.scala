@@ -69,7 +69,11 @@ object Dedup {
     val keep = df
       .select(fingerprint(col(textCol)).as("__kfp"), col(idCol).as("__kid"))
       .groupBy("__kfp").agg(min("__kid").as("__kid"))
-    df.join(keep, fingerprint(col(textCol)) === col("__kfp") &&
+    // <=> on the fingerprint: NULL-text rows form their own group (the
+    // groupBy keeps a NULL-fp row) and must keep one representative —
+    // an === here would NULL out for them and silently drop every
+    // quarantine row, the defect class fixed in leakageSafeSplit
+    df.join(keep, (fingerprint(col(textCol)) <=> col("__kfp")) &&
       col(idCol) === col("__kid"), "left_semi")
   }
 
@@ -587,18 +591,27 @@ object Dedup {
                          scoreCol: String = "score"): DataFrame = {
     val joined = clusters.join(scores, Seq(idCol))
     clusters.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType =>
+      // INTEGRAL ids only: the -id trick truncates fractional ids to a
+      // fabricated value (Double 2.75 -> keep_id 2, matching no row),
+      // so Double/Decimal ids route to the generic path below
+      case it @ (org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType) =>
         joined
           .groupBy(clusterCol)
           .agg(max(struct(col(scoreCol).as("s"),
             (-col(idCol)).cast("long").as("ni"))).as("k"))
-          .select(col(clusterCol), (-col("k.ni")).cast("long").as("keep_id"),
+          .select(col(clusterCol),
+            (-col("k.ni")).cast(it).as("keep_id"),
             col("k.s").as("keep_score"))
       case _ =>
         val best = joined.groupBy(clusterCol)
           .agg(max(col(scoreCol)).as("__bs"))
         joined.join(best, Seq(clusterCol))
-          .filter(col(scoreCol) === col("__bs"))
+          // <=>: a cluster whose scores are ALL NULL still keeps its
+          // min-id representative (=== would filter every member)
+          .filter(col(scoreCol) <=> col("__bs"))
           .groupBy(clusterCol)
           .agg(min(col(idCol)).as("keep_id"),
             max(col(scoreCol)).as("keep_score"))

@@ -68,12 +68,16 @@ object Jsonl {
     * for). Every
     * `corruptEvery`-th doc (doc_id % corruptEvery == 0, when > 0) is
     * deliberately TRUNCATED mid-string — the quarantine-path probe.
-    * Skipped when the `_GRAFT_JSONL_DONE` marker exists. */
+    * Skipped when the `_GRAFT_JSONL_DONE` marker records the current
+    * input fingerprint + parameters — a regenerated corpus rewrites
+    * the fixture instead of silently reusing stale bytes. */
   def writeCorpus(docs: DataFrame, dir: String, nFiles: Int,
                   corruptEvery: Int = 0): Unit = {
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_JSONL_DONE")
-    if (java.nio.file.Files.exists(marker)) return
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val want = FixtureMarker.stamp(
+      docs.select(col("doc_id").cast("long"), col("source"), col("text")),
+      s"n=$nFiles:ce=$corruptEvery")
+    if (FixtureMarker.upToDate(dir, "_GRAFT_JSONL_DONE", want)) return
+    FixtureMarker.reset(dir)
     docs.select(col("doc_id").cast("long"), col("source"), col("text"))
       .repartition(nFiles, pmod(col("doc_id"), lit(nFiles)))
       .sortWithinPartitions("doc_id")
@@ -93,6 +97,6 @@ object Jsonl {
           os.write('\n')
         } finally os.close()
       }
-    java.nio.file.Files.createFile(marker)
+    FixtureMarker.commit(dir, "_GRAFT_JSONL_DONE", want)
   }
 }

@@ -132,12 +132,17 @@ object Warc {
   /** Write a documents DataFrame (`doc_id`, `source`, `text`) as a
     * deterministic WARC fixture: `nFiles` files, records assigned by
     * `doc_id % nFiles` and written in ascending `doc_id` order within
-    * each file. Skipped when the directory's `_GRAFT_WARC_DONE` marker
-    * exists, so repeated bench/verify runs reuse it. */
+    * each file. Skipped when the `_GRAFT_WARC_DONE` marker records the
+    * current input fingerprint + parameters, so repeated bench/verify
+    * runs reuse the fixture but a REGENERATED corpus rewrites it. */
   def writeCorpus(docs: DataFrame, dir: String, nFiles: Int): Unit = {
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_WARC_DONE")
-    if (java.nio.file.Files.exists(marker)) return
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // content-keyed skip: a regenerated source corpus must re-export
+    // instead of verifying stale WARC bytes against a fresh oracle
+    val want = FixtureMarker.stamp(
+      docs.select(col("doc_id").cast("long"), col("source"), col("text")),
+      s"n=$nFiles")
+    if (FixtureMarker.upToDate(dir, "_GRAFT_WARC_DONE", want)) return
+    FixtureMarker.reset(dir)
     docs.select(col("doc_id").cast("long"), col("source"), col("text"))
       .repartition(nFiles, pmod(col("doc_id"), lit(nFiles)))
       .sortWithinPartitions("doc_id")
@@ -162,6 +167,6 @@ object Warc {
           os.write("\r\n\r\n".getBytes(UTF_8))
         } finally os.close()
       }
-    java.nio.file.Files.createFile(marker)
+    FixtureMarker.commit(dir, "_GRAFT_WARC_DONE", want)
   }
 }

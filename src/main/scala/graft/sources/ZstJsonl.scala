@@ -111,9 +111,11 @@ object ZstJsonl {
     * Local-mode test-fixture writer, like the JSONL one. */
   def writeCorpus(docs: DataFrame, dir: String, nFiles: Int,
                   corruptEvery: Int = 0, truncateShard: Int = -1): Unit = {
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_ZSTJSONL_DONE")
-    if (java.nio.file.Files.exists(marker)) return
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val want = FixtureMarker.stamp(
+      docs.select(col("doc_id").cast("long"), col("source"), col("text")),
+      s"n=$nFiles:ce=$corruptEvery:tr=$truncateShard")
+    if (FixtureMarker.upToDate(dir, "_GRAFT_ZSTJSONL_DONE", want)) return
+    FixtureMarker.reset(dir)
     docs.select(col("doc_id").cast("long"), col("source"), col("text"))
       .repartition(nFiles, pmod(col("doc_id"), lit(nFiles)))
       .sortWithinPartitions("doc_id")
@@ -141,6 +143,6 @@ object ZstJsonl {
         }
         ()
       }
-    java.nio.file.Files.createFile(marker)
+    FixtureMarker.commit(dir, "_GRAFT_ZSTJSONL_DONE", want)
   }
 }

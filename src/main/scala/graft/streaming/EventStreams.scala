@@ -138,9 +138,14 @@ object EventStreams {
                       clickType: String = "click",
                       windowSec: Long = 14400,
                       watermark: String = "1 hour"): DataFrame = {
+    // long-nanos reads keep MICROsecond precision (timestamp_micros,
+    // not whole-second truncation): join membership at the window
+    // boundary must match the native-timestamp branch and the oracle's
+    // full-precision interval compare — flooring to seconds here would
+    // admit pairs the raw timestamps exclude
     val tsCol = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        timestamp_seconds((col("ts") / 1000000000L).cast("long"))
+        timestamp_micros((col("ts") / 1000L).cast("long"))
       case _ => col("ts")
     }
     val base = events.withColumn("__ts", tsCol)

@@ -69,6 +69,26 @@ class HtmlSpec extends AnyFunSuite {
       rows(1).getDouble(2) == 1.0)
   }
 
+  test("a-prefixed tags are not anchors; p-prefixed tags are not blocks") {
+    // <article>/<aside> must not be read as anchor opens: a prefix
+    // match would lazily swallow the prose up to the real </a> and
+    // score the whole article as link text
+    val html = "<article class='x'>" +
+      ("plenty of ordinary prose words here " * 5) +
+      "<a href='/t'>tos</a></article>"
+    val ld = one(html, HtmlFunctions.linkDensity).getDouble(0)
+    assert(ld < 0.05, s"article prose scored as anchor text: $ld")
+    // and outlinks must not extract from <abbr data-href=...>
+    val links = one("<abbr href=\"/not-a-link\">x</abbr>" +
+      "<a href=\"/real\">y</a>", HtmlFunctions.outlinks).getSeq[String](0)
+    assert(links == Seq("/real"), links.toString)
+    // <path>/<param> must not split blocks at the 'p' alternative
+    val blocks = one("<p>alpha beta <path d='M0 0'/> gamma</p>",
+      HtmlFunctions.blockStats).getSeq[org.apache.spark.sql.Row](0)
+    assert(blocks.length == 1 && blocks.head.getString(0) == "alpha beta gamma",
+      blocks.toString)
+  }
+
   test("outlinks: both quote styles extracted raw; hrefless anchors skipped") {
     val html = "<a href=\"/rel\">r</a><a href='http://x.example/a'>x</a>" +
       "<a href=\"#f\">f</a><a>none</a>" +

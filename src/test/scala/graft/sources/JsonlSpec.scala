@@ -49,11 +49,18 @@ class JsonlSpec extends AnyFunSuite {
     assert(files.length == 4)
     val before = files.map(f =>
       new String(java.nio.file.Files.readAllBytes(f.toPath)))
-    // second call is a no-op (marker)
-    Jsonl.writeCorpus(docs.limit(1), dir, nFiles = 4)
+    // second call with IDENTICAL input is a no-op (content-keyed marker)
+    Jsonl.writeCorpus(docs, dir, nFiles = 4)
     val after = files.map(f =>
       new String(java.nio.file.Files.readAllBytes(f.toPath)))
     assert(before.toSeq == after.toSeq)
+    // CHANGED input regenerates instead of silently reusing stale bytes
+    // (the pre-r10 existence-only marker kept the old 20 docs here)
+    Jsonl.writeCorpus(docs.limit(1), dir, nFiles = 4)
+    val regen = Jsonl.read(spark, dir).select("doc_id", "parse_ok").collect()
+    assert(regen.length == 1 && regen.head.getBoolean(1), regen.toSeq.toString)
+    // restore the full fixture for the parse assertions below
+    Jsonl.writeCorpus(docs, dir, nFiles = 4)
     // every line parses back. Collected with a data column alongside
     // parse_ok: Spark refuses plans that column-prune down to ONLY the
     // internal corrupt-record column (count() after a parse_ok filter

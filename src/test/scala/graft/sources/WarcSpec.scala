@@ -48,6 +48,26 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.read(spark, dir).count() == 4)
   }
 
+  test("fixture marker: identical input skips the rewrite, changed input regenerates") {
+    import spark.implicits._
+    val dir = tmpDir("marker")
+    val a = Seq((0L, "s", "first corpus")).toDF("doc_id", "source", "text")
+    Warc.writeCorpus(a, dir, nFiles = 1)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc")).head
+    val mtime = f.lastModified()
+    // identical input: no rewrite (bytes untouched)
+    Warc.writeCorpus(a, dir, nFiles = 1)
+    assert(f.lastModified() == mtime, "identical input must not rewrite")
+    // changed input: the old existence-only marker silently kept the
+    // stale fixture here — the content-keyed marker must regenerate
+    val b = Seq((0L, "s", "second corpus")).toDF("doc_id", "source", "text")
+    Warc.writeCorpus(b, dir, nFiles = 1)
+    val texts = Warc.read(spark, dir).filter(col("parse_ok"))
+      .select(col("payload").cast("string")).collect().map(_.getString(0))
+    assert(texts.toSeq == Seq("second corpus"), texts.toSeq.toString)
+  }
+
   test("quarantine: bad version line and overrunning Content-Length") {
     val dir = tmpDir("bad")
     // file 1: valid record then garbage framing
