@@ -2072,6 +2072,50 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q_image_dhash_pairs" -> ((s, dir) => {
+      // perceptual image near-dup, end to end through the REAL codec:
+      // id-content PNGs for doc_id < 400, plus contrast-halved
+      // re-encodes of every 5th id planted at media_id + 100000.
+      // The variants differ from their base in BYTES and PIXELS (so
+      // exact/byte dedup is blind), but luma gradient SIGNS survive
+      // the affine tone map, so each variant's dHash lands within a
+      // few bits of its base and the 4x16-bit banded Hamming LSH
+      // (pigeonhole-exact for maxHamming <= 3) recovers the pair.
+      // Golden oracle: the decode->fingerprint kernel is not
+      // SQL-expressible, but the output is a pure function of the
+      // data (integer luma, floor boxes, cross-multiplied means — no
+      // float, no partition dependence)
+      val ids = docs(s, dir).filter(col("doc_id") < 400).select(col("doc_id"))
+      val mm = graft.multimodal.Multimodal
+      val base = mm.syntheticPngIdMedia(ids, "doc_id")
+      val variants = mm.syntheticPngIdMedia(
+        ids.filter(col("doc_id") % 5 === 0), "doc_id", contrast = true)
+        .withColumn("media_id", col("media_id") + 100000)
+      mm.imageDupPairs(base.unionByName(variants), "media_id", "payload")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_video_frame_dups" -> ((s, dir) => {
+      // re-used-footage detection at the FRAME level: dHash every
+      // decoded MJPEG sample, banded Hamming LSH across videos. The
+      // fixture plants re-uploads (byte-identical copies of every
+      // 10th video at media_id + 100000) AND the block formula's
+      // modular structure yields genuine cross-video identical frames
+      // (frame f of id equals frame f-2 of id+58: 29*2 = 58), so the
+      // output mixes whole-video reuse with single-shared-frame hits.
+      // Golden oracle: the decode->fingerprint kernel is not SQL-
+      // expressible; output is a pure function of the data
+      val ids = docs(s, dir).filter(col("doc_id") < 120).select(col("doc_id"))
+      val mm = graft.multimodal.Multimodal
+      val base = mm.syntheticMjpegWideMedia(ids, "doc_id")
+      val reuploads = mm.syntheticMjpegWideMedia(
+        ids.filter(col("doc_id") % 10 === 0), "doc_id")
+        .withColumn("media_id", col("media_id") + 100000)
+      mm.videoFrameDupPairs(base.unionByName(reuploads), "media_id",
+        "payload", maxHamming = 2)
+        .orderBy("video_a", "video_b", "frame_a", "frame_b")
+    }),
+
     "q_audio_decode" -> ((s, dir) => {
       // REAL audio codec end-to-end: deterministic 16-bit PCM WAVs
       // encoded AND decoded partition-parallel via javax.sound.sampled;
@@ -4060,7 +4104,8 @@ object SparkEntry {
     "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
     "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
     "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier",
-    "q_compression_ratio", "q_pack_nosplit")
+    "q_compression_ratio", "q_pack_nosplit", "q_image_dhash_pairs",
+    "q_video_frame_dups")
 
   private val GoldenDir = "/root/repo/golden"
 }

@@ -799,6 +799,61 @@ object Multimodal {
     * closed form EXACTLY (see [[jpegEncodeGray]]). */
   def syntheticMjpegMp4(id: Long): Array[Byte] = {
     val (w, h, n) = mjpegDims(id)
+    buildMjpegMp4(id, w, h, n)
+  }
+
+  /** Geometry for the frame-DEDUP fixture: 64x32 (8x4 blocks), so the
+    * per-row 17-step block ramp wraps at id/frame-dependent positions
+    * and the dHash actually discriminates frames — the 16-wide
+    * [[mjpegDims]] fixture has only two blocks per row, which
+    * collapses every frame's dHash to near-identical bit patterns. */
+  def mjpegWideDims(id: Long): (Int, Int, Int) = (64, 32, 2 + (id % 3).toInt)
+
+  /** Block formula for the wide fixture: x-step 67 (not 17 — the
+    * 17-step ramp spans only 17*7 = 119 < 256, so rows starting below
+    * 137 never wrap and their dHash row is all-ascending; 67*8 = 536
+    * guarantees 1-2 wraps per row at id/frame-dependent positions,
+    * which is what makes frame hashes discriminate). Keeps the
+    * additive (29f + id) phase, so frame f of id and frame f-2 of
+    * id+58 remain pixel-identical — the cross-video match the dedup
+    * fixture relies on. */
+  def mjpegWideBlockValue(id: Long, f: Int, bx: Int, by: Int): Int = {
+    // the phase p = 29f + id carries ALL id/frame dependence, so
+    // frames with equal phase (mod 256) stay pixel-identical — the
+    // cross-video match the fixture plants by construction. The p*bx
+    // cross-term makes the x-GRADIENT phase-dependent (step 67 + 7p),
+    // so frames with different phase get genuinely different wrap
+    // patterns instead of a shifted copy of the same ramp (which
+    // collided for every near-phase video pair)
+    val p = ((29L * f + id) % 256 + 256) % 256
+    ((67 * bx + 23 * by + 41 * bx * by + 13 * p + 7 * p * bx) % 256).toInt
+  }
+
+  /** [[syntheticMjpegMp4]] at [[mjpegWideDims]] geometry with the
+    * [[mjpegWideBlockValue]] closed form — same container layout. */
+  def syntheticMjpegMp4Wide(id: Long): Array[Byte] = {
+    val (w, h, n) = mjpegWideDims(id)
+    buildMjpegMp4(id, w, h, n, mjpegWideBlockValue)
+  }
+
+  /** (media_id, payload) frame of wide-geometry MJPEG MP4s. */
+  def syntheticMjpegWideMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, syntheticMjpegMp4Wide(id))
+      }
+    }(enc)
+  }
+
+  private def buildMjpegMp4(id: Long, w: Int, h: Int, n: Int,
+                            blockValue: (Long, Int, Int, Int) => Int =
+                              mjpegBlockValue): Array[Byte] = {
     val frames: Array[Array[Byte]] = Array.tabulate(n) { f =>
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -806,7 +861,7 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.getRaster.setSample(x, y, 0, mjpegBlockValue(id, f, x / 8, y / 8))
+          img.getRaster.setSample(x, y, 0, blockValue(id, f, x / 8, y / 8))
           x += 1
         }
         y += 1
@@ -904,7 +959,8 @@ object Multimodal {
   /** One decoded MJPEG sample: geometry + exact mean gray level; `ok`
     * is false for a truncated/undecodable sample (quarantine row). */
   final case class MjpegFrame(frameIdx: Int, width: Int, height: Int,
-                              meanGray: Double, ok: Boolean)
+                              meanGray: Double, ok: Boolean,
+                              dhash: Option[Long] = None)
 
   /** REAL frame decode for a codec-bearing MP4 — no ffmpeg: walk the
     * sample tables (stsd/stsz/stsc/stco per ISO 14496-12), check the
@@ -1002,7 +1058,7 @@ object Multimodal {
                       if (sample % stride == 0) {
                         val okRange = sz > 0 && offL >= 0 &&
                           offL + sz <= payload.length
-                        val decoded: Option[(Int, Int, Double)] =
+                        val decoded: Option[(Int, Int, Double, Long)] =
                           if (!okRange) None
                           else {
                             val bytes = new Array[Byte](sz)
@@ -1023,11 +1079,15 @@ object Multimodal {
                                 }
                                 y += 1
                               }
-                              Some((w, h, sum.toDouble / (w.toLong * h)))
+                              // perceptual fingerprint from the image
+                              // already in hand — no second decode
+                              Some((w, h, sum.toDouble / (w.toLong * h),
+                                dHashOfImage(img)))
                             }
                           }
                         frames += (decoded match {
-                          case Some((w, h, mg)) => MjpegFrame(sample, w, h, mg, ok = true)
+                          case Some((w, h, mg, dh)) =>
+                            MjpegFrame(sample, w, h, mg, ok = true, Some(dh))
                           case None => MjpegFrame(sample, -1, -1, Double.NaN, ok = false)
                         })
                       }
@@ -1061,7 +1121,8 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("mean_gray", DoubleType),
-      StructField("decode_ok", BooleanType)))
+      StructField("decode_ok", BooleanType),
+      StructField("dhash", LongType)))
     val idx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(schema)
@@ -1069,17 +1130,74 @@ object Multimodal {
       rows.flatMap { r =>
         val fs = parseMjpegFrames(r.getAs[Array[Byte]](idx), stride)
         if (fs.isEmpty)
-          Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+          Iterator(Row.fromSeq(r.toSeq ++
+            Seq(null, null, null, null, null, null)))
         else fs.iterator.map { f =>
           if (f.ok)
             Row.fromSeq(r.toSeq ++ Seq[Any](f.frameIdx, f.width, f.height,
-              f.meanGray, true))
+              f.meanGray, true, f.dhash.map(java.lang.Long.valueOf).orNull))
           else
-            Row.fromSeq(r.toSeq ++ Seq[Any](f.frameIdx, null, null, null, false))
+            Row.fromSeq(r.toSeq ++
+              Seq[Any](f.frameIdx, null, null, null, false, null))
         }
       }
     }(enc)
   }
+
+  /** Cross-VIDEO frame-level near-duplicate pairs — the re-used-footage
+    * detector (re-uploads, clips, intros spliced into other videos):
+    * dHash every (strided) decoded frame, then banded Hamming LSH over
+    * the fingerprints; pairs within the same video are dropped (intra-
+    * video stills are repetition, not reuse). Output: (video_a,
+    * frame_a, video_b, frame_b, hamming), video_a < video_b or equal
+    * ids ordered by frame.
+    *
+    * 100-TB shape: frames decode in the narrow per-partition pass;
+    * only (composite id, 8-byte fingerprint) rows ever shuffle — the
+    * video payloads never move. Frame index is packed into the pair
+    * key's low 16 bits (ids must be < 2^46; a 100-TB corpus at 1 MB a
+    * video is ~2^27 ids), so one LSH exchange serves every frame of
+    * every video. */
+  def videoFrameDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                         stride: Int = 1, maxHamming: Int = 3,
+                         maxBucket: Int = 1000): DataFrame = {
+    val frames = withMjpegFrames(
+      df.select(col(idCol), col(payloadCol)), payloadCol, stride)
+      .filter(col("dhash").isNotNull)
+      // key-packing contract enforced LOUDLY (assert_true raises on
+      // the first violating row) — silently dropping an out-of-range
+      // video or a frame past 2^16 would fake a clean dedup result
+      .filter(assert_true(
+        col(idCol) >= 0 && col(idCol) < (1L << 46) &&
+          col("frame_idx") < (1 << 16),
+        lit("videoFrameDupPairs: media id must be in [0, 2^46) and " +
+          "frame_idx < 65536 for composite-key packing")).isNull)
+      .select((col(idCol) * 65536L + col("frame_idx")).as("id"),
+        col("dhash"))
+    // shift/mask decomposition, not floor(x / 65536): double division
+    // would misround composite keys above 2^53
+    graft.operators.Dedup
+      .hamming64DupPairs(frames, "id", "dhash", maxHamming, maxBucket)
+      .filter(shiftrightunsigned(col("id_a"), 16) =!=
+        shiftrightunsigned(col("id_b"), 16))
+      .select(shiftrightunsigned(col("id_a"), 16).as("video_a"),
+        col("id_a").bitwiseAND(0xFFFFL).cast("int").as("frame_a"),
+        shiftrightunsigned(col("id_b"), 16).as("video_b"),
+        col("id_b").bitwiseAND(0xFFFFL).cast("int").as("frame_b"),
+        col("hamming"))
+  }
+
+  /** Video-pair reuse ranking over [[videoFrameDupPairs]]: per
+    * (video_a, video_b), how many frame pairs matched and the closest
+    * match — a full re-upload of an n-frame video scores n shared
+    * frames at hamming 0. One tiny groupBy over the pair list. */
+  def videoDupCandidates(df: DataFrame, idCol: String, payloadCol: String,
+                         stride: Int = 1, maxHamming: Int = 3,
+                         maxBucket: Int = 1000): DataFrame =
+    videoFrameDupPairs(df, idCol, payloadCol, stride, maxHamming, maxBucket)
+      .groupBy("video_a", "video_b")
+      .agg(count(lit(1)).as("n_shared_frames"),
+        min("hamming").as("min_hamming"))
 
   /** REAL WebM/Matroska metadata decode: walk the EBML element tree
     * (public Matroska/EBML spec — variable-length-integer IDs/sizes,
@@ -1610,6 +1728,186 @@ object Multimodal {
   /** Demo media table derived from the documents corpus: text bytes as
     * payload with fabricated image metadata (this is the ingest shape a
     * real pipeline would produce from tar/parquet shards). */
+  /** 64-bit difference hash (dHash) of an image payload — the
+    * perceptual fingerprint for image-level near-dup detection
+    * (Krawetz's dHash, the standard cheap perceptual hash): decode,
+    * reduce to a 9x8 grid of box-mean luma values, emit one bit per
+    * horizontally-adjacent pair (set when the right box is brighter).
+    * Survives re-encoding, format conversion, and affine
+    * brightness/contrast maps — exactly the transforms that defeat
+    * byte-level exact dedup on crawled images.
+    *
+    * Fully deterministic across platforms: integer luma
+    * (299r + 587g + 114b — no float), floor box boundaries
+    * (`i*w/9`, empty boxes widened to one pixel), and box-mean
+    * comparison via cross-multiplication (sumA*nB > sumB*nA) so no
+    * division ever rounds. Products stay within Long for images up to
+    * ~2 gigapixels. Undecodable/null payloads return None (quarantine
+    * routing decides those rows, same contract as
+    * [[decodeImageStats]]). */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null) return None
+    Some(dHashOfImage(img))
+  }
+
+  /** The grid/compare stage of [[dHash64]] over an already-decoded
+    * image — shared with the MJPEG frame path, which has the decoded
+    * `BufferedImage` in hand and must not pay a second decode. */
+  private[graft] def dHashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8
+      val y1 = math.max(y0 + 1, (j + 1) * h / 8)
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9
+        val x1 = math.max(x0 + 1, (i + 1) * w / 9)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        sums(j)(i) = s
+        counts(j)(i) = (y1 - y0).toLong * (x1 - x0)
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    var k = 0
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (sums(j)(i + 1) * counts(j)(i) > sums(j)(i) * counts(j)(i + 1))
+          hash |= 1L << k
+        k += 1
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** Partition-parallel dHash pass: adds a nullable `dhash` long
+    * column (null = undecodable, for quarantine routing). Same
+    * mapPartitions batch shape as [[withImageStats]]. */
+  def withDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("dhash", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        dHash64(r.getAs[Array[Byte]](idx)) match {
+          case Some(v) => Row.fromSeq(r.toSeq :+ (v: Any))
+          case None    => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual image near-duplicate pairs: dHash each payload
+    * (partition-parallel decode, no shuffle), then banded Hamming LSH
+    * over the 64-bit fingerprints ([[graft.operators.Dedup.hamming64DupPairs]]
+    * — 4x16-bit bands, pigeonhole-exact recall for `maxHamming <= 3`,
+    * hot buckets pruned before the self-join). Catches re-encoded /
+    * contrast-shifted / format-converted copies that byte-level exact
+    * dedup misses. Undecodable payloads drop out (null fingerprint);
+    * route them via [[routeUndecodable]] separately.
+    *
+    * 100-TB shape: the decode is a narrow per-partition pass over the
+    * payload column; only (id, 8-byte fingerprint) ever shuffles —
+    * the image bytes never move. */
+  def imageDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val hashed = withDHash(df.select(col(idCol), col(payloadCol)), payloadCol)
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash"))
+    graft.operators.Dedup.hamming64DupPairs(
+      hashed, idCol, "dhash", maxHamming, maxBucket)
+  }
+
+  /** Deterministic synthetic PNG whose CONTENT depends on the id (the
+    * [[syntheticPng]] pixel formula is id-independent — every id with
+    * the same dims encodes the same image, which would make a
+    * perceptual-dedup fixture one giant clique): per-channel offsets
+    * derived from id residues mod coprime bases shift the mod-256
+    * wrap positions, so different ids yield different gradient
+    * patterns. Size (8 + id%7) x (6 + id%5). */
+  def syntheticPngId(id: Long): Array[Byte] =
+    encodeIdPng(id, v => v)
+
+  /** Contrast-halved re-encode of [[syntheticPngId]]: every channel
+    * value v maps to v/2 + 96 (affine, no clipping: range [96, 223]).
+    * Different bytes AND different pixels than the base image — exact
+    * dedup is blind to it — but luma gradient signs survive, so its
+    * dHash lands within a few bits of the base image's. */
+  def syntheticPngContrast(id: Long): Array[Byte] =
+    encodeIdPng(id, v => v / 2 + 96)
+
+  private def encodeIdPng(id: Long, tone: Int => Int): Array[Byte] = {
+    val w = (8 + id % 7).toInt
+    val h = (6 + id % 5).toInt
+    val or = (53 * (id % 101)).toInt
+    val og = (31 * (id % 89)).toInt
+    val ob = (17 * (id % 71)).toInt
+    // steep per-pixel gradients (67/97/41 per x-step), so the mod-256
+    // wrap pattern — what dHash actually fingerprints — is dense and
+    // offset-sensitive; the shallow 7/11/5 ramps of [[syntheticPng]]
+    // rarely wrap inside a 8-14px image and every same-size image
+    // would hash near-identically
+    val cross = (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = tone((67 * x + 53 * y + cross * x * y + or) % 256)
+        val g = tone((97 * x + 31 * y + 50 + og) % 256)
+        val b = tone((41 * x + 29 * y + 100 + ob) % 256)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Ingest-shaped media table of id-content PNGs (encode is the
+    * mapPartitions kernel, same as [[syntheticPngMedia]]); `contrast`
+    * selects the [[syntheticPngContrast]] tone map. */
+  def syntheticPngIdMedia(ids: DataFrame, idCol: String,
+                          contrast: Boolean = false): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, if (contrast) syntheticPngContrast(id) else syntheticPngId(id))
+      }
+    }(enc)
+  }
+
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),

@@ -238,22 +238,48 @@ object Dedup {
     // the array (same re-inlining hazard as the MinHash signature)
     val sh = spread(df, parallelism).select(col(idCol).as("id"),
       transform(split(normalizeText(col(textCol)), " "), w => xxhash64(w)).as("__h"))
-      .select(col("id"), simhashFromHashes(col("__h")).as("sh"))
-    val banded = sh.select(col("id"), col("sh"),
+      .select(col("id"), simhashFromHashes(col("__h")).as("fp"))
+    hamming64Candidates(sh, maxBucket)
+  }
+
+  /** Near-duplicate pairs over an ARBITRARY 64-bit fingerprint column
+    * (SimHash, image dHash, any perceptual hash): 4 bands of 16 bits —
+    * rows sharing any band are candidates, verified by full Hamming
+    * distance (bit_count of xor) <= `maxHamming`.
+    *
+    * Recall is pigeonhole-EXACT for `maxHamming <= 3`: a pair
+    * differing in at most 3 bits cannot touch all 4 bands, so at
+    * least one band collides and the pair is always generated (bands
+    * a hot bucket prunes excepted). Same plan shape and skew guard
+    * as [[simhashDupPairs]] — band-bucket shuffle, `maxBucket` drop
+    * before the self-join, never all-pairs. */
+  def hamming64DupPairs(df: DataFrame, idCol: String, fpCol: String,
+                        maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hamming64Candidates(
+      df.select(col(idCol).as("id"), col(fpCol).as("fp")), maxBucket)
+      // filter BEFORE distinct (same reasoning as minhashDupPairs)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+  /** Shared banding/verify stage: expects (id, fp: Long); one output
+    * row per band collision with the pair's full Hamming distance. */
+  private[graft] def hamming64Candidates(fps: DataFrame,
+                                         maxBucket: Int): DataFrame = {
+    val banded = fps.select(col("id"), col("fp"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
-        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFF).as("bucket"))): _*))
+        shiftright(col("fp"), b * 16).bitwiseAND(0xFFFF).as("bucket"))): _*))
         .as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
+      .select(col("id"), col("fp"), col("bk.band"), col("bk.bucket"))
     val pruned = pruneBuckets(banded, maxBucket)
     val left = pruned.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("sh").as("sh_a"))
+      col("fp").as("fp_a"))
     val right = pruned.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("sh").as("sh_b"))
+      col("fp").as("fp_b"))
     left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
   }
 
   /** Exact word n-gram Jaccard similarity for all pairs reaching

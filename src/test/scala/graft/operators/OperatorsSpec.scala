@@ -1801,6 +1801,105 @@ class OperatorsSpec extends AnyFunSuite {
     assert(quarantine.columns.toSeq == mixed.columns.toSeq)
   }
 
+  test("image dHash: contrast variant stays near, pairs are pigeonhole-exact") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // driver side: the contrast-halved re-encode preserves luma
+    // gradient signs, so its dHash sits within a few bits of the base
+    // (bits flip only where adjacent box means nearly tie) — while the
+    // payload BYTES and raw pixels both differ (exact dedup is blind)
+    val ids = 0L until 60L
+    val variantDist = ids.map { id =>
+      val a = mm.dHash64(mm.syntheticPngId(id)).get
+      val b = mm.dHash64(mm.syntheticPngContrast(id)).get
+      assert(!java.util.Arrays.equals(
+        mm.syntheticPngId(id), mm.syntheticPngContrast(id)))
+      java.lang.Long.bitCount(a ^ b)
+    }
+    assert(variantDist.count(_ <= 3) >= 50,
+      s"variant hamming distances: $variantDist")
+    assert(mm.dHash64(mm.syntheticPngId(3L)) ==
+      mm.dHash64(mm.syntheticPngId(3L)), "deterministic")
+
+    // distributed operator == driver all-pairs reference: every pair
+    // at hamming <= 3 MUST appear (a 3-bit difference cannot touch
+    // all 4 of the 16-bit bands), none above the threshold; junk and
+    // null payloads drop out without failing the job
+    val base = mm.syntheticPngIdMedia(ids.toDF("doc_id"), "doc_id")
+    val variants = mm.syntheticPngIdMedia(
+      ids.filter(_ % 5 == 0).toDF("doc_id"), "doc_id", contrast = true)
+      .withColumn("media_id", col("media_id") + 100000)
+    val junk = Seq((900000L, Array[Byte](1, 2, 3)),
+      (900001L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    val got = mm.imageDupPairs(
+      base.unionByName(variants).unionByName(junk).repartition(5),
+      "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = ids.map(i => i -> mm.dHash64(mm.syntheticPngId(i)).get) ++
+      ids.filter(_ % 5 == 0)
+        .map(i => (i + 100000) -> mm.dHash64(mm.syntheticPngContrast(i)).get)
+    val ref = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == ref, s"got ${got.size} pairs, reference ${ref.size}")
+    assert(ref.nonEmpty, "fixture must actually plant findable pairs")
+    assert(got.forall(p => p._1 < 900000L && p._2 < 900000L))
+  }
+
+  test("video frame dHash: modular shared frames + re-upload detection") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // the block formula is modular: frame f of id and frame f-2 of
+    // id+58 have IDENTICAL pixels (29*2 = 58, same wide geometry), so
+    // their per-frame dHashes must be equal bit-for-bit
+    val a = mm.parseMjpegFrames(mm.syntheticMjpegMp4Wide(1L))
+    val b = mm.parseMjpegFrames(mm.syntheticMjpegMp4Wide(59L))
+    assert(a.forall(_.ok) && b.forall(_.ok))
+    assert(a(2).dhash.isDefined && a(2).dhash == b(0).dhash,
+      s"frame(1,2)=${a(2).dhash} frame(59,0)=${b(0).dhash}")
+    // ...and frames with different phase get different hashes (the
+    // wide geometry exists so dHash discriminates at all)
+    assert(a.map(_.dhash).distinct.size == a.size)
+
+    // distributed: a byte-identical re-upload at another media_id is
+    // found with ALL its frames shared at hamming 0
+    val ids = (0L until 40L).toDF("doc_id")
+    val base = mm.syntheticMjpegWideMedia(ids, "doc_id")
+    val reupload = mm.syntheticMjpegWideMedia(Seq(7L).toDF("doc_id"), "doc_id")
+      .withColumn("media_id", col("media_id") + 1000)
+    val cands = mm.videoDupCandidates(base.unionByName(reupload).repartition(4),
+      "media_id", "payload", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getInt(3))).toSet
+    val nFrames7 = mm.mjpegWideDims(7L)._3
+    assert(cands.contains((7L, 1007L, nFrames7.toLong, 0)),
+      s"re-upload of 7 must share all $nFrames7 frames: $cands")
+    // a natural modular pair appears too: frame f+1 of id 1 equals
+    // frame f of id 30 (29*1 = 29), two overlapping frames
+    assert(cands.exists(c => c._1 == 1L && c._2 == 30L && c._3 >= 2L),
+      s"$cands")
+  }
+
+  test("hamming64DupPairs: band pigeonhole — 3 bits found, 4-band spread missed") {
+    import spark.implicits._
+    // bits in 3 distinct bands leave band 3 intact -> always found;
+    // 4 bits spread over all 4 bands collide in NO band -> not even a
+    // candidate (the documented recall boundary above maxHamming 3)
+    val threeBits = (1L << 0) | (1L << 16) | (1L << 32)
+    val fourBits = threeBits | (1L << 48)
+    val df = Seq((1L, 0L), (2L, threeBits), (3L, fourBits))
+      .toDF("id", "fp")
+    val pairs = graft.operators.Dedup
+      .hamming64DupPairs(df, "id", "fp", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 3)), s"3-bit pair must be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      s"4-band spread cannot collide in any band: $pairs")
+    // (2,3): differ in exactly 1 bit -> found
+    assert(pairs.contains((2L, 3L, 1)), s"$pairs")
+  }
+
   test("GIF sub-rectangle/optimized frames quarantine, not silent patch stats") {
     val mm = graft.multimodal.Multimodal
     // hand-built 2-frame GIF whose second frame is a smaller patch than
