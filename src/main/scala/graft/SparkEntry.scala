@@ -2116,6 +2116,25 @@ object SparkEntry {
         .orderBy("video_a", "video_b", "frame_a", "frame_b")
     }),
 
+    "q_audio_dhash_pairs" -> ((s, dir) => {
+      // perceptual audio near-dup through the REAL WAV codec:
+      // id-spectrum clips for doc_id < 200 plus volume-shifted copies
+      // (gain 0.4) of every 5th id planted at media_id + 100000 —
+      // different bytes and samples, but band-energy ORDER is
+      // invariant under uniform gain, so the spectral fingerprint
+      // recovers each pair via the shared banded Hamming LSH.
+      // Golden oracle: Goertzel is not SQL-expressible; output is a
+      // pure function of the data (StrictMath everywhere)
+      val ids = docs(s, dir).filter(col("doc_id") < 200).select(col("doc_id"))
+      val mm = graft.multimodal.Multimodal
+      val base = mm.syntheticWavIdMedia(ids, "doc_id")
+      val variants = mm.syntheticWavIdMedia(
+        ids.filter(col("doc_id") % 5 === 0), "doc_id", gain = 0.4)
+        .withColumn("media_id", col("media_id") + 100000)
+      mm.audioDupPairs(base.unionByName(variants), "media_id", "payload")
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_audio_decode" -> ((s, dir) => {
       // REAL audio codec end-to-end: deterministic 16-bit PCM WAVs
       // encoded AND decoded partition-parallel via javax.sound.sampled;
@@ -4105,7 +4124,7 @@ object SparkEntry {
     "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
     "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier",
     "q_compression_ratio", "q_pack_nosplit", "q_image_dhash_pairs",
-    "q_video_frame_dups")
+    "q_video_frame_dups", "q_audio_dhash_pairs")
 
   private val GoldenDir = "/root/repo/golden"
 }

@@ -273,6 +273,187 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual audio fingerprint — the audio analogue of
+    * [[dHash64]], in the spirit of Haitsma-Kalker sub-fingerprints:
+    * decode to mono (channel SUM — scale-free under the sign
+    * comparisons below), split into 9 equal time slices, measure
+    * energy in 8 fixed frequency bands per slice (Goertzel at
+    * normalized frequencies (j+1)/20 of the sample rate), and emit
+    * one bit per temporally-adjacent energy pair per band (set when
+    * the later slice is louder in that band). A volume change scales
+    * every energy by g^2 and flips nothing; a re-encode or container
+    * change preserves the spectrum — exactly the copies byte-level
+    * dedup misses.
+    *
+    * Deterministic across platforms: band coefficients come from
+    * `StrictMath.cos` (JVM `Math.cos` may use platform intrinsics),
+    * and the Goertzel recurrence is plain IEEE double arithmetic.
+    * Returns None for null / undecodable / non-16-bit-PCM payloads
+    * and for clips shorter than 9 frames (quarantine routing decides
+    * those rows). */
+  def audioDHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val channels = fmt.getChannels
+        val bytes = ais.readAllBytes()
+        val frames = bytes.length / (2 * channels)
+        if (frames < 9) return None
+        val mono = new Array[Double](frames)
+        var t = 0; var i = 0
+        while (t < frames) {
+          var s = 0L
+          var c = 0
+          while (c < channels) {
+            val v: Short =
+              if (fmt.isBigEndian)
+                (((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)).toShort
+              else (((bytes(i + 1) & 0xFF) << 8) | (bytes(i) & 0xFF)).toShort
+            s += v.toLong
+            i += 2; c += 1
+          }
+          mono(t) = s.toDouble
+          t += 1
+        }
+        val coeffs = Array.tabulate(8) { j =>
+          2.0 * StrictMath.cos(2.0 * StrictMath.PI * (j + 1) / 20.0)
+        }
+        val power = Array.ofDim[Double](9, 8)
+        var sl = 0
+        while (sl < 9) {
+          val t0 = sl * frames / 9
+          val t1 = math.max(t0 + 1, (sl + 1) * frames / 9)
+          var j = 0
+          while (j < 8) {
+            val k = coeffs(j)
+            var s1 = 0.0; var s2 = 0.0
+            var u = t0
+            while (u < t1) {
+              val s0 = mono(u) + k * s1 - s2
+              s2 = s1; s1 = s0
+              u += 1
+            }
+            power(sl)(j) = s1 * s1 + s2 * s2 - k * s1 * s2
+            j += 1
+          }
+          sl += 1
+        }
+        var hash = 0L
+        var b = 0
+        var j = 0
+        while (j < 8) {
+          var s = 0
+          while (s < 8) {
+            if (power(s + 1)(j) > power(s)(j)) hash |= 1L << b
+            b += 1
+            s += 1
+          }
+          j += 1
+        }
+        Some(hash)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Partition-parallel audio-fingerprint pass: adds a nullable
+    * `dhash` long column (same contract as [[withDHash]]). */
+  def withAudioDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("dhash", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        audioDHash64(r.getAs[Array[Byte]](idx)) match {
+          case Some(v) => Row.fromSeq(r.toSeq :+ (v: Any))
+          case None    => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual audio near-duplicate pairs: [[audioDHash64]] each
+    * payload, then the shared banded Hamming LSH
+    * ([[graft.operators.Dedup.hamming64DupPairs]]). Catches
+    * volume-shifted / re-encoded copies. Same 100-TB shape as
+    * [[imageDupPairs]]: decode never shuffles, only (id, 8-byte
+    * fingerprint) rows move. */
+  def audioDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val hashed = withAudioDHash(df.select(col(idCol), col(payloadCol)),
+      payloadCol)
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash"))
+    graft.operators.Dedup.hamming64DupPairs(
+      hashed, idCol, "dhash", maxHamming, maxBucket)
+  }
+
+  /** Deterministic synthetic WAV with id-dependent SPECTRUM — the
+    * fingerprint fixture ([[syntheticWav]]'s sawtooth differs across
+    * ids only by phase, so every clip has the same band energies and
+    * perceptual hashes would collapse into one cluster): three
+    * `StrictMath.sin` partials at id-selected band frequencies
+    * (multiples of 400 Hz — centered on the Goertzel probe bands),
+    * each with its own id-dependent cosine amplitude envelope so the
+    * temporal bits discriminate too. Mono, 8 kHz, 1800 frames.
+    * `gain` scales every sample (the planted volume-shift variant:
+    * different bytes, near-identical fingerprint). */
+  def syntheticWavId(id: Long, gain: Double = 1.0): Array[Byte] = {
+    val frames = 1800
+    val f = Array(400.0 * (1 + id % 8), 400.0 * (1 + (id / 8) % 8),
+      400.0 * (1 + (id / 64) % 8))
+    val amp = Array(6000.0, 4000.0, 2500.0)
+    val data = new Array[Byte](frames * 2)
+    var t = 0
+    while (t < frames) {
+      var s = 0.0
+      var k = 0
+      while (k < 3) {
+        val env = 0.5 * (1.0 + StrictMath.cos(
+          2.0 * StrictMath.PI * t * ((id + k) % 3 + 1) / frames +
+            0.7 * ((id + 2 * k) % 5)))
+        s += amp(k) * env *
+          StrictMath.sin(2.0 * StrictMath.PI * f(k) * t / 8000.0)
+        k += 1
+      }
+      val v = math.max(-32768.0, math.min(32767.0,
+        StrictMath.rint(gain * s))).toInt.toShort
+      data(2 * t) = (v & 0xFF).toByte
+      data(2 * t + 1) = ((v >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** (media_id, payload) frame of id-spectrum WAVs; `gain` applies to
+    * every clip (the volume-shift variant generator). */
+  def syntheticWavIdMedia(ids: DataFrame, idCol: String,
+                          gain: Double = 1.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val idx = ids.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        Row(id, syntheticWavId(id, gain))
+      }
+    }(enc)
+  }
+
   /** One decoded GIF frame: dims, mean gray level, and the frame's
     * display delay from its GraphicControlExtension (real metadata,
     * not a fabricated duration). */

@@ -1881,6 +1881,51 @@ class OperatorsSpec extends AnyFunSuite {
       s"$cands")
   }
 
+  test("audio dHash: volume-shift variant stays near, pairs pigeonhole-exact") {
+    import spark.implicits._
+    val mm = graft.multimodal.Multimodal
+    // a uniform gain scales every band energy by g^2 — the temporal
+    // sign bits are invariant up to quantization rounding, so the
+    // variant's fingerprint sits within a few bits of the base
+    val ids = 0L until 60L
+    val variantDist = ids.map { id =>
+      val a = mm.audioDHash64(mm.syntheticWavId(id)).get
+      val b = mm.audioDHash64(mm.syntheticWavId(id, gain = 0.4)).get
+      assert(!java.util.Arrays.equals(
+        mm.syntheticWavId(id), mm.syntheticWavId(id, gain = 0.4)))
+      java.lang.Long.bitCount(a ^ b)
+    }
+    assert(variantDist.count(_ <= 3) >= 50,
+      s"variant hamming distances: $variantDist")
+    // fingerprints must discriminate across ids (the id-SPECTRUM
+    // generator exists because the sawtooth fixture would collapse)
+    val hashes = ids.map(i => mm.audioDHash64(mm.syntheticWavId(i)).get)
+    assert(hashes.distinct.size >= 55, s"${hashes.distinct.size} distinct")
+
+    // distributed operator == driver all-pairs reference; junk/null
+    // and too-short clips drop out without failing
+    val base = mm.syntheticWavIdMedia(ids.toDF("doc_id"), "doc_id")
+    val variants = mm.syntheticWavIdMedia(
+      ids.filter(_ % 5 == 0).toDF("doc_id"), "doc_id", gain = 0.4)
+      .withColumn("media_id", col("media_id") + 100000)
+    val junk = Seq((900000L, Array[Byte](1, 2, 3)),
+      (900001L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    val got = mm.audioDupPairs(
+      base.unionByName(variants).unionByName(junk).repartition(5),
+      "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = ids.map(i => i -> mm.audioDHash64(mm.syntheticWavId(i)).get) ++
+      ids.filter(_ % 5 == 0)
+        .map(i => (i + 100000) ->
+          mm.audioDHash64(mm.syntheticWavId(i, gain = 0.4)).get)
+    val ref = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == ref, s"got ${got.size} pairs, reference ${ref.size}")
+    assert(ref.nonEmpty, "fixture must plant findable pairs")
+  }
+
   test("hamming64DupPairs: band pigeonhole — 3 bits found, 4-band spread missed") {
     import spark.implicits._
     // bits in 3 distinct bands leave band 3 intact -> always found;
