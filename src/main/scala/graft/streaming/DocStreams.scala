@@ -140,6 +140,131 @@ object DocStreams {
 
   case class PairOut(id_a: Long, id_b: Long, est_jaccard: Double)
 
+  case class HammingPairOut(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming near-dup pairs over an arbitrary 64-bit perceptual
+    * fingerprint column — the streaming face of
+    * `Dedup.hamming64DupPairs` (SimHash text, image dHash, audio
+    * spectral hash): 4x16-bit bands key the state store; each bucket
+    * holds its members as a PACKED byte blob (16 B per member:
+    * [id:8][fp:8], the same zero-allocation state discipline as
+    * [[streamingMinhashDupPairs]]); an arriving fingerprint scores
+    * against every stored member by full Hamming distance.
+    *
+    * Exactly-once emission WITHOUT a dedup pass: the full fingerprints
+    * are in hand, so every bucket holding a matching pair computes the
+    * same LOWEST colliding band and only that band's bucket emits.
+    * Recall matches the batch operator (pigeonhole-exact for
+    * `maxHamming <= 3`) while every member is stored everywhere it
+    * hashes; past the `maxBucket` cap a bucket stops ADMITTING members
+    * (prospective prune — the batch op's retroactive prune differs
+    * there, both bounded; a pair whose lowest colliding band
+    * overflowed is dropped even if a higher band holds both, same
+    * documented trade as the MinHash stream). `stateTtlMs` bounds
+    * state for unbounded corpora exactly as in [[streamingDupMap]].
+    *
+    * Input must carry `id` (long) and `fp` (long) columns — callers
+    * attach the fingerprint with the matching narrow pass
+    * (`Multimodal.withDHash`, `withAudioDHash`, `Dedup.simhash64`). */
+  def streamingHamming64DupPairs(fps: DataFrame, maxHamming: Int = 3,
+                                 maxBucket: Int = 1000,
+                                 stateTtlMs: Option[Long] = None): DataFrame = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    val banded = fps.select(col("id").cast("long"), col("fp").cast("long"))
+      .select(col("id"), col("fp"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("fp"), b * 16).bitwiseAND(0xFFFF).as("bucket"))): _*))
+          .as("bk"))
+      .select(col("id"), col("fp"), col("bk.band"), col("bk.bucket"))
+      .as[(Long, Long, Int, Long)]
+    val timeoutConf = if (stateTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[Array[Byte], HammingPairOut](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[Array[Byte]]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (key, rows, state: GroupState[Array[Byte]]) =>
+          val myBand = key._1
+          val batch = rows.toArray
+          // ascend by id: deterministic, and a single-batch run then
+          // reproduces the batch operator's id_a < id_b pair set
+          java.util.Arrays.sort(batch,
+            Ordering.by[(Long, Long, Int, Long), Long](_._1))
+          val stored = state.getOption.getOrElse(Array.emptyByteArray)
+          var n = stored.length / 16
+          val room = math.min(maxBucket, n + batch.length)
+          val buf = java.nio.ByteBuffer.allocate(room * 16)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          buf.put(stored, 0, n * 16)
+          buf.position(0)
+          val lb = buf.asLongBuffer()
+          val out = scala.collection.mutable.ArrayBuffer.empty[HammingPairOut]
+          var bi = 0
+          while (bi < batch.length) {
+            val id = batch(bi)._1
+            val fp = batch(bi)._2
+            // presence pass FIRST: a re-ingested id is skipped
+            // entirely — its pairs were emitted when it first arrived,
+            // and scoring or storing it again would duplicate them
+            var seen = false
+            var i = 0
+            while (i < n && !seen) {
+              if (lb.get(2 * i) == id) seen = true
+              i += 1
+            }
+            if (!seen) {
+              i = 0
+              while (i < n) {
+                val oid = lb.get(2 * i)
+                val ofp = lb.get(2 * i + 1)
+                val d = java.lang.Long.bitCount(fp ^ ofp)
+                if (d <= maxHamming) {
+                  // lowest colliding band: exists because THIS bucket
+                  // collided; every bucket holding the pair agrees
+                  var low = 0
+                  while (((fp >>> (low * 16)) & 0xFFFF) !=
+                    ((ofp >>> (low * 16)) & 0xFFFF)) low += 1
+                  if (low == myBand)
+                    out += HammingPairOut(math.min(id, oid),
+                      math.max(id, oid), d)
+                }
+                i += 1
+              }
+              if (n < maxBucket) {
+                lb.put(2 * n, id)
+                lb.put(2 * n + 1, fp)
+                n += 1
+              }
+            }
+            bi += 1
+          }
+          state.update(java.util.Arrays.copyOf(buf.array(), n * 16))
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Streaming perceptual image dedup: dHash each arriving payload
+    * (narrow partition pass, the image bytes never reach the state
+    * store) and feed [[streamingHamming64DupPairs]] — the ingest-time
+    * face of `Multimodal.imageDupPairs`. Undecodable payloads drop
+    * out (null fingerprint); route them separately. */
+  def streamingImageDupPairs(media: DataFrame, idCol: String = "media_id",
+                             payloadCol: String = "payload",
+                             maxHamming: Int = 3, maxBucket: Int = 1000,
+                             stateTtlMs: Option[Long] = None): DataFrame = {
+    val hashed = graft.multimodal.Multimodal
+      .withDHash(media.select(col(idCol), col(payloadCol)), payloadCol)
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash").as("fp"))
+    streamingHamming64DupPairs(hashed, maxHamming, maxBucket, stateTtlMs)
+  }
+
   case class TokenCountOut(token: String, n_occurrences: Long, n_docs: Long)
 
   /** Streaming (token, n_occurrences, n_docs) counts — the streaming

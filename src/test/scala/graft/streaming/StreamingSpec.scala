@@ -652,6 +652,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("alpha") == ((4L, 3L)))
     assert(got("beta") == ((4L, 3L)))
   }
+
+  test("streaming image dedup: two-batch pairs equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mm = graft.multimodal.Multimodal
+    val ids = 0L until 30L
+    def png(i: Long): Array[Byte] =
+      if (i >= 1000) mm.syntheticPngContrast(i - 1000) else mm.syntheticPngId(i)
+    val variantIds = ids.filter(_ % 5 == 0).map(_ + 1000)
+    val allIds = ids ++ variantIds
+    val batchDf = allIds.map(i => (i, png(i))).toDF("media_id", "payload")
+    val expected = mm.imageDupPairs(batchDf, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty)
+
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = DocStreams.streamingImageDupPairs(
+      stream.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("img_dup_stream")
+      .outputMode("append").start()
+    // bases in batch one, contrast variants in batch two: every
+    // planted pair must link across the batch boundary via state
+    stream.addData(ids.map(i => (i, png(i))): _*)
+    q.processAllAvailable()
+    stream.addData(variantIds.map(i => (i, png(i))): _*)
+    q.processAllAvailable()
+    // re-ingest one id: must be silent (pairs already emitted)
+    stream.addData((0L, png(0L)))
+    q.processAllAvailable()
+    val got = spark.table("img_dup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    q.stop()
+    assert(got.length == got.toSet.size, s"exactly-once: ${got.length}")
+    assert(got.toSet == expected,
+      s"stream ${got.toSet.size} pairs vs batch ${expected.size}")
+  }
 }
 
 /** Small indirection so the streaming test compiles without importing
