@@ -672,6 +672,72 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    "q_host_pagerank" -> ((s, dir) => {
+      // domain authority over the crawl host graph: the same synthetic
+      // outlinks as q_outlink_hosts, with each page's own host
+      // fabricated from its id class — extract links, fold to weighted
+      // host edges, 5 power iterations of weighted PageRank with
+      // dangling redistribution (target hosts never link out here, so
+      // most of the graph's mass cycles through the dangling path —
+      // the adversarial case for the stochastic completion)
+      import graft.functions.{HtmlFunctions, UrlFunctions}
+      val page = col("doc_id") % 100
+      val tgt1 = concat(lit("http://h"), page % 4,
+        lit(".graft.example/docs/"), page)
+      val tgt2 = when(col("doc_id") % 7 === 0,
+        concat(lit("http://ads.bad.graft.test/banner/"), col("doc_id") % 10))
+        .otherwise(concat(lit("https://MIRROR.h"), page % 4,
+          lit(".graft.example:8443/alt")))
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about'>About</a></nav><p>see <a href=\""),
+        tgt1, lit("\">first</a> and <a href='"), tgt2,
+        lit("'>second</a> plus <a href=\"#frag\">anchor</a> " +
+          "and <a>no href</a>.</p></body></html>"))
+      val edges = docs(s, dir)
+        .select(col("doc_id"),
+          explode(HtmlFunctions.outlinks(html)).as("href"))
+        .filter(col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+        .select(
+          concat(lit("site"), col("doc_id") % 6, lit(".graft.example"))
+            .as("src_host"),
+          UrlFunctions.urlBareHost(col("href")).as("dst_host"))
+      graft.operators.LinkGraph
+        .pageRank(edges, "src_host", "dst_host", iterations = 5)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+        .orderBy("host")
+    }),
+
+    "q_host_degrees" -> ((s, dir) => {
+      // in/out degree + link volume per host over the same edge list —
+      // the cheap link-graph companion stats
+      import graft.functions.{HtmlFunctions, UrlFunctions}
+      val page = col("doc_id") % 100
+      val tgt1 = concat(lit("http://h"), page % 4,
+        lit(".graft.example/docs/"), page)
+      val tgt2 = when(col("doc_id") % 7 === 0,
+        concat(lit("http://ads.bad.graft.test/banner/"), col("doc_id") % 10))
+        .otherwise(concat(lit("https://MIRROR.h"), page % 4,
+          lit(".graft.example:8443/alt")))
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href='/about'>About</a></nav><p>see <a href=\""),
+        tgt1, lit("\">first</a> and <a href='"), tgt2,
+        lit("'>second</a> plus <a href=\"#frag\">anchor</a> " +
+          "and <a>no href</a>.</p></body></html>"))
+      val edges = docs(s, dir)
+        .select(col("doc_id"),
+          explode(HtmlFunctions.outlinks(html)).as("href"))
+        .filter(col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+        .select(
+          concat(lit("site"), col("doc_id") % 6, lit(".graft.example"))
+            .as("src_host"),
+          UrlFunctions.urlBareHost(col("href")).as("dst_host"))
+      graft.operators.LinkGraph
+        .hostDegrees(edges, "src_host", "dst_host")
+        .orderBy("host")
+    }),
+
     "q_embedding_drift" -> ((s, dir) => {
       // representation-space drift: per-source mean-embedding cosine
       // vs the corpus mean (vec_id == doc_id in the fixture) — the
@@ -2432,6 +2498,70 @@ object SparkEntry {
       round(corr(${Feats(i)}, ${Feats(j)}), 6) AS corr_v FROM lineitem""")
       .mkString(" UNION ALL ")
 
+    // shared crawl host-edge chain for the link-graph oracles: the
+    // q_outlink_hosts fabricated HTML, page host from the id class,
+    // one (src, dst) row per absolute link (plain string — backslashes
+    // stay literal)
+    val hostEdgesCte =
+      """WITH pg AS (
+           SELECT doc_id,
+             'http://h' || ((doc_id % 100) % 4) || '.graft.example/docs/'
+               || (doc_id % 100) AS t1,
+             CASE WHEN doc_id % 7 = 0
+               THEN 'http://ads.bad.graft.test/banner/' || (doc_id % 10)
+               ELSE 'https://MIRROR.h' || ((doc_id % 100) % 4)
+                 || '.graft.example:8443/alt' END AS t2
+           FROM documents),
+         hh AS (
+           SELECT doc_id,
+             '<html><body><nav><a href="/">Home</a> <a href=''/about''>About</a></nav><p>see <a href="'
+               || t1 || '">first</a> and <a href=''' || t2
+               || '''>second</a> plus <a href="#frag">anchor</a> and <a>no href</a>.</p></body></html>'
+               AS html
+           FROM pg),
+         ll AS (
+           SELECT doc_id, unnest(list_concat(
+             regexp_extract_all(html, '(?is)<a[^>]*?href\s*=\s*"([^"]*)"', 1),
+             regexp_extract_all(html, '(?is)<a[^>]*?href\s*=\s*''([^'']*)''', 1)))
+             AS href
+           FROM hh),
+         ab AS (
+           SELECT doc_id, href FROM ll
+           WHERE regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')),
+         ed AS (
+           SELECT 'site' || (doc_id % 6) || '.graft.example' AS src,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(href,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               '^.*@', ''), ':[0-9]*$', '') AS dst
+           FROM ab)"""
+
+    // weighted-PageRank scaffold + 5 unrolled power iterations (a
+    // recursive CTE cannot aggregate over its own recursive table, so
+    // fixed iterations unroll instead — same math as LinkGraph.pageRank)
+    val pagerankCtes = """,
+         e AS (SELECT src, dst, count(*)::DOUBLE AS w FROM ed GROUP BY 1, 2),
+         ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / ow.out_w AS share
+                FROM e JOIN ow USING (src)),
+         nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         p0 AS (SELECT host, 1.0::DOUBLE / nn.n AS rank
+                FROM nodes CROSS JOIN nn)""" +
+      (1 to 5).map { k =>
+        s""",
+         d$k AS (SELECT coalesce(sum(rank), 0::DOUBLE) AS dm FROM p${k - 1}
+                 WHERE host NOT IN (SELECT src FROM e)),
+         c$k AS (SELECT sh.dst AS host, sum(pr.rank * sh.share) AS contrib
+                 FROM p${k - 1} pr JOIN sh ON pr.host = sh.src
+                 GROUP BY sh.dst),
+         p$k AS (SELECT n.host,
+                 (1.0::DOUBLE - 0.85::DOUBLE) / nn.n + 0.85::DOUBLE *
+                   (coalesce(c.contrib, 0::DOUBLE) + dm / nn.n) AS rank
+                 FROM nodes n CROSS JOIN nn CROSS JOIN d$k
+                 LEFT JOIN c$k c ON n.host = c.host)"""
+      }.mkString
+
     // word-membership count over the normalized words (requires a
     // `norm` column in scope) — mirrors TextFunctions.stopwordRatio
     val stopHits = "len(list_filter(regexp_split_to_array(norm, ' '), " +
@@ -2977,6 +3107,21 @@ object SparkEntry {
                OR host LIKE '%.bad.graft.test' THEN 1 ELSE 0 END)::BIGINT
                AS n_blocked
            FROM p GROUP BY host ORDER BY host""",
+
+      "q_host_pagerank" -> (hostEdgesCte + pagerankCtes + """
+           SELECT host, round(rank, 6) AS rank FROM p5 ORDER BY host"""),
+
+      "q_host_degrees" -> (hostEdgesCte + """,
+         o AS (SELECT src AS host, count(DISTINCT dst) AS out_degree,
+               count(*) AS out_links FROM ed GROUP BY 1),
+         i AS (SELECT dst AS host, count(DISTINCT src) AS in_degree,
+               count(*) AS in_links FROM ed GROUP BY 1)
+         SELECT coalesce(o.host, i.host) AS host,
+           coalesce(out_degree, 0)::BIGINT AS out_degree,
+           coalesce(out_links, 0)::BIGINT AS out_links,
+           coalesce(in_degree, 0)::BIGINT AS in_degree,
+           coalesce(in_links, 0)::BIGINT AS in_links
+         FROM o FULL OUTER JOIN i ON o.host = i.host ORDER BY host"""),
 
       "q_embedding_drift" ->
         s"""WITH j AS (

@@ -256,10 +256,11 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** Ingest-shaped synthetic audio table: one deterministic WAV per id,
-    * encoded partition-parallel (no driver-side generation) — the audio
-    * analogue of [[syntheticPngMedia]]. */
-  def syntheticWavMedia(ids: DataFrame, idCol: String): DataFrame = {
+  /** Shared scaffold for every synthetic media builder: one
+    * deterministic payload per id, encoded partition-parallel (no
+    * driver-side generation), (media_id, payload) schema. */
+  private def mediaOf(ids: DataFrame, idCol: String)(
+      build: Long => Array[Byte]): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType), StructField("payload", BinaryType)))
     val idx = ids.schema.fieldIndex(idCol)
@@ -268,22 +269,51 @@ object Multimodal {
     ids.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idx)
-        Row(id, syntheticWav(id))
+        Row(id, build(id))
       }
     }(enc)
   }
+
+  /** Shared scaffold for the perceptual-fingerprint passes: adds a
+    * nullable `dhash` long column (null = undecodable, for quarantine
+    * routing), partition-parallel, no shuffle. */
+  private def withFingerprint(df: DataFrame, payloadCol: String)(
+      f: Array[Byte] => Option[Long]): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("dhash", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        f(r.getAs[Array[Byte]](idx)) match {
+          case Some(v) => Row.fromSeq(r.toSeq :+ (v: Any))
+          case None    => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Ingest-shaped synthetic audio table: one deterministic WAV per id,
+    * encoded partition-parallel (no driver-side generation) — the audio
+    * analogue of [[syntheticPngMedia]]. */
+  def syntheticWavMedia(ids: DataFrame, idCol: String): DataFrame =
+    mediaOf(ids, idCol)(syntheticWav)
 
   /** 64-bit perceptual audio fingerprint — the audio analogue of
     * [[dHash64]], in the spirit of Haitsma-Kalker sub-fingerprints:
     * decode to mono (channel SUM — scale-free under the sign
     * comparisons below), split into 9 equal time slices, measure
-    * energy in 8 fixed frequency bands per slice (Goertzel at
-    * normalized frequencies (j+1)/20 of the sample rate), and emit
+    * energy in 8 fixed frequency bands per slice (Goertzel probes at
+    * ABSOLUTE frequencies 400·(j+1) Hz — the coefficient is computed
+    * from the payload's own sample rate, so the same audio stored at
+    * 8 kHz and resampled to 16 kHz lands on the same bands), and emit
     * one bit per temporally-adjacent energy pair per band (set when
     * the later slice is louder in that band). A volume change scales
-    * every energy by g^2 and flips nothing; a re-encode or container
-    * change preserves the spectrum — exactly the copies byte-level
-    * dedup misses.
+    * every energy by g^2 and flips nothing; a re-encode, container
+    * change, or resample preserves the band energies — exactly the
+    * copies byte-level dedup misses. Rates below 6.4 kHz put the top
+    * bands past Nyquist (they alias, deterministically — same-rate
+    * copies still match; cross-rate matching needs fs >= 6.4 kHz).
     *
     * Deterministic across platforms: band coefficients come from
     * `StrictMath.cos` (JVM `Math.cos` may use platform intrinsics),
@@ -302,6 +332,8 @@ object Multimodal {
           fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
           return None
         val channels = fmt.getChannels
+        val fs = fmt.getSampleRate.toDouble
+        if (!(fs > 0.0) || fs.isNaN) return None
         val bytes = ais.readAllBytes()
         val frames = bytes.length / (2 * channels)
         if (frames < 9) return None
@@ -321,8 +353,12 @@ object Multimodal {
           mono(t) = s.toDouble
           t += 1
         }
+        // absolute 400·(j+1) Hz probes: at the 8 kHz fixture rate this
+        // is exactly the normalized (j+1)/20 grid, so existing
+        // fingerprints are bit-identical; other rates now land the
+        // SAME frequencies instead of rate-relative ones
         val coeffs = Array.tabulate(8) { j =>
-          2.0 * StrictMath.cos(2.0 * StrictMath.PI * (j + 1) / 20.0)
+          2.0 * StrictMath.cos(2.0 * StrictMath.PI * 400.0 * (j + 1) / fs)
         }
         val power = Array.ofDim[Double](9, 8)
         var sl = 0
@@ -363,20 +399,8 @@ object Multimodal {
 
   /** Partition-parallel audio-fingerprint pass: adds a nullable
     * `dhash` long column (same contract as [[withDHash]]). */
-  def withAudioDHash(df: DataFrame, payloadCol: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("dhash", LongType))
-    val idx = df.schema.fieldIndex(payloadCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        audioDHash64(r.getAs[Array[Byte]](idx)) match {
-          case Some(v) => Row.fromSeq(r.toSeq :+ (v: Any))
-          case None    => Row.fromSeq(r.toSeq :+ null)
-        }
-      }
-    }(enc)
-  }
+  def withAudioDHash(df: DataFrame, payloadCol: String): DataFrame =
+    withFingerprint(df, payloadCol)(audioDHash64)
 
   /** Perceptual audio near-duplicate pairs: [[audioDHash64]] each
     * payload, then the shared banded Hamming LSH
@@ -404,8 +428,13 @@ object Multimodal {
     * temporal bits discriminate too. Mono, 8 kHz, 1800 frames.
     * `gain` scales every sample (the planted volume-shift variant:
     * different bytes, near-identical fingerprint). */
-  def syntheticWavId(id: Long, gain: Double = 1.0): Array[Byte] = {
-    val frames = 1800
+  def syntheticWavId(id: Long, gain: Double = 1.0,
+                     sampleRate: Int = 8000): Array[Byte] = {
+    // the signal is a continuous-time function sampled at `sampleRate`
+    // (frame count scales to keep the 0.225 s duration), so two rates
+    // are true resampled copies of the SAME audio — the cross-rate
+    // fingerprint fixture
+    val frames = 1800 * sampleRate / 8000
     val f = Array(400.0 * (1 + id % 8), 400.0 * (1 + (id / 8) % 8),
       400.0 * (1 + (id / 64) % 8))
     val amp = Array(6000.0, 4000.0, 2500.0)
@@ -419,7 +448,7 @@ object Multimodal {
           2.0 * StrictMath.PI * t * ((id + k) % 3 + 1) / frames +
             0.7 * ((id + 2 * k) % 5)))
         s += amp(k) * env *
-          StrictMath.sin(2.0 * StrictMath.PI * f(k) * t / 8000.0)
+          StrictMath.sin(2.0 * StrictMath.PI * f(k) * t / sampleRate)
         k += 1
       }
       val v = math.max(-32768.0, math.min(32767.0,
@@ -428,7 +457,8 @@ object Multimodal {
       data(2 * t + 1) = ((v >> 8) & 0xFF).toByte
       t += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
     val baos = new java.io.ByteArrayOutputStream()
@@ -440,19 +470,8 @@ object Multimodal {
   /** (media_id, payload) frame of id-spectrum WAVs; `gain` applies to
     * every clip (the volume-shift variant generator). */
   def syntheticWavIdMedia(ids: DataFrame, idCol: String,
-                          gain: Double = 1.0): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType), StructField("payload", BinaryType)))
-    val idx = ids.schema.fieldIndex(idCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    ids.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row(id, syntheticWavId(id, gain))
-      }
-    }(enc)
-  }
+                          gain: Double = 1.0): DataFrame =
+    mediaOf(ids, idCol)(syntheticWavId(_, gain))
 
   /** One decoded GIF frame: dims, mean gray level, and the frame's
     * display delay from its GraphicControlExtension (real metadata,
@@ -662,19 +681,8 @@ object Multimodal {
   /** Ingest-shaped synthetic video table: one deterministic animated
     * GIF per id, encoded partition-parallel — the video analogue of
     * [[syntheticPngMedia]] / [[syntheticWavMedia]]. */
-  def syntheticGifMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType), StructField("payload", BinaryType)))
-    val idx = ids.schema.fieldIndex(idCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    ids.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row(id, syntheticGif(id))
-      }
-    }(enc)
-  }
+  def syntheticGifMedia(ids: DataFrame, idCol: String): DataFrame =
+    mediaOf(ids, idCol)(syntheticGif)
 
   /** Deterministic synthetic JPEG for id: same pixel formula as
     * [[syntheticPng]] but JPEG-encoded. Lossy — decoded stats are
@@ -717,19 +725,8 @@ object Multimodal {
   /** Ingest-shaped synthetic media table: one deterministic PNG per id,
     * encoded partition-parallel (the encode is itself the mapPartitions
     * kernel — no driver-side generation). */
-  def syntheticPngMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType), StructField("payload", BinaryType)))
-    val idx = ids.schema.fieldIndex(idCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    ids.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row(id, syntheticPng(id))
-      }
-    }(enc)
-  }
+  def syntheticPngMedia(ids: DataFrame, idCol: String): DataFrame =
+    mediaOf(ids, idCol)(syntheticPng)
 
   /** Attach decoded features: partition-parallel map over the binary
     * payload column (mapInPandas-shaped: per-partition iterator, row
@@ -1018,19 +1015,8 @@ object Multimodal {
   }
 
   /** (media_id, payload) frame of wide-geometry MJPEG MP4s. */
-  def syntheticMjpegWideMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType), StructField("payload", BinaryType)))
-    val idx = ids.schema.fieldIndex(idCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    ids.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row(id, syntheticMjpegMp4Wide(id))
-      }
-    }(enc)
-  }
+  def syntheticMjpegWideMedia(ids: DataFrame, idCol: String): DataFrame =
+    mediaOf(ids, idCol)(syntheticMjpegMp4Wide)
 
   private def buildMjpegMp4(id: Long, w: Int, h: Int, n: Int,
                             blockValue: (Long, Int, Int, Int) => Int =
@@ -1123,19 +1109,8 @@ object Multimodal {
   }
 
   /** (media_id, payload) frame of deterministic synthetic MJPEG MP4s. */
-  def syntheticMjpegMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType), StructField("payload", BinaryType)))
-    val idx = ids.schema.fieldIndex(idCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    ids.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row(id, syntheticMjpegMp4(id))
-      }
-    }(enc)
-  }
+  def syntheticMjpegMedia(ids: DataFrame, idCol: String): DataFrame =
+    mediaOf(ids, idCol)(syntheticMjpegMp4)
 
   /** One decoded MJPEG sample: geometry + exact mean gray level; `ok`
     * is false for a truncated/undecodable sample (quarantine row). */
@@ -1329,9 +1304,9 @@ object Multimodal {
     * detector (re-uploads, clips, intros spliced into other videos):
     * dHash every (strided) decoded frame, then banded Hamming LSH over
     * the fingerprints; pairs within the same video are dropped (intra-
-    * video stills are repetition, not reuse). Output: (video_a,
-    * frame_a, video_b, frame_b, hamming), video_a < video_b or equal
-    * ids ordered by frame.
+    * video stills are repetition, not reuse — excluded inside the
+    * candidate join, so they never cost join output). Output:
+    * (video_a, frame_a, video_b, frame_b, hamming), video_a < video_b.
     *
     * 100-TB shape: frames decode in the narrow per-partition pass;
     * only (composite id, 8-byte fingerprint) rows ever shuffle — the
@@ -1347,20 +1322,29 @@ object Multimodal {
       .filter(col("dhash").isNotNull)
       // key-packing contract enforced LOUDLY (assert_true raises on
       // the first violating row) — silently dropping an out-of-range
-      // video or a frame past 2^16 would fake a clean dedup result
+      // video or a frame past 2^16 would fake a clean dedup result.
+      // Quarantine rows (null dhash/frame_idx) must pass the assert
+      // unconditionally: the isNotNull filter above drops them, but
+      // predicate ORDER across combined filters is the optimizer's
+      // choice, so the asserted condition cannot be null on them
       .filter(assert_true(
-        col(idCol) >= 0 && col(idCol) < (1L << 46) &&
-          col("frame_idx") < (1 << 16),
+        col("dhash").isNull ||
+          (col(idCol) >= 0 && col(idCol) < (1L << 46) &&
+            col("frame_idx") < (1 << 16)),
         lit("videoFrameDupPairs: media id must be in [0, 2^46) and " +
           "frame_idx < 65536 for composite-key packing")).isNull)
       .select((col(idCol) * 65536L + col("frame_idx")).as("id"),
         col("dhash"))
     // shift/mask decomposition, not floor(x / 65536): double division
-    // would misround composite keys above 2^53
+    // would misround composite keys above 2^53. The cross-video
+    // predicate rides INSIDE the candidate join: a static still
+    // repeated across a video's own frames would otherwise flood the
+    // verify + distinct stages with intra-video pairs only to be
+    // dropped here
     graft.operators.Dedup
-      .hamming64DupPairs(frames, "id", "dhash", maxHamming, maxBucket)
-      .filter(shiftrightunsigned(col("id_a"), 16) =!=
-        shiftrightunsigned(col("id_b"), 16))
+      .hamming64DupPairs(frames, "id", "dhash", maxHamming, maxBucket,
+        pairPredicate = Some((a, b) =>
+          shiftrightunsigned(a, 16) =!= shiftrightunsigned(b, 16)))
       .select(shiftrightunsigned(col("id_a"), 16).as("video_a"),
         col("id_a").bitwiseAND(0xFFFFL).cast("int").as("frame_a"),
         shiftrightunsigned(col("id_b"), 16).as("video_b"),
@@ -1540,34 +1524,12 @@ object Multimodal {
   }
 
   /** (media_id, payload) frame of deterministic synthetic WebMs. */
-  def syntheticWebmMedia(ids: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType), StructField("payload", BinaryType)))
-    val idx = ids.schema.fieldIndex(idCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    ids.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row(id, syntheticWebm(id))
-      }
-    }(enc)
-  }
+  def syntheticWebmMedia(ids: DataFrame, idCol: String): DataFrame =
+    mediaOf(ids, idCol)(syntheticWebm)
 
   /** (media_id, payload) frame of deterministic synthetic MP4s. */
-  def syntheticMp4Media(ids: DataFrame, idCol: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType), StructField("payload", BinaryType)))
-    val idx = ids.schema.fieldIndex(idCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    ids.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row(id, syntheticMp4(id))
-      }
-    }(enc)
-  }
+  def syntheticMp4Media(ids: DataFrame, idCol: String): DataFrame =
+    mediaOf(ids, idCol)(syntheticMp4)
 
   /** Partition-parallel video-container metadata extraction: sniffs
     * the container (ISO-BMFF 'ftyp' at offset 4 → [[parseMp4Meta]];
@@ -1906,9 +1868,6 @@ object Multimodal {
     }(enc)
   }
 
-  /** Demo media table derived from the documents corpus: text bytes as
-    * payload with fabricated image metadata (this is the ingest shape a
-    * real pipeline would produce from tar/parquet shards). */
   /** 64-bit difference hash (dHash) of an image payload — the
     * perceptual fingerprint for image-level near-dup detection
     * (Krawetz's dHash, the standard cheap perceptual hash): decode,
@@ -1922,8 +1881,10 @@ object Multimodal {
     * (299r + 587g + 114b — no float), floor box boundaries
     * (`i*w/9`, empty boxes widened to one pixel), and box-mean
     * comparison via cross-multiplication (sumA*nB > sumB*nA) so no
-    * division ever rounds. Products stay within Long for images up to
-    * ~2 gigapixels. Undecodable/null payloads return None (quarantine
+    * division ever rounds — compared in 128 bits (`Math.multiplyHigh`),
+    * so the result is exact at ANY image size (a 64-bit product
+    * would wrap at ~0.4 gigapixels on a near-white image).
+    * Undecodable/null payloads return None (quarantine
     * routing decides those rows, same contract as
     * [[decodeImageStats]]). */
   def dHash64(payload: Array[Byte]): Option[Long] = {
@@ -1973,7 +1934,8 @@ object Multimodal {
     while (j < 8) {
       var i = 0
       while (i < 8) {
-        if (sums(j)(i + 1) * counts(j)(i) > sums(j)(i) * counts(j)(i + 1))
+        if (prodGreater(sums(j)(i + 1), counts(j)(i),
+          sums(j)(i), counts(j)(i + 1)))
           hash |= 1L << k
         k += 1
         i += 1
@@ -1983,23 +1945,20 @@ object Multimodal {
     hash
   }
 
+  /** a*b > c*d for non-negative longs, exact via a 128-bit product
+    * compare — the sum*count cross-multiplications above would wrap a
+    * 64-bit product on gigapixel images. */
+  private[graft] def prodGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   /** Partition-parallel dHash pass: adds a nullable `dhash` long
     * column (null = undecodable, for quarantine routing). Same
     * mapPartitions batch shape as [[withImageStats]]. */
-  def withDHash(df: DataFrame, payloadCol: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("dhash", LongType))
-    val idx = df.schema.fieldIndex(payloadCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        dHash64(r.getAs[Array[Byte]](idx)) match {
-          case Some(v) => Row.fromSeq(r.toSeq :+ (v: Any))
-          case None    => Row.fromSeq(r.toSeq :+ null)
-        }
-      }
-    }(enc)
-  }
+  def withDHash(df: DataFrame, payloadCol: String): DataFrame =
+    withFingerprint(df, payloadCol)(dHash64)
 
   /** Perceptual image near-duplicate pairs: dHash each payload
     * (partition-parallel decode, no shuffle), then banded Hamming LSH
@@ -2075,20 +2034,13 @@ object Multimodal {
     * mapPartitions kernel, same as [[syntheticPngMedia]]); `contrast`
     * selects the [[syntheticPngContrast]] tone map. */
   def syntheticPngIdMedia(ids: DataFrame, idCol: String,
-                          contrast: Boolean = false): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType), StructField("payload", BinaryType)))
-    val idx = ids.schema.fieldIndex(idCol)
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(schema)
-    ids.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idx)
-        Row(id, if (contrast) syntheticPngContrast(id) else syntheticPngId(id))
-      }
-    }(enc)
-  }
+                          contrast: Boolean = false): DataFrame =
+    mediaOf(ids, idCol)(id =>
+      if (contrast) syntheticPngContrast(id) else syntheticPngId(id))
 
+  /** Demo media table derived from the documents corpus: text bytes as
+    * payload with fabricated image metadata (this is the ingest shape a
+    * real pipeline would produce from tar/parquet shards). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),

@@ -252,11 +252,19 @@ object Dedup {
     * least one band collides and the pair is always generated (bands
     * a hot bucket prunes excepted). Same plan shape and skew guard
     * as [[simhashDupPairs]] — band-bucket shuffle, `maxBucket` drop
-    * before the self-join, never all-pairs. */
+    * before the self-join, never all-pairs.
+    *
+    * `pairPredicate(idA, idB)` — when given — is applied INSIDE the
+    * candidate join, before Hamming verification and the distinct
+    * exchange, so structurally-excluded pairs (e.g. two frames of the
+    * same video) never cost join output. */
   def hamming64DupPairs(df: DataFrame, idCol: String, fpCol: String,
-                        maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+                        maxHamming: Int = 3, maxBucket: Int = 1000,
+                        pairPredicate: Option[(Column, Column) => Column] =
+                          None): DataFrame =
     hamming64Candidates(
-      df.select(col(idCol).as("id"), col(fpCol).as("fp")), maxBucket)
+      df.select(col(idCol).as("id"), col(fpCol).as("fp")), maxBucket,
+      pairPredicate)
       // filter BEFORE distinct (same reasoning as minhashDupPairs)
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -264,7 +272,10 @@ object Dedup {
   /** Shared banding/verify stage: expects (id, fp: Long); one output
     * row per band collision with the pair's full Hamming distance. */
   private[graft] def hamming64Candidates(fps: DataFrame,
-                                         maxBucket: Int): DataFrame = {
+                                         maxBucket: Int,
+                                         pairPredicate: Option[
+                                           (Column, Column) => Column] =
+                                           None): DataFrame = {
     val banded = fps.select(col("id"), col("fp"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
@@ -276,8 +287,10 @@ object Dedup {
       col("fp").as("fp_a"))
     val right = pruned.select(col("band"), col("bucket"), col("id").as("id_b"),
       col("fp").as("fp_b"))
+    val pairCond = pairPredicate.fold(col("id_a") < col("id_b"))(p =>
+      col("id_a") < col("id_b") && p(col("id_a"), col("id_b")))
     left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(pairCond)
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
   }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.CacheRegistry
+
+/** Link-graph analytics over crawl-derived host edges — the
+  * domain-authority signal a large-scale curation pipeline ranks
+  * sources by (Common Crawl publishes exactly this as its host-level
+  * ranking; OPIC/harmonic-centrality variants serve the same role).
+  *
+  * Reference charter: jolars/golem exposes no graph operators — this
+  * extends the engine for the LLM-data-pipeline surface (crawl
+  * prioritization, source weighting for mixtures, spam-zone demotion)
+  * alongside the outlink extraction in `HtmlFunctions.outlinks`.
+  */
+object LinkGraph {
+
+  /** Weighted PageRank over a directed edge list, power iteration
+    * (Page et al. 1999; damping `d`, uniform teleport):
+    *
+    *   rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)·w(u,v)/outW(u)
+    *                              + danglingMass/N )
+    *
+    * Dangling hosts (no outgoing edges) redistribute their mass
+    * uniformly — the standard stochastic completion, so Σ rank = 1
+    * after every iteration (a test invariant). Parallel edges fold
+    * into one weighted edge up front (`w` = multiplicity), so a page
+    * linking a host 50 times counts 50 shares of ITS mass, not 50
+    * arbitrary units.
+    *
+    * 100-TB shape: one map-side-combined groupBy folds the raw link
+    * list to unique (src, dst) edges; the per-edge share w/outW is
+    * joined ONCE and persisted, so each iteration is exactly one
+    * shuffle-join of the (host, rank) frame with the share table plus
+    * one map-side-combined groupBy on dst — the minimal exchange
+    * pattern for distributed power iteration. N and the per-iteration
+    * dangling mass ride as broadcast 1-row frames (never a driver
+    * collect). Each iteration's ranks persist and the previous
+    * iteration releases immediately, so lineage and storage stay O(1)
+    * in the iteration count; intermediates register with
+    * [[graft.CacheRegistry]] for end-of-query release.
+    *
+    * Output: (host, rank), one row per distinct host on either edge
+    * side. Ranks are IEEE doubles — cross-engine comparison should
+    * round (sum fold order differs); the power iteration itself
+    * contracts, so 1e-16 fold noise never amplifies. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("double").as("w"))
+    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    // per-edge share of the source's mass: joined once, reused every
+    // iteration
+    val share = CacheRegistry.register(
+      e.join(outW, "src")
+        .select(col("src"), col("dst"), (col("w") / col("out_w")).as("share"))
+        .persist())
+    val nodes = CacheRegistry.register(
+      e.select(col("src").as("host"))
+        .union(e.select(col("dst").as("host")))
+        .distinct()
+        .persist())
+    val srcs = nodes.select(col("host")).join(
+      outW.select(col("src").as("host")), Seq("host"), "left_semi")
+    // hosts with NO outgoing edges: their rank teleports uniformly
+    val dangling = CacheRegistry.register(
+      nodes.join(srcs, Seq("host"), "left_anti").persist())
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("host"), (lit(1.0) / col("n")).as("rank"))
+      .persist()
+    ranks.count() // materialize so each iteration starts from storage
+    var it = 0
+    while (it < iterations) {
+      val dMass = ranks.join(dangling, Seq("host"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("d_mass"))
+      val contribs = ranks.join(share, col("host") === col("src"))
+        .groupBy("dst")
+        .agg(sum(col("rank") * col("share")).as("contrib"))
+      val next = nodes
+        .join(contribs.withColumnRenamed("dst", "host"), Seq("host"), "left")
+        .crossJoin(broadcast(nDf))
+        .crossJoin(broadcast(dMass))
+        .select(col("host"),
+          (lit((1.0 - damping)) / col("n") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("d_mass") / col("n"))).as("rank"))
+        .persist()
+      next.count() // truncate lineage before dropping the old ranks
+      ranks.unpersist(false)
+      ranks = next
+      it += 1
+    }
+    CacheRegistry.register(ranks)
+  }
+
+  /** Per-host in/out degree and link volume over the same folded edge
+    * list — the cheap companion stats (one groupBy per side). */
+  def hostDegrees(edges: DataFrame, srcCol: String,
+                  dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val out = e.groupBy(col("src").as("host"))
+      .agg(count_distinct(col("dst")).as("out_degree"),
+        count(lit(1)).as("out_links"))
+    val in = e.groupBy(col("dst").as("host"))
+      .agg(count_distinct(col("src")).as("in_degree"),
+        count(lit(1)).as("in_links"))
+    out.join(in, Seq("host"), "full_outer")
+      .select(col("host"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("out_links"), lit(0L)).as("out_links"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"))
+  }
+}

@@ -216,7 +216,13 @@ object DocStreams {
               if (lb.get(2 * i) == id) seen = true
               i += 1
             }
-            if (!seen) {
+            // a bucket at the cap has stopped ADMITTING members
+            // (prospective prune): an arrival that cannot be STORED
+            // must not score either — emitted-but-unstored pairs
+            // would re-emit when the id is ever re-ingested, breaking
+            // the exactly-once contract (same gate as the MinHash
+            // stream's `nMembers < maxBucket` block)
+            if (!seen && n < maxBucket) {
               i = 0
               while (i < n) {
                 val oid = lb.get(2 * i)
@@ -234,11 +240,9 @@ object DocStreams {
                 }
                 i += 1
               }
-              if (n < maxBucket) {
-                lb.put(2 * n, id)
-                lb.put(2 * n + 1, fp)
-                n += 1
-              }
+              lb.put(2 * n, id)
+              lb.put(2 * n + 1, fp)
+              n += 1
             }
             bi += 1
           }

@@ -1926,6 +1926,97 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ref.nonEmpty, "fixture must plant findable pairs")
   }
 
+  test("audio dHash: resampled copy (8 kHz vs 16 kHz) keeps the fingerprint") {
+    val mm = graft.multimodal.Multimodal
+    // the Goertzel probes sit at ABSOLUTE frequencies (400·(j+1) Hz),
+    // so sampling the same continuous signal at 16 kHz lands on the
+    // same bands — the routine resample re-encode must stay a near-dup
+    val ids = 0L until 60L
+    val dist = ids.map { id =>
+      val a = mm.audioDHash64(mm.syntheticWavId(id)).get
+      val b = mm.audioDHash64(mm.syntheticWavId(id, 1.0, 16000)).get
+      java.lang.Long.bitCount(a ^ b)
+    }
+    assert(dist.count(_ <= 3) >= 50, s"resample hamming distances: $dist")
+  }
+
+  test("dHash box compare is exact where a 64-bit product would wrap") {
+    val mm = graft.multimodal.Multimodal
+    // sums·counts straddling 2^63: the wrapped product says a*b < c*d,
+    // the true 128-bit compare says greater (a gigapixel near-white
+    // image hits exactly this regime)
+    val b = 1L << 32
+    val a = (1L << 31) + 1000L // a*b = 2^63 + 1000·2^32 -> wraps negative
+    val c = (1L << 31) - 1000L // c*b = 2^63 - 1000·2^32 -> stays positive
+    assert(a * b < c * b, "precondition: the naive compare is wrong here")
+    assert(mm.prodGreater(a, b, c, b))
+    assert(!mm.prodGreater(c, b, a, b))
+    assert(!mm.prodGreater(a, b, a, b), "equal products are not greater")
+    // parity with the naive compare in the non-overflow regime
+    val rng = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val (x, y, u, v) = (rng.nextInt(1 << 20).toLong,
+        rng.nextInt(1 << 20).toLong, rng.nextInt(1 << 20).toLong,
+        rng.nextInt(1 << 20).toLong)
+      assert(mm.prodGreater(x, y, u, v) == (x * y > u * v))
+    }
+  }
+
+  test("pageRank: matches a driver power iteration; mass conserves; weights count") {
+    import spark.implicits._
+    // seeded random digraph with dangling nodes and parallel edges —
+    // every structural case the operator claims to handle
+    val rng = new scala.util.Random(11)
+    val n = 40
+    val rawEdges = (0 until 160).map { _ =>
+      (s"h${rng.nextInt(n)}", s"h${rng.nextInt(n - 10)}") // h30..h39 dangle
+    } ++ Seq(("h0", "h1"), ("h0", "h1"), ("h0", "h1")) // parallel edges
+    val got = graft.operators.LinkGraph
+      .pageRank(rawEdges.toDF("src", "dst"), "src", "dst", iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.CacheRegistry.releaseAll()
+
+    // driver reference: same math, plain Scala
+    val w = rawEdges.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val hosts = rawEdges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outW = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nn = hosts.size.toDouble
+    var r = hosts.map(_ -> 1.0 / nn).toMap
+    (0 until 6).foreach { _ =>
+      val dMass = hosts.filterNot(outW.contains).map(r).sum
+      val contrib = w.toSeq
+        .groupBy(_._1._2).view
+        .mapValues(_.map { case ((s, _), wt) => r(s) * wt / outW(s) }.sum)
+        .toMap
+      r = hosts.map(h =>
+        h -> (0.15 / nn + 0.85 * (contrib.getOrElse(h, 0.0) + dMass / nn)))
+        .toMap
+    }
+    assert(got.keySet == r.keySet)
+    got.foreach { case (h, v) =>
+      assert(math.abs(v - r(h)) < 1e-9, s"$h: $v vs ${r(h)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      s"mass must conserve: ${got.values.sum}")
+    // the triple parallel edge must outweigh a single edge: h0 sends
+    // 3 shares of its mass to h1
+    assert(r(s"h1") > 0.0)
+
+    val deg = graft.operators.LinkGraph
+      .hostDegrees(rawEdges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    val outLinks = rawEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inLinks = rawEdges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    hosts.foreach { h =>
+      val (od, ol, id, il) = deg(h)
+      assert(ol == outLinks.getOrElse(h, 0L), s"$h out_links")
+      assert(il == inLinks.getOrElse(h, 0L), s"$h in_links")
+      assert(od == rawEdges.filter(_._1 == h).map(_._2).distinct.size.toLong)
+      assert(id == rawEdges.filter(_._2 == h).map(_._1).distinct.size.toLong)
+    }
+  }
+
   test("hamming64DupPairs: band pigeonhole — 3 bits found, 4-band spread missed") {
     import spark.implicits._
     // bits in 3 distinct bands leave band 3 intact -> always found;

@@ -688,6 +688,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == expected,
       s"stream ${got.toSet.size} pairs vs batch ${expected.size}")
   }
+
+  test("streaming hamming dedup: a full bucket admits nothing — no re-emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = DocStreams.streamingHamming64DupPairs(
+      stream.toDF().toDF("id", "fp"), maxBucket = 2)
+      .writeStream.format("memory").queryName("ham_full_bucket")
+      .outputMode("append").start()
+    // batch 1: ids 1,2 share every band bucket -> pair (1,2); every
+    // bucket of fp=42 is now at the cap
+    stream.addData((1L, 42L), (2L, 42L))
+    q.processAllAvailable()
+    // batch 2: id 3, same fp — bucket full: must NOT emit. It cannot
+    // be STORED, and an emitted-but-unstored member would re-emit its
+    // pairs whenever the id is re-ingested (the exactly-once contract)
+    stream.addData((3L, 42L))
+    q.processAllAvailable()
+    // batch 3: id 3 re-ingested — still silent
+    stream.addData((3L, 42L))
+    q.processAllAvailable()
+    val got = spark.table("ham_full_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    q.stop()
+    assert(got == Seq((1L, 2L, 0)), s"full bucket must stay silent: $got")
+  }
 }
 
 /** Small indirection so the streaming test compiles without importing
