@@ -53,7 +53,12 @@ object BenchScale10 {
     // round-10: incremental NEAR-dup (batch grows 10x, corpus fixed at
     // doc_id < 400 — the exponent certifies cost tracks the BATCH),
     // the exact-substring span collapse, and the trigram LM gate
-    "q_incremental_minhash", "q_exact_substr", "q_pseudo_ppl_tri")
+    "q_incremental_minhash", "q_exact_substr", "q_pseudo_ppl_tri",
+    // round-10b: the temporal joins (as-of = one sort-shuffle on the
+    // key, 10x users at fixed history; range = band-bounded, never a
+    // cross product) and the link-graph power iteration (per-iteration
+    // shuffle linear in edges)
+    "q_asof_join", "q_range_join", "q_host_pagerank")
 
   private val KeyOff = 100000000L
 

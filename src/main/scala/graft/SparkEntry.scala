@@ -1095,6 +1095,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_tfrecord_roundtrip" -> ((s, dir) => {
+      // TFRecord sink+source (the tf.data training-data interchange
+      // format): documents + their embeddings written as framed
+      // tf.train.Example shards (hand-encoded proto wire format,
+      // masked-CRC32C framing), read back through the record parser.
+      // Every 50th doc has a payload byte flipped AFTER the CRCs were
+      // computed — the bit-rot case the data CRC exists for — and must
+      // surface as a quarantine row while the REST of its shard
+      // survives (data-CRC damage is per-record; only length-CRC
+      // damage kills framing)
+      val tdir = "/tmp/graft_tfrec_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.TfRecord.writeCorpus(
+        docs(s, dir).select("doc_id", "source", "text")
+          .join(emb(s, dir).select(col("vec_id").as("doc_id"),
+            col("embedding")), Seq("doc_id"), "left"),
+        tdir, nFiles = 8, corruptEvery = 50)
+      graft.sources.TfRecord.read(s, tdir)
+        .select(
+          element_at(col("int64_feats"), "doc_id").getItem(0).as("doc_id"),
+          element_at(col("bytes_feats"), "source").getItem(0)
+            .cast("string").as("source"),
+          md5(element_at(col("bytes_feats"), "text").getItem(0))
+            .as("text_md5"),
+          size(element_at(col("float_feats"), "embedding")).cast("long")
+            .as("emb_dim"),
+          col("parse_ok"))
+        .orderBy("doc_id")
+    }),
+
+    "q_tfrecord_floats" -> ((s, dir) => {
+      // the float lane of the same fixture, per dimension: every
+      // surviving embedding value must come back BIT-exact through the
+      // packed FloatList wire encoding (float -> 4 LE bytes -> float;
+      // the double cast on both engines is exact, so any wire-level
+      // corruption or lane swap value-mismatches)
+      val tdir = "/tmp/graft_tfrec_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.TfRecord.writeCorpus(
+        docs(s, dir).select("doc_id", "source", "text")
+          .join(emb(s, dir).select(col("vec_id").as("doc_id"),
+            col("embedding")), Seq("doc_id"), "left"),
+        tdir, nFiles = 8, corruptEvery = 50)
+      graft.sources.TfRecord.read(s, tdir)
+        .filter(col("parse_ok"))
+        .select(
+          element_at(col("int64_feats"), "doc_id").getItem(0).as("doc_id"),
+          posexplode(element_at(col("float_feats"), "embedding")))
+        .select(col("doc_id"), col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("val"))
+        .orderBy("doc_id", "dim")
+    }),
+
     "q_length_quantiles" -> ((s, dir) => {
       // per-source token-length distribution (the sequence-length
       // planning input): EXACT quantiles via the histogram reduction —
@@ -1621,6 +1672,76 @@ object SparkEntry {
       graft.streaming.EventStreams.attributionJoin(events(s, dir))
         .withColumn("click_value", round(col("click_value"), 6))
         .orderBy("click_id", "view_id")
+    }),
+
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time enrichment: each click matched to the SAME
+      // user's most recent prior view (the as-of join — the feature-
+      // store / SCD lookup Spark has no operator for). One union-tag
+      // sort-shuffle on user_id, never a per-row subquery; DuckDB
+      // replays it with its native ASOF LEFT JOIN
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").cast("timestamp").as("vts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.TemporalJoin.asofJoin(clicks, views,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "vts",
+        rightPayload = Seq("view_id", "view_value", "vts"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"), col("view_id"),
+          round(col("view_value"), 6).as("view_value"),
+          unix_micros(col("vts")).as("view_us"))
+        .orderBy("event_id")
+    }),
+
+    "q_asof_next_click" -> ((s, dir) => {
+      // the FORWARD direction with a tolerance: attribute each view to
+      // the user's next click within 12 hours (conversion attribution
+      // where only the nearest future event counts); a nearest click
+      // farther than the tolerance voids the match, exactly the CASE
+      // the oracle applies on top of DuckDB's forward ASOF join
+      val e = events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").cast("timestamp").as("cts"),
+          col("event_id").as("click_id"))
+      graft.operators.TemporalJoin.asofJoin(views, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "cts",
+        rightPayload = Seq("click_id", "cts"), direction = "forward",
+        tolerance = Some(expr("INTERVAL 12 HOURS")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("view_us"), col("click_id"),
+          unix_micros(col("cts")).as("click_us"))
+        .orderBy("event_id")
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // banded range join: 200 deterministic overlapping maintenance
+      // windows (3 h stride, 5 h length) matched to the events that
+      // fall inside each — bucketize both sides into 1 h bands and
+      // equi-join on the band, so shuffle volume stays linear where
+      // Spark's own plan for a bare inequality join is a nested-loop
+      // cross product. Aggregated per window; DuckDB replays the plain
+      // inequality join
+      val hourUs = 3600L * 1000000L
+      val base = unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+      val iv = s.range(200).select(col("id").as("interval_id"),
+        timestamp_micros(base + col("id") * lit(3 * hourUs)).as("lo"),
+        timestamp_micros(base + col("id") * lit(3 * hourUs) +
+          lit(5 * hourUs)).as("hi"))
+      graft.operators.TemporalJoin.rangeJoin(
+        iv, events(s, dir).select(col("event_id"),
+          col("ts").cast("timestamp").as("ts"), col("value")),
+        "lo", "hi", "ts", bandSeconds = 3600L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("interval_id")
     }),
 
     "q_events_window" -> ((s, dir) => {
@@ -3638,6 +3759,25 @@ object SparkEntry {
            FROM documents WHERE doc_id % 50 = 0
            ORDER BY doc_id""",
 
+      "q_tfrecord_roundtrip" ->
+        s"""SELECT d.doc_id, d.source, md5(d.text) AS text_md5,
+             len(e.embedding)::BIGINT AS emb_dim, true AS parse_ok
+           FROM documents d
+           LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+           WHERE d.doc_id % 50 != 0
+           UNION ALL
+           SELECT NULL, NULL, NULL, NULL, false
+           FROM documents WHERE doc_id % 50 = 0
+           ORDER BY doc_id""",
+
+      "q_tfrecord_floats" ->
+        s"""SELECT d.doc_id,
+             unnest(generate_series(0, len(e.embedding) - 1))::BIGINT AS dim,
+             unnest(e.embedding)::DOUBLE AS val
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           WHERE d.doc_id % 50 != 0
+           ORDER BY doc_id, dim""",
+
       "q_length_quantiles" ->
         s"""WITH t AS (
              SELECT source, ($wcSql)::BIGINT AS len FROM documents),
@@ -4058,6 +4198,38 @@ object SparkEntry {
             AND c.event_type = 'click' AND v.event_type = 'view'
             AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 14400 SECOND
            ORDER BY click_id, view_id""",
+
+      "q_asof_join" ->
+        """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+             v.event_id AS view_id, round(v.value, 6) AS view_value,
+             epoch_us(v.ts) AS view_us
+           FROM (SELECT * FROM events WHERE event_type = 'click') c
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON c.user_id = v.user_id AND v.ts <= c.ts
+           ORDER BY c.event_id""",
+
+      "q_asof_next_click" ->
+        """SELECT v.event_id, v.user_id, epoch_us(v.ts) AS view_us,
+             CASE WHEN c.ts <= v.ts + INTERVAL 12 HOUR
+               THEN c.event_id END AS click_id,
+             CASE WHEN c.ts <= v.ts + INTERVAL 12 HOUR
+               THEN epoch_us(c.ts) END AS click_us
+           FROM (SELECT * FROM events WHERE event_type = 'view') v
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON v.user_id = c.user_id AND c.ts >= v.ts
+           ORDER BY v.event_id""",
+
+      "q_range_join" ->
+        """WITH iv AS (
+             SELECT i AS interval_id,
+               TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 HOUR AS lo,
+               TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 HOUR
+                 + INTERVAL 5 HOUR AS hi
+             FROM (SELECT unnest(range(200)) AS i))
+           SELECT interval_id, count(*)::BIGINT AS n_events,
+             round(sum(e.value), 4) AS sum_value
+           FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+           GROUP BY interval_id ORDER BY interval_id""",
 
       "q_events_window" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
