@@ -20,13 +20,18 @@ object Bench {
     // (the alphabetically-early heavy queries were paying 5-20x).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
+    // local-iteration filter, same contract as Verify:
+    // SPARK_GRAFT_ONLY=q_a,q_b times a subset (warmup included)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     if (warmDir.nonEmpty) {
       val t0 = System.nanoTime()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try { fn(spark, warmDir).count() }
-        catch { case _: Throwable => () }
-        finally CacheRegistry.releaseAll()
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+          try { fn(spark, warmDir).count() }
+          catch { case _: Throwable => () }
+          finally CacheRegistry.releaseAll()
+        }
       System.err.println(
         f"[bench] warmup(${warmDir}) ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
@@ -37,6 +42,7 @@ object Bench {
     // the per-query figure is the MEDIAN (min/max kept for variance
     // visibility).
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map(
       names.map(_ -> List.empty[Double]): _*)
     // per-rep GC-time delta (ms) alongside each wall time: when a whole

@@ -1146,6 +1146,28 @@ object SparkEntry {
         .orderBy("doc_id", "dim")
     }),
 
+    "q_tfrecord_export" -> ((s, dir) => {
+      // the training-shard EXPORT loop end to end: sequence-pack the
+      // corpus (the pretraining layout), write the packed offsets as
+      // tf.train.Example shards through the generic schema-driven
+      // sink, read them back — the oracle replays the packing math
+      // straight from `documents`, so corruption anywhere in the
+      // pack-encode-frame-decode chain hash-mismatches
+      val edir = "/tmp/graft_tfexp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.TfRecord.writeExamples(
+        graft.operators.Packing.packOffsets(docs(s, dir), "doc_id", "text",
+          seqLen = 512)
+          .select("doc_id", "n_tokens", "token_offset", "first_seq",
+            "last_seq"),
+        edir, nFiles = 8, shardKey = "doc_id")
+      val i64 = (n: String) =>
+        element_at(col("int64_feats"), n).getItem(0).as(n)
+      graft.sources.TfRecord.read(s, edir)
+        .select(i64("doc_id"), i64("n_tokens"), i64("token_offset"),
+          i64("first_seq"), i64("last_seq"))
+        .orderBy("doc_id")
+    }),
+
     "q_length_quantiles" -> ((s, dir) => {
       // per-source token-length distribution (the sequence-length
       // planning input): EXACT quantiles via the histogram reduction —
@@ -1154,6 +1176,17 @@ object SparkEntry {
       graft.operators.CorpusStats.lengthQuantiles(
         docs(s, dir), "source", "text", Seq(0.25, 0.5, 0.9, 0.99))
         .orderBy("source")
+    }),
+
+    "q_profile" -> ((s, dir) => {
+      // column profile (the pre-publish data-quality audit): one
+      // aggregate over one scan, a row per column with null/distinct
+      // counts, typed min/max, numeric moments — exact distincts here
+      // (Spark plans them via one Expand); the approx mode is the
+      // single-pass 100-TB path
+      graft.operators.CorpusStats.profile(docs(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars", "text"))
+        .orderBy("column")
     }),
 
     "q_seq_pack" -> ((s, dir) => {
@@ -2683,6 +2716,23 @@ object SparkEntry {
                  LEFT JOIN c$k c ON n.host = c.host)"""
       }.mkString
 
+    // concat-and-chunk packing replay — shared by q_seq_pack and the
+    // TFRecord export roundtrip (q_tfrecord_export)
+    lazy val seqPackSql =
+      s"""WITH t AS (
+             SELECT doc_id, ($wcSql)::BIGINT AS n_tokens FROM documents),
+           c AS (
+             SELECT doc_id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS token_offset
+             FROM t)
+           SELECT doc_id, n_tokens, token_offset,
+             (token_offset // 512)::BIGINT AS first_seq,
+             ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
+               AS last_seq
+           FROM c ORDER BY doc_id"""
+
     // word-membership count over the normalized words (requires a
     // `norm` column in scope) — mirrors TextFunctions.stopwordRatio
     val stopHits = "len(list_filter(regexp_split_to_array(norm, ' '), " +
@@ -3795,6 +3845,29 @@ object SparkEntry {
              min(CASE WHEN cum >= ceil(0.99 * n) THEN len END)::BIGINT AS p99
            FROM c GROUP BY source ORDER BY source""",
 
+      "q_profile" -> {
+        def num(c: String) =
+          s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+             (count(*) - count($c))::BIGINT AS n_null,
+             count(DISTINCT $c)::BIGINT AS n_distinct,
+             round(min($c)::DOUBLE, 6) AS min_num,
+             round(max($c)::DOUBLE, 6) AS max_num,
+             NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+             round(avg($c), 6) AS mean,
+             round(stddev_samp($c), 4) AS stddev
+           FROM documents"""
+        def str(c: String) =
+          s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+             (count(*) - count($c))::BIGINT AS n_null,
+             count(DISTINCT $c)::BIGINT AS n_distinct,
+             NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+             min($c) AS min_str, max($c) AS max_str,
+             NULL::DOUBLE AS mean, NULL::DOUBLE AS stddev
+           FROM documents"""
+        Seq(num("doc_id"), str("lang"), str("source"), num("n_chars"),
+          str("text")).mkString(" UNION ALL ") + """ ORDER BY "column""""
+      },
+
       "q_approx_quantiles" ->
         s"""WITH t AS (
              SELECT source, ($wcSql)::BIGINT AS len FROM documents),
@@ -3811,20 +3884,11 @@ object SparkEntry {
              true AS p50_within_10pct, true AS p90_within_10pct
            FROM c GROUP BY source ORDER BY source""",
 
-      "q_seq_pack" ->
-        s"""WITH t AS (
-             SELECT doc_id, ($wcSql)::BIGINT AS n_tokens FROM documents),
-           c AS (
-             SELECT doc_id, n_tokens,
-               (sum(n_tokens) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_tokens)::BIGINT AS token_offset
-             FROM t)
-           SELECT doc_id, n_tokens, token_offset,
-             (token_offset // 512)::BIGINT AS first_seq,
-             ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
-               AS last_seq
-           FROM c ORDER BY doc_id""",
+      "q_seq_pack" -> seqPackSql,
+
+      // the SAME replay verifies the TFRecord export loop: identical
+      // packed offsets must come back through the Example shards
+      "q_tfrecord_export" -> seqPackSql,
 
       // greedy longest-match segmentation as a recursive CTE
       // (SubwordCte): from position pos in a word, advance by the

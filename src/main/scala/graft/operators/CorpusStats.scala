@@ -106,4 +106,62 @@ object CorpusStats {
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("token"), col("n_occurrences"), col("n_docs"))
   }
+
+  /** Column profile — the data-quality audit every snapshot publish
+    * runs: one row per profiled column with row/null/distinct counts,
+    * min/max, and numeric moments. The whole profile is ONE aggregate
+    * over ONE scan, unpivoted driver-free with an explode (the
+    * one-row aggregate is the only thing the explode touches).
+    *
+    * Distinct counts are the expensive part. `exact = true` uses real
+    * `count(DISTINCT c)` — Spark plans multiple distinct aggregates
+    * via an Expand that replicates the scan once per profiled column,
+    * the honest cost of exactness. `exact = false` swaps in
+    * single-pass HLL sketches (`approx_count_distinct`, default rsd
+    * 5%) — the 100-TB default, one scan total, no Expand; the other
+    * metrics are unchanged. Min/max surface as rounded doubles for
+    * numeric columns and raw strings for string columns — two typed
+    * column pairs, no cross-engine cast-format trap.
+    *
+    * Mean/stddev round to 6/4 decimals: both are tree-reduced double
+    * sums whose fold order varies run to run; the rounding absorbs
+    * last-ULP noise, same convention as the moments queries. */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no column $c"))
+    val numeric = cols.map(c => c ->
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .toMap
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val aggs = cols.flatMap { c =>
+      val nd =
+        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        nd.as(s"__nd_$c"),
+        (if (numeric(c)) round(min(col(c)).cast("double"), 6)
+         else nullD).as(s"__minn_$c"),
+        (if (numeric(c)) round(max(col(c)).cast("double"), 6)
+         else nullD).as(s"__maxn_$c"),
+        (if (numeric(c)) nullS else min(col(c)).cast("string"))
+          .as(s"__mins_$c"),
+        (if (numeric(c)) nullS else max(col(c)).cast("string"))
+          .as(s"__maxs_$c"),
+        (if (numeric(c)) round(avg(col(c)), 6) else nullD).as(s"__mean_$c"),
+        (if (numeric(c)) round(stddev_samp(col(c)), 4) else nullD)
+          .as(s"__sd_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("column"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__nn_$c")).as("n_null"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__minn_$c").as("min_num"), col(s"__maxn_$c").as("max_num"),
+      col(s"__mins_$c").as("min_str"), col(s"__maxs_$c").as("max_str"),
+      col(s"__mean_$c").as("mean"), col(s"__sd_$c").as("stddev")))
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
 }

@@ -377,49 +377,78 @@ object TfRecord {
   private case class Malformed(msg: String) extends RuntimeException(msg)
 
   // ---------------------------------------------------------------
-  // fixture writer
+  // writers
   // ---------------------------------------------------------------
 
-  /** Write (doc_id, source, text[, embedding]) as deterministic
-    * `.tfrecord` shards — hash-distributed by `doc_id % nFiles`,
-    * ascending doc_id within each shard (the `Warc.writeCorpus`
-    * contract). Every `corruptEvery`-th doc gets one payload byte
-    * flipped AFTER the CRCs are computed — the bit-rot case the data
-    * CRC exists for; [[read]] must quarantine exactly those records
-    * and keep the rest of the shard. Local-mode test-fixture writer
-    * like the WARC/JSONL ones. */
-  def writeCorpus(docs: DataFrame, dir: String, nFiles: Int,
-                  corruptEvery: Int = 0): Unit = {
-    val hasEmb = docs.columns.contains("embedding")
-    val base = docs.select(
-      (col("doc_id").cast("long").as("doc_id") +:
-        col("source").cast("string").as("source") +:
-        col("text").cast("string").as("text") +:
-        (if (hasEmb)
-          Seq(col("embedding").cast(ArrayType(FloatType)).as("embedding"))
-        else Seq.empty)): _*)
-    val want = FixtureMarker.stamp(base, s"n=$nFiles:ce=$corruptEvery")
+  /** Write ANY DataFrame as deterministic `.tfrecord` Example shards —
+    * the real sink, schema-driven: integral columns (and long arrays)
+    * become Int64List features, float columns (and float arrays)
+    * FloatList, string/binary columns BytesList; a NULL value simply
+    * omits the feature (reading back, `element_at` then yields null —
+    * the proto-idiomatic representation of absence). Shards are
+    * hash-distributed by `shardKey % nFiles` with ascending key order
+    * within each (the `Warc.writeCorpus` contract). Every
+    * `corruptEvery`-th key gets one payload byte flipped AFTER the
+    * CRCs are computed — the bit-rot probe; [[read]] must quarantine
+    * exactly those records and keep the rest of the shard. Executor-
+    * local file writes: local-mode fixture/export writer like the
+    * WARC/JSONL ones. */
+  def writeExamples(df: DataFrame, dir: String, nFiles: Int,
+                    shardKey: String, corruptEvery: Int = 0): Unit = {
+    val fields = df.schema.fields
+    fields.foreach { f =>
+      f.dataType match {
+        case LongType | IntegerType | FloatType | StringType |
+             BinaryType => ()
+        case ArrayType(FloatType, _) | ArrayType(LongType, _) => ()
+        case t => throw new IllegalArgumentException(
+          s"column ${f.name}: $t has no tf.train.Feature mapping " +
+            "(cast doubles to float and decimals to long explicitly)")
+      }
+    }
+    val keyIdx = df.schema.fieldIndex(shardKey)
+    require(Seq(LongType, IntegerType).contains(fields(keyIdx).dataType),
+      s"shardKey $shardKey must be integral")
+    val schemaTag = fields
+      .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    val want =
+      FixtureMarker.stamp(df, s"n=$nFiles:ce=$corruptEvery:$schemaTag")
     if (FixtureMarker.upToDate(dir, "_GRAFT_TFRECORD_DONE", want)) return
     FixtureMarker.reset(dir)
-    base
-      .repartition(nFiles, pmod(col("doc_id"), lit(nFiles)))
-      .sortWithinPartitions("doc_id")
+    df.repartition(nFiles, pmod(col(shardKey).cast("long"), lit(nFiles)))
+      .sortWithinPartitions(shardKey)
       .foreachPartition { (rows: Iterator[Row]) =>
         val pid = TaskContext.getPartitionId()
         val f = new java.io.File(dir, f"part-$pid%05d.tfrecord")
         val os = new BufferedOutputStream(new FileOutputStream(f))
         try rows.foreach { r =>
-          val id = r.getLong(0)
-          val emb =
-            if (hasEmb && !r.isNullAt(3))
-              Seq("embedding" -> r.getSeq[Float](3))
-            else Seq.empty
-          val rec = frame(encodeExample(
-            Seq("doc_id" -> Seq(id)),
-            emb,
-            Seq("source" -> Seq(r.getString(1).getBytes(UTF_8)),
-              "text" -> Seq(r.getString(2).getBytes(UTF_8)))))
-          if (corruptEvery > 0 && id % corruptEvery == 0) {
+          val i64 = scala.collection.mutable.ArrayBuffer[(String, Seq[Long])]()
+          val f32 = scala.collection.mutable.ArrayBuffer[(String, Seq[Float])]()
+          val bin =
+            scala.collection.mutable.ArrayBuffer[(String, Seq[Array[Byte]])]()
+          var i = 0
+          while (i < fields.length) {
+            if (!r.isNullAt(i)) fields(i).dataType match {
+              case LongType => i64 += fields(i).name -> Seq(r.getLong(i))
+              case IntegerType =>
+                i64 += fields(i).name -> Seq(r.getInt(i).toLong)
+              case ArrayType(LongType, _) =>
+                i64 += fields(i).name -> r.getSeq[Long](i).toSeq
+              case FloatType => f32 += fields(i).name -> Seq(r.getFloat(i))
+              case ArrayType(FloatType, _) =>
+                f32 += fields(i).name -> r.getSeq[Float](i).toSeq
+              case StringType =>
+                bin += fields(i).name -> Seq(r.getString(i).getBytes(UTF_8))
+              case _ =>
+                bin += fields(i).name -> Seq(r.getAs[Array[Byte]](i))
+            }
+            i += 1
+          }
+          val rec = frame(encodeExample(i64.toSeq, f32.toSeq, bin.toSeq))
+          val key =
+            if (fields(keyIdx).dataType == LongType) r.getLong(keyIdx)
+            else r.getInt(keyIdx).toLong
+          if (corruptEvery > 0 && key % corruptEvery == 0) {
             // flip a bit in the payload region (after the 12 framing
             // bytes, before the trailing data CRC)
             rec(12 + (rec.length - 16) / 2) =
@@ -430,5 +459,21 @@ object TfRecord {
         ()
       }
     FixtureMarker.commit(dir, "_GRAFT_TFRECORD_DONE", want)
+  }
+
+  /** The documents-table convenience face of [[writeExamples]]:
+    * (doc_id, source, text[, embedding]) with canonical casts. */
+  def writeCorpus(docs: DataFrame, dir: String, nFiles: Int,
+                  corruptEvery: Int = 0): Unit = {
+    val hasEmb = docs.columns.contains("embedding")
+    val base = docs.select(
+      (col("doc_id").cast("long").as("doc_id") +:
+        col("source").cast("string").as("source") +:
+        col("text").cast("string").as("text") +:
+        (if (hasEmb)
+          Seq(col("embedding").cast(ArrayType(FloatType)).as("embedding"))
+        else Seq.empty)): _*)
+    writeExamples(base, dir, nFiles, shardKey = "doc_id",
+      corruptEvery = corruptEvery)
   }
 }

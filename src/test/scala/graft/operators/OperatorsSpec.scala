@@ -2590,4 +2590,39 @@ class OperatorsSpec extends AnyFunSuite {
     val byId = got.map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(byId(1L) == byId(2L))
   }
+
+  test("profile: counts, typed min/max, moments, nulls; approx mode near exact") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.0)),
+      (Some(2L), Some("b"), None),
+      (Some(2L), None, Some(4.0)),
+      (None, Some("a"), Some(6.0)))
+      .toDF("id", "tag", "v")
+    val got = graft.operators.CorpusStats.profile(df, Seq("id", "tag", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = got("id")
+    assert(id.getLong(1) == 4 && id.getLong(2) == 1 && id.getLong(3) == 2)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 2.0)
+    assert(id.isNullAt(6) && id.isNullAt(7), "numeric cols: no string lane")
+    assert(math.abs(id.getDouble(8) - 5.0 / 3) < 1e-6) // mean ignores nulls
+    val tag = got("tag")
+    assert(tag.getLong(2) == 1 && tag.getLong(3) == 2)
+    assert(tag.getString(6) == "a" && tag.getString(7) == "b")
+    assert(tag.isNullAt(4) && tag.isNullAt(5) && tag.isNullAt(8) &&
+      tag.isNullAt(9), "string cols: no numeric lanes")
+    val v = got("v")
+    assert(v.getLong(2) == 1 && v.getLong(3) == 3)
+    assert(v.getDouble(8) == 4.0 && v.getDouble(9) == 2.0) // sd of 2,4,6
+    // approx mode: same metrics except the distinct estimator; HLL at
+    // rsd 5% is exact-ish on tiny cardinalities
+    val approx = graft.operators.CorpusStats
+      .profile(df, Seq("id", "tag", "v"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx == Map("id" -> 2L, "tag" -> 2L, "v" -> 3L))
+    // one scan: the exact plan may Expand, but must contain no join
+    val plan = graft.operators.CorpusStats.profile(df, Seq("id", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+  }
 }

@@ -158,6 +158,41 @@ class TfRecordSpec extends AnyFunSuite {
     assert(TfRecord.decodeExample(Array[Byte](0x7f, 0x00, -1), 0, 3).isLeft)
   }
 
+  test("writeExamples: schema-driven features, null omission, type rejection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Some(7), Some(1.5f), Some("x"), Some(Seq(1L, 2L))),
+      (2L, None, None, None, None))
+      .toDF("k", "i", "f", "s", "arr")
+    val dir = tmpDir("gen")
+    TfRecord.writeExamples(df, dir, nFiles = 1, shardKey = "k")
+    val got = TfRecord.read(spark, dir).collect()
+      .map { r =>
+        val i64 = r.getAs[collection.Map[String, collection.Seq[Long]]](
+          "int64_feats")
+        i64("k").head -> r
+      }.toMap
+    val r1i64 = got(1L)
+      .getAs[collection.Map[String, collection.Seq[Long]]]("int64_feats")
+    assert(r1i64("i") == Seq(7L), "int column maps to Int64List")
+    assert(r1i64("arr") == Seq(1L, 2L), "long array maps to Int64List")
+    assert(got(1L).getAs[collection.Map[String, collection.Seq[Float]]](
+      "float_feats")("f") == Seq(1.5f))
+    // row 2: every nullable feature absent — the proto idiom for null
+    val r2i64 = got(2L)
+      .getAs[collection.Map[String, collection.Seq[Long]]]("int64_feats")
+    assert(r2i64.keySet == Set("k"), s"nulls must omit features: $r2i64")
+    assert(got(2L).getAs[collection.Map[String, collection.Seq[Float]]](
+      "float_feats").isEmpty)
+    // unmappable type fails loud, not silently coerced
+    val bad = intercept[IllegalArgumentException] {
+      TfRecord.writeExamples(df.withColumn("d", lit(1.0)), tmpDir("bad"),
+        nFiles = 1, shardKey = "k")
+    }
+    assert(bad.getMessage.contains("no tf.train.Feature mapping"))
+  }
+
   test("fixture marker: a regenerated corpus rewrites, an identical one reuses") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, "s", s"t$i"))
