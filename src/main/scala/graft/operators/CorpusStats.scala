@@ -139,8 +139,8 @@ object CorpusStats {
       val nd =
         if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
       Seq(
-        count(col(c)).as(s"__nn_$c"),
-        nd.as(s"__nd_$c"),
+        count(col(c)).cast("long").as(s"__nn_$c"),
+        nd.cast("long").as(s"__nd_$c"),
         (if (numeric(c)) round(min(col(c)).cast("double"), 6)
          else nullD).as(s"__minn_$c"),
         (if (numeric(c)) round(max(col(c)).cast("double"), 6)
@@ -149,9 +149,12 @@ object CorpusStats {
           .as(s"__mins_$c"),
         (if (numeric(c)) nullS else max(col(c)).cast("string"))
           .as(s"__maxs_$c"),
-        (if (numeric(c)) round(avg(col(c)), 6) else nullD).as(s"__mean_$c"),
-        (if (numeric(c)) round(stddev_samp(col(c)), 4) else nullD)
-          .as(s"__sd_$c"))
+        // cast BEFORE rounding: avg of a decimal column is decimal,
+        // and the unpivot array needs one struct type across columns
+        (if (numeric(c)) round(avg(col(c)).cast("double"), 6) else nullD)
+          .as(s"__mean_$c"),
+        (if (numeric(c)) round(stddev_samp(col(c)).cast("double"), 4)
+         else nullD).as(s"__sd_$c"))
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map(c => struct(

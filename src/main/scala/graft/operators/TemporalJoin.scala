@@ -56,6 +56,9 @@ object TemporalJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(!(left.columns ++ right.columns).exists(_.startsWith("_asof_")),
+      "column names starting with _asof_ collide with the join's " +
+        "internals — rename them first")
     val payloadFields = (rightTime +: rightPayload).distinct
     // deterministic tie fold: one payload struct per (key, rightTime);
     // a right row with no time can never be "most recent" — drop it
