@@ -738,6 +738,43 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    "q_robots_gate" -> ((s, dir) => {
+      // RFC 9309 compliance gate over the crawl frontier: robots.txt
+      // bodies parsed per host (group resolution, comments, unknown
+      // directives), then every candidate URL gated for "graftbot" —
+      // even hosts define a graftbot-specific group (which SUPPRESSES
+      // their * group, including its Disallow: /), odd hosts only a *
+      // group with wildcard + anchored rules; longest match decides,
+      // allow wins ties. The oracle re-states the intended rules as
+      // VALUES and replays the match, so a parser bug (group
+      // attribution, comment handling, empty-value rules) mismatches
+      import graft.operators.Robots
+      val hosts = s.range(6).select(
+        concat(lit("site"), col("id"), lit(".graft.example")).as("host"),
+        when(col("id") % 2 === 0, lit(
+          "# policy\nUser-agent: graftbot\nDisallow: /private/\n" +
+            "Allow: /private/docs/\nCrawl-delay: 10\n\n" +
+            "User-agent: *\nDisallow: /\n"))
+          .otherwise(lit(
+            "User-agent: *\nDisallow: /tmp*\nDisallow: /exact$\n" +
+              "Disallow:\n")).as("txt"))
+      val urls = docs(s, dir).select(
+        concat(lit("http://site"), col("doc_id") % 6, lit(".graft.example"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("/docs/"), col("doc_id") % 100))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("/private/"), col("doc_id")))
+            .when(col("doc_id") % 5 === 2,
+              concat(lit("/private/docs/"), col("doc_id")))
+            .when(col("doc_id") % 5 === 3,
+              concat(lit("/tmp"), col("doc_id") % 10))
+            .otherwise(when(col("doc_id") % 2 === 0, lit("/exact"))
+              .otherwise(lit("/exactly")))).as("url"))
+      Robots.gate(urls, "url", Robots.parseRules(hosts, "host", "txt"),
+        agent = "graftbot")
+        .orderBy("url")
+    }),
+
     "q_embedding_drift" -> ((s, dir) => {
       // representation-space drift: per-source mean-embedding cosine
       // vs the corpus mean (vec_id == doc_id in the fixture) — the
@@ -3281,6 +3318,51 @@ object SparkEntry {
 
       "q_host_pagerank" -> (hostEdgesCte + pagerankCtes + """
            SELECT host, round(rank, 6) AS rank FROM p5 ORDER BY host"""),
+
+      "q_robots_gate" ->
+        """WITH u AS (
+             SELECT DISTINCT
+               'http://site' || (doc_id % 6) || '.graft.example' ||
+                 CASE doc_id % 5
+                   WHEN 0 THEN '/docs/' || (doc_id % 100)
+                   WHEN 1 THEN '/private/' || doc_id
+                   WHEN 2 THEN '/private/docs/' || doc_id
+                   WHEN 3 THEN '/tmp' || (doc_id % 10)
+                   ELSE CASE WHEN doc_id % 2 = 0
+                     THEN '/exact' ELSE '/exactly' END
+                 END AS url,
+               'site' || (doc_id % 6) || '.graft.example' AS host,
+               CASE doc_id % 5
+                 WHEN 0 THEN '/docs/' || (doc_id % 100)
+                 WHEN 1 THEN '/private/' || doc_id
+                 WHEN 2 THEN '/private/docs/' || doc_id
+                 WHEN 3 THEN '/tmp' || (doc_id % 10)
+                 ELSE CASE WHEN doc_id % 2 = 0
+                   THEN '/exact' ELSE '/exactly' END
+               END AS path,
+               (doc_id % 6) % 2 AS parity
+             FROM documents),
+           r(parity, rule, pattern, lp) AS (VALUES
+             (0, 'disallow', '/private/', '/private/%'),
+             (0, 'allow', '/private/docs/', '/private/docs/%'),
+             (1, 'disallow', '/tmp*', '/tmp%'),
+             (1, 'disallow', '/exact$', '/exact')),
+           m AS (
+             SELECT u.url, r.rule, r.pattern,
+               length(r.pattern) AS len, r.rule = 'allow' AS is_allow
+             FROM u JOIN r ON u.parity = r.parity
+             WHERE u.path LIKE r.lp),
+           w AS (
+             SELECT url, rule, pattern,
+               row_number() OVER (PARTITION BY url
+                 ORDER BY len DESC, is_allow DESC) AS rn
+             FROM m)
+           SELECT u.url, u.host, u.path,
+             CASE WHEN w.url IS NULL THEN true
+               ELSE w.rule = 'allow' END AS allowed,
+             w.rule, w.pattern
+           FROM u LEFT JOIN w ON u.url = w.url AND w.rn = 1
+           ORDER BY u.url""",
 
       "q_host_degrees" -> (hostEdgesCte + """,
          o AS (SELECT src AS host, count(DISTINCT dst) AS out_degree,
