@@ -51,6 +51,36 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Shared crawl host-edge fixture for the link-graph queries: the
+    * q_outlink_hosts fabricated page, each doc's own host from its id
+    * class, one (src_host, dst_host) row per absolute link — the same
+    * chain the hostEdgesCte oracle replays. */
+  private def crawlHostEdges(s: SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame = {
+    import graft.functions.{HtmlFunctions, UrlFunctions}
+    val page = col("doc_id") % 100
+    val tgt1 = concat(lit("http://h"), page % 4,
+      lit(".graft.example/docs/"), page)
+    val tgt2 = when(col("doc_id") % 7 === 0,
+      concat(lit("http://ads.bad.graft.test/banner/"), col("doc_id") % 10))
+      .otherwise(concat(lit("https://MIRROR.h"), page % 4,
+        lit(".graft.example:8443/alt")))
+    val html = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> " +
+        "<a href='/about'>About</a></nav><p>see <a href=\""),
+      tgt1, lit("\">first</a> and <a href='"), tgt2,
+      lit("'>second</a> plus <a href=\"#frag\">anchor</a> " +
+        "and <a>no href</a>.</p></body></html>"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(HtmlFunctions.outlinks(html)).as("href"))
+      .filter(col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+      .select(
+        concat(lit("site"), col("doc_id") % 6, lit(".graft.example"))
+          .as("src_host"),
+        UrlFunctions.urlBareHost(col("href")).as("dst_host"))
+  }
+
   /** Features used by the §2.9 relational queries. */
   private val Feats = Seq("l_quantity", "l_discount", "l_tax")
 
@@ -680,30 +710,24 @@ object SparkEntry {
       // dangling redistribution (target hosts never link out here, so
       // most of the graph's mass cycles through the dangling path —
       // the adversarial case for the stochastic completion)
-      import graft.functions.{HtmlFunctions, UrlFunctions}
-      val page = col("doc_id") % 100
-      val tgt1 = concat(lit("http://h"), page % 4,
-        lit(".graft.example/docs/"), page)
-      val tgt2 = when(col("doc_id") % 7 === 0,
-        concat(lit("http://ads.bad.graft.test/banner/"), col("doc_id") % 10))
-        .otherwise(concat(lit("https://MIRROR.h"), page % 4,
-          lit(".graft.example:8443/alt")))
-      val html = concat(
-        lit("<html><body><nav><a href=\"/\">Home</a> " +
-          "<a href='/about'>About</a></nav><p>see <a href=\""),
-        tgt1, lit("\">first</a> and <a href='"), tgt2,
-        lit("'>second</a> plus <a href=\"#frag\">anchor</a> " +
-          "and <a>no href</a>.</p></body></html>"))
-      val edges = docs(s, dir)
-        .select(col("doc_id"),
-          explode(HtmlFunctions.outlinks(html)).as("href"))
-        .filter(col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
-        .select(
-          concat(lit("site"), col("doc_id") % 6, lit(".graft.example"))
-            .as("src_host"),
-          UrlFunctions.urlBareHost(col("href")).as("dst_host"))
+      val edges = crawlHostEdges(s, dir)
       graft.operators.LinkGraph
         .pageRank(edges, "src_host", "dst_host", iterations = 5)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+        .orderBy("host")
+    }),
+
+    "q_host_pagerank_seeded" -> ((s, dir) => {
+      // personalized PageRank: teleport restricted to two curated seed
+      // hosts — the seed-quality-propagation signal (mass flows out of
+      // trusted domains along links; hosts unreachable from a seed
+      // converge to 0). Same unrolled-CTE oracle with a teleport column
+      import s.implicits._
+      val edges = crawlHostEdges(s, dir)
+      val seeds = Seq("h0.graft.example", "h1.graft.example").toDF("host")
+      graft.operators.LinkGraph
+        .pageRank(edges, "src_host", "dst_host", iterations = 5,
+          seeds = Some(seeds))
         .select(col("host"), round(col("rank"), 6).as("rank"))
         .orderBy("host")
     }),
@@ -711,28 +735,7 @@ object SparkEntry {
     "q_host_degrees" -> ((s, dir) => {
       // in/out degree + link volume per host over the same edge list —
       // the cheap link-graph companion stats
-      import graft.functions.{HtmlFunctions, UrlFunctions}
-      val page = col("doc_id") % 100
-      val tgt1 = concat(lit("http://h"), page % 4,
-        lit(".graft.example/docs/"), page)
-      val tgt2 = when(col("doc_id") % 7 === 0,
-        concat(lit("http://ads.bad.graft.test/banner/"), col("doc_id") % 10))
-        .otherwise(concat(lit("https://MIRROR.h"), page % 4,
-          lit(".graft.example:8443/alt")))
-      val html = concat(
-        lit("<html><body><nav><a href=\"/\">Home</a> " +
-          "<a href='/about'>About</a></nav><p>see <a href=\""),
-        tgt1, lit("\">first</a> and <a href='"), tgt2,
-        lit("'>second</a> plus <a href=\"#frag\">anchor</a> " +
-          "and <a>no href</a>.</p></body></html>"))
-      val edges = docs(s, dir)
-        .select(col("doc_id"),
-          explode(HtmlFunctions.outlinks(html)).as("href"))
-        .filter(col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
-        .select(
-          concat(lit("site"), col("doc_id") % 6, lit(".graft.example"))
-            .as("src_host"),
-          UrlFunctions.urlBareHost(col("href")).as("dst_host"))
+      val edges = crawlHostEdges(s, dir)
       graft.operators.LinkGraph
         .hostDegrees(edges, "src_host", "dst_host")
         .orderBy("host")
@@ -2753,6 +2756,35 @@ object SparkEntry {
                  LEFT JOIN c$k c ON n.host = c.host)"""
       }.mkString
 
+    // personalized-PageRank variant: teleport restricted to the seed
+    // hosts (same unrolled math, teleport column instead of 1/N)
+    val pagerankSeededCtes = """,
+         e AS (SELECT src, dst, count(*)::DOUBLE AS w FROM ed GROUP BY 1, 2),
+         ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / ow.out_w AS share
+                FROM e JOIN ow USING (src)),
+         nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         sk AS (SELECT count(*)::DOUBLE AS k FROM nodes
+                WHERE host IN ('h0.graft.example', 'h1.graft.example')),
+         tl AS (SELECT host,
+                CASE WHEN host IN ('h0.graft.example', 'h1.graft.example')
+                  THEN 1.0::DOUBLE / sk.k ELSE 0::DOUBLE END AS tele
+                FROM nodes CROSS JOIN sk),
+         p0 AS (SELECT host, tele AS rank FROM tl)""" +
+      (1 to 5).map { k =>
+        s""",
+         d$k AS (SELECT coalesce(sum(rank), 0::DOUBLE) AS dm FROM p${k - 1}
+                 WHERE host NOT IN (SELECT src FROM e)),
+         c$k AS (SELECT sh.dst AS host, sum(pr.rank * sh.share) AS contrib
+                 FROM p${k - 1} pr JOIN sh ON pr.host = sh.src
+                 GROUP BY sh.dst),
+         p$k AS (SELECT t.host,
+                 0.15::DOUBLE * t.tele + 0.85::DOUBLE *
+                   (coalesce(c.contrib, 0::DOUBLE) + dm * t.tele) AS rank
+                 FROM tl t CROSS JOIN d$k
+                 LEFT JOIN c$k c ON t.host = c.host)"""
+      }.mkString
+
     // concat-and-chunk packing replay — shared by q_seq_pack and the
     // TFRecord export roundtrip (q_tfrecord_export)
     lazy val seqPackSql =
@@ -3317,6 +3349,9 @@ object SparkEntry {
            FROM p GROUP BY host ORDER BY host""",
 
       "q_host_pagerank" -> (hostEdgesCte + pagerankCtes + """
+           SELECT host, round(rank, 6) AS rank FROM p5 ORDER BY host"""),
+
+      "q_host_pagerank_seeded" -> (hostEdgesCte + pagerankSeededCtes + """
            SELECT host, round(rank, 6) AS rank FROM p5 ORDER BY host"""),
 
       "q_robots_gate" ->

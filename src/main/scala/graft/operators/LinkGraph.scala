@@ -55,7 +55,9 @@ object LinkGraph {
     * round (sum fold order differs); the power iteration itself
     * contracts, so 1e-16 fold noise never amplifies. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 5, damping: Double = 0.85,
+               seeds: Option[DataFrame] = None,
+               seedCol: String = "host"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
@@ -85,9 +87,31 @@ object LinkGraph {
     // hosts with NO outgoing edges: their rank teleports uniformly
     val dangling = CacheRegistry.register(
       nodes.join(srcs, Seq("host"), "left_anti").persist())
-    val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(nDf))
-      .select(col("host"), (lit(1.0) / col("n")).as("rank"))
+    // teleport distribution: uniform 1/N (classic), or restricted to
+    // seed hosts (personalized PageRank — seed-quality propagation:
+    // mass flows out from curated domains, unreachable hosts converge
+    // to rank 0). Sums to 1 either way, so Σ rank stays 1.
+    val tele = CacheRegistry.register((seeds match {
+      case None =>
+        val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+        nodes.crossJoin(broadcast(nDf))
+          .select(col("host"), (lit(1.0) / col("n")).as("tele"))
+      case Some(sd) =>
+        val sHosts = sd.select(col(seedCol).cast("string").as("host"))
+          .distinct()
+        val inGraph = nodes.join(sHosts, Seq("host"), "left_semi")
+        // metadata-scale action: the seed-set size is a contract check
+        // (all-zero teleport would silently zero every rank)
+        val k = inGraph.count()
+        require(k > 0, "no seed host appears in the edge list — " +
+          "personalized PageRank needs at least one in-graph seed")
+        nodes.join(inGraph.withColumn("is_seed", lit(true)),
+            Seq("host"), "left")
+          .select(col("host"),
+            when(col("is_seed"), lit(1.0 / k)).otherwise(lit(0.0))
+              .as("tele"))
+    }).persist())
+    var ranks = tele.select(col("host"), col("tele").as("rank"))
       .localCheckpoint() // eager: iteration 1 starts from a flat plan
     var it = 0
     while (it < iterations) {
@@ -96,14 +120,13 @@ object LinkGraph {
       val contribs = ranks.join(share, col("host") === col("src"))
         .groupBy("dst")
         .agg(sum(col("rank") * col("share")).as("contrib"))
-      ranks = nodes
+      ranks = tele
         .join(contribs.withColumnRenamed("dst", "host"), Seq("host"), "left")
-        .crossJoin(broadcast(nDf))
         .crossJoin(broadcast(dMass))
         .select(col("host"),
-          (lit((1.0 - damping)) / col("n") + lit(damping) *
+          (lit(1.0 - damping) * col("tele") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) +
-              col("d_mass") / col("n"))).as("rank"))
+              col("d_mass") * col("tele"))).as("rank"))
         .localCheckpoint() // materializes AND truncates the plan
       it += 1
     }

@@ -1962,6 +1962,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded pageRank: reference parity, zero off-seed-component mass, loud disjoint seeds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    // two disconnected components: a0..a9 reachable only from the
+    // seeds a0/a1; b0..b9 a separate cycle (must converge to rank 0)
+    val edges = ((0 until 40).map { _ =>
+      (s"a${rng.nextInt(10)}", s"a${rng.nextInt(10)}")
+    } ++ (0 until 10).map(i => (s"b$i", s"b${(i + 1) % 10}"))).toSeq
+    val seeds = Seq("a0", "a1", "zz-not-in-graph")
+    val got = graft.operators.LinkGraph.pageRank(
+      edges.toDF("src", "dst"), "src", "dst", iterations = 6,
+      seeds = Some(seeds.toDF("host")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.CacheRegistry.releaseAll()
+    // driver reference with the teleport vector (k = 2 in-graph seeds)
+    val w = edges.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val hosts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outW = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val tele = hosts.map(h =>
+      h -> (if (h == "a0" || h == "a1") 0.5 else 0.0)).toMap
+    var r = tele
+    (0 until 6).foreach { _ =>
+      val dMass = hosts.filterNot(outW.contains).map(r).sum
+      val contrib = w.toSeq.groupBy(_._1._2).view
+        .mapValues(_.map { case ((s, _), wt) => r(s) * wt / outW(s) }.sum)
+        .toMap
+      r = hosts.map(h => h -> (0.15 * tele(h) + 0.85 *
+        (contrib.getOrElse(h, 0.0) + dMass * tele(h)))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    got.foreach { case (h, v) =>
+      assert(math.abs(v - r(h)) < 1e-9, s"$h: $v vs ${r(h)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conserves")
+    assert(hosts.filter(_.startsWith("b")).forall(h => got(h) == 0.0),
+      "the component unreachable from any seed must hold ZERO rank")
+    assert(got("a0") > 0.0)
+    // a seed set entirely outside the graph fails loud, never all-zero
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.LinkGraph.pageRank(edges.toDF("src", "dst"),
+        "src", "dst", seeds = Some(Seq("nope").toDF("host")))
+    }
+    assert(ex.getMessage.contains("seed"))
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("pageRank: matches a driver power iteration; mass conserves; weights count") {
     import spark.implicits._
     // seeded random digraph with dangling nodes and parallel edges —
