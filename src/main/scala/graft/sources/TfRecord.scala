@@ -371,7 +371,10 @@ object TfRecord {
     Right((i64.toMap, f32.toMap, bin.toMap))
   } catch {
     case Malformed(m) => Left(m)
-    case e: ArrayIndexOutOfBoundsException => Left("index out of bounds")
+    // any other defect in hostile bytes quarantines the record — at
+    // corpus scale bad records are data to route, never a task failure
+    case scala.util.control.NonFatal(e) =>
+      Left(e.getClass.getSimpleName)
   }
 
   private case class Malformed(msg: String) extends RuntimeException(msg)

@@ -193,6 +193,35 @@ class TfRecordSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("no tf.train.Feature mapping"))
   }
 
+  test("decoder fuzz: random and mutated bytes return Left, never throw or hang") {
+    val rng = new scala.util.Random(43)
+    // pure noise
+    (0 until 2000).foreach { _ =>
+      val b = new Array[Byte](rng.nextInt(200))
+      rng.nextBytes(b)
+      TfRecord.decodeExample(b, 0, b.length) // Left or Right, never throws
+    }
+    // structured mutation: take a VALID Example and flip/truncate —
+    // the decoder must stay total on near-valid inputs too
+    val valid = TfRecord.encodeExample(
+      Seq("id" -> Seq(7L, -1L, Long.MaxValue)),
+      Seq("emb" -> Seq(1.5f, -0.25f)),
+      Seq("txt" -> Seq("hello".getBytes("UTF-8"))))
+    assert(TfRecord.decodeExample(valid, 0, valid.length).isRight)
+    (0 until 2000).foreach { _ =>
+      val b = valid.clone()
+      b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      TfRecord.decodeExample(b, 0, b.length)
+    }
+    (1 until valid.length).foreach { n =>
+      TfRecord.decodeExample(valid, 0, n)
+    }
+    // negative-length varint in a length-delimited field: the most
+    // direct overrun vector — must be a clean Left
+    val hostile = Array[Byte](0x0a, -1, -1, -1, -1, -1, -1, -1, -1, 0x7f)
+    assert(TfRecord.decodeExample(hostile, 0, hostile.length).isLeft)
+  }
+
   test("fixture marker: a regenerated corpus rewrites, an identical one reuses") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, "s", s"t$i"))
