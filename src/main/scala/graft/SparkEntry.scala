@@ -1242,6 +1242,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_length_batches" -> ((s, dir) => {
+      // length-bucketed batching (the padding-minimizing layout for
+      // non-packing trainers): band by length edges, rank inside each
+      // band via the keyed range-bucketed PrefixSum (no per-band
+      // single-reducer window even when web text concentrates in one
+      // band), capacity = batchTokens / bandUpper; oversize docs are
+      // flagged, never dropped
+      graft.operators.Packing.lengthBucketedBatches(docs(s, dir),
+        "doc_id", "text", bucketEdges = Seq(64L, 128L, 256L, 512L),
+        batchTokens = 2048L)
+        .orderBy("doc_id")
+    }),
+
     "q_length_quantiles_bpe" -> ((s, dir) => {
       // the same histogram-quantile plan over SUBWORD lengths (the
       // count a sequence-length planner actually needs) — the
@@ -4002,6 +4015,33 @@ object SparkEntry {
            FROM c GROUP BY source ORDER BY source""",
 
       "q_seq_pack" -> seqPackSql,
+
+      "q_length_batches" ->
+        s"""WITH t AS (
+             SELECT doc_id, ($wcSql)::BIGINT AS n_tokens FROM documents),
+           b AS (
+             SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens <= 64 THEN 64
+                    WHEN n_tokens <= 128 THEN 128
+                    WHEN n_tokens <= 256 THEN 256
+                    WHEN n_tokens <= 512 THEN 512
+                    ELSE NULL END AS padded_len
+             FROM t),
+           r AS (
+             SELECT doc_id, n_tokens, padded_len,
+               row_number() OVER (PARTITION BY padded_len
+                 ORDER BY doc_id) - 1 AS idx
+             FROM b WHERE padded_len IS NOT NULL)
+           SELECT doc_id, n_tokens, padded_len::BIGINT AS padded_len,
+             (idx // (2048 // padded_len))::BIGINT AS batch_id,
+             (padded_len - n_tokens)::BIGINT AS pad_waste,
+             false AS oversize
+           FROM r
+           UNION ALL
+           SELECT doc_id, n_tokens, NULL::BIGINT, NULL::BIGINT,
+             NULL::BIGINT, true
+           FROM b WHERE padded_len IS NULL
+           ORDER BY doc_id""",
 
       // the SAME replay verifies the TFRecord export loop: identical
       // packed offsets must come back through the Example shards

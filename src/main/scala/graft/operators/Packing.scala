@@ -151,4 +151,62 @@ object Packing {
         sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
           .as("n_straddling"))
   }
+
+  /** Length-bucketed batching — the padding-minimizing layout for
+    * models that can't pack (encoder fine-tuning, reward models,
+    * embedding training): sequences bucket by length band, each batch
+    * draws only from one band padded to the band's upper edge, and the
+    * batch capacity is `batchTokens / bandUpper` sequences, so every
+    * batch costs ≤ `batchTokens` padded tokens.
+    *
+    * Deterministic and scale-safe: the rank inside a band is a keyed
+    * [[graft.functions.PrefixSum]] (no per-band single-reducer window
+    * even when one band holds most of the corpus — the realistic skew:
+    * web text is length-concentrated), batch id is pure arithmetic on
+    * the rank. Docs longer than the last edge flag `oversize = true`
+    * with a null batch (routed, never dropped — the
+    * [[packWithoutSplitting]] convention).
+    *
+    * Output: idCol, `n_tokens`, `padded_len` (band upper; null when
+    * oversize), `batch_id` (0-based within the band; null when
+    * oversize), `pad_waste` (padded_len − n_tokens), `oversize`. */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String,
+      textCol: String, bucketEdges: Seq[Long], batchTokens: Long,
+      tokenCount: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column =
+        TextFunctions.wsTokenCount): DataFrame = {
+    require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted &&
+      bucketEdges.head > 0 && bucketEdges.distinct == bucketEdges,
+      s"bucketEdges must be positive, strictly ascending: $bucketEdges")
+    require(batchTokens >= bucketEdges.last,
+      s"batchTokens ($batchTokens) must fit at least one sequence of " +
+        s"the largest band (${bucketEdges.last})")
+    val len = tokenCount(col(textCol)).cast("long")
+    // smallest edge >= len; oversize docs get band NULL
+    val band = bucketEdges.reverse.foldLeft(
+      lit(null).cast("long")) { (acc, edge) =>
+      when(len <= edge, lit(edge)).otherwise(acc)
+    }
+    val banded = docs.select(col(idCol), len.as("n_tokens"),
+      band.as("padded_len"))
+    val sized = banded.filter(col("padded_len").isNotNull)
+      .withColumn("__one", lit(1L))
+    val ranked = PrefixSum.inclusive(sized, Seq("padded_len"), idCol,
+      "__one", "__rank")
+    val batched = ranked.select(col(idCol), col("n_tokens"),
+      col("padded_len"),
+      // capacity = batchTokens / bandUpper sequences per batch
+      floor((col("__rank") - 1) /
+        floor(lit(batchTokens) / col("padded_len"))).cast("long")
+        .as("batch_id"),
+      (col("padded_len") - col("n_tokens")).as("pad_waste"),
+      lit(false).as("oversize"))
+    val oversize = banded.filter(col("padded_len").isNull)
+      .select(col(idCol), col("n_tokens"),
+        lit(null).cast("long").as("padded_len"),
+        lit(null).cast("long").as("batch_id"),
+        lit(null).cast("long").as("pad_waste"),
+        lit(true).as("oversize"))
+    batched.unionByName(oversize)
+  }
 }

@@ -1962,6 +1962,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBucketedBatches: band capacity math, batch budget, oversize routing") {
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      // lengths 1..40 plus two oversize monsters
+      val n = if (i >= 198) 1000 else (i % 40 + 1)
+      (i, Seq.fill(n.toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Packing.lengthBucketedBatches(
+      docs, "doc_id", "text", bucketEdges = Seq(8L, 16L, 40L),
+      batchTokens = 64L).collect()
+    assert(got.length == 200, "routed, never dropped")
+    val over = got.filter(_.getBoolean(5))
+    assert(over.map(_.getLong(0)).sorted.toSeq == Seq(198L, 199L))
+    assert(over.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    val ok = got.filterNot(_.getBoolean(5))
+    // reference: per band ordered by doc_id, capacity = 64/band
+    val byBand = ok.groupBy(_.getLong(2))
+    byBand.foreach { case (band, rows) =>
+      val cap = 64L / band
+      rows.sortBy(_.getLong(0)).zipWithIndex.foreach { case (r, idx) =>
+        assert(r.getLong(3) == idx / cap, s"band $band doc ${r.getLong(0)}")
+        assert(r.getLong(2) >= r.getLong(1), "padded_len covers the doc")
+        assert(r.getLong(4) == band - r.getLong(1))
+      }
+      // every batch fits the token budget when padded to the band edge
+      rows.groupBy(_.getLong(3)).foreach { case (_, b) =>
+        assert(b.length * band <= 64L)
+      }
+    }
+    assert(byBand.keySet == Set(8L, 16L, 40L), "all bands exercised")
+  }
+
   test("seeded pageRank: reference parity, zero off-seed-component mass, loud disjoint seeds") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
