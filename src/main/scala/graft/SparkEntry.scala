@@ -1242,6 +1242,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_calibration" -> ((s, dir) => {
+      // reliability curve + ECE for a classifier score — the audit
+      // before scores become sampling weights. The scored model is the
+      // fixed-coefficient logistic the loss-sum queries share
+      // (lp = .05*qty - 2*disc), label = returnflag 'R', so the whole
+      // thing replays in SQL; lp = 0 (qty 2, disc .05) gives sigmoid
+      // exactly 0.5 — the one bin-boundary case — which floors
+      // identically in both engines
+      val lp = col("l_quantity") * BinB._1 + col("l_discount") * BinB._2
+      val score = lit(1.0) / (lit(1.0) + exp(-lp))
+      graft.slope.SlopeScore.calibration(
+        li(s, dir).select(score.as("score"),
+          (col("l_returnflag") === "R").cast("int").as("label")),
+        "score", "label", bins = 10)
+        .select(col("bin"), col("n"),
+          round(col("mean_score"), 6).as("mean_score"),
+          round(col("frac_pos"), 6).as("frac_pos"),
+          round(col("gap"), 6).as("gap"), round(col("ece"), 6).as("ece"))
+        .orderBy("bin")
+    }),
+
     "q_length_batches" -> ((s, dir) => {
       // length-bucketed batching (the padding-minimizing layout for
       // non-packing trainers): band by length edges, rank inside each
@@ -4015,6 +4036,21 @@ object SparkEntry {
            FROM c GROUP BY source ORDER BY source""",
 
       "q_seq_pack" -> seqPackSql,
+
+      "q_calibration" ->
+        s"""WITH t AS (
+             SELECT 1.0/(1.0 + exp(-(l_quantity*${BinB._1}
+                 + l_discount*(${BinB._2})))) AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+             FROM lineitem),
+           b AS (SELECT least(floor(s*10), 9)::BIGINT AS bin, s, y FROM t),
+           g AS (SELECT bin, count(*)::BIGINT AS n, avg(s) AS ms,
+                 avg(y) AS fp FROM b GROUP BY bin),
+           e AS (SELECT sum(n*abs(ms - fp))/sum(n) AS ece FROM g)
+           SELECT bin, n, round(ms, 6) AS mean_score,
+             round(fp, 6) AS frac_pos, round(abs(ms - fp), 6) AS gap,
+             round(e.ece, 6) AS ece
+           FROM g CROSS JOIN e ORDER BY bin""",
 
       "q_length_batches" ->
         s"""WITH t AS (

@@ -158,6 +158,41 @@ object SlopeScore {
     * per-step range-bucketed prefix sum for the running count
     * ([[graft.functions.PrefixSum]]) — a step's |distinct probs| ≈ n
     * rows never funnel through one task (R/score.R:137-150 rank form). */
+  /** Reliability curve + expected calibration error — the audit a
+    * learned quality filter needs before its scores become sampling
+    * WEIGHTS (an uncalibrated filter silently over/under-samples).
+    * Scores bin into `bins` equal-width [0,1] buckets (scores clamped;
+    * a score of exactly 1.0 lands in the last bin); per bin: count,
+    * mean score, empirical positive rate, and |gap|. ECE is the
+    * count-weighted mean |gap| — derivable from the output, and also
+    * returned on every row for one-frame serving.
+    *
+    * One map-side-combined groupBy over one scan — bins are the only
+    * exchange key (≤ `bins` groups), so the plan is flat at any corpus
+    * size. Engine-replayable: bin = floor(score·bins) clamped, all
+    * aggregates exact-or-rounded. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val b = least(floor(col(scoreCol) * bins).cast("long"),
+      lit(bins - 1L))
+    val perBin = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(greatest(least(b, lit(bins - 1L)), lit(0L)).as("bin"),
+        col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg("s").as("mean_score"),
+        avg("y").as("frac_pos"))
+      .select(col("bin"), col("n"), col("mean_score"), col("frac_pos"),
+        abs(col("mean_score") - col("frac_pos")).as("gap"))
+    // ECE = Σ n_b/N · |gap_b| — a 1-row frame broadcast back, never a
+    // driver value
+    val ece = perBin.agg(
+      (sum(col("n") * col("gap")) / sum("n")).as("ece"))
+    perBin.crossJoin(broadcast(ece))
+  }
+
   private def scoreAuc(model: SlopeModel, df: DataFrame, featuresCol: String,
                        labelCol: String): Array[Double] = {
     val scored = SlopeServe.predictions(model, df, featuresCol, Seq("response"))

@@ -235,4 +235,39 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(opt.mean == cells.map(_.mean).min)
     }
   }
+
+  test("calibration: bin math, perfect-calibration zero ECE, hand-computed gaps") {
+    import spark.implicits._
+    // perfectly calibrated by construction: in the 0.25 bucket (bin 2),
+    // exactly 1 of 4 rows is positive, etc.
+    val perfect = Seq.fill(4)(0.25).zipWithIndex.map { case (s, i) =>
+      (s, if (i == 0) 1 else 0)
+    } ++ Seq.fill(4)(0.75).zipWithIndex.map { case (s, i) =>
+      (s, if (i < 3) 1 else 0)
+    }
+    val p = graft.slope.SlopeScore.calibration(
+      perfect.toDF("score", "label"), "score", "label", bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(p.keySet == Set(1L, 3L))
+    assert(p(1L) == ((4L, 0.25, 0.0, 0.0)), "bin 1: frac_pos 1/4, gap 0")
+    assert(p(3L) == ((4L, 0.75, 0.0, 0.0)))
+    // skewed: scores say 0.9 but only half are positive; score 1.0
+    // clamps into the LAST bin; nulls drop
+    val skew = Seq((0.9, 1), (0.9, 0), (1.0, 1), (1.0, 1))
+      .toDF("score", "label")
+      .union(Seq((null.asInstanceOf[java.lang.Double], 1))
+        .toDF("score", "label"))
+    val sRows = graft.slope.SlopeScore.calibration(
+      skew, "score", "label", bins = 10).collect()
+    assert(sRows.map(_.getLong(1)).sum == 4, "null score dropped")
+    val bin9 = sRows.find(_.getLong(0) == 9L).get
+    assert(bin9.getLong(1) == 4, "score 1.0 clamps into bin 9")
+    assert(math.abs(bin9.getDouble(2) - 0.95) < 1e-12) // mean score
+    assert(math.abs(bin9.getDouble(3) - 0.75) < 1e-12) // frac pos
+    assert(math.abs(bin9.getDouble(4) - 0.2) < 1e-12)  // gap
+    assert(math.abs(bin9.getDouble(5) - 0.2) < 1e-12,
+      "single-bin ECE equals its gap")
+  }
 }
