@@ -58,7 +58,11 @@ object BenchScale10 {
     // key, 10x users at fixed history; range = band-bounded, never a
     // cross product) and the link-graph power iteration (per-iteration
     // shuffle linear in edges)
-    "q_asof_join", "q_range_join", "q_host_pagerank")
+    "q_asof_join", "q_range_join", "q_host_pagerank",
+    // round-10c: the robots gate (rules broadcast, one URL scan),
+    // length-bucketed batching (keyed PrefixSum rank), and the
+    // calibration audit (<= bins exchange groups)
+    "q_robots_gate", "q_length_batches", "q_calibration")
 
   private val KeyOff = 100000000L
 
