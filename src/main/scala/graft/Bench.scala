@@ -1,8 +1,223 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Round benchmark. Two execution modes:
+  *
+  *  - PARENT (default): partitions the query suite into batches of
+  *    `SPARK_GRAFT_FORK_BATCH` (default 16) and runs each batch in a
+  *    FRESH child JVM (same classpath + module flags as this one),
+  *    then merges the children's JSON into one artifact. Three rounds
+  *    running, the single-JVM session paid a GC-storm adjudication tax
+  *    — heap pressure from earlier queries inflated later queries'
+  *    medians 5-30x, and the committed median_sum misstated the engine
+  *    by ~30% until a fresh-JVM re-measure corrected it. Bounding each
+  *    JVM's lifetime to one batch keeps every median honest in the
+  *    first artifact. A dedicated aux child runs the scaling +
+  *    streaming ride-alongs so query batches stay uniform.
+  *  - CHILD / inline (`SPARK_GRAFT_FORK=0` or the internal
+  *    `SPARK_GRAFT_FORK_CHILD=1`): the classic loop — warmup at
+  *    sf0.001, `reps` timed runs round-robin, per-rep GC deltas,
+  *    medians/mins to stdout + `SPARK_GRAFT_BENCH_OUT`.
+  *
+  * If forking fails (no java binary, child crash), the parent falls
+  * back to the inline loop so a round never loses its bench artifact.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
+    val forkMode = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0" &&
+      !sys.env.contains("SPARK_GRAFT_FORK_CHILD")
+    if (forkMode) {
+      try runParent()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] fork mode failed ($e); running inline")
+        runSuite()
+      }
+    } else runSuite()
+  }
+
+  /** Exact-name ONLY filter (split on ','): a raw substring contains()
+    * would make ONLY=q_pseudo_ppl_tri also select q_pseudo_ppl. */
+  private def onlySet: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
+  // ---------------------------------------------------------------- parent
+
+  private def runParent(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val batchSize = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_FORK_BATCH", "16").toInt)
+    val only = onlySet
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val batches = names.grouped(batchSize).toSeq
+
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    // pass the parent's own JVM flags through (add-opens for Spark on
+    // JDK 17, -Xmx, -Xss) — the child builds the same SparkSession
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench")
+
+    def spawn(tag: String, onlyVal: String, extraEnv: Map[String, String])
+        : Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val outFile = tmpDir.resolve(s"$tag.json")
+      val logFile = tmpDir.resolve(s"$tag.out.log")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_FORK_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_ONLY", onlyVal)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      // ride-alongs default OFF in query children (the aux child
+      // re-enables them); the isolation file is read by the parent
+      pb.environment().put("SPARK_GRAFT_SCALING_REPS", "0")
+      pb.environment().put("SPARK_GRAFT_STREAM_BENCH", "0")
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+      // child stdout carries its own GRAFT_BENCH_* markers — those
+      // must never reach the parent's stdout (the driver greps for the
+      // marker pair and would parse a partial artifact)
+      pb.redirectOutput(logFile.toFile)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val t0 = System.nanoTime()
+      val p = pb.start()
+      val code = p.waitFor()
+      System.err.println(
+        f"[bench] child $tag exit=$code ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      if (code != 0 || !java.nio.file.Files.exists(outFile)) None
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        Some(mapper.readTree(outFile.toFile))
+      }
+    }
+
+    // sequential children: parallel JVMs would contend for the box's
+    // cores and reintroduce exactly the noise forking removes
+    val childResults = batches.zipWithIndex.flatMap { case (batch, i) =>
+      spawn(s"batch$i", batch.mkString(","), Map.empty) match {
+        case Some(node) => Some(node)
+        case None =>
+          System.err.println(s"[bench] batch$i FAILED; retrying once")
+          spawn(s"batch${i}retry", batch.mkString(","), Map.empty)
+      }
+    }
+    // aux child: dedup-scaling + streaming ride-alongs, zero queries
+    val auxNode =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt <= 0 &&
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") None
+      else spawn("aux", "__aux_none__", Map(
+        "SPARK_GRAFT_SCALING_REPS" ->
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2"),
+        "SPARK_GRAFT_STREAM_BENCH" ->
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1")))
+
+    if (childResults.isEmpty) {
+      System.err.println("[bench] every child failed; running inline")
+      runSuite(); return
+    }
+
+    // merge the children's per-query objects field-by-field; values are
+    // re-serialized verbatim so parent math and child math can't drift
+    def mergeObj(field: String): String = {
+      val parts = for {
+        node <- childResults
+        obj = node.get(field) if obj != null
+        k <- obj.fieldNames().asScala
+      } yield s""""$k":${obj.get(k).toString}"""
+      parts.mkString("{", ",", "}")
+    }
+    val qs = mergeObj("queries")
+    val qmin = mergeObj("queries_min")
+    val qmax = mergeObj("queries_max")
+    val qreps = mergeObj("queries_reps")
+    val qgc = mergeObj("queries_gc_ms")
+    val failed = childResults.flatMap(n =>
+      Option(n.get("failed_queries")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText())))
+    val covered = childResults.flatMap(n =>
+      Option(n.get("queries")).toSeq.flatMap(_.fieldNames().asScala))
+    // a batch whose BOTH attempts died contributes no rows: surface its
+    // queries as failed rather than silently shrinking the suite
+    val missing = names.filterNot(covered.toSet)
+    val failedAll = (failed ++ missing).distinct.sorted
+    val medByName = childResults.flatMap { n =>
+      val obj = n.get("queries")
+      obj.fieldNames().asScala.map(k => k -> obj.get(k).asDouble()).toSeq
+    }.toMap
+    val minByName = childResults.flatMap { n =>
+      val obj = n.get("queries_min")
+      obj.fieldNames().asScala.map(k => k -> obj.get(k).asDouble()).toSeq
+    }.toMap
+    val total = medByName.values.filter(_ >= 0).sum
+    val minSum = minByName.values.filter(_ >= 0).sum
+    val scalingJson = auxNode.flatMap(n =>
+      Option(n.get("dedup_scaling")).map(_.toString)).getOrElse("{}")
+    val streamJson = auxNode.flatMap(n =>
+      Option(n.get("streaming")).map(_.toString)).getOrElse("{}")
+    val isolationJson = readIsolation()
+    val scale10Json = readScale10()
+    val failedJson = failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","fork_batch":$batchSize,"n_children":${childResults.size},"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"isolation":$isolationJson}"""
+    emit(json, names.size, total, minSum, medByName, minByName,
+      failedJson, reps, sfDir)
+  }
+
+  private def readIsolation(): String = {
+    val p = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH1_OUT", "/root/repo/bench_isolation.json"))
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala
+        .filter(_.trim.nonEmpty).mkString("[", ",", "]")
+    } else "[]"
+  }
+
+  private def readScale10(): String = {
+    val p = java.nio.file.Paths.get("/root/repo/scaling_nondedup.json")
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+    else "{}"
+  }
+
+  /** Shared final emit: full JSON (stdout + file) and the compact
+    * marker-wrapped line sized under the driver's 2000-char stdout
+    * tail (see BENCH_r07-r09 "parsed": null postmortem). */
+  private def emit(json: String, nQueries: Int, total: Double,
+                   minSum: Double, medByName: Map[String, Double],
+                   minByName: Map[String, Double], failedJson: String,
+                   reps: Int, sfDir: String): Unit = {
+    val topByMedian = medByName.toSeq.sortBy(-_._2).take(18)
+    val topJson = topByMedian
+      .map { case (k, md) => f""""$k":$md%.2f""" }.mkString("{", ",", "}")
+    val topMinJson = topByMedian
+      .map { case (k, _) =>
+        f""""$k":${minByName.getOrElse(k, -1.0)}%.2f""" }
+      .mkString("{", ",", "}")
+    val compact = f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":$nQueries,"median_sum":$total%.1f,"min_sum":$minSum%.1f,"queries":$topJson,"queries_min":$topMinJson,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","full":"bench_out.json"}"""
+    println("GRAFT_BENCH_FULL " + json)
+    println("GRAFT_BENCH_BEGIN")
+    println(compact)
+    println("GRAFT_BENCH_END")
+    // stdout can be truncated by the harness (BENCH_r04 lost the first
+    // ~12 query medians); the file is the machine-complete artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
+  }
+
+  // ----------------------------------------------------------- child/inline
+
+  private def runSuite(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1,
@@ -22,7 +237,7 @@ object Bench {
       "/root/testdata/sf0.001")
     // local-iteration filter, same contract as Verify:
     // SPARK_GRAFT_ONLY=q_a,q_b times a subset (warmup included)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val only = onlySet
     if (warmDir.nonEmpty) {
       val t0 = System.nanoTime()
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -128,62 +343,23 @@ object Bench {
     // isolated fresh-JVM re-measures (graft.BenchOne appends one JSON
     // line per query to bench_isolation.json) ride along so the round
     // artifact carries the session-drift adjudication data
-    val isolationJson = {
-      val p = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH1_OUT", "/root/repo/bench_isolation.json"))
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(p).asScala
-          .filter(_.trim.nonEmpty).mkString("[", ",", "]")
-      } else "[]"
-    }
+    val isolationJson = readIsolation()
     // non-dedup 10x scale point (graft.BenchScale10 writes it; rides
     // along like the isolation data)
-    val scale10Json = {
-      val p = java.nio.file.Paths.get("/root/repo/scaling_nondedup.json")
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      else "{}"
-    }
+    val scale10Json = readScale10()
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"isolation":$isolationJson}"""
-    // BENCH_r07-r09 all recorded "parsed": null. Two verified causes:
-    // the driver keeps only the LAST 2000 CHARS of stdout (BENCH_r09
-    // "tail" is exactly 2000), and sbt's logger wraps forked output in
-    // "[info] " (fixed via run/outputStrategy in build.sbt). So the
-    // marker pair now wraps ONE COMPACT line — summary stats + the
-    // top-expensive per-query medians/mins, sized well under the tail
-    // window — printed LAST so truncation can't reach it. The full
-    // JSON still goes to stdout (GRAFT_BENCH_FULL prefix, for humans)
-    // and to bench_out.json (the machine-complete committed artifact).
-    val minSum = results.flatMap { case (_, xs) =>
+    val medByName = results.map { case (k, xs) =>
       val ok = xs.filter(_ >= 0)
-      if (ok.isEmpty) None else Some(ok.min)
-    }.sum
-    val topByMedian = results
-      .map { case (k, xs) =>
-        val ok = xs.filter(_ >= 0)
-        (k, if (ok.isEmpty) -1.0 else median(ok),
-          if (ok.isEmpty) -1.0 else ok.min)
-      }
-      .sortBy(-_._2).take(18)
-    val topJson = topByMedian
-      .map { case (k, md, _) => f""""$k":$md%.2f""" }.mkString("{", ",", "}")
-    val topMinJson = topByMedian
-      .map { case (k, _, mn) => f""""$k":$mn%.2f""" }.mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${names.size},"median_sum":$total%.1f,"min_sum":$minSum%.1f,"queries":$topJson,"queries_min":$topMinJson,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","full":"bench_out.json"}"""
-    println("GRAFT_BENCH_FULL " + json)
-    println("GRAFT_BENCH_BEGIN")
-    println(compact)
-    println("GRAFT_BENCH_END")
-    // stdout can be truncated by the harness (BENCH_r04 lost the first
-    // ~12 query medians); the file is the machine-complete artifact
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: $e") }
+      k -> (if (ok.isEmpty) -1.0 else median(ok))
+    }.toMap
+    val minByName = results.map { case (k, xs) =>
+      val ok = xs.filter(_ >= 0)
+      k -> (if (ok.isEmpty) -1.0 else ok.min)
+    }.toMap
+    val minSum = minByName.values.filter(_ >= 0).sum
+    emit(json, names.size, total, minSum, medByName, minByName,
+      failedJson, reps, sfDir)
     spark.stop()
   }
 }

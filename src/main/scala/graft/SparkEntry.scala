@@ -1858,7 +1858,7 @@ object SparkEntry {
       val ev = events(s, dir)
       val tsSec = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          (col("ts") / 1000000000L).cast("long")
+          expr("ts div 1000000000")
         case _ => unix_timestamp(col("ts"))
       }
       val hourSec = tsSec - pmod(tsSec, lit(3600L))

@@ -66,6 +66,13 @@ object Dedup {
     * each fingerprint's whole duplicate set into one sorted
     * partition. */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // reserved temp names: an input that already carries them would make
+    // the semi-join condition ambiguous (same guard family as asofJoin's
+    // _asof_ prefix check)
+    Seq("__kfp", "__kid").foreach { r =>
+      require(!df.columns.contains(r),
+        s"dropExactDuplicates: input must not contain reserved column '$r'")
+    }
     val keep = df
       .select(fingerprint(col(textCol)).as("__kfp"), col(idCol).as("__kid"))
       .groupBy("__kfp").agg(min("__kid").as("__kid"))
@@ -619,7 +626,7 @@ object Dedup {
     * combiner and the exchange carries at most one row per (cluster,
     * map partition); the previous row_number window shipped each
     * cluster's whole membership into one sorted partition. The id
-    * negation mixes the DESC score with the ASC tie-break inside one
+    * bitwise-NOT mixes the DESC score with the ASC tie-break inside one
     * lexicographic struct ordering; non-numeric ids (dupClusters
     * supports string/uuid keys) take the two-phase combiner form —
     * max score per cluster, then min id among the maxima — still
@@ -637,12 +644,16 @@ object Dedup {
                  org.apache.spark.sql.types.ShortType |
                  org.apache.spark.sql.types.IntegerType |
                  org.apache.spark.sql.types.LongType) =>
+        // bitwise NOT, not arithmetic negation: ~x = -x-1 is an
+        // order-REVERSING bijection on the FULL Long range, so a
+        // Long.MinValue id round-trips exactly (negation overflows it
+        // to itself and fabricates a keep_id matching no row)
         joined
           .groupBy(clusterCol)
           .agg(max(struct(col(scoreCol).as("s"),
-            (-col(idCol)).cast("long").as("ni"))).as("k"))
+            bitwise_not(col(idCol).cast("long")).as("ni"))).as("k"))
           .select(col(clusterCol),
-            (-col("k.ni")).cast(it).as("keep_id"),
+            bitwise_not(col("k.ni")).cast(it).as("keep_id"),
             col("k.s").as("keep_score"))
       case _ =>
         val best = joined.groupBy(clusterCol)

@@ -22,7 +22,7 @@ object EventStreams {
                          watermark: String = "2 hours"): DataFrame = {
     val tsCol = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        timestamp_seconds((col("ts") / 1000000000L).cast("long"))
+        timestamp_seconds(expr("ts div 1000000000"))
       case _ => col("ts")
     }
     val base = events.withColumn("__ts", tsCol)
@@ -48,7 +48,7 @@ object EventStreams {
   def sessionizeBatch(events: DataFrame, gapSec: Long = 1800): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tsSec = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => (col("ts") / 1000000000L).cast("long")
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
       case _ => unix_timestamp(col("ts"))
     }
     val w = Window.partitionBy("user_id").orderBy("sec")
@@ -77,7 +77,7 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     val tsSec = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => (col("ts") / 1000000000L).cast("long")
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
       case _ => unix_timestamp(col("ts"))
     }
     val withTs = events.select(col("user_id").as("userId"), tsSec.as("sec"),
@@ -145,7 +145,10 @@ object EventStreams {
     // admit pairs the raw timestamps exclude
     val tsCol = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        timestamp_micros((col("ts") / 1000L).cast("long"))
+        // integer division: `/` is double division in Spark and epoch
+        // nanos (~1.7e18) exceed 2^53, so the quotient could truncate
+        // 1 µs low and flip window-boundary membership
+        timestamp_micros(expr("ts div 1000"))
       case _ => col("ts")
     }
     val base = events.withColumn("__ts", tsCol)

@@ -989,6 +989,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") || plan.contains("partial(max"), plan)
   }
 
+  test("keepBestPerCluster: Long.MinValue id round-trips (bitwise-NOT, no negation overflow)") {
+    import spark.implicits._
+    val clusters = Seq((Long.MinValue, 1L), (7L, 1L)).toDF("id", "cluster_id")
+    val scores = Seq((Long.MinValue, 50), (7L, 10)).toDF("id", "score")
+    val got = graft.operators.Dedup.keepBestPerCluster(clusters, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, Long.MinValue, 50)), got.toList.toString)
+  }
+
+  test("dropExactDuplicates rejects reserved __kfp/__kid input columns") {
+    import spark.implicits._
+    val bad = Seq((1L, "t", "x")).toDF("id", "text", "__kfp")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dropExactDuplicates(bad, "id", "text")
+    }
+    assert(e.getMessage.contains("__kfp"), e.getMessage)
+  }
+
   test("keepBestPerCluster: string ids take the two-phase path, same argmax semantics") {
     import spark.implicits._
     val clusters = Seq(("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"))
