@@ -207,29 +207,48 @@ object LanguageModel {
     * -built order-(k−1) count frame, whose gram string IS the order-k
     * gram's separator-truncated prefix (`substring_index`), so the
     * denominator stays a model-frame join, never a corpus pass; order
-    * 1 carries ln c(w) − ln N. All counts are map-side combined
-    * groupBys over the one token pass, each shuffled on ONE string. */
+    * 1 carries ln c(w) − ln N.
+    *
+    * SINGLE-EXCHANGE build (r10 VERDICT ask #2): each token row emits
+    * its (k, gram) key for EVERY order whose context is fully present
+    * (k = 1 always, k ≥ 2 while prev_{k−1} is non-null) in one
+    * projection, and ONE map-side-combined groupBy counts all orders
+    * together — 1 scan of the token frame + 1 shuffle instead of
+    * `order` of each. The combined exchange carries the same
+    * distinct-gram partial rows the k separate exchanges did; only
+    * the scan/stage/job-launch overhead collapses. The counts frame
+    * is persisted (CacheRegistry contract) because every per-order
+    * model slices it twice (numerator + the order-(k−1) denominator). */
   private[graft] def buildNgramModels(modelTokens: DataFrame,
                                       order: Int): Map[Int, DataFrame] = {
-    val c1 = modelTokens.select(col("word").as("gram"))
-      .groupBy("gram").agg(count(lit(1)).cast("double").as("cnt"))
+    val keyStructs = filter(
+      array((1 to order).map { k =>
+        val g = if (k == 1) gramKey(1)
+          else when(col(s"prev${k - 1}").isNotNull, gramKey(k))
+            .otherwise(lit(null).cast("string"))
+        struct(lit(k).as("k"), g.as("gram"))
+      }: _*),
+      s => s.getField("gram").isNotNull)
+    val counts = graft.CacheRegistry.register(
+      modelTokens.select(explode(keyStructs).as("t"))
+        .select(col("t.k").as("k"), col("t.gram").as("gram"))
+        .groupBy("k", "gram").agg(count(lit(1)).cast("double").as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def order_k(k: Int) =
+      counts.filter(col("k") === k).select("gram", "cnt")
+    val c1 = order_k(1)
     val total = c1.agg(sum("cnt").as("n"))
     val uniLs = c1.crossJoin(broadcast(total))
       .select(col("gram"), (log(col("cnt")) - log(col("n"))).as("ls"))
     val models = scala.collection.mutable.Map[Int, DataFrame](1 -> uniLs)
-    var prevCounts = c1
     for (k <- 2 to order) {
-      val ck = modelTokens.filter(col(s"prev${k - 1}").isNotNull)
-        .select(gramKey(k).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).cast("double").as("cnt"))
       // the context (k-1)-gram's key = this key's first k-1 parts
-      val ctx = prevCounts.select(col("gram").as("ctx"),
+      val ctx = order_k(k - 1).select(col("gram").as("ctx"),
         col("cnt").as("cctx"))
-      models(k) = ck
+      models(k) = order_k(k)
         .withColumn("ctx", substring_index(col("gram"), GramSep, k - 1))
         .join(ctx, "ctx")
         .select(col("gram"), (log(col("cnt")) - log(col("cctx"))).as("ls"))
-      prevCounts = ck
     }
     models.toMap
   }
