@@ -385,6 +385,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_token_count_pre" -> ((s, dir) => {
+      // pretrained-tokenizer interop: subword counts against the
+      // committed GPT-2-format merges+vocab fixture (Subword.
+      // pretrainedTokenCount), with the ws count alongside for the
+      // fertility a tokenizer audit reads off this frame
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        graft.functions.Subword.pretrainedTokenCount(col("text"))
+          .as("pre_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_seq_pack_pre" -> ((s, dir) => {
+      // the q_seq_pack_bpe packing plan routed through the PRETRAINED
+      // tokenizer — proof the packing operators take any deterministic
+      // token-count column, external vocabularies included
+      graft.operators.Packing.packOffsets(docs(s, dir), "doc_id", "text",
+        seqLen = 512,
+        tokenCount = graft.functions.Subword.pretrainedTokenCount)
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+          col("first_seq"), col("last_seq"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
@@ -2577,9 +2601,18 @@ object SparkEntry {
     * longest-match segmentation (vocab inlined as VALUES): ends with
     * `dsub(doc_id, n_sub)` = per-doc subword token count (0 for empty
     * docs). Append after `WITH RECURSIVE`. */
-  private lazy val SubwordCte: String = {
-    val vocabValues = graft.functions.Subword.vocabSorted
-      .map(p => s"('$p')").mkString(",")
+  private lazy val SubwordCte: String =
+    subwordCteFor(graft.functions.Subword.vocabSorted)
+
+  /** [[SubwordCte]] with the PRETRAINED piece set — the DuckDB replay
+    * of [[graft.functions.Subword.pretrainedTokenCount]]. Both engines
+    * parse the same committed GPT-2-format fixture files: Spark loads
+    * them at UDF time, the oracle inlines the loaded pieces here. */
+  private lazy val PretrainedCte: String =
+    subwordCteFor(graft.functions.Subword.pretrainedVocabSorted)
+
+  private def subwordCteFor(pieces: Seq[String]): String = {
+    val vocabValues = pieces.map(p => s"('$p')").mkString(",")
     s"""vocab(piece) AS (VALUES $vocabValues),
        __n AS (SELECT doc_id, $NormSql AS nt FROM documents),
        __w0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM __n),
@@ -3012,6 +3045,27 @@ object SparkEntry {
         s"""SELECT doc_id, ($wcSql)::INT AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::INT AS bpe_tokens
            FROM documents ORDER BY doc_id""",
+
+      "q_token_count_pre" ->
+        s"""WITH RECURSIVE $PretrainedCte
+           SELECT d.doc_id, ($wcSql)::INT AS ws_tokens,
+             s.n_sub AS pre_tokens
+           FROM documents d JOIN dsub s USING (doc_id) ORDER BY doc_id""",
+
+      "q_seq_pack_pre" ->
+        s"""WITH RECURSIVE $PretrainedCte,
+           t AS (SELECT doc_id, n_sub AS n_tokens FROM dsub),
+           c AS (
+             SELECT doc_id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS token_offset
+             FROM t)
+           SELECT doc_id, n_tokens, token_offset,
+             (token_offset // 512)::BIGINT AS first_seq,
+             ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
+               AS last_seq
+           FROM c ORDER BY doc_id""",
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id",

@@ -80,12 +80,25 @@ object Subword {
   /** Subword token count of a text column: normalize (same chain as
     * every text operator), split to words, sum greedy segment counts.
     * Empty/blank text counts 0. */
-  def subwordTokenCount(c: Column): Column = {
+  def subwordTokenCount(c: Column): Column = tokenCountFor(c, pretrained = false)
+
+  /** Subword token count against the PRETRAINED vocab
+    * ([[pretrainedVocab]], loaded from GPT-2-format merges+vocab
+    * files) — same greedy longest-match kernel, so the same
+    * recursive-CTE oracle replays it with the pretrained piece set
+    * inlined. Packing routes through it via
+    * `Packing.packOffsets(tokenCount = Subword.pretrainedTokenCount)`. */
+  def pretrainedTokenCount(c: Column): Column = tokenCountFor(c, pretrained = true)
+
+  /** Shared counting UDF. The closure captures only the Boolean — the
+    * piece sets resolve from this object's lazy vals on each executor
+    * (loaded from the classpath once per JVM, never shipped per-task). */
+  private def tokenCountFor(c: Column, pretrained: Boolean): Column = {
     val counter = udf { words: Seq[String] =>
       if (words == null) 0L
       else {
-        val v = vocab
-        val ml = maxPieceLen
+        val v = if (pretrained) pretrainedVocab else vocab
+        val ml = if (pretrained) pretrainedMaxLen else maxPieceLen
         var s = 0L
         words.foreach { w =>
           if (w != null && w.nonEmpty) s += segmentCount(w, v, ml)
@@ -95,6 +108,73 @@ object Subword {
     }
     counter(TextFunctions.normalizedWords(c))
   }
+
+  // ---- Pretrained-tokenizer vocab interop (GPT-2 file formats) ----
+
+  /** Classpath locations of the committed pretrained-tokenizer fixture
+    * (GPT-2 byte-level-BPE file formats: `merges.txt` = optional
+    * `#version` header then one "A B" pair per line in merge-priority
+    * order; `vocab.json` = a token→id JSON object). Written by
+    * `graft.PretrainedVocabGen`. */
+  val PretrainedMergesResource = "/graft/pretrained/merges.txt"
+  val PretrainedVocabResource = "/graft/pretrained/vocab.json"
+
+  /** Normalize one pretrained token into this engine's text alphabet:
+    * strip the byte-level boundary markers (GPT-2 'Ġ' = leading space,
+    * 'Ċ' = newline, SentencePiece '▁'), lowercase, and keep only
+    * [a-z0-9]+ pieces of length ≥ 2 — [[TextFunctions.normalizeText]]
+    * guarantees scored words never contain anything else, so
+    * out-of-alphabet pieces (punctuation tokens, specials like
+    * &lt;|endoftext|&gt;) could never match and are dropped here. */
+  private[graft] def normalizePiece(tok: String): Option[String] = {
+    val t = tok.replace("Ġ", "").replace("Ċ", "")
+      .replace("▁", "").toLowerCase
+    val ok = t.length >= 2 && t.forall(ch =>
+      (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9'))
+    if (ok) Some(t) else None
+  }
+
+  /** Parse GPT-2 merges.txt lines: each merge's RESULT (left+right) is
+    * a vocab piece. Greedy longest-match deliberately ignores the
+    * priority ORDER (see the module scaladoc: longest-match is the
+    * oracle-replayable discipline; merge-order replay is not
+    * SQL-expressible), so only the piece set survives parsing. */
+  private[graft] def parseMerges(lines: Iterator[String]): Seq[String] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split(' ')).collect { case Array(a, b) => a + b }
+      .flatMap(normalizePiece).toSeq
+
+  /** Parse GPT-2 vocab.json ({"token": id, ...}): the keys are the
+    * token strings; ids are irrelevant to counting. */
+  private[graft] def parseVocabJson(text: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    require(node != null && node.isObject,
+      "vocab.json must be a JSON object of token -> id")
+    node.fieldNames().asScala.flatMap(normalizePiece).toSeq
+  }
+
+  /** The committed pretrained piece set: merges ∪ vocab keys, both
+    * normalized. Lazy, classpath-loaded once per JVM like [[vocab]]. */
+  lazy val pretrainedVocab: Set[String] = {
+    def read(path: String): String = {
+      val in = getClass.getResourceAsStream(path)
+      require(in != null, s"pretrained resource $path not on classpath")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val pieces = (parseMerges(read(PretrainedMergesResource).linesIterator) ++
+      parseVocabJson(read(PretrainedVocabResource))).toSet
+    require(pieces.nonEmpty, "pretrained vocab empty after normalization")
+    pieces
+  }
+
+  private lazy val pretrainedMaxLen: Int =
+    if (pretrainedVocab.isEmpty) 0 else pretrainedVocab.iterator.map(_.length).max
+
+  /** The pretrained pieces sorted — for the SQL oracle's VALUES table. */
+  def pretrainedVocabSorted: Seq[String] = pretrainedVocab.toSeq.sorted
 
   /** The vocab as a deterministic sorted list — for building the SQL
     * oracle's inline VALUES table. */
@@ -107,12 +187,19 @@ object Subword {
     * vocab pieces — in merge order. Driver-side by design: training is
     * a one-time offline step over a word-frequency map that is
     * vocabulary-sized, never corpus-sized. */
-  def train(wordCounts: Map[String, Long], nMerges: Int): Seq[String] = {
+  def train(wordCounts: Map[String, Long], nMerges: Int): Seq[String] =
+    trainMerges(wordCounts, nMerges).map { case (a, b) => a + b }.distinct
+
+  /** [[train]] exposing each merge as its (left, right) PAIR in merge
+    * order — the GPT-2 merges.txt line format ("left right" per line),
+    * which `graft.PretrainedVocabGen` writes verbatim. */
+  def trainMerges(wordCounts: Map[String, Long],
+                  nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 1)
     var words: Vector[(Vector[String], Long)] =
       wordCounts.toVector.sortBy(_._1)
         .map { case (w, c) => w.map(_.toString).toVector -> c }
-    val merges = Vector.newBuilder[String]
+    val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
     while (m < nMerges && !done) {
@@ -136,7 +223,7 @@ object Subword {
           else a
         }
         val merged = bestPair._1 + bestPair._2
-        merges += merged
+        merges += bestPair
         words = words.map { case (syms, c) =>
           val out = Vector.newBuilder[String]
           var i = 0

@@ -2207,6 +2207,50 @@ class OperatorsSpec extends AnyFunSuite {
         .map(r => oracle(r.getString(1))).toSeq)
   }
 
+  test("pretrained vocab interop: GPT-2 files parse, markers strip, packing routes") {
+    import spark.implicits._
+    val sw = graft.functions.Subword
+    // marker stripping + alphabet filter
+    assert(sw.normalizePiece("Ġthe") == Some("the"))
+    assert(sw.normalizePiece("▁The") == Some("the"))
+    assert(sw.normalizePiece("<|endoftext|>").isEmpty)
+    assert(sw.normalizePiece("Ġ!").isEmpty)
+    assert(sw.normalizePiece("Ġa").isEmpty) // single char after strip
+    // merges.txt: header skipped, pairs concatenate, markers strip
+    assert(sw.parseMerges(Iterator("#version: 0.2", "t h", "Ġth e", "", "x"))
+      == Seq("th", "the"))
+    // vocab.json: keys only, same normalization
+    assert(sw.parseVocabJson("""{"Ġthe": 0, "qu": 1, "!": 2}""").sorted
+      == Seq("qu", "the"))
+    // the committed fixture loads and is a DIFFERENT piece set than
+    // the default vocab (the interop is not a re-export)
+    assert(sw.pretrainedVocab.nonEmpty &&
+      sw.pretrainedVocab != sw.vocab, "fixture must differ from default")
+    assert(sw.pretrainedVocab.forall(p =>
+      p.length >= 2 && p.forall(ch => ch.isDigit || (ch >= 'a' && ch <= 'z'))))
+    // counting + packing route through the pretrained set
+    val docs = Seq((1L, "The Quick batch-value!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val mlPre = sw.pretrainedVocab.map(_.length).max
+    def oracle(t: String): Long = t.toLowerCase
+      .replaceAll("[^a-z0-9]", " ").trim.replaceAll(" +", " ")
+      .split(" ").filter(_.nonEmpty)
+      .map(w => sw.segmentCount(w, sw.pretrainedVocab, mlPre).toLong).sum
+    val got = docs.select(col("doc_id"),
+      sw.pretrainedTokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(r => r.getLong(1))
+    assert(got.toSeq == Seq(oracle("The Quick batch-value!"), 0L))
+    val off = graft.operators.Packing
+      .packOffsets(docs, "doc_id", "text", seqLen = 4,
+        tokenCount = sw.pretrainedTokenCount)
+      .orderBy("doc_id").collect()
+    var acc = 0L
+    off.foreach { r =>
+      assert(r.getAs[Long]("token_offset") == acc)
+      acc += r.getAs[Long]("n_tokens")
+    }
+  }
+
   test("mp4 metadata: box walk reads brand/duration/dims; junk quarantines") {
     import spark.implicits._
     val mm = graft.multimodal.Multimodal
