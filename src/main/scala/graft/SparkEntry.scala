@@ -1436,6 +1436,29 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_lang_id_nb" -> ((s, dir) => {
+      // MODEL-BASED language ID (the default path): char-trigram
+      // Naive Bayes trained on the fixture's ground-truth lang column
+      // in one groupBy, scored via broadcast model join; integer-
+      // quantized log-probs make the argmax bit-deterministic (see
+      // operators.LangId). The marker heuristic (q_lang_id) stays as
+      // the anchor this model must beat (q_lang_confusion_nb).
+      graft.operators.LangId.langIdNb(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_confusion_nb" -> ((s, dir) => {
+      // NB-classifier confusion against ground truth — the companion
+      // of q_lang_confusion (heuristic); LangIdSpec asserts the model
+      // is at least as accurate on the fixture
+      val d = docs(s, dir)
+      val pred = graft.operators.LangId.langIdNb(d, "doc_id", "text", "lang")
+      d.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     "q_lang_confusion" -> ((s, dir) => {
       // language-ID EVALUATION against the fixture's ground-truth lang
       // column: the confusion table that decides whether the heuristic
@@ -2637,6 +2660,47 @@ object SparkEntry {
 
   private def occSql(padded: String, term: String): String =
     s"((length($padded) - length(replace($padded, ' $term ', ''))) // ${term.length + 2})"
+
+  /** Full replay of operators.LangId's char-trigram Naive Bayes: train
+    * on documents.lang, quantize log-probs to BIGINT (round(ln·1e6),
+    * matching LangId.Q and HALF_UP), score each doc as an exact
+    * integer sum, argmax with the alphabetical tie-break. Ends with
+    * `pred(doc_id, lang_pred)`; append the final SELECT. */
+  private lazy val NbLangCte =
+    s"""n AS (SELECT doc_id, lang, ' ' || $NormSql || ' ' AS pad FROM documents),
+       tri AS (
+         SELECT doc_id, lang,
+           unnest(list_transform(range(1, length(pad) - 1),
+             i -> substr(pad, i::INT, 3))) AS gram
+         FROM n),
+       cnt AS (SELECT lang, gram, count(*)::BIGINT AS c FROM tri GROUP BY 1, 2),
+       tot AS (SELECT lang, sum(c)::DOUBLE AS n_l FROM cnt GROUP BY 1),
+       vv AS (SELECT count(DISTINCT gram)::DOUBLE AS v FROM cnt),
+       dc AS (SELECT lang, count(*)::DOUBLE AS nd FROM documents GROUP BY 1),
+       pri AS (SELECT lang, round(ln(nd / (SELECT count(*) FROM documents))
+         * 1000000)::BIGINT AS pq FROM dc),
+       fl AS (SELECT lang, round(-ln(n_l + v) * 1000000)::BIGINT AS fq
+         FROM tot, vv),
+       mdl AS (SELECT gram, cnt.lang,
+           round((ln(c + 1.0) - ln(n_l + v)) * 1000000)::BIGINT AS lpq
+         FROM cnt JOIN tot USING (lang), vv),
+       langs AS (SELECT DISTINCT lang FROM documents),
+       sc AS (
+         SELECT t.doc_id, l.lang, sum(coalesce(m.lpq, f.fq))::BIGINT AS s
+         FROM tri t CROSS JOIN langs l
+         JOIN fl f ON f.lang = l.lang
+         LEFT JOIN mdl m ON m.gram = t.gram AND m.lang = l.lang
+         GROUP BY 1, 2),
+       allsc AS (
+         SELECT d.doc_id, l.lang, coalesce(sc.s, 0) + p.pq AS t
+         FROM documents d CROSS JOIN langs l
+         JOIN pri p ON p.lang = l.lang
+         LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = l.lang),
+       pred AS (
+         SELECT doc_id, lang AS lang_pred FROM (
+           SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY doc_id ORDER BY t DESC, lang ASC) AS rn
+           FROM allsc) WHERE rn = 1)"""
 
   private val wcSql =
     "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
@@ -4271,6 +4335,16 @@ object SparkEntry {
              round(avg(CASE WHEN doc_id != canon THEN 1.0 ELSE 0.0 END), 6)
                AS dup_rate
            FROM c GROUP BY source ORDER BY source""",
+
+      "q_lang_id_nb" ->
+        s"""WITH $NbLangCte
+           SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""",
+
+      "q_lang_confusion_nb" ->
+        s"""WITH $NbLangCte
+           SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
+           FROM documents d JOIN pred p USING (doc_id)
+           GROUP BY 1, 2 ORDER BY 1, 2""",
 
       "q_lang_confusion" ->
         s"""WITH n AS (
