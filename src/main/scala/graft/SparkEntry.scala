@@ -849,6 +849,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_corpus_at_version" -> ((s, dir) => {
+      // TIME TRAVEL: reconstruct release v2 from the base snapshot +
+      // two deterministic change batches with the single-exchange
+      // log-compaction read (Checks.snapshotAt — max_by(row, batch)
+      // per id), which VersionedSpec proves equal to folding
+      // applyChanges. Batch 1 = q_corpus_merge's batch; batch 2
+      // deletes %5, revises %3 ('second edition'), inserts %17+20000.
+      // The oracle replays the merge chain sequentially — same result
+      // by the compaction argument.
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        col("text"))
+      val b1 = base.filter(col("doc_id") % 11 === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(base
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" revised edition")))
+          .withColumn("op", lit("upsert")))
+        .unionByName(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+            concat(lit("new document "), col("text")).as("text"))
+          .withColumn("op", lit("upsert")))
+      val b2 = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("op", lit("delete"))
+        .unionByName(base
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" second edition")))
+          .withColumn("op", lit("upsert")))
+        .unionByName(base.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("source"),
+            concat(lit("brand new "), col("text")).as("text"))
+          .withColumn("op", lit("upsert")))
+      graft.operators.Checks.snapshotAt(base, Seq(b1, b2), "doc_id", "op")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_compression_ratio" -> ((s, dir) => {
       // compression-ratio quality signal (Gopher/RefinedWeb: template
       // or stuffed text DEFLATEs far below natural prose). The fixture
@@ -3626,6 +3662,37 @@ object SparkEntry {
                       UNION ALL SELECT * FROM ins)
            SELECT doc_id, source, md5(text) AS text_md5
            FROM merged ORDER BY doc_id""",
+
+      "q_corpus_at_version" ->
+        s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+           dels1 AS (SELECT doc_id FROM base WHERE doc_id % 11 = 0),
+           upd1 AS (SELECT doc_id, source, text || ' revised edition' AS text
+                    FROM base WHERE doc_id % 7 = 0 AND doc_id % 11 != 0),
+           ins1 AS (SELECT doc_id + 10000 AS doc_id, source,
+                      'new document ' || text AS text
+                    FROM base WHERE doc_id % 13 = 0),
+           chg1 AS (SELECT doc_id FROM dels1
+                    UNION ALL SELECT doc_id FROM upd1
+                    UNION ALL SELECT doc_id FROM ins1),
+           v1 AS (SELECT b.* FROM base b
+                    WHERE b.doc_id NOT IN (SELECT doc_id FROM chg1)
+                  UNION ALL SELECT * FROM upd1
+                  UNION ALL SELECT * FROM ins1),
+           dels2 AS (SELECT doc_id FROM base WHERE doc_id % 5 = 0),
+           upd2 AS (SELECT doc_id, source, text || ' second edition' AS text
+                    FROM base WHERE doc_id % 3 = 0 AND doc_id % 5 != 0),
+           ins2 AS (SELECT doc_id + 20000 AS doc_id, source,
+                      'brand new ' || text AS text
+                    FROM base WHERE doc_id % 17 = 0),
+           chg2 AS (SELECT doc_id FROM dels2
+                    UNION ALL SELECT doc_id FROM upd2
+                    UNION ALL SELECT doc_id FROM ins2),
+           v2 AS (SELECT v.* FROM v1 v
+                    WHERE v.doc_id NOT IN (SELECT doc_id FROM chg2)
+                  UNION ALL SELECT * FROM upd2
+                  UNION ALL SELECT * FROM ins2)
+           SELECT doc_id, source, md5(text) AS text_md5
+           FROM v2 ORDER BY doc_id""",
 
       "q_url_dedup" ->
         s"""WITH u AS (

@@ -104,4 +104,34 @@ object Checks {
       resolved.select(col(idCol)), Seq(idCol), "left_anti")
     kept.unionByName(resolved.filter(col(opCol) === "upsert").drop(opCol))
   }
+
+  /** Snapshot at version k = base + change batches 1..k, compacted in
+    * ONE pass: the base rows enter as batch-0 upserts, every batch
+    * unions in with its batch number, and `max_by(row, batch)` per id
+    * picks the LAST state — absent ids keep base, a final delete drops
+    * the id, a final upsert wins with its own row. Provably equal to
+    * folding [[applyChanges]] k times (VersionedSpec asserts it on
+    * every prefix), but the fold is k anti-joins with k-deep lineage
+    * while this is ONE corpus-sized exchange regardless of k — the
+    * log-compaction read every table format (Delta/Iceberg/Hudi) does.
+    * Precondition (inherited from applyChanges): ids unique within a
+    * batch, so max_by never ties (__batch differs across batches). */
+  def snapshotAt(base: DataFrame, batches: Seq[DataFrame], idCol: String,
+                 opCol: String): DataFrame = {
+    if (batches.isEmpty) return base
+    val dataCols = base.columns.toSeq
+    val rest = dataCols.filterNot(_ == idCol)
+    val tagged = base.withColumn(opCol, lit("upsert"))
+      .withColumn("__batch", lit(0)) +:
+      batches.zipWithIndex.map { case (b, i) =>
+        b.select((dataCols :+ opCol).map(col): _*)
+          .withColumn("__batch", lit(i + 1))
+      }
+    tagged.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(max_by(struct((rest :+ opCol).map(col): _*), col("__batch"))
+        .as("__last"))
+      .filter(col(s"__last.$opCol") === "upsert")
+      .select(col(idCol) +: rest.map(c => col(s"__last.$c").as(c)): _*)
+  }
 }

@@ -70,4 +70,68 @@ object Export {
       .agg(countDistinct(col("__f")).as("n_files"),
         count(lit(1)).as("n_rows"),
         sum(col("__len")).as("total_chars"))
+
+  // ---- Versioned corpus (time travel) ----
+  //
+  // Layout: dir/v0/ = the base snapshot; dir/changes/v{k}/ = change
+  // batch k (rows carrying the snapshot columns + an op column);
+  // dir/_graft_versions.json = the version-stamped manifest, one JSON
+  // line per version {"version","kind","path","rows"} appended at
+  // write time. readSnapshot(dir, k) reconstructs ANY release with ONE
+  // corpus-sized exchange (Checks.snapshotAt log-compaction), not k
+  // sequential merges. Manifest IO is driver-local java.nio, same
+  // scope note as writeSnapshot's marker: a cluster deployment keys
+  // this on a transactional catalog instead.
+
+  private def versionsManifest(dir: String) =
+    java.nio.file.Paths.get(dir, "_graft_versions.json")
+
+  /** Write the version-0 base snapshot; truncates the manifest. */
+  def writeVersionedBase(df: DataFrame, dir: String): Unit = {
+    val n = df.count()
+    df.write.mode("overwrite").parquet(s"$dir/v0")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(versionsManifest(dir),
+      (s"""{"version":0,"kind":"base","path":"v0","rows":$n}""" + "\n")
+        .getBytes("UTF-8"))
+  }
+
+  /** Append the next change batch (snapshot columns + `opCol`);
+    * returns its version number. */
+  def appendChangeBatch(changes: DataFrame, dir: String): Int = {
+    val v = versions(dir).max + 1
+    val n = changes.count()
+    changes.write.mode("errorifexists").parquet(s"$dir/changes/v$v")
+    java.nio.file.Files.write(versionsManifest(dir),
+      (s"""{"version":$v,"kind":"changes","path":"changes/v$v","rows":$n}""" +
+        "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    v
+  }
+
+  /** Versions recorded in the manifest, ascending (0 = base). */
+  def versions(dir: String): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val p = versionsManifest(dir)
+    require(java.nio.file.Files.exists(p), s"no versioned corpus at $dir")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.readAllLines(p).asScala
+      .filter(_.trim.nonEmpty)
+      .map(l => mapper.readTree(l).get("version").asInt()).toSeq.sorted
+  }
+
+  /** Reconstruct the snapshot AT `version` (default: latest): base +
+    * change batches 1..version via the single-exchange compaction. */
+  def readSnapshot(spark: SparkSession, dir: String,
+                   version: Int = Int.MaxValue,
+                   idCol: String = "doc_id",
+                   opCol: String = "op"): DataFrame = {
+    val vs = versions(dir)
+    val target = if (version == Int.MaxValue) vs.max else version
+    require(vs.contains(target), s"version $target not in $vs")
+    val base = spark.read.parquet(s"$dir/v0")
+    val batches = (1 to target)
+      .map(k => spark.read.parquet(s"$dir/changes/v$k"))
+    graft.operators.Checks.snapshotAt(base, batches, idCol, opCol)
+  }
 }
