@@ -62,7 +62,12 @@ object BenchScale10 {
     // round-10c: the robots gate (rules broadcast, one URL scan),
     // length-bucketed batching (keyed PrefixSum rank), and the
     // calibration audit (<= bins exchange groups)
-    "q_robots_gate", "q_length_batches", "q_calibration")
+    "q_robots_gate", "q_length_batches", "q_calibration",
+    // round-11: incremental SEMANTIC near-dup — same construction as
+    // q_incremental_minhash (replica vec_ids land above the 400 split,
+    // so the batch grows 10x against a fixed corpus index; the
+    // exponent certifies the probe shuffle tracks the BATCH)
+    "q_incremental_semantic")
 
   private val KeyOff = 100000000L
 

@@ -538,6 +538,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_incremental_semantic" -> ((s, dir) => {
+      // incremental SEMANTIC near-dup (r10 ask #6): batch vectors
+      // >= 400 flagged against the < 400 corpus's persisted IVF+PQ
+      // index — encode-once, probe with a batch-bounded shuffle (the
+      // probe-cell set broadcasts as a semi-join filter). Golden
+      // oracle: the quantizer trains driver-locally on a hash-ordered
+      // sample (deterministic but not SQL), same class as q_ann_ivf
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") < 400)
+      val model = Similarity.trainSemanticIndex(corpus, "vec_id",
+        "embedding", nLists = 8, m = 8, nCodes = 16)
+      val idx = Similarity.semanticSignatureIndex(model, corpus,
+        "vec_id", "embedding")
+      Similarity.incrementalSemanticFlags(model, idx,
+        e.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        nProbe = 3, threshold = 0.35)
+        .select(col("id").as("vec_id"), col("status"),
+          col("canonical_id"), round(col("est_cosine"), 6).as("est_cosine"))
+        .orderBy("vec_id")
+    }),
+
     "q_ngram_novelty" -> ((s, dir) => {
       // per-doc novelty: share of its distinct 5-grams first seen (by
       // min doc_id) in this doc — who-said-it-first credit, the
@@ -4893,7 +4914,7 @@ object SparkEntry {
     "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
     "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier",
     "q_compression_ratio", "q_pack_nosplit", "q_image_dhash_pairs",
-    "q_video_frame_dups", "q_audio_dhash_pairs")
+    "q_video_frame_dups", "q_audio_dhash_pairs", "q_incremental_semantic")
 
   private val GoldenDir = "/root/repo/golden"
 }

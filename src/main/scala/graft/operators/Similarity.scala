@@ -950,4 +950,189 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("dist2")).as("inertia"),
         avg(col("dist2")).as("mean_dist2"))
+
+  // ---- Incremental semantic (embedding) index ----
+
+  /** The trained half of the incremental semantic index: IVF coarse
+    * centers + per-block PQ codebooks. Driver-side arrays (a few KB) —
+    * a production pipeline persists them next to the index table; both
+    * are pure functions of the corpus (hash-ordered-sample k-means,
+    * [[trainQuantizer]]), so re-deriving them is also deterministic. */
+  case class SemanticIndexModel(centers: Array[Array[Double]],
+                                books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def dim: Int = centers(0).length
+    def subDim: Int = dim / m
+  }
+
+  /** Train the IVF+PQ model from a corpus (coarse quantizer over the
+    * full vectors, one codebook per dimension sub-block). */
+  def trainSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                         nLists: Int = 16, m: Int = 8,
+                         nCodes: Int = 16): SemanticIndexModel = {
+    val centers = trainQuantizer(corpus, idCol, vecCol, nLists)
+    val dim = centers(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val books = Array.tabulate(m) { j =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), j * subDim + 1, subDim)
+          .as("__sub"))
+      trainQuantizer(sub, idCol, "__sub", nCodes)
+    }
+    SemanticIndexModel(centers, books)
+  }
+
+  /** The maintained KEEPER TABLE of the incremental semantic index —
+    * the IVF+PQ analogue of `Dedup.minhashSignatureIndex`: one row per
+    * corpus vector with its coarse `cell`, its `m` PQ `codes`, and the
+    * reconstructed norm. 8 bytes of codes stand in for the vector at
+    * probe time; the raw embedding is never re-read. A production
+    * pipeline persists this table once (bucketed BY cell, so probes
+    * become partition-pruned scans) and appends each accepted batch's
+    * rows (`index.union(semanticSignatureIndex(model, newVecs, ...))`)
+    * — encode-once, exactly the MinHash keeper-table contract. */
+  def semanticSignatureIndex(model: SemanticIndexModel, df: DataFrame,
+                             idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val mm = bc.value
+        val sd = mm.subDim
+        it.map { case (id, raw) =>
+          val cell = nearestCells(mm.centers, raw, 1)(0)
+          val codes = new Array[Int](mm.m)
+          var rn2 = 0.0
+          var j = 0
+          while (j < mm.m) {
+            // per-block argmin over the codebook, ties to lower code —
+            // same total order as nearestCells
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            val bk = mm.books(j)
+            while (c < bk.length) {
+              var s = 0.0; var t = 0
+              val cc = bk(c)
+              while (t < sd) {
+                val d = raw(j * sd + t) - cc(t); s += d * d; t += 1
+              }
+              if (s < bd) { bd = s; best = c }
+              c += 1
+            }
+            codes(j) = best
+            val cc = bk(best)
+            var t = 0
+            while (t < sd) { rn2 += cc(t) * cc(t); t += 1 }
+            j += 1
+          }
+          (id, cell, codes, math.sqrt(rn2))
+        }
+      }
+      .toDF("__id", "cell", "codes", "rec_norm")
+      .select(col("__id").cast(idType).as("id"), col("cell"),
+        col("codes"), col("rec_norm"))
+  }
+
+  /** Incremental SEMANTIC near-dup: flag an incoming embedding batch
+    * against the persisted corpus index without touching corpus
+    * vectors — `Dedup.incrementalMinhashFlags`' production asymmetry
+    * carried from MinHash-LSH to IVF+PQ. Output per batch vector:
+    * `status` in {near_dup_of_corpus (priority), near_dup_in_batch,
+    * new}, `canonical_id` (minimum matching corpus id; else the
+    * minimum EARLIER matching batch id — single-pass keep-first; else
+    * own id), and the best approximate cosine `est_cosine` (0.0 for
+    * new). Scores are ASYMMETRIC: the batch vector stays full
+    * precision, the candidate contributes only its codes —
+    * dot(q, reconstruction)/(|q|·rec_norm), the pqTopK discipline.
+    *
+    * 100-TB shape: the batch's probe-cell set (≤ batch × nProbe cells)
+    * BROADCASTS as a semi-join filter over the index, so the
+    * corpus-side shuffle carries only cells the batch actually probes
+    * — cost tracks the BATCH, not the corpus (with the index bucketed
+    * by cell the semi-join is partition pruning and the corpus never
+    * shuffles at all). In-batch candidates reuse the batch's own
+    * single-cell index rows with the strict `earlier id` join, exactly
+    * the MinHash stage's shape. */
+  def incrementalSemanticFlags(model: SemanticIndexModel,
+                               corpusIndex: DataFrame, batch: DataFrame,
+                               idCol: String, vecCol: String,
+                               nProbe: Int = 4,
+                               threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val idType = batch.schema(idCol).dataType
+    val bc = spark.sparkContext.broadcast(model)
+    // batch probes: full-precision vector replicated to nProbe cells
+    val probes = graft.CacheRegistry.register(
+      batch.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val mm = bc.value
+          it.flatMap { case (id, raw) =>
+            nearestCells(mm.centers, raw, nProbe).iterator
+              .map(cell => (id, raw, cell))
+          }
+        }
+        .toDF("id", "qv", "cell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bIdx = graft.CacheRegistry.register(
+      semanticSignatureIndex(model, batch, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // asymmetric score from codes alone (books captured in the UDF —
+    // m × nCodes × subDim doubles, a few KB per task)
+    val books = model.books
+    val sd = model.subDim
+    val approxCos = udf { (q: Seq[Double], codes: Seq[Int], recNorm: Double) =>
+      var qn = 0.0; var i = 0
+      while (i < q.length) { qn += q(i) * q(i); i += 1 }
+      val qnorm = math.sqrt(qn)
+      if (qnorm == 0.0 || recNorm == 0.0) 0.0
+      else {
+        var s = 0.0; var j = 0
+        while (j < codes.length) {
+          val cc = books(j)(codes(j))
+          var t = 0
+          while (t < sd) { s += q(j * sd + t) * cc(t); t += 1 }
+          j += 1
+        }
+        s / (qnorm * recNorm)
+      }
+    }
+    val batchCells = probes.select("cell").distinct()
+    val corpusHit = corpusIndex
+      .join(broadcast(batchCells), Seq("cell"), "left_semi")
+    def matches(cand: DataFrame, strictEarlier: Boolean) = {
+      val joined = probes.join(
+        cand.select(col("cell"), col("id").cast("long").as("cid"),
+          col("codes"), col("rec_norm")), Seq("cell"))
+        .filter(if (strictEarlier) col("cid") < col("id")
+                else col("cid") =!= col("id"))
+        .select(col("id"), col("cid"),
+          approxCos(col("qv"), col("codes"), col("rec_norm")).as("e"))
+        .filter(col("e") >= threshold)
+      // probe-cell collisions (same candidate via two cells) need no
+      // distinct: min/max absorb them
+      joined.groupBy("id")
+        .agg(min("cid").as("canon"), max("e").as("best"))
+    }
+    val corpusMatch = matches(corpusHit, strictEarlier = false)
+      .withColumnRenamed("canon", "c_canon").withColumnRenamed("best", "c_best")
+    val batchMatch = matches(bIdx, strictEarlier = true)
+      .withColumnRenamed("canon", "b_canon").withColumnRenamed("best", "b_best")
+    batch.select(col(idCol).cast("long").as("id"))
+      .join(corpusMatch, Seq("id"), "left")
+      .join(batchMatch, Seq("id"), "left")
+      .select(col("id").cast(idType).as("id"),
+        when(col("c_canon").isNotNull, lit("near_dup_of_corpus"))
+          .when(col("b_canon").isNotNull, lit("near_dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("c_canon"), col("b_canon"), col("id")).cast(idType)
+          .as("canonical_id"),
+        coalesce(when(col("c_canon").isNotNull, col("c_best")),
+          col("b_best"), lit(0.0)).as("est_cosine"))
+  }
 }

@@ -526,6 +526,58 @@ class OperatorsSpec extends AnyFunSuite {
       s"updated index must catch the cross-batch dup: $g2")
   }
 
+  test("incremental semantic: corpus priority, batch keep-first, index maintenance") {
+    import spark.implicits._
+    def vec(axis: Int, scale: Double = 1.0): Array[Double] = {
+      val v = new Array[Double](8); v(axis) = scale; v
+    }
+    // the model trains on a representative sample (corpus + batch
+    // directions), the FAISS discipline; flags run against the CORPUS
+    // index only
+    val corpus = Seq((1L, vec(0)), (2L, vec(2)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, vec(0, 0.9)),   // near-dups corpus vec 1
+      (101L, vec(0)),        // dups BOTH corpus 1 and batch 100
+      (102L, vec(4)),        // new direction
+      (103L, vec(4)),        // dups batch 102 only
+      (104L, vec(6))         // unique
+    ).toDF("vec_id", "embedding")
+    val model = Similarity.trainSemanticIndex(corpus.unionByName(batch),
+      "vec_id", "embedding", nLists = 2, m = 2, nCodes = 4)
+    val idx = Similarity.semanticSignatureIndex(model, corpus,
+      "vec_id", "embedding")
+    def flags(index: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame) =
+      Similarity.incrementalSemanticFlags(model, index, b,
+        "vec_id", "embedding", nProbe = 2, threshold = 0.5)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    val got = flags(idx, batch)
+    assert(got(100L)._1 == "near_dup_of_corpus" && got(100L)._2 == 1L, s"$got")
+    assert(got(101L)._1 == "near_dup_of_corpus" && got(101L)._2 == 1L,
+      s"101 must prefer its corpus match: $got")
+    assert(got(102L) == (("new", 102L, 0.0)), s"$got")
+    assert(got(103L)._1 == "near_dup_in_batch" && got(103L)._2 == 102L &&
+      got(103L)._3 > 0.9, s"$got")
+    assert(got(104L) == (("new", 104L, 0.0)), s"$got")
+    graft.CacheRegistry.releaseAll()
+    // deterministic rerun
+    assert(flags(idx, batch) == got)
+    graft.CacheRegistry.releaseAll()
+    // maintenance: append the accepted batch's code rows; the next
+    // batch near-dups against them WITHOUT re-encoding the corpus
+    val idx2 = idx.union(
+      Similarity.semanticSignatureIndex(model, batch, "vec_id", "embedding"))
+    val batch2 = Seq((200L, vec(6))).toDF("vec_id", "embedding")
+    assert(flags(idx, batch2)(200L)._1 == "new")
+    val g2 = flags(idx2, batch2)(200L)
+    assert(g2._1 == "near_dup_of_corpus" && g2._2 == 104L && g2._3 > 0.9,
+      s"updated index must catch the cross-batch dup: $g2")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("incremental dedup: corpus outranks batch, batch keep-first, new passes") {
     val corpus = docsDf(Seq(
       1L -> "shared content alpha",
