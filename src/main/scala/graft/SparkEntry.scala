@@ -1166,6 +1166,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_wet_roundtrip" -> ((s, dir) => {
+      // WET sidecar (Common Crawl's extracted-text record type): run
+      // the jusText-lite extractor over the synthetic pages, publish
+      // the result as WARC conversion records (*.warc.wet), read them
+      // back through the same framing parser, and verify the payload
+      // md5 against the oracle's independent extraction replay — the
+      // exact pipeline that produces the files most text consumers
+      // read instead of raw WARC
+      import graft.functions.HtmlFunctions
+      val wdir = "/tmp/graft_wet_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Warc.writeWet(
+        docs(s, dir).select(col("doc_id"),
+          HtmlFunctions.mainText(
+            syntheticPage(col("doc_id"), col("text"))).as("payload")),
+        wdir, nFiles = 8)
+      graft.sources.Warc.readWet(s, wdir)
+        .filter(col("parse_ok"))
+        .select(
+          regexp_extract(col("refers_to"), "doc-([0-9]+)>$", 1)
+            .cast("long").as("doc_id"),
+          col("refers_to"), col("content_type"),
+          md5(col("payload")).as("wet_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q_wat_roundtrip" -> ((s, dir) => {
+      // WAT sidecar (metadata records, JSON payload): publish one
+      // application/json record per response, read back, and parse the
+      // JSON fields — the oracle recomputes every value straight from
+      // `documents`, so framing, JSON encoding and parsing all verify
+      val wdir = "/tmp/graft_wat_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Warc.writeWat(
+        docs(s, dir).select(col("doc_id"),
+          to_json(struct(
+            concat(lit("http://graft.example/doc/"), col("doc_id"))
+              .as("url"),
+            col("source"),
+            length(col("text")).cast("long").as("text_chars")))
+            .as("payload")),
+        wdir, nFiles = 8)
+      val js = col("payload").cast("string")
+      graft.sources.Warc.readWat(s, wdir)
+        .filter(col("parse_ok"))
+        .select(
+          regexp_extract(col("refers_to"), "doc-([0-9]+)>$", 1)
+            .cast("long").as("doc_id"),
+          get_json_object(js, "$.url").as("url"),
+          get_json_object(js, "$.source").as("source"),
+          get_json_object(js, "$.text_chars").cast("long").as("text_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q_export_manifest" -> ((s, dir) => {
       // partitioned snapshot publish + manifest audit: source-
       // partitioned parquet, ONE file per partition (repartition on
@@ -4143,6 +4195,20 @@ object SparkEntry {
              'http://graft.example/doc/' || doc_id AS url, source,
              strlen(text)::BIGINT AS content_length,
              md5(text) AS payload_md5
+           FROM documents ORDER BY doc_id""",
+
+      "q_wet_roundtrip" ->
+        s"""$htmlOracleCte
+           SELECT doc_id,
+             '<urn:graft:doc-' || doc_id || '>' AS refers_to,
+             'text/plain' AS content_type,
+             main_md5 AS wet_md5
+           FROM agg ORDER BY doc_id""",
+
+      "q_wat_roundtrip" ->
+        s"""SELECT doc_id,
+             'http://graft.example/doc/' || doc_id AS url, source,
+             length(text)::BIGINT AS text_chars
            FROM documents ORDER BY doc_id""",
 
       "q_export_manifest" ->

@@ -57,8 +57,29 @@ object LinkGraph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85,
                seeds: Option[DataFrame] = None,
-               seedCol: String = "host"): DataFrame = {
+               seedCol: String = "host",
+               tol: Double = 0.0): DataFrame =
+    pageRankWithStats(edges, srcCol, dstCol, iterations, damping,
+      seeds, seedCol, tol)._1
+
+  /** [[pageRank]] exposing the iteration count actually run — the
+    * convergence-stop observability hook (tests assert the early stop
+    * both fires and changes nothing). `tol > 0` adds an L1-delta stop:
+    * after each iteration, Σ|rank' − rank| ≤ tol ends the loop. The
+    * delta is ONE extra aggregate per iteration over two already-
+    * materialized (localCheckpoint'ed) rank frames; with tol = 0 the
+    * loop is bit-identical to the classic fixed-iteration form, so
+    * every existing golden/oracle hash is untouched. An early-stopped
+    * run returns EXACTLY the fixed-iteration result for the same
+    * number of iterations — the stop decides when to stop, never what
+    * to compute. */
+  def pageRankWithStats(edges: DataFrame, srcCol: String, dstCol: String,
+                        iterations: Int = 5, damping: Double = 0.85,
+                        seeds: Option[DataFrame] = None,
+                        seedCol: String = "host",
+                        tol: Double = 0.0): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(tol >= 0.0, s"tol must be >= 0, got $tol")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
     // fold parallel links once; everything downstream reads the cache,
@@ -114,7 +135,9 @@ object LinkGraph {
     var ranks = tele.select(col("host"), col("tele").as("rank"))
       .localCheckpoint() // eager: iteration 1 starts from a flat plan
     var it = 0
-    while (it < iterations) {
+    var converged = false
+    while (it < iterations && !converged) {
+      val prev = ranks
       val dMass = ranks.join(dangling, Seq("host"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0.0)).as("d_mass"))
       val contribs = ranks.join(share, col("host") === col("src"))
@@ -129,8 +152,19 @@ object LinkGraph {
               col("d_mass") * col("tele"))).as("rank"))
         .localCheckpoint() // materializes AND truncates the plan
       it += 1
+      if (tol > 0.0 && it < iterations) {
+        // L1 delta over two checkpointed frames: one join + one agg,
+        // nothing recomputes. Power iteration contracts by ~damping
+        // per step, so delta <= tol certifies every later iteration
+        // moves less than tol too.
+        val delta = ranks.join(prev.withColumnRenamed("rank", "__prev"),
+            Seq("host"))
+          .agg(sum(abs(col("rank") - col("__prev"))).as("d"))
+          .head().getDouble(0)
+        converged = delta <= tol
+      }
     }
-    ranks
+    (ranks, it)
   }
 
   /** Per-host in/out degree and link volume over the same folded edge

@@ -50,6 +50,26 @@ private[sources] object FixtureMarker {
     Files.createDirectories(d)
   }
 
+  /** [[reset]] scoped to one writer's own outputs: deletes only files
+    * whose name ends with `suffix` (plus `markerName`), so sidecar
+    * families sharing a directory — the Common Crawl layout puts
+    * *.warc, *.warc.wet and *.warc.wat side by side — never clobber
+    * each other's fixtures. */
+  def resetMatching(dir: String, suffix: String,
+                    markerName: String): Unit = {
+    val d = Paths.get(dir)
+    if (Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p) &&
+          (p.getFileName.toString.endsWith(suffix) ||
+            p.getFileName.toString == markerName))
+        .foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(d)
+    ()
+  }
+
   def commit(dir: String, markerName: String, want: String): Unit =
     Files.write(Paths.get(dir, markerName), want.getBytes(UTF_8))
 }

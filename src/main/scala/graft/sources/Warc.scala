@@ -40,6 +40,7 @@ object Warc {
     StructField("warc_type", StringType, nullable = true),
     StructField("record_id", StringType, nullable = true),
     StructField("target_uri", StringType, nullable = true),
+    StructField("refers_to", StringType, nullable = true),
     StructField("source", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = true),
@@ -73,7 +74,7 @@ object Warc {
         val (version, afterVersion) = lineAt(off)
         if (!version.startsWith("WARC/")) {
           out += Row(name, recStart.toLong, null, null, null, null, null,
-            null, null, false)
+            null, null, null, false)
           off = bytes.length // framing lost
         } else {
           var p = afterVersion
@@ -95,7 +96,7 @@ object Warc {
           if (bad || !blank || len.isEmpty || len.get < 0 ||
             p + len.get > bytes.length) {
             out += Row(name, recStart.toLong, null, null, null, null, null,
-              null, null, false)
+              null, null, null, false)
             off = bytes.length
           } else {
             val n = len.get.toInt
@@ -104,6 +105,7 @@ object Warc {
               headers.getOrElse("warc-type", null),
               headers.getOrElse("warc-record-id", null),
               headers.getOrElse("warc-target-uri", null),
+              headers.getOrElse("warc-refers-to", null),
               headers.getOrElse("x-graft-source", null),
               headers.getOrElse("content-type", null),
               len.get, payload, true)
@@ -119,9 +121,10 @@ object Warc {
     * File-level parallelism, no shuffle; pair with a `select`/`filter`
     * so column pruning drops `payload` when the query doesn't need
     * it. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+           glob: String = "*.warc"): DataFrame = {
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").load(dir)
+      .option("pathGlobFilter", glob).load(dir)
       .select(col("path"), col("content"))
     val schema = ReadSchema
     spark.createDataFrame(
@@ -142,7 +145,9 @@ object Warc {
       docs.select(col("doc_id").cast("long"), col("source"), col("text")),
       s"n=$nFiles")
     if (FixtureMarker.upToDate(dir, "_GRAFT_WARC_DONE", want)) return
-    FixtureMarker.reset(dir)
+    // suffix-scoped: *.warc only — WET/WAT sidecars in the same
+    // directory (the CC segment layout) survive a corpus rewrite
+    FixtureMarker.resetMatching(dir, ".warc", "_GRAFT_WARC_DONE")
     docs.select(col("doc_id").cast("long"), col("source"), col("text"))
       .repartition(nFiles, pmod(col("doc_id"), lit(nFiles)))
       .sortWithinPartitions("doc_id")
@@ -169,4 +174,79 @@ object Warc {
       }
     FixtureMarker.commit(dir, "_GRAFT_WARC_DONE", want)
   }
+
+  // ---- WET / WAT sidecar formats ----
+  //
+  // Common Crawl publishes two derived record types next to each WARC
+  // segment, in the SAME WARC framing: WET (`WARC-Type: conversion`,
+  // text/plain payload = the extracted text of the response it
+  // `WARC-Refers-To`) and WAT (`WARC-Type: metadata`, application/json
+  // payload describing the response). Most text-pipeline consumers
+  // read WET, never the raw WARC — so the engine writes and reads
+  // both. The parser above already handles the framing; these writers
+  // add the conversion/metadata record types, and `read(dir, glob)`
+  // selects the sidecar by extension (CC's own layout:
+  // *.warc / *.warc.wet / *.warc.wat).
+
+  /** Shared sidecar writer: one record per (doc_id, payload string),
+    * same deterministic file assignment as [[writeCorpus]]. */
+  private def writeSidecar(recs: DataFrame, dir: String, nFiles: Int,
+                           ext: String, warcType: String,
+                           contentType: String, marker: String): Unit = {
+    val want = FixtureMarker.stamp(
+      recs.select(col("doc_id").cast("long"), col("payload")),
+      s"n=$nFiles:$warcType")
+    if (FixtureMarker.upToDate(dir, marker, want)) return
+    FixtureMarker.resetMatching(dir, s".warc$ext", marker)
+    recs.select(col("doc_id").cast("long"), col("payload"))
+      .repartition(nFiles, pmod(col("doc_id"), lit(nFiles)))
+      .sortWithinPartitions("doc_id")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val f = new java.io.File(dir, f"part-$pid%05d.warc$ext")
+        val os = new BufferedOutputStream(new FileOutputStream(f))
+        try rows.foreach { r =>
+          val id = r.getLong(0)
+          val payload = r.getString(1).getBytes(UTF_8)
+          val head = new StringBuilder()
+            .append("WARC/1.0\r\n")
+            .append(s"WARC-Type: $warcType\r\n")
+            .append(s"WARC-Record-ID: <urn:graft:${warcType}-$id>\r\n")
+            .append(s"WARC-Refers-To: <urn:graft:doc-$id>\r\n")
+            .append(s"WARC-Target-URI: http://graft.example/doc/$id\r\n")
+            .append(s"Content-Type: $contentType\r\n")
+            .append(s"Content-Length: ${payload.length}\r\n")
+            .append("\r\n")
+          os.write(head.toString.getBytes(UTF_8))
+          os.write(payload)
+          os.write("\r\n\r\n".getBytes(UTF_8))
+        } finally os.close()
+      }
+    FixtureMarker.commit(dir, marker, want)
+  }
+
+  /** Write WET conversion records: `recs` carries (doc_id, payload)
+    * where payload is the EXTRACTED text (the caller runs the
+    * extractor — the writer is format-only, like CC's WET generator
+    * consuming the extraction output). */
+  def writeWet(recs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeSidecar(recs, dir, nFiles, ".wet", "conversion", "text/plain",
+      "_GRAFT_WET_DONE")
+
+  /** Write WAT metadata records: (doc_id, payload) with a JSON
+    * payload per response. */
+  def writeWat(recs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeSidecar(recs, dir, nFiles, ".wat", "metadata", "application/json",
+      "_GRAFT_WAT_DONE")
+
+  /** Read a directory's WET sidecars as (refers_to, target_uri, text)
+    * plus the framing columns — the Common Crawl text-consumer path. */
+  def readWet(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, glob = "*.warc.wet")
+      .filter(!col("parse_ok") || col("warc_type") === "conversion")
+
+  /** Read a directory's WAT sidecars (metadata records, JSON payload). */
+  def readWat(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, glob = "*.warc.wat")
+      .filter(!col("parse_ok") || col("warc_type") === "metadata")
 }

@@ -2109,6 +2109,35 @@ class OperatorsSpec extends AnyFunSuite {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("pageRank convergence stop: fewer iterations, ranks identical at tolerance") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val edges = (0 until 60).map { _ =>
+      (s"h${rng.nextInt(12)}", s"h${rng.nextInt(12)}")
+    }.toSeq.toDF("src", "dst")
+    val tol = 1e-7
+    val (conv, itConv) = graft.operators.LinkGraph.pageRankWithStats(
+      edges, "src", "dst", iterations = 60, tol = tol)
+    val convRanks = conv.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(itConv < 60, s"early stop never fired (ran $itConv)")
+    // the stop decides WHEN, never WHAT: the early-stopped result is
+    // bit-identical to the fixed-iteration run of the same length
+    val fixed = graft.operators.LinkGraph.pageRank(
+      edges, "src", "dst", iterations = itConv)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(convRanks == fixed, "early-stopped != fixed-iteration ranks")
+    // and it genuinely converged: one more iteration moves < tol
+    val more = graft.operators.LinkGraph.pageRank(
+      edges, "src", "dst", iterations = itConv + 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.CacheRegistry.releaseAll()
+    val l1 = convRanks.map { case (h, v) => math.abs(v - more(h)) }.sum
+    assert(l1 <= tol, s"post-stop movement $l1 > $tol")
+  }
+
   test("pageRank: matches a driver power iteration; mass conserves; weights count") {
     import spark.implicits._
     // seeded random digraph with dangling nodes and parallel edges —

@@ -27,7 +27,7 @@ class WarcSpec extends AnyFunSuite {
     val dir = tmpDir("rt")
     Warc.writeCorpus(docs, dir, nFiles = 2)
     val back = Warc.read(spark, dir).collect()
-    assert(back.length == 4 && back.forall(_.getBoolean(9)))
+    assert(back.length == 4 && back.forall(_.getBoolean(10)))
     val byId = back.map { r =>
       val id = r.getString(4).split("/").last.toLong
       id -> r
@@ -38,10 +38,10 @@ class WarcSpec extends AnyFunSuite {
       val r = byId(id)
       assert(r.getString(2) == "response")
       assert(r.getString(3) == s"<urn:graft:doc-$id>")
-      assert(r.getString(5) == src)
-      assert(r.getString(6) == "text/plain")
-      assert(r.getLong(7) == text.getBytes(UTF_8).length)
-      assert(new String(r.getAs[Array[Byte]](8), UTF_8) == text)
+      assert(r.getString(6) == src)
+      assert(r.getString(7) == "text/plain")
+      assert(r.getLong(8) == text.getBytes(UTF_8).length)
+      assert(new String(r.getAs[Array[Byte]](9), UTF_8) == text)
     }
     // idempotent: marker prevents rewrite, second read identical
     Warc.writeCorpus(docs, dir, nFiles = 2)
@@ -79,11 +79,40 @@ class WarcSpec extends AnyFunSuite {
     Files.write(java.nio.file.Paths.get(dir, "b.warc"),
       "WARC/1.0\r\nContent-Length: 99999\r\n\r\nshort".getBytes(UTF_8))
     val rows = Warc.read(spark, dir).collect()
-    val (ok, bad) = rows.partition(_.getBoolean(9))
+    val (ok, bad) = rows.partition(_.getBoolean(10))
     assert(ok.length == 1 && ok.head.getString(4) == "http://x/doc/7")
-    assert(new String(ok.head.getAs[Array[Byte]](8), UTF_8) == "hi")
+    assert(new String(ok.head.getAs[Array[Byte]](9), UTF_8) == "hi")
     assert(bad.length == 2, s"want 2 quarantine rows: ${rows.mkString(";")}")
     assert(bad.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("WET/WAT sidecars: conversion+metadata record types, glob separation") {
+    import spark.implicits._
+    val docs = Seq((0L, "extracted text zero"), (1L, "extracted text one"))
+      .toDF("doc_id", "payload")
+    val dir = tmpDir("wet")
+    // all three families in ONE directory — the CC segment layout
+    Warc.writeCorpus(docs.select(col("doc_id"), lit("s").as("source"),
+      col("payload").as("text")), dir, nFiles = 1)
+    Warc.writeWet(docs, dir, nFiles = 1)
+    Warc.writeWat(docs.select(col("doc_id"),
+      lit("""{"k":1}""").as("payload")), dir, nFiles = 1)
+    val wet = Warc.readWet(spark, dir).collect()
+    assert(wet.length == 2 && wet.forall(r =>
+      r.getAs[Boolean]("parse_ok") &&
+        r.getAs[String]("warc_type") == "conversion" &&
+        r.getAs[String]("content_type") == "text/plain"))
+    val byId = wet.map(r =>
+      r.getAs[String]("refers_to") ->
+        new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toMap
+    assert(byId == Map("<urn:graft:doc-0>" -> "extracted text zero",
+      "<urn:graft:doc-1>" -> "extracted text one"))
+    val wat = Warc.readWat(spark, dir).collect()
+    assert(wat.length == 2 && wat.forall(r =>
+      r.getAs[String]("warc_type") == "metadata" &&
+        r.getAs[String]("content_type") == "application/json"))
+    // glob separation: the raw-WARC read must not pick up sidecars
+    assert(Warc.read(spark, dir).count() == 2)
   }
 
   test("column pruning: a payload-free projection reads and aggregates") {
