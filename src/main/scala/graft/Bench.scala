@@ -116,7 +116,11 @@ object Bench {
         "SPARK_GRAFT_SCALING_REPS" ->
           sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2"),
         "SPARK_GRAFT_STREAM_BENCH" ->
-          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1")))
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1"),
+        // the standing sf1 scale gate (SCALING_r{N}.json) rides in the
+        // aux child by default — SPARK_GRAFT_SCALING_GATE=0 skips it
+        "SPARK_GRAFT_SCALING_GATE" ->
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "1")))
 
     if (childResults.isEmpty) {
       System.err.println("[bench] every child failed; running inline")
@@ -163,8 +167,16 @@ object Bench {
       Option(n.get("streaming")).map(_.toString)).getOrElse("{}")
     val isolationJson = readIsolation()
     val scale10Json = readScale10()
+    // the aux child's standing scale gate, embedded for the round
+    val gateJson = {
+      val p = java.nio.file.Paths.get(
+        f"/root/repo/SCALING_r${ScalingGate.currentRound()}%02d.json")
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      else "{}"
+    }
     val failedJson = failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","fork_batch":$batchSize,"n_children":${childResults.size},"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"isolation":$isolationJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","fork_batch":$batchSize,"n_children":${childResults.size},"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"scaling_gate":$gateJson,"isolation":$isolationJson}"""
     emit(json, names.size, total, minSum, medByName, minByName,
       failedJson, reps, sfDir)
   }
@@ -340,6 +352,12 @@ object Bench {
       else BenchStreaming.run(spark).map { r =>
         s""""${r.name}":{${BenchStreaming.jsonFields(r)}}"""
       }.mkString("{", ",", "}")
+    // the standing sf1 scale gate: run only when the parent routed it
+    // here (aux child) — writes SCALING_r{N}.json as a side effect
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "0") == "1")
+      try ScalingGate.run(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scaling gate failed: $e") }
     // isolated fresh-JVM re-measures (graft.BenchOne appends one JSON
     // line per query to bench_isolation.json) ride along so the round
     // artifact carries the session-drift adjudication data

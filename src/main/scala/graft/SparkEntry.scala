@@ -1890,9 +1890,15 @@ object SparkEntry {
     // ---- composed training-data pipeline: filter -> dedup -> join ->
     // aggregate, one declarative plan ----
     "q_pipeline" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // persist the quality-scored frame: dropExactDuplicates consumes
+      // it on BOTH sides of its keep semi-join (the r10 window-free
+      // rewrite), and without the cache the quality text kernels run
+      // twice over the corpus — the r10->r11 adjudicated regression
+      // (1.9 -> 3.8 s isolated; cached: ~2.5 s)
+      val d = graft.CacheRegistry.register(docs(s, dir)
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .filter(col("quality") >= 0.6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val deduped = Dedup.dropExactDuplicates(d, "doc_id", "text")
       val joined = deduped.join(emb(s, dir),
         deduped("doc_id") === col("vec_id"))

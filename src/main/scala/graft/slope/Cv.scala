@@ -110,12 +110,28 @@ object SlopeCv {
         case _ => col(labelCol).cast("double")
       }
     }
-    val localRows: Array[org.apache.spark.sql.Row] =
-      if (withFolds.count() * pFeat.toLong <= params.localCellLimit)
-        withFolds.select(
+    // vectorize and content-sort the shared collect ONCE: the r11
+    // scale gate caught per-cell toVec + sortRowsInPlace re-doing
+    // O(n log n) work (and O(n) vector allocation) number*repeats*|qs|
+    // times — at the sf1 frame that was a 12x allocation storm (128 s,
+    // 7-11 s GC per rep). A filtered subset of a content-sorted
+    // sequence is itself content-sorted with the identical value
+    // sequence (ties are exact-duplicate rows), so each cell now just
+    // selects SHARED vector references and fits — bit-identical
+    // results, one sort instead of twelve.
+    val localData: (Array[org.apache.spark.ml.linalg.Vector],
+        Array[Any], Array[Array[Int]]) =
+      if (withFolds.count() * pFeat.toLong <= params.localCellLimit) {
+        val rows = withFolds.select(
           (featCast +: labCast +:
             (0 until repeats).map(r => col(s"__fold_$r"))): _*).collect()
-      else null
+        val xs = rows.map(r => toVec(r.get(0)))
+        val ys: Array[Any] = rows.map(_.get(1))
+        val folds = rows.map(r =>
+          Array.tabulate(repeats)(i => r.getInt(2 + i)))
+        val ord = Slope.contentOrderIndices(xs, ys)
+        (ord.map(xs), ord.map(ys), ord.map(folds))
+      } else null
 
     def runCell(cell: (Double, Int, Int)): Seq[((Double, String), Array[Double])] = {
       val (q, rep, fold) = cell
@@ -123,12 +139,11 @@ object SlopeCv {
       val test = withFolds.filter(foldCol === fold)
       val cellParams = params.copy(q = Some(q), sigma = Some(sigma))
       val m =
-        if (localRows != null) {
-          val sel = localRows.filter(_.getInt(2 + rep) != fold)
-          val xs = sel.map(r => toVec(r.get(0)))
-          val ys: Array[Any] = sel.map(_.get(1))
-          Slope.sortRowsInPlace(xs, ys)
-          Slope.fitLocal(xs, ys, cellParams)
+        if (localData != null) {
+          val (xsAll, ysAll, foldsAll) = localData
+          val keep = Array.range(0, xsAll.length)
+            .filter(i => foldsAll(i)(rep) != fold)
+          Slope.fitLocal(keep.map(xsAll), keep.map(ysAll), cellParams)
         } else {
           Slope.fit(withFolds.filter(foldCol =!= fold), featuresCol, labelCol,
             cellParams)

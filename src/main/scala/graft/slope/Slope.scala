@@ -40,7 +40,15 @@ case class SlopeParams(
     // ---- Spark execution knobs (not in the reference) ----
     /** Collect to a driver-local backend when n*p is below this; the
       * path loop then runs with zero job-launch overhead. Distributed
-      * treeAggregate passes otherwise. */
+      * treeAggregate passes otherwise. The 40M default is MEASURED,
+      * not guessed (r11 scale gate): at the sf1 CV frame (6M × 7 =
+      * 42M, just over the gate) the distributed cells cost 114 s while
+      * forcing the local path cost 128-389 s with 7-33 s GC per run —
+      * the local backend's per-row boxed label encoding allocates
+      * O(cells·n) tiny arrays, so above ~megarow frames the job
+      * overhead of treeAggregate passes is CHEAPER than driver heap
+      * churn. The dist≡local certificates make this dispatch point a
+      * pure performance knob; results are identical on either side. */
     localCellLimit: Long = 40L * 1000 * 1000,
     /** ADMM needs an |active|^2 Gram on the driver; above this active-set
       * size fall back to FISTA (never materialize huge Grams). */
@@ -281,6 +289,24 @@ object Slope {
     * sliced fit is bit-identical to a per-cell `Slope.fit`.) */
   private[slope] def sortRowsInPlace(xs: Array[Vector], rawY: Array[Any]): Unit = {
     val n = xs.length
+    val sorted = contentOrderIndices(xs, rawY)
+    val xs2 = sorted.map(xs)
+    val ys2 = sorted.map(rawY)
+    System.arraycopy(xs2, 0, xs, 0, n)
+    System.arraycopy(ys2, 0, rawY, 0, n)
+  }
+
+  /** The content-order permutation behind [[sortRowsInPlace]] (stable,
+    * so ties — which are exact-duplicate rows — keep input order).
+    * Exposed separately so SlopeCv can sort its shared collect ONCE
+    * and carry fold columns through the same permutation: a FILTERED
+    * subset of a content-sorted sequence is itself content-sorted, so
+    * per-cell re-sorts are pure waste — and because ties are rows with
+    * identical values, the sliced value SEQUENCE (hence every FP fold)
+    * is bit-identical to sorting the slice directly. */
+  private[slope] def contentOrderIndices(xs: Array[Vector],
+                                         rawY: Array[Any]): Array[Int] = {
+    val n = xs.length
     val labelKey = new Array[String](n)
     var i = 0
     while (i < n) {
@@ -302,11 +328,7 @@ object Slope {
         if (c1 != 0) c1 else compareVec(xs(a), xs(b))
       }
     }
-    val sorted = idx.sorted(ord)
-    val xs2 = sorted.map(xs)
-    val ys2 = sorted.map(rawY)
-    System.arraycopy(xs2, 0, xs, 0, n)
-    System.arraycopy(ys2, 0, rawY, 0, n)
+    idx.sorted(ord)
   }
 
   /** Elementwise lexicographic compare of equal-size vectors, walking

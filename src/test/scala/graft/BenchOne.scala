@@ -47,6 +47,12 @@ object BenchOne {
         fn(spark, dir).count()
         walls(r) = (System.nanoTime() - t0) / 1e9
         gcs(r) = gcMillis - g0
+        // release operator-scoped caches BETWEEN reps, exactly like
+        // graft.Bench's loop — without this, a cache-registering query
+        // pays its build once and every later rep rides warm, so the
+        // isolated figure overstates the engine vs the artifact's
+        // per-rep-released discipline
+        CacheRegistry.releaseAll()
         println(f"[bench1] $name%-24s rep${r + 1} ${walls(r)}%8.2fs gc=${gcs(r)}ms")
       }
       val med = walls.sorted.apply(reps / 2)
