@@ -1552,7 +1552,8 @@ object SparkEntry {
       // quantized log-probs make the argmax bit-deterministic (see
       // operators.LangId). The marker heuristic (q_lang_id) stays as
       // the anchor this model must beat (q_lang_confusion_nb).
-      graft.operators.LangId.langIdNb(docs(s, dir), "doc_id", "text", "lang")
+      graft.operators.LangId.langIdNb(docs(s, dir), "doc_id", "text",
+        "lang", parallelism = OpParallelism)
         .orderBy("doc_id")
     }),
 
@@ -1561,7 +1562,8 @@ object SparkEntry {
       // of q_lang_confusion (heuristic); LangIdSpec asserts the model
       // is at least as accurate on the fixture
       val d = docs(s, dir)
-      val pred = graft.operators.LangId.langIdNb(d, "doc_id", "text", "lang")
+      val pred = graft.operators.LangId.langIdNb(d, "doc_id", "text",
+        "lang", parallelism = OpParallelism)
       d.select(col("doc_id"), col("lang")).join(pred, "doc_id")
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n_docs"))

@@ -44,6 +44,13 @@ object LangId {
   /** Quantization scale for integer log-probs. */
   val Q = 1e6
 
+  /** Sub-MB parquet arrives as ONE scan partition, serializing the
+    * normalize + trigram transform onto a single task (the documented
+    * text-operator trap: 10-16 s single-core at sf0.1 vs sub-second
+    * over 32) — every trigram consumer spreads its input first. */
+  private def spread(df: DataFrame, parallelism: Int): DataFrame =
+    if (parallelism > 0) df.repartition(parallelism) else df
+
   /** Character trigrams of the space-padded normalized text: positions
     * 1..len−2 of `' ' + normalizeText(c) + ' '`. Empty/short texts
     * yield an empty array. Pure projection — no shuffle. */
@@ -65,9 +72,9 @@ object LangId {
     * the data (sorted — the sort IS the deterministic argmax
     * tie-break order downstream). */
   def trainNb(labeled: DataFrame, textCol: String,
-              langCol: String): NbModel = {
+              langCol: String, parallelism: Int = 0): NbModel = {
     val counts = graft.CacheRegistry.register(
-      labeled.select(col(langCol).as("lang"),
+      spread(labeled, parallelism).select(col(langCol).as("lang"),
         explode(charTrigrams(col(textCol))).as("gram"))
         .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -104,17 +111,17 @@ object LangId {
     * Production splits the two: train on the labeled reference, score
     * the crawl with [[classify]]. */
   def langIdNb(labeled: DataFrame, idCol: String, textCol: String,
-               langCol: String): DataFrame = {
-    val m = trainNb(labeled, textCol, langCol)
-    classify(labeled, m, idCol, textCol)
+               langCol: String, parallelism: Int = 0): DataFrame = {
+    val m = trainNb(labeled, textCol, langCol, parallelism)
+    classify(labeled, m, idCol, textCol, parallelism)
   }
 
   /** Classify `docs` with a trained model: (idCol, lang_pred). Ties
     * (and trigram-less docs, which score prior-only) break to the
     * alphabetically smallest language — total and deterministic. */
   def classify(docs: DataFrame, m: NbModel, idCol: String,
-               textCol: String): DataFrame = {
-    val tri = docs.select(col(idCol),
+               textCol: String, parallelism: Int = 0): DataFrame = {
+    val tri = spread(docs, parallelism).select(col(idCol),
       explode(charTrigrams(col(textCol))).as("gram"))
     val scored = tri.join(broadcast(m.model), Seq("gram"), "left")
       .groupBy(idCol)
