@@ -1557,6 +1557,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_lang_id_nb_ext" -> ((s, dir) => {
+      // EXTERNAL-train mode (the production shape): the model trains
+      // on the labeled reference half (doc_id < 250), the other half
+      // is scored as an unlabeled crawl — the OOV floor path fires
+      // live for trigrams the reference never saw. Full SQL oracle
+      // (the same integer-exact replay, train/score predicates split)
+      val d = docs(s, dir)
+      val m = graft.operators.LangId.trainNb(
+        d.filter(col("doc_id") < 250), "text", "lang",
+        parallelism = OpParallelism)
+      graft.operators.LangId.classify(
+        d.filter(col("doc_id") >= 250), m, "doc_id", "text",
+        parallelism = OpParallelism)
+        .orderBy("doc_id")
+    }),
+
     "q_lang_confusion_nb" -> ((s, dir) => {
       // NB-classifier confusion against ground truth — the companion
       // of q_lang_confusion (heuristic); LangIdSpec asserts the model
@@ -2783,8 +2799,17 @@ object SparkEntry {
     * matching LangId.Q and HALF_UP), score each doc as an exact
     * integer sum, argmax with the alphabetical tie-break. Ends with
     * `pred(doc_id, lang_pred)`; append the final SELECT. */
-  private lazy val NbLangCte =
-    s"""n AS (SELECT doc_id, lang, ' ' || $NormSql || ' ' AS pad FROM documents),
+  private lazy val NbLangCte = nbLangCte("TRUE", "TRUE")
+
+  /** [[NbLangCte]] with separate TRAIN and SCORE predicates — the
+    * external-train replay (q_lang_id_nb_ext): the model (counts,
+    * totals, vocabulary, priors, floors) derives from the training
+    * rows only, scoring trigrams from the score rows only, so the OOV
+    * floor path is exercised LIVE for grams the reference corpus never
+    * saw. */
+  private def nbLangCte(trainWhere: String, scoreWhere: String): String =
+    s"""n AS (SELECT doc_id, lang, ' ' || $NormSql || ' ' AS pad
+         FROM documents WHERE $trainWhere),
        tri AS (
          SELECT doc_id, lang,
            unnest(list_transform(range(1, length(pad) - 1),
@@ -2793,24 +2818,33 @@ object SparkEntry {
        cnt AS (SELECT lang, gram, count(*)::BIGINT AS c FROM tri GROUP BY 1, 2),
        tot AS (SELECT lang, sum(c)::DOUBLE AS n_l FROM cnt GROUP BY 1),
        vv AS (SELECT count(DISTINCT gram)::DOUBLE AS v FROM cnt),
-       dc AS (SELECT lang, count(*)::DOUBLE AS nd FROM documents GROUP BY 1),
-       pri AS (SELECT lang, round(ln(nd / (SELECT count(*) FROM documents))
-         * 1000000)::BIGINT AS pq FROM dc),
+       dc AS (SELECT lang, count(*)::DOUBLE AS nd FROM documents
+         WHERE $trainWhere GROUP BY 1),
+       pri AS (SELECT lang, round(ln(nd / (SELECT count(*) FROM documents
+         WHERE $trainWhere)) * 1000000)::BIGINT AS pq FROM dc),
        fl AS (SELECT lang, round(-ln(n_l + v) * 1000000)::BIGINT AS fq
          FROM tot, vv),
        mdl AS (SELECT gram, cnt.lang,
            round((ln(c + 1.0) - ln(n_l + v)) * 1000000)::BIGINT AS lpq
          FROM cnt JOIN tot USING (lang), vv),
-       langs AS (SELECT DISTINCT lang FROM documents),
+       langs AS (SELECT DISTINCT lang FROM documents WHERE $trainWhere),
+       sn AS (SELECT doc_id, ' ' || $NormSql || ' ' AS pad
+         FROM documents WHERE $scoreWhere),
+       stri AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, length(pad) - 1),
+             i -> substr(pad, i::INT, 3))) AS gram
+         FROM sn),
        sc AS (
          SELECT t.doc_id, l.lang, sum(coalesce(m.lpq, f.fq))::BIGINT AS s
-         FROM tri t CROSS JOIN langs l
+         FROM stri t CROSS JOIN langs l
          JOIN fl f ON f.lang = l.lang
          LEFT JOIN mdl m ON m.gram = t.gram AND m.lang = l.lang
          GROUP BY 1, 2),
        allsc AS (
          SELECT d.doc_id, l.lang, coalesce(sc.s, 0) + p.pq AS t
-         FROM documents d CROSS JOIN langs l
+         FROM (SELECT doc_id FROM documents WHERE $scoreWhere) d
+         CROSS JOIN langs l
          JOIN pri p ON p.lang = l.lang
          LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = l.lang),
        pred AS (
@@ -4500,6 +4534,10 @@ object SparkEntry {
 
       "q_lang_id_nb" ->
         s"""WITH $NbLangCte
+           SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""",
+
+      "q_lang_id_nb_ext" ->
+        s"""WITH ${nbLangCte("doc_id < 250", "doc_id >= 250")}
            SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""",
 
       "q_lang_confusion_nb" ->

@@ -963,6 +963,31 @@ object Similarity {
     def m: Int = books.length
     def dim: Int = centers(0).length
     def subDim: Int = dim / m
+
+    /** Persist next to the index table (JSON; exact via the %.17g
+      * round-trip guarantee of Double.toString). */
+    def save(path: String): Unit = {
+      def arr2(a: Array[Array[Double]]) = a.map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      val json = s"""{"centers":${arr2(centers)},"books":${books.map(arr2).mkString("[", ",", "]")}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** Load a model persisted by [[SemanticIndexModel.save]] — the
+    * read side of the encode-once contract: a later ingestion batch
+    * needs the SAME quantizers the index rows were coded with. */
+  def loadSemanticIndexModel(path: String): SemanticIndexModel = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(new java.io.File(path))
+    import scala.jdk.CollectionConverters._
+    def arr2(n: com.fasterxml.jackson.databind.JsonNode) =
+      n.elements().asScala.map(r =>
+        r.elements().asScala.map(_.asDouble()).toArray).toArray
+    SemanticIndexModel(arr2(node.get("centers")),
+      node.get("books").elements().asScala.map(arr2).toArray)
   }
 
   /** Train the IVF+PQ model from a corpus (coarse quantizer over the

@@ -495,6 +495,62 @@ object DocStreams {
 
   case class LmGateOut(doc_id: Long, n_words: Long, pseudo_ppl: Double)
 
+  case class LangGateOut(doc_id: Long, lang_pred: String)
+
+  /** Streaming language-ID gate: the NB char-trigram classifier
+    * ([[graft.operators.LangId]]) trained ONCE on a static labeled
+    * reference corpus, scoring arriving docs via a broadcast
+    * stream-static model join — the streaming face of
+    * `LangId.classify`, exactly as [[streamingLmGate]] is for the LM
+    * gates. Per-trigram quantized log-probs (integer, so the stream's
+    * per-group fold is EXACT and emits the identical argmax to the
+    * batch operator), per-doc fold + single emission via
+    * `flatMapGroupsWithState` (state removed in the doc's own batch —
+    * zero retained state; docs assumed batch-atomic like every per-doc
+    * gate here). Trigram-less docs produce no rows and are not
+    * emitted — filter empties upstream, or batch-score them
+    * (prior-only) separately. */
+  def streamingLangIdGate(docs: DataFrame, modelDocs: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          langCol: String = "lang",
+                          parallelism: Int = 0): DataFrame = {
+    val lid = graft.operators.LangId
+    val m = lid.trainNb(modelDocs, textCol, langCol, parallelism)
+    val langs = m.langs.toArray
+    val priors = langs.map(m.priorQ)
+    val lpArr = array(m.langs.map(l =>
+      coalesce(col(s"lpq_$l"), lit(m.floorQ(l)))): _*)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(lid.charTrigrams(col(textCol))).as("gram"))
+      .join(broadcast(m.model), Seq("gram"), "left")
+      .select(col("id"), lpArr.as("lp"))
+      .as[(Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, LangGateOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (id, rows, state: GroupState[Boolean]) =>
+          val sums = new Array[Long](langs.length)
+          rows.foreach { case (_, lp) =>
+            var i = 0
+            while (i < sums.length) { sums(i) += lp(i); i += 1 }
+          }
+          if (state.exists) state.remove()
+          var best = 0
+          var i = 1
+          while (i < sums.length) {
+            // strict > keeps the FIRST (alphabetically smallest) lang
+            // on ties — the batch operator's tie-break
+            if (sums(i) + priors(i) > sums(best) + priors(best)) best = i
+            i += 1
+          }
+          Iterator(LangGateOut(id, langs(best)))
+      }.toDF()
+  }
+
+
   /** Streaming LM quality gate — the streaming face of
     * [[graft.operators.LanguageModel.ngramPseudoPerplexity]]'s
     * external-model mode (the CCNet production shape run as an ingest

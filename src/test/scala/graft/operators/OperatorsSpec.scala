@@ -576,6 +576,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g2._1 == "near_dup_of_corpus" && g2._2 == 104L && g2._3 > 0.9,
       s"updated index must catch the cross-batch dup: $g2")
     graft.CacheRegistry.releaseAll()
+    // model persistence round-trip: a later ingestion batch loads the
+    // SAME quantizers and codes identically
+    val mPath = java.nio.file.Files.createTempFile("sem_model", ".json")
+      .toString
+    model.save(mPath)
+    val loaded = Similarity.loadSemanticIndexModel(mPath)
+    assert(loaded.centers.map(_.toSeq).toSeq == model.centers.map(_.toSeq).toSeq)
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val viaLoaded = Similarity.semanticSignatureIndex(loaded, batch,
+      "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2), r.getDouble(3)))
+      .sortBy(_._1)
+    val viaOrig = Similarity.semanticSignatureIndex(model, batch,
+      "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(viaLoaded.toSeq == viaOrig.toSeq, "loaded model must code identically")
   }
 
   test("incremental dedup: corpus outranks batch, batch keep-first, new passes") {

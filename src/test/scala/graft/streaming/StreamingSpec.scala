@@ -535,6 +535,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming lang-ID gate equals batch classify across batches, each doc once") {
+    // train-batch / gate-stream: the NB classifier trains once on a
+    // static labeled reference; arriving docs are classified via a
+    // broadcast stream-static model join + per-doc state fold.
+    // Quantized log-probs are INTEGERS, so the stream's fold is exact
+    // and the argmax must equal the batch operator EXACTLY.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val vocabA = Vector("aaa", "aab", "abb")
+    val vocabB = Vector("zzz", "zzy", "zyy")
+    val ref = (1L to 40L).map { id =>
+      val v = if (id % 2 == 0) vocabA else vocabB
+      (id, Seq.fill(3 + rnd.nextInt(6))(v(rnd.nextInt(v.size))).mkString(" "),
+        if (id % 2 == 0) "la" else "lb")
+    }
+    val crawl = (100L to 140L).map { id =>
+      val v = if (id % 2 == 0) vocabA else vocabB
+      (id, Seq.fill(2 + rnd.nextInt(7))(v(rnd.nextInt(v.size))).mkString(" "))
+    }
+    val refDf = ref.toDF("doc_id", "text", "lang")
+    val m = graft.operators.LangId.trainNb(refDf, "text", "lang")
+    val expected = graft.operators.LangId.classify(
+      crawl.toDF("doc_id", "text"), m, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.CacheRegistry.releaseAll()
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.streamingLangIdGate(
+      stream.toDF().toDF("doc_id", "text"), refDf)
+      .writeStream.format("memory").queryName("langgate_test")
+      .outputMode("update").start()
+    stream.addData(crawl.take(20): _*)
+    q.processAllAvailable()
+    stream.addData(crawl.drop(20): _*)
+    q.processAllAvailable()
+    val got = spark.table("langgate_test").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    graft.CacheRegistry.releaseAll()
+    assert(got == expected, s"stream $got vs batch $expected")
+    // each doc emitted exactly once (state removed in its own batch)
+    assert(spark.table("langgate_test").count() == expected.size)
+  }
+
   test("streaming LM gate equals the batch external-mode gate across batches") {
     // pretrain-batch / gate-stream: the CCNet ingest filter. The LM is
     // built from a static reference corpus; arriving docs are scored
