@@ -79,6 +79,10 @@ object Bench {
       // re-enables them); the isolation file is read by the parent
       pb.environment().put("SPARK_GRAFT_SCALING_REPS", "0")
       pb.environment().put("SPARK_GRAFT_STREAM_BENCH", "0")
+      // and the scale gate: only the aux child may run it (a user's
+      // exported SPARK_GRAFT_SCALING_GATE=1 must not make every query
+      // child re-run the 10x measurement)
+      pb.environment().put("SPARK_GRAFT_SCALING_GATE", "0")
       extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       // child stdout carries its own GRAFT_BENCH_* markers — those
       // must never reach the parent's stdout (the driver greps for the
@@ -111,7 +115,8 @@ object Bench {
     // aux child: dedup-scaling + streaming ride-alongs, zero queries
     val auxNode =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt <= 0 &&
-          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") None
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0" &&
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "1") == "0") None
       else spawn("aux", "__aux_none__", Map(
         "SPARK_GRAFT_SCALING_REPS" ->
           sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2"),

@@ -875,10 +875,14 @@ object SparkEntry {
       // two deterministic change batches with the single-exchange
       // log-compaction read (Checks.snapshotAt — max_by(row, batch)
       // per id), which VersionedSpec proves equal to folding
-      // applyChanges. Batch 1 = q_corpus_merge's batch; batch 2
-      // deletes %5, revises %3 ('second edition'), inserts %17+20000.
-      // The oracle replays the merge chain sequentially — same result
-      // by the compaction argument.
+      // applyChanges. Batch 1 deletes %11, revises %7, inserts %13;
+      // batch 2 deletes %5, revises %3 ('second edition'), inserts
+      // %17. Insert ids are NEGATIVE (-id-1 and -id-2000000001): base
+      // ids are non-negative at every scale, so the inserts can never
+      // collide with a base id — a +10000 offset would collide once
+      // max(doc_id) >= 10000 (the sf1 replicated dir), violating the
+      // unique-id-per-batch precondition. The oracle replays the merge
+      // chain sequentially — same result by the compaction argument.
       val base = docs(s, dir).select(col("doc_id"), col("source"),
         col("text"))
       val b1 = base.filter(col("doc_id") % 11 === 0)
@@ -888,7 +892,7 @@ object SparkEntry {
           .withColumn("text", concat(col("text"), lit(" revised edition")))
           .withColumn("op", lit("upsert")))
         .unionByName(base.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("source"),
+          .select((-col("doc_id") - 1).as("doc_id"), col("source"),
             concat(lit("new document "), col("text")).as("text"))
           .withColumn("op", lit("upsert")))
       val b2 = base.filter(col("doc_id") % 5 === 0)
@@ -898,7 +902,7 @@ object SparkEntry {
           .withColumn("text", concat(col("text"), lit(" second edition")))
           .withColumn("op", lit("upsert")))
         .unionByName(base.filter(col("doc_id") % 17 === 0)
-          .select((col("doc_id") + 20000).as("doc_id"), col("source"),
+          .select((-col("doc_id") - 2000000001L).as("doc_id"), col("source"),
             concat(lit("brand new "), col("text")).as("text"))
           .withColumn("op", lit("upsert")))
       graft.operators.Checks.snapshotAt(base, Seq(b1, b2), "doc_id", "op")
@@ -3783,7 +3787,7 @@ object SparkEntry {
            dels1 AS (SELECT doc_id FROM base WHERE doc_id % 11 = 0),
            upd1 AS (SELECT doc_id, source, text || ' revised edition' AS text
                     FROM base WHERE doc_id % 7 = 0 AND doc_id % 11 != 0),
-           ins1 AS (SELECT doc_id + 10000 AS doc_id, source,
+           ins1 AS (SELECT -doc_id - 1 AS doc_id, source,
                       'new document ' || text AS text
                     FROM base WHERE doc_id % 13 = 0),
            chg1 AS (SELECT doc_id FROM dels1
@@ -3796,7 +3800,7 @@ object SparkEntry {
            dels2 AS (SELECT doc_id FROM base WHERE doc_id % 5 = 0),
            upd2 AS (SELECT doc_id, source, text || ' second edition' AS text
                     FROM base WHERE doc_id % 3 = 0 AND doc_id % 5 != 0),
-           ins2 AS (SELECT doc_id + 20000 AS doc_id, source,
+           ins2 AS (SELECT -doc_id - 2000000001 AS doc_id, source,
                       'brand new ' || text AS text
                     FROM base WHERE doc_id % 17 = 0),
            chg2 AS (SELECT doc_id FROM dels2

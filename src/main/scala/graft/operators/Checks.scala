@@ -118,6 +118,15 @@ object Checks {
     * batch, so max_by never ties (__batch differs across batches). */
   def snapshotAt(base: DataFrame, batches: Seq[DataFrame], idCol: String,
                  opCol: String): DataFrame = {
+    // reserved names: withColumn would silently REPLACE an existing
+    // __batch (tagging rows with data values instead of batch numbers)
+    // or opCol on the base (breaking the batch-side select) — fail
+    // loud, the dropExactDuplicates __kfp/__kid contract
+    require(!base.columns.contains("__batch") &&
+      batches.forall(!_.columns.contains("__batch")),
+      "snapshotAt: inputs must not contain reserved column '__batch'")
+    require(!base.columns.contains(opCol),
+      s"snapshotAt: base snapshot must not already carry opCol '$opCol'")
     if (batches.isEmpty) return base
     val dataCols = base.columns.toSeq
     val rest = dataCols.filterNot(_ == idCol)

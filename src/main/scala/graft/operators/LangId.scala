@@ -85,6 +85,13 @@ object LangId {
     val docCounts = labeled.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a training language whose docs yield ZERO trigrams cannot be
+    // scored (no counts, no floor mass) — Spark would drop it while
+    // the SQL replay keeps it prior-only, a silent divergence; fail
+    // loud instead (same contract as personalized PageRank's seed set)
+    val missing = docCounts.keySet -- nL.keySet
+    require(missing.isEmpty,
+      s"training language(s) with no trigrams: ${missing.toSeq.sorted.mkString(", ")}")
     val langs = nL.keys.toSeq.sorted
     val nDocs = docCounts.values.sum.toDouble
     // HALF_UP (away from zero), matching Spark's and DuckDB's round():

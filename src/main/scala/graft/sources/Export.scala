@@ -86,11 +86,20 @@ object Export {
   private def versionsManifest(dir: String) =
     java.nio.file.Paths.get(dir, "_graft_versions.json")
 
-  /** Write the version-0 base snapshot; truncates the manifest. */
+  /** Write the version-0 base snapshot; truncates the manifest AND
+    * clears any prior change batches — a re-based corpus must not
+    * leave stale changes/v{k} dirs that would wedge the next
+    * appendChangeBatch (errorifexists on an orphaned path). */
   def writeVersionedBase(df: DataFrame, dir: String): Unit = {
     val n = df.count()
     df.write.mode("overwrite").parquet(s"$dir/v0")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val changes = java.nio.file.Paths.get(dir, "changes")
+    if (java.nio.file.Files.exists(changes)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(changes).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     java.nio.file.Files.write(versionsManifest(dir),
       (s"""{"version":0,"kind":"base","path":"v0","rows":$n}""" + "\n")
         .getBytes("UTF-8"))

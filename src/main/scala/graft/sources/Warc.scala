@@ -207,6 +207,9 @@ object Warc {
         val os = new BufferedOutputStream(new FileOutputStream(f))
         try rows.foreach { r =>
           val id = r.getLong(0)
+          // loud on null (an extractor bug upstream), not an executor
+          // NPE that leaves a half-written file behind
+          require(!r.isNullAt(1), s"null sidecar payload for doc_id=$id")
           val payload = r.getString(1).getBytes(UTF_8)
           val head = new StringBuilder()
             .append("WARC/1.0\r\n")

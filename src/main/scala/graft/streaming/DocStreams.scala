@@ -531,13 +531,15 @@ object DocStreams {
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, LangGateOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        case (id, rows, state: GroupState[Boolean]) =>
+        case (id, rows, _: GroupState[Boolean]) =>
+          // state is never WRITTEN — the typed-state API is used for
+          // its per-group iterator only, so retained state is zero by
+          // construction (docs are batch-atomic, one emission each)
           val sums = new Array[Long](langs.length)
           rows.foreach { case (_, lp) =>
             var i = 0
             while (i < sums.length) { sums(i) += lp(i); i += 1 }
           }
-          if (state.exists) state.remove()
           var best = 0
           var i = 1
           while (i < sums.length) {
