@@ -870,6 +870,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_dup_token_fraction" -> ((s, dir) => {
+      // duplicate token MASS per source (the RefinedWeb dedup-report
+      // metric): tokens sitting in non-canonical exact-duplicate rows
+      // as a fraction of the source's token mass — the number that
+      // says how much training signal dedup removes, where the
+      // doc-count dup_rate (q_dup_rate_by_source) overweights short
+      // docs. Plan: map-side-combined min-id per fingerprint +
+      // join-back of the small derived table (the keepBest discipline)
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val canon = d.groupBy("fp").agg(min("doc_id").as("canon"))
+      val dupToks = sum(when(col("doc_id") =!= col("canon"),
+        col("n_tokens")).otherwise(0L))
+      d.join(canon, "fp")
+        .groupBy("source")
+        .agg(sum("n_tokens").as("total_tokens"),
+          dupToks.as("dup_tokens"),
+          round(dupToks.cast("double") / sum("n_tokens"), 6)
+            .as("dup_token_fraction"))
+        .orderBy("source")
+    }),
+
     "q_corpus_at_version" -> ((s, dir) => {
       // TIME TRAVEL: reconstruct release v2 from the base snapshot +
       // two deterministic change batches with the single-exchange
@@ -3781,6 +3804,19 @@ object SparkEntry {
                       UNION ALL SELECT * FROM ins)
            SELECT doc_id, source, md5(text) AS text_md5
            FROM merged ORDER BY doc_id""",
+
+      "q_dup_token_fraction" ->
+        s"""WITH t AS (
+             SELECT doc_id, source, ($wcSql)::BIGINT AS n_tokens,
+               md5($NormSql) AS fp
+             FROM documents),
+           c AS (SELECT fp, min(doc_id) AS canon FROM t GROUP BY fp)
+           SELECT source, sum(n_tokens)::BIGINT AS total_tokens,
+             sum(CASE WHEN doc_id != canon THEN n_tokens ELSE 0 END)::BIGINT
+               AS dup_tokens,
+             round(sum(CASE WHEN doc_id != canon THEN n_tokens ELSE 0 END)::DOUBLE
+               / sum(n_tokens), 6) AS dup_token_fraction
+           FROM t JOIN c USING (fp) GROUP BY source ORDER BY source""",
 
       "q_corpus_at_version" ->
         s"""WITH base AS (SELECT doc_id, source, text FROM documents),
