@@ -1546,6 +1546,32 @@ object SparkEntry {
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
+    "q_dup_token_fraction_neardup" -> ((s, dir) => {
+      // NEAR-dup counterpart of q_dup_token_fraction: token mass in
+      // docs that near-duplicate an earlier doc (canonical = min id of
+      // the exact-jaccard connected component; docs outside the pair
+      // graph are their own canonical). The cluster map is doc-count-
+      // sized, so the token join is a broadcast-able small-side join
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.05, maxDf = MaxDfShipped,
+        parallelism = OpParallelism)
+      val clusters = Dedup.dupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val isDup = col("cluster_id").isNotNull &&
+        col("cluster_id") =!= col("doc_id")
+      val dupToks = sum(when(isDup, col("n_tokens")).otherwise(0L))
+      d.select(col("doc_id"), col("source"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(clusters, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(sum("n_tokens").as("total_tokens"),
+          dupToks.as("neardup_tokens"),
+          round(dupToks.cast("double") / sum("n_tokens"), 6)
+            .as("neardup_token_fraction"))
+        .orderBy("source")
+    }),
+
     "q_dup_rate_by_source" -> ((s, dir) => {
       // redundancy per source: share of docs that exact-duplicate an
       // earlier doc (fingerprint group minimum = canonical) — the
@@ -4560,6 +4586,20 @@ object SparkEntry {
       "q_dup_clusters" ->
         s"""$DupClusterCte
            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+      "q_dup_token_fraction_neardup" ->
+        s"""$DupClusterCte,
+           cl AS (SELECT id, min(r) AS canon FROM reach GROUP BY id),
+           t AS (SELECT doc_id, source, ($wcSql)::BIGINT AS n_tokens
+                 FROM documents)
+           SELECT source, sum(n_tokens)::BIGINT AS total_tokens,
+             sum(CASE WHEN cl.canon IS NOT NULL AND cl.canon != t.doc_id
+               THEN n_tokens ELSE 0 END)::BIGINT AS neardup_tokens,
+             round(sum(CASE WHEN cl.canon IS NOT NULL AND cl.canon != t.doc_id
+               THEN n_tokens ELSE 0 END)::DOUBLE / sum(n_tokens), 6)
+               AS neardup_token_fraction
+           FROM t LEFT JOIN cl ON cl.id = t.doc_id
+           GROUP BY source ORDER BY source""",
 
       "q_dup_rate_by_source" ->
         s"""WITH f AS (
