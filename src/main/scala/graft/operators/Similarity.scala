@@ -1062,6 +1062,35 @@ object Similarity {
         col("codes"), col("rec_norm"))
   }
 
+  /** The model's nProbe nearest coarse cells for one raw vector. */
+  private[graft] def probeCells(m: SemanticIndexModel, raw: Array[Double],
+                                nProbe: Int): Array[Int] =
+    nearestCells(m.centers, raw, nProbe)
+
+  /** Asymmetric approximate cosine from PQ codes alone: the query
+    * stays full precision, the candidate contributes
+    * dot(q, reconstruction)/(|q|·rec_norm) — shared by the batch
+    * flags and the streaming gate (identical scores by construction). */
+  private[graft] def approxCosFromCodes(q: Seq[Double], codes: Seq[Int],
+                                        recNorm: Double,
+                                        books: Array[Array[Array[Double]]],
+                                        sd: Int): Double = {
+    var qn = 0.0; var i = 0
+    while (i < q.length) { qn += q(i) * q(i); i += 1 }
+    val qnorm = math.sqrt(qn)
+    if (qnorm == 0.0 || recNorm == 0.0) 0.0
+    else {
+      var s = 0.0; var j = 0
+      while (j < codes.length) {
+        val cc = books(j)(codes(j))
+        var t = 0
+        while (t < sd) { s += q(j * sd + t) * cc(t); t += 1 }
+        j += 1
+      }
+      s / (qnorm * recNorm)
+    }
+  }
+
   /** Incremental SEMANTIC near-dup: flag an incoming embedding batch
     * against the persisted corpus index without touching corpus
     * vectors — `Dedup.incrementalMinhashFlags`' production asymmetry
@@ -1098,7 +1127,7 @@ object Similarity {
         .mapPartitions { it =>
           val mm = bc.value
           it.flatMap { case (id, raw) =>
-            nearestCells(mm.centers, raw, nProbe).iterator
+            probeCells(mm, raw, nProbe).iterator
               .map(cell => (id, raw, cell))
           }
         }
@@ -1108,24 +1137,12 @@ object Similarity {
       semanticSignatureIndex(model, batch, idCol, vecCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // asymmetric score from codes alone (books captured in the UDF —
-    // m × nCodes × subDim doubles, a few KB per task)
+    // m × nCodes × subDim doubles, a few KB per task); shared kernel
+    // with the streaming gate so stream and batch scores are identical
     val books = model.books
     val sd = model.subDim
     val approxCos = udf { (q: Seq[Double], codes: Seq[Int], recNorm: Double) =>
-      var qn = 0.0; var i = 0
-      while (i < q.length) { qn += q(i) * q(i); i += 1 }
-      val qnorm = math.sqrt(qn)
-      if (qnorm == 0.0 || recNorm == 0.0) 0.0
-      else {
-        var s = 0.0; var j = 0
-        while (j < codes.length) {
-          val cc = books(j)(codes(j))
-          var t = 0
-          while (t < sd) { s += q(j * sd + t) * cc(t); t += 1 }
-          j += 1
-        }
-        s / (qnorm * recNorm)
-      }
+      approxCosFromCodes(q, codes, recNorm, books, sd)
     }
     val batchCells = probes.select("cell").distinct()
     val corpusHit = corpusIndex

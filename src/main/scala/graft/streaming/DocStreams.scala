@@ -497,6 +497,81 @@ object DocStreams {
 
   case class LangGateOut(doc_id: Long, lang_pred: String)
 
+  case class SemGateOut(vec_id: Long, is_near_dup: Boolean,
+                        canonical_id: Long, est_cosine: Double)
+
+  /** Streaming face of the incremental SEMANTIC index: arriving
+    * embeddings flagged against the static corpus keeper table
+    * (`Similarity.semanticSignatureIndex` rows + the persisted
+    * IVF+PQ model) via a stream-STATIC join on the coarse cell —
+    * the ingestion-time near-dup gate, corpus side never re-encoded.
+    *
+    * Scope vs the batch operator: corpus matches only. In-batch
+    * (stream-internal) near-dups are [[streamingMinhashDupPairs]]-class
+    * cross-row state and deliberately out of this gate's contract —
+    * production stacks this gate (vs the corpus) in front of a keyed
+    * stateful pair stage when stream-internal dups matter.
+    *
+    * Plan: probes = nProbe (vec, cell) rows per arriving vector (pure
+    * flatMap); static index joins on cell (broadcastable when the
+    * index fits — pass it pre-`broadcast()`-hinted if so); asymmetric
+    * code scoring; per-vector fold + single emission via
+    * `flatMapGroupsWithState` (state never written — zero retained
+    * rows; vectors are batch-atomic like every per-doc gate here).
+    * Output: one row per arriving vector with is_near_dup, the minimum
+    * matching corpus id (own id when new), and the best approximate
+    * cosine (0.0 when new). */
+  def streamingSemanticGate(vecs: DataFrame,
+                            model: graft.operators.Similarity.SemanticIndexModel,
+                            corpusIndex: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            nProbe: Int = 4,
+                            threshold: Double = 0.5): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val probes = vecs
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val mm = bc.value
+        it.flatMap { case (id, raw) =>
+          graft.operators.Similarity.probeCells(mm, raw, nProbe)
+            .iterator.map(cell => (id, raw, cell))
+        }
+      }
+      .toDF("id", "qv", "cell")
+    val books = model.books
+    val sd = model.subDim
+    val approxCos = udf { (q: Seq[Double], codes: Seq[Int], recNorm: Double) =>
+      graft.operators.Similarity.approxCosFromCodes(q, codes, recNorm,
+        books, sd)
+    }
+    probes.join(
+        corpusIndex.select(col("cell"), col("id").cast("long").as("cid"),
+          col("codes"), col("rec_norm")), Seq("cell"))
+      .select(col("id"), col("cid"),
+        approxCos(col("qv"), col("codes"), col("rec_norm")).as("e"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, SemGateOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (id, rows, _: GroupState[Boolean]) =>
+          // fold: best cosine + min matching corpus id above threshold
+          var best = 0.0
+          var canon = Long.MaxValue
+          rows.foreach { case (_, cid, e) =>
+            if (e >= threshold) {
+              if (e > best) best = e
+              if (cid < canon) canon = cid
+            }
+          }
+          if (canon == Long.MaxValue) Iterator(SemGateOut(id, false, id, 0.0))
+          else Iterator(SemGateOut(id, true, canon, best))
+      }.toDF()
+  }
+
   /** Streaming language-ID gate: the NB char-trigram classifier
     * ([[graft.operators.LangId]]) trained ONCE on a static labeled
     * reference corpus, scoring arriving docs via a broadcast

@@ -580,6 +580,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("langgate_test").count() == expected.size)
   }
 
+  test("streaming semantic gate matches batch corpus flags across batches") {
+    // encode-once ingestion gate: the corpus IVF+PQ keeper table is
+    // static; arriving vectors probe it via a stream-static cell join.
+    // Corpus matches must equal the batch operator's corpus stage
+    // exactly (shared scoring kernel); stream-internal dups are out of
+    // the gate's contract (documented) and read as new.
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(axis: Int, scale: Double = 1.0): Array[Double] = {
+      val v = new Array[Double](8); v(axis) = scale; v
+    }
+    val corpus = Seq((1L, vec(0)), (2L, vec(2))).toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      (100L, vec(0, 0.9)), (101L, vec(0)), // corpus near-dups of 1
+      (102L, vec(4)), (103L, vec(4)),      // stream-internal pair: new
+      (104L, vec(6)))                      // unique: new
+      .toDF("vec_id", "embedding")
+    val model = Similarity.trainSemanticIndex(corpus.unionByName(arrivals),
+      "vec_id", "embedding", nLists = 2, m = 2, nCodes = 4)
+    val idx = Similarity.semanticSignatureIndex(model, corpus,
+      "vec_id", "embedding")
+    // batch corpus stage = the expectation for corpus matches
+    val batch = Similarity.incrementalSemanticFlags(model, idx, arrivals,
+      "vec_id", "embedding", nProbe = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.CacheRegistry.releaseAll()
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.DocStreams.streamingSemanticGate(
+      stream.toDF().toDF("vec_id", "embedding"), model, idx,
+      nProbe = 2, threshold = 0.5)
+      .writeStream.format("memory").queryName("semgate_test")
+      .outputMode("update").start()
+    val rows = Seq(100L, 101L, 102L, 103L, 104L).map(id =>
+      id -> (if (id <= 101L) (if (id == 100L) vec(0, 0.9) else vec(0))
+             else if (id <= 103L) vec(4) else vec(6)).toSeq)
+    stream.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val got = spark.table("semgate_test").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    q.stop()
+    graft.CacheRegistry.releaseAll()
+    // corpus matches: identical canonical AND bit-identical score
+    Seq(100L, 101L).foreach { id =>
+      assert(batch(id)._1 == "near_dup_of_corpus")
+      assert(got(id) == ((true, batch(id)._2, batch(id)._3)),
+        s"$id: ${got(id)} vs batch ${batch(id)}")
+    }
+    // stream-internal pair + unique vector: new under the gate's
+    // corpus-only contract (batch flags 103 near_dup_in_batch)
+    Seq(102L, 103L, 104L).foreach { id =>
+      assert(got(id) == ((false, id, 0.0)), s"$id: ${got(id)}")
+    }
+    assert(spark.table("semgate_test").count() == 5, "one emission per vector")
+  }
+
   test("streaming LM gate equals the batch external-mode gate across batches") {
     // pretrain-batch / gate-stream: the CCNet ingest filter. The LM is
     // built from a static reference corpus; arriving docs are scored
