@@ -65,7 +65,8 @@ object Bench {
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench")
 
-    def spawn(tag: String, onlyVal: String, extraEnv: Map[String, String])
+    def spawn(tag: String, onlyVal: String, extraEnv: Map[String, String],
+              timeoutSec: Long = 0L)
         : Option[com.fasterxml.jackson.databind.JsonNode] = {
       val outFile = tmpDir.resolve(s"$tag.json")
       val logFile = tmpDir.resolve(s"$tag.out.log")
@@ -92,7 +93,21 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val t0 = System.nanoTime()
       val p = pb.start()
-      val code = p.waitFor()
+      // time box (aux child only): the ride-alongs must never be able
+      // to hold the round artifact hostage — BENCH_r11 died rc=124
+      // with parsed:null because the sf1 gate outlived the driver's
+      // wall-clock INSIDE the aux child while 148 finished medians
+      // waited on emission. A killed aux child just means the round
+      // ships without fresh ride-along rows (the committed standing
+      // artifacts cover those).
+      val code =
+        if (timeoutSec <= 0) p.waitFor()
+        else if (p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS))
+          p.exitValue()
+        else {
+          System.err.println(s"[bench] child $tag TIMED OUT after ${timeoutSec}s; killing")
+          p.destroyForcibly(); p.waitFor(); -99
+        }
       System.err.println(
         f"[bench] child $tag exit=$code ${(System.nanoTime() - t0) / 1e9}%.1fs")
       if (code != 0 || !java.nio.file.Files.exists(outFile)) None
@@ -112,21 +127,6 @@ object Bench {
           spawn(s"batch${i}retry", batch.mkString(","), Map.empty)
       }
     }
-    // aux child: dedup-scaling + streaming ride-alongs, zero queries
-    val auxNode =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt <= 0 &&
-          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0" &&
-          sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "1") == "0") None
-      else spawn("aux", "__aux_none__", Map(
-        "SPARK_GRAFT_SCALING_REPS" ->
-          sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2"),
-        "SPARK_GRAFT_STREAM_BENCH" ->
-          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1"),
-        // the standing sf1 scale gate (SCALING_r{N}.json) rides in the
-        // aux child by default — SPARK_GRAFT_SCALING_GATE=0 skips it
-        "SPARK_GRAFT_SCALING_GATE" ->
-          sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "1")))
-
     if (childResults.isEmpty) {
       System.err.println("[bench] every child failed; running inline")
       runSuite(); return
@@ -166,24 +166,65 @@ object Bench {
     }.toMap
     val total = medByName.values.filter(_ >= 0).sum
     val minSum = minByName.values.filter(_ >= 0).sum
-    val scalingJson = auxNode.flatMap(n =>
-      Option(n.get("dedup_scaling")).map(_.toString)).getOrElse("{}")
-    val streamJson = auxNode.flatMap(n =>
-      Option(n.get("streaming")).map(_.toString)).getOrElse("{}")
-    val isolationJson = readIsolation()
-    val scale10Json = readScale10()
-    // the aux child's standing scale gate, embedded for the round
-    val gateJson = {
+    val failedJson = failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the standing scale gate artifact for the round, read from disk
+    // (the aux child refreshes it; a committed prior round's file — or
+    // a standalone `runMain graft.ScalingGate` — covers a skipped aux)
+    def gateJson: String = {
       val p = java.nio.file.Paths.get(
         f"/root/repo/SCALING_r${ScalingGate.currentRound()}%02d.json")
       if (java.nio.file.Files.exists(p))
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
       else "{}"
     }
-    val failedJson = failedAll.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","fork_batch":$batchSize,"n_children":${childResults.size},"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":$scale10Json,"streaming":$streamJson,"scaling_gate":$gateJson,"isolation":$isolationJson}"""
-    emit(json, names.size, total, minSum, medByName, minByName,
-      failedJson, reps, sfDir)
+    def fullJson(scalingJson: String, streamJson: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","fork_batch":$batchSize,"n_children":${childResults.size},"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":${readScale10()},"streaming":$streamJson,"scaling_gate":$gateJson,"isolation":${readIsolation()}}"""
+
+    // FIRST emission — the query medians ARE the round artifact, and
+    // they go out the moment the last query child lands (r11 verdict
+    // ask #1: BENCH_r11 lost 148 finished measurements to rc=124
+    // because emission used to wait for the aux ride-alongs). If the
+    // driver kills this JVM mid-aux, the markers + bench_out.json
+    // below already carry every query.
+    emit(fullJson("{}", "{}"), names.size, total, minSum, medByName,
+      minByName, failedJson, reps, sfDir)
+
+    // aux child: dedup-scaling + streaming + sf1 gate ride-alongs,
+    // zero queries — time-boxed (default 20 min) and reduced to 1 gate
+    // rep in-bench (the committed SCALING_r*.json from a standalone
+    // 2-rep run is the standing record; the ride-along is a refresh)
+    val auxTimeout = sys.env.getOrElse("SPARK_GRAFT_AUX_TIMEOUT_SEC",
+      "1200").toLong
+    val auxNode =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt <= 0 &&
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0" &&
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "1") == "0") None
+      else spawn("aux", "__aux_none__", Map(
+        "SPARK_GRAFT_SCALING_REPS" ->
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2"),
+        "SPARK_GRAFT_STREAM_BENCH" ->
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1"),
+        // the standing sf1 scale gate (SCALING_r{N}.json) rides in the
+        // aux child by default — SPARK_GRAFT_SCALING_GATE=0 skips it
+        "SPARK_GRAFT_SCALING_GATE" ->
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "1"),
+        "SPARK_GRAFT_GATE_REPS" ->
+          sys.env.getOrElse("SPARK_GRAFT_GATE_REPS", "1")),
+        timeoutSec = auxTimeout)
+
+    // SECOND emission — same query numbers, enriched with whatever the
+    // aux child produced (and the gate file it rewrote). Re-emitting
+    // the full marker block keeps the driver's "parse between the LAST
+    // marker pair" and "parse the FIRST pair" readings identical in
+    // query content.
+    if (auxNode.isDefined) {
+      val scalingJson = auxNode.flatMap(n =>
+        Option(n.get("dedup_scaling")).map(_.toString)).getOrElse("{}")
+      val streamJson = auxNode.flatMap(n =>
+        Option(n.get("streaming")).map(_.toString)).getOrElse("{}")
+      emit(fullJson(scalingJson, streamJson), names.size, total, minSum,
+        medByName, minByName, failedJson, reps, sfDir)
+    }
   }
 
   private def readIsolation(): String = {

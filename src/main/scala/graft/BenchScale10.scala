@@ -75,12 +75,33 @@ object BenchScale10 {
                           off: Long): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + off))
 
-  /** Write the 10× replicated sf1-shaped dir (skip if present). */
+  /** Content key of the source dir: table file names + sizes + k. A
+    * marker holding this key makes the replica cache reusable ACROSS
+    * bench/gate runs (r11 verdict ask #10 — regeneration was riding
+    * inside the aux child's wall-clock every round) while still
+    * invalidating the moment the driver regenerates sf0.1. */
+  private def replicaKey(srcDir: String, k: Int): String = {
+    val src = new java.io.File(srcDir)
+    val parts = Option(src.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val fs = if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq else Seq(f)
+        fs.map(g => s"${f.getName}/${g.getName}:${g.length}")
+      }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest((parts.mkString("\n") + s"\nk=$k").getBytes("UTF-8"))
+    h.map("%02x".format(_)).mkString
+  }
+
+  /** Write the 10× replicated sf1-shaped dir (skip when the committed
+    * content-key marker matches — the replica survives across runs). */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
                k: Int): Unit = {
-    val done = java.nio.file.Paths.get(s"$outDir/region.parquet")
-    if (java.nio.file.Files.exists(done)) {
-      System.err.println(s"[scale10] $outDir exists, skipping generation")
+    val key = replicaKey(srcDir, k)
+    val marker = java.nio.file.Paths.get(s"$outDir/_graft_replica_key")
+    if (java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == key) {
+      System.err.println(s"[scale10] $outDir replica key matches, skipping generation")
       return
     }
     def t(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
@@ -110,6 +131,7 @@ object BenchScale10 {
     // dimensions: fixed cardinality at any fact scale
     t("nation").write.mode("overwrite").parquet(s"$outDir/nation.parquet")
     t("region").write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    java.nio.file.Files.write(marker, (key + "\n").getBytes("UTF-8"))
     System.err.println(s"[scale10] generated ${k}x replication at $outDir")
   }
 

@@ -121,7 +121,8 @@ object SlopeCv {
     // results, one sort instead of twelve.
     val localData: (Array[org.apache.spark.ml.linalg.Vector],
         Array[Any], Array[Array[Int]]) =
-      if (withFolds.count() * pFeat.toLong <= params.localCellLimit) {
+      if (withFolds.count() * pFeat.toLong <=
+            Slope.effectiveLocalCellLimit(params)) {
         val rows = withFolds.select(
           (featCast +: labCast +:
             (0 until repeats).map(r => col(s"__fold_$r"))): _*).collect()

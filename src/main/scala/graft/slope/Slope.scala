@@ -127,6 +127,21 @@ case class SlopeModel(
   */
 object Slope {
 
+  /** Effective local-dispatch threshold. The JVM property
+    * `graft.slope.localCellLimitOverride` (when set) wins over the
+    * per-fit param: the scale gate pins it to 0 around its q_slope_cv
+    * row so BOTH scale points measure the distributed path — the
+    * sf0.1/sf1 pair used to straddle the dispatch, making the fitted
+    * exponent measure the crossover instead of the algorithm (r11
+    * verdict ask #5). Results are identical on either side (the
+    * dist≡local certificates), so the override is a pure
+    * measurement-path selector, never a semantics knob. */
+  def effectiveLocalCellLimit(params: SlopeParams): Long =
+    sys.props.get("graft.slope.localCellLimitOverride") match {
+      case Some(v) => v.toLong
+      case None => params.localCellLimit
+    }
+
   /** Fit from a DataFrame with a features column (ml Vector or
     * array<double>) and a label column (numeric, string for
     * classification families, or array<double> for the multi-task
@@ -172,7 +187,7 @@ object Slope {
     val n = sel.count()
     require(n > 0, "empty input")
 
-    if (n * p.toLong <= params.localCellLimit) {
+    if (n * p.toLong <= effectiveLocalCellLimit(params)) {
       // driver-local path: zero Spark jobs inside the solver loop
       val rows = sel.collect()
       val xs = new Array[Vector](rows.length)

@@ -102,4 +102,25 @@ class HarnessSpec extends AnyFunSuite {
     assert(noOracle.isEmpty,
       s"queries without an oracle: ${noOracle.toSeq.sorted.mkString(", ")}")
   }
+
+  test("committed bench artifact covers exactly SparkEntry.queries (r11 ask #4)") {
+    // r11 shipped a 148-query bench against a 150-query registry — the
+    // two q_dup_token_fraction* rows landed after the bench run with
+    // correctness rows but no bench rows. Bench and correctness must
+    // cover the SAME names in the same commit, so this test fails the
+    // build whenever a query is added (or renamed) without re-running
+    // `runMain graft.Bench` to refresh bench_out.json.
+    val p = Paths.get("/root/repo/bench_out.json")
+    assert(Files.exists(p), "bench_out.json missing — run graft.Bench")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(p.toFile)
+    import scala.jdk.CollectionConverters._
+    val benched = node.get("queries").fieldNames().asScala.toSet
+    val registered = SparkEntry.queries.keySet
+    val unbenched = registered -- benched
+    val stale = benched -- registered
+    assert(unbenched.isEmpty && stale.isEmpty,
+      s"bench/registry drift — unbenched: ${unbenched.toSeq.sorted.mkString(", ")}; " +
+      s"stale bench rows: ${stale.toSeq.sorted.mkString(", ")}")
+  }
 }
