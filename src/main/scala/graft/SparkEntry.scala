@@ -409,6 +409,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_token_count_gpt2" -> ((s, dir) => {
+      // TRUE byte-level BPE (r11 ask #2): merges applied in RANK order
+      // over byte-encoded GPT-2 pretokens, case preserved — the
+      // production token accounting. Counted by the codegen'd
+      // Gpt2TokenCount expression; the DuckDB oracle REPLAYS the merge
+      // loop (recursive CTE over hex byte symbols, lowest-rank pair
+      // first) from the same committed merges.txt, so a wrong merge
+      // order, a wrong pretokenizer split, or a wrong byte encoding
+      // all hash-mismatch. Greedy longest-match (pre_tokens) rides
+      // alongside as the differential anchor the two columns are
+      // EXPECTED to diverge on.
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.ByteBpe.gpt2TokenCount(col("text")).as("gpt2_tokens"),
+        graft.functions.Subword.pretrainedTokenCount(col("text"))
+          .as("pre_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_seq_pack_gpt2" -> ((s, dir) => {
+      // packing routed through the TRUE byte-level tokenizer — the
+      // offsets a production pipeline would actually pack by
+      graft.operators.Packing.packOffsets(docs(s, dir), "doc_id", "text",
+        seqLen = 512,
+        tokenCount = graft.functions.ByteBpe.gpt2TokenCount)
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+          col("first_seq"), col("last_seq"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
@@ -2844,6 +2873,82 @@ object SparkEntry {
          FROM documents d LEFT JOIN __ds USING (doc_id))"""
   }
 
+  /** Full DuckDB replay of [[graft.functions.ByteBpe]] — the TRUE
+    * byte-level merge-rank BPE. Ends with `dgpt(doc_id, n_gpt2)`.
+    *
+    * Structure (all independent of the engine's kernels):
+    *  1. Pretokenize with the GPT-2 regex. DuckDB's RE2 has no
+    *     lookahead, so whitespace runs are matched WHOLE and then
+    *     split by window fixup into exactly the `\s+(?!\S)` +
+    *     one-space-attaches-to-the-next-token decomposition (a run
+    *     before a non-ws token yields run[:-1], and its final char
+    *     either prefixes the next token if it is a literal space or
+    *     stands alone otherwise) — RE2's leftmost-first alternation
+    *     was probed to match the reference engine's semantics.
+    *  2. Byte-encode each pretoken as `hex(encode(tok))` split into
+    *     2-char byte symbols — hex IS the byte alphabet here, so the
+    *     byte→unicode table never appears in SQL; the merge table is
+    *     inlined in the same hex form ([[graft.functions.ByteBpe.hexRanks]]).
+    *  3. Recursive CTE: find the lowest-rank adjacent pair, merge its
+    *     FIRST occurrence, recurse until no pair is in the table; the
+    *     fixpoint rows are the final tokenization. First-occurrence
+    *     iteration equals the engine's all-occurrences-per-pass merge
+    *     for any loader-accepted (well-formed) merges file — see the
+    *     equivalence proof in ByteBpe's scaladoc. */
+  private lazy val Gpt2Cte: String = {
+    val mapLit = graft.functions.ByteBpe.hexRanks
+      .map { case (k, r) => s"'$k': $r" }.mkString("MAP {", ", ", "}")
+    val big = "2147483647"
+    def prsOf(syms: String) =
+      s"""list_transform(generate_series(1, len($syms) - 1),
+          i -> coalesce(map_extract($mapLit, $syms[i] || ' ' || $syms[i+1])[1], $big))"""
+    val wsRe = "'^\\s+$'"
+    s"""__t0 AS (SELECT doc_id,
+           regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tk
+         FROM documents),
+       __u AS (SELECT doc_id, unnest(tk) AS tok,
+           unnest(generate_series(1, len(tk))) AS i FROM __t0),
+       __v AS (SELECT doc_id, i, tok,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+           lag(tok)  OVER (PARTITION BY doc_id ORDER BY i) AS prv
+         FROM __u),
+       __parts AS (SELECT doc_id, i,
+           CASE
+             WHEN regexp_matches(tok, $wsRe) AND nxt IS NOT NULL
+                  AND NOT regexp_matches(nxt, $wsRe) AND length(tok) >= 2 THEN
+               CASE WHEN substr(tok, length(tok), 1) = ' '
+                    THEN [substr(tok, 1, length(tok) - 1)]
+                    ELSE [substr(tok, 1, length(tok) - 1),
+                          substr(tok, length(tok), 1)] END
+             WHEN NOT regexp_matches(tok, $wsRe) AND prv IS NOT NULL
+                  AND regexp_matches(prv, $wsRe) AND length(prv) >= 2
+                  AND substr(prv, length(prv), 1) = ' ' THEN [' ' || tok]
+             ELSE [tok]
+           END AS parts FROM __v),
+       __pt AS (SELECT doc_id, i, unnest(parts) AS tok,
+           unnest(generate_series(1, len(parts))) AS j FROM __parts),
+       __ini AS (SELECT doc_id, i, j,
+           regexp_extract_all(hex(encode(tok)), '..') AS syms FROM __pt),
+       __bpe AS (
+         SELECT doc_id, i, j, syms FROM __ini
+         UNION ALL
+         SELECT doc_id, i, j,
+           syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+         FROM (
+           SELECT doc_id, i, j, syms,
+             list_position(prs, list_min(prs)) AS bi, list_min(prs) AS best
+           FROM (SELECT doc_id, i, j, syms, ${prsOf("syms")} AS prs
+                 FROM __bpe))
+         WHERE best IS NOT NULL AND best < $big),
+       __fin AS (
+         SELECT doc_id, len(syms) AS ntok FROM __bpe
+         WHERE coalesce(list_min(${prsOf("syms")}), $big) = $big),
+       __gs AS (SELECT doc_id, sum(ntok) AS n FROM __fin GROUP BY doc_id),
+       dgpt AS (
+         SELECT d.doc_id, coalesce(__gs.n, 0)::BIGINT AS n_gpt2
+         FROM documents d LEFT JOIN __gs USING (doc_id))"""
+  }
+
   private def occSql(padded: String, term: String): String =
     s"((length($padded) - length(replace($padded, ' $term ', ''))) // ${term.length + 2})"
 
@@ -3323,6 +3428,27 @@ object SparkEntry {
       "q_seq_pack_pre" ->
         s"""WITH RECURSIVE $PretrainedCte,
            t AS (SELECT doc_id, n_sub AS n_tokens FROM dsub),
+           c AS (
+             SELECT doc_id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens)::BIGINT AS token_offset
+             FROM t)
+           SELECT doc_id, n_tokens, token_offset,
+             (token_offset // 512)::BIGINT AS first_seq,
+             ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
+               AS last_seq
+           FROM c ORDER BY doc_id""",
+
+      "q_token_count_gpt2" ->
+        s"""WITH RECURSIVE $Gpt2Cte,
+           $PretrainedCte
+           SELECT g.doc_id, g.n_gpt2 AS gpt2_tokens, s.n_sub AS pre_tokens
+           FROM dgpt g JOIN dsub s USING (doc_id) ORDER BY doc_id""",
+
+      "q_seq_pack_gpt2" ->
+        s"""WITH RECURSIVE $Gpt2Cte,
+           t AS (SELECT doc_id, n_gpt2 AS n_tokens FROM dgpt),
            c AS (
              SELECT doc_id, n_tokens,
                (sum(n_tokens) OVER (ORDER BY doc_id

@@ -1,0 +1,337 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TRUE byte-level BPE in the GPT-2 discipline (r11 verdict ask #2):
+  * merges applied in RANK order over byte-encoded pretokens produced
+  * by the GPT-2 pretokenizer regex, case preserved. This is the
+  * tokenizer family production pipelines bill by; the greedy
+  * longest-match counter ([[Subword.pretrainedTokenCount]]) remains as
+  * the differential anchor, and the two deliberately DIVERGE on text
+  * where merge priority matters (see Gpt2BpeSpec's hand-replayed
+  * divergence case).
+  *
+  * Every piece of the algorithm is public knowledge (the GPT-2
+  * encoder is published at github.com/openai/gpt-2, encoder.py; the
+  * byte↔unicode table and the pretokenizer regex below are that
+  * published algorithm re-implemented):
+  *
+  *  1. PRETOKENIZE with the published regex
+  *     `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`
+  *     — contractions split, words carry their one leading space, case
+  *     and punctuation PRESERVED (unlike the engine's normalized-word
+  *     chain; that is the point of the interop).
+  *  2. BYTE-ENCODE each pretoken: UTF-8 bytes, each mapped through the
+  *     reversible byte→unicode table (printable bytes map to
+  *     themselves; the rest to U+0100.. — space becomes 'Ġ', newline
+  *     'Ċ'). Every string is thus representable with zero unknowns.
+  *  3. MERGE by rank: repeatedly find the adjacent symbol pair with the
+  *     LOWEST merge rank and merge all its non-overlapping occurrences
+  *     left-to-right; stop when no adjacent pair is in the merge table.
+  *     Token count = final symbol count; token ids via vocab.json.
+  *
+  * The committed fixture (`/graft/gpt2/{merges.txt,vocab.json}`) is in
+  * the exact GPT-2 file layout and is byte-level-TRAINED on the
+  * sf0.01 fixture corpus by `graft.Gpt2VocabGen` (the real 50k-merge
+  * GPT-2 file cannot ship into this zero-egress sandbox; the loader
+  * accepts it unchanged — same format, same semantics). Loading
+  * VALIDATES the BPE well-formedness invariant — each merge's sides
+  * are single byte symbols or results of strictly earlier merges —
+  * which any genuinely-trained merges file satisfies and which the
+  * first-occurrence oracle equivalence below requires.
+  *
+  * Scale shape: counting is a codegen'd [[Gpt2TokenCount]] expression
+  * (no ScalaUDF node) calling this kernel; the merge table lives once
+  * per JVM (classpath lazy val, never shipped per-task) and a bounded
+  * per-pretoken memo ([[bpeCache]]) makes the amortized cost of a
+  * Zipf-distributed corpus one hash probe per pretoken.
+  *
+  * ORACLE EQUIVALENCE (why the DuckDB recursive CTE may merge only the
+  * FIRST occurrence per step): with well-formed ranks, any pair
+  * created by merging (a,b)→ab — i.e. (x,ab) or (ab,y) — has rank
+  * strictly greater than rank(a,b), because a merge involving ab can
+  * only be learned after ab exists. So after merging the first
+  * occurrence, the minimum-rank pair is again (a,b) at its next
+  * non-overlapping occurrence (overlaps are destroyed exactly as the
+  * left-to-right pass destroys them), and first-occurrence iteration
+  * replays the all-occurrence pass move for move. The loader's
+  * well-formedness check makes this argument airtight for any file it
+  * accepts.
+  */
+object ByteBpe {
+
+  // ---- byte <-> unicode table (published GPT-2 construction) ----
+
+  /** byte value -> representative char: printable latin-1 ranges
+    * ['!','~'], ['¡','¬'], ['®','ÿ'] map to themselves, the remaining
+    * 68 bytes map to U+0100, U+0101, ... in byte order. */
+  lazy val byteToChar: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    val arr = new Array[Char](256)
+    var next = 256
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) arr(b) = b.toChar
+      else { arr(b) = next.toChar; next += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  lazy val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  // ---- pretokenizer ----
+
+  /** The published GPT-2 pretokenizer regex, verbatim. */
+  val PretokenPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  private val pretokenRe = java.util.regex.Pattern.compile(
+    PretokenPattern, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Split text into GPT-2 pretokens (lossless: concat == input). */
+  def pretokenize(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val m = pretokenRe.matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** One pretoken -> initial byte symbols (each a 1-char string from
+    * the byte→unicode table). */
+  def toByteSymbols(pretoken: String): Array[String] = {
+    val bytes = pretoken.getBytes("UTF-8")
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.valueOf(byteToChar(bytes(i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  // ---- the merge loop (encoder.py semantics) ----
+
+  /** Apply merges in rank order: find the lowest-rank adjacent pair,
+    * merge all its non-overlapping occurrences left-to-right, repeat.
+    * `ranks` is keyed "left right" (symbols never contain a space —
+    * byte 0x20 maps to 'Ġ' — so the separator is unambiguous). */
+  def bpe(symsIn: Array[String],
+          ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    var word = symsIn
+    var run = word.length >= 2
+    while (run) {
+      var best = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < word.length - 1) {
+        val r = ranks.get(word(i) + " " + word(i + 1))
+        if (r != null && r.intValue() < best) {
+          best = r.intValue(); bestA = word(i); bestB = word(i + 1)
+        }
+        i += 1
+      }
+      if (bestA == null) run = false
+      else {
+        val merged = bestA + bestB
+        val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+        var j = 0
+        while (j < word.length) {
+          if (j < word.length - 1 && word(j) == bestA && word(j + 1) == bestB) {
+            out += merged; j += 2
+          } else { out += word(j); j += 1 }
+        }
+        word = out.toArray
+        run = word.length >= 2
+      }
+    }
+    word
+  }
+
+  // ---- committed fixture ----
+
+  val MergesResource = "/graft/gpt2/merges.txt"
+  val VocabResource = "/graft/gpt2/vocab.json"
+
+  private def readResource(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"gpt2 resource $path not on classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Parse a GPT-2 merges.txt (optional `#version` header, one
+    * "left right" pair per line in rank order) and VALIDATE the BPE
+    * well-formedness invariant: each side is a single byte symbol or
+    * the result of a strictly earlier merge. Fail-loud on violation —
+    * a file outside this invariant is not the output of BPE training
+    * and would break the oracle's first-occurrence equivalence. */
+  def parseMerges(lines: Iterator[String]): IndexedSeq[(String, String)] = {
+    val pairs = lines.map(_.stripLineEnd)
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed merges line: '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }.toIndexedSeq
+    val resultRank = scala.collection.mutable.Map.empty[String, Int]
+    pairs.zipWithIndex.foreach { case ((a, b), r) =>
+      def wellFormed(s: String): Boolean =
+        (s.length == 1 && charToByte.contains(s.charAt(0))) ||
+          resultRank.get(s).exists(_ < r)
+      require(wellFormed(a) && wellFormed(b),
+        s"merge $r ('$a' '$b') uses a symbol not derivable from earlier " +
+          "merges — not a BPE-trained file")
+      if (!resultRank.contains(a + b)) resultRank(a + b) = r
+    }
+    pairs
+  }
+
+  /** Merge list in rank order, from the committed fixture. */
+  lazy val merges: IndexedSeq[(String, String)] =
+    parseMerges(readResource(MergesResource).linesIterator)
+
+  /** "left right" -> rank. */
+  lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      // first occurrence wins, as in the reference encoder's dict
+      if (!m.containsKey(a + " " + b)) m.put(a + " " + b, r)
+    }
+    m
+  }
+
+  /** token string -> id, from vocab.json. */
+  lazy val vocabIds: Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readResource(VocabResource))
+    require(node != null && node.isObject, "vocab.json must be an object")
+    node.fields().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+  }
+
+  private lazy val idToToken: Map[Int, String] =
+    vocabIds.map(_.swap)
+
+  // ---- counting / encoding ----
+
+  /** Bounded per-pretoken memo (the reference encoder keeps the same
+    * cache): Zipf corpora re-tokenize the same pretokens constantly.
+    * Cleared wholesale past the bound — correctness never depends on
+    * it. */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val CacheBound = 200000
+
+  private def bpeCached(pretoken: String): Array[String] = {
+    val hit = bpeCache.get(pretoken)
+    if (hit != null) return hit
+    val res = bpe(toByteSymbols(pretoken), ranks)
+    if (bpeCache.size() >= CacheBound) bpeCache.clear()
+    bpeCache.put(pretoken, res)
+    res
+  }
+
+  /** Number of BPE tokens of `text` under the committed merges. */
+  def tokenCount(text: String): Long = {
+    if (text == null || text.isEmpty) return 0L
+    var n = 0L
+    pretokenize(text).foreach(pt => n += bpeCached(pt).length)
+    n
+  }
+
+  /** Token id sequence (vocab.json ids; -1 for a symbol missing from
+    * vocab.json — cannot happen when vocab covers all byte singles and
+    * merge results, which the loader-accepted fixture guarantees). */
+  def tokenIds(text: String): Array[Int] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    pretokenize(text).foreach { pt =>
+      bpeCached(pt).foreach(s => out += vocabIds.getOrElse(s, -1))
+    }
+    out.toArray
+  }
+
+  /** Inverse of [[tokenIds]] (test support): ids -> symbol strings ->
+    * bytes -> UTF-8 text. */
+  def decode(ids: Seq[Int]): String = {
+    val sb = new StringBuilder
+    ids.foreach(id => sb.append(idToToken.getOrElse(id,
+      throw new IllegalArgumentException(s"unknown token id $id"))))
+    val bytes = sb.toString.map(c => charToByte(c).toByte).toArray
+    new String(bytes, "UTF-8")
+  }
+
+  // ---- oracle support ----
+
+  /** The merge table keyed by HEX of the underlying raw bytes — the
+    * form the DuckDB oracle can derive in-plan (`hex(encode(tok))`
+    * split into byte pairs), sidestepping the byte→unicode table in
+    * SQL entirely. Key = hex(left) || ' ' || hex(right), uppercase. */
+  def hexRanks: Seq[(String, Int)] = {
+    def hexOf(sym: String): String =
+      sym.map(c => f"${charToByte(c)}%02X").mkString
+    merges.zipWithIndex.map { case ((a, b), r) =>
+      (hexOf(a) + " " + hexOf(b)) -> r
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      .toSeq.sortBy(_._2)
+  }
+
+  // ---- Spark surface ----
+
+  /** BPE token count column — a codegen'd expression, no ScalaUDF. */
+  def gpt2TokenCount(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(Gpt2TokenCount(ColumnShim.expression(c)))
+  }
+}
+
+/** Codegen'd `ByteBpe.tokenCount` over a string column (the
+  * MinhashSig/SimhashFp pattern — r8): the generated code is one
+  * static call into the shared kernel, so the projection stays inside
+  * whole-stage codegen instead of paying the ScalaUDF
+  * encode/decode/closure tax per row. NULL input counts 0 (a missing
+  * document has no tokens — matches the UDF-era contract of
+  * Subword.tokenCountFor). */
+case class Gpt2TokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gpt2_token_count requires string input, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else ByteBpe.tokenCount(v.asInstanceOf[UTF8String].toString)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |long ${ev.value} = ${childGen.isNull}
+         |  ? 0L
+         |  : graft.functions.ByteBpe.tokenCount(${childGen.value}.toString());
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Gpt2TokenCount =
+    copy(child = newChild)
+}

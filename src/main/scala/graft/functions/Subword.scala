@@ -1,7 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Deterministic subword tokenization for the packing / length-stats
   * operators — the BPE-flavored sibling of [[TextFunctions.wsTokenCount]].
@@ -29,14 +36,14 @@ import org.apache.spark.sql.functions._
   *    are deterministic; together they give subword counts that any
   *    engine can recompute bit-exactly.
   *
-  * Scale shape: the counter is a Scala UDF over the already-normalized
-  * word array. A UDF (not a built-in chain) because data-dependent
+  * Scale shape: the counter is the codegen'd [[SubwordCount]]
+  * expression over the already-normalized word array — a native
+  * Expression (not a built-in chain) because data-dependent
   * longest-match needs a loop no SQL expression provides; it stays
   * cheap — the vocab is a few hundred interned strings on each
   * executor (lazy val, loaded from the classpath once per JVM, never
   * shipped per-task) and the match is O(word_len · max_piece_len) with
-  * zero allocation per step. The UDF breaks whole-stage codegen for
-  * its one projection, the documented price of a real tokenizer. */
+  * zero allocation per step, inside whole-stage codegen. */
 object Subword {
 
   /** Classpath location of the committed vocab (one piece per line). */
@@ -90,23 +97,37 @@ object Subword {
     * `Packing.packOffsets(tokenCount = Subword.pretrainedTokenCount)`. */
   def pretrainedTokenCount(c: Column): Column = tokenCountFor(c, pretrained = true)
 
-  /** Shared counting UDF. The closure captures only the Boolean — the
-    * piece sets resolve from this object's lazy vals on each executor
-    * (loaded from the classpath once per JVM, never shipped per-task). */
+  /** Shared counting expression — a codegen'd [[SubwordCount]] (the
+    * MinhashSig pattern, r11 ask #3; this was an interpreted ScalaUDF
+    * through r11, breaking whole-stage codegen on every q_token_count/
+    * packing/length-quantile projection). The expression carries only
+    * the Boolean — the piece sets resolve from this object's lazy vals
+    * on each executor (loaded from the classpath once per JVM, never
+    * shipped per-task). */
   private def tokenCountFor(c: Column, pretrained: Boolean): Column = {
-    val counter = udf { words: Seq[String] =>
-      if (words == null) 0L
-      else {
-        val v = if (pretrained) pretrainedVocab else vocab
-        val ml = if (pretrained) pretrainedMaxLen else maxPieceLen
-        var s = 0L
-        words.foreach { w =>
-          if (w != null && w.nonEmpty) s += segmentCount(w, v, ml)
-        }
-        s
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(SubwordCount(
+      ColumnShim.expression(TextFunctions.normalizedWords(c)), pretrained))
+  }
+
+  /** Static counting kernel shared by [[SubwordCount]]'s interpreted
+    * and generated paths: sum of greedy segment counts over a word
+    * array (null words and empties count 0). */
+  def countArray(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                 pretrained: Boolean): Long = {
+    val v = if (pretrained) pretrainedVocab else vocab
+    val ml = if (pretrained) pretrainedMaxLen else maxPieceLen
+    var s = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i).toString
+        if (w.nonEmpty) s += segmentCount(w, v, ml)
       }
+      i += 1
     }
-    counter(TextFunctions.normalizedWords(c))
+    s
   }
 
   // ---- Pretrained-tokenizer vocab interop (GPT-2 file formats) ----
@@ -170,7 +191,7 @@ object Subword {
     pieces
   }
 
-  private lazy val pretrainedMaxLen: Int =
+  private[functions] lazy val pretrainedMaxLen: Int =
     if (pretrainedVocab.isEmpty) 0 else pretrainedVocab.iterator.map(_.length).max
 
   /** The pretrained pieces sorted — for the SQL oracle's VALUES table. */
@@ -244,4 +265,44 @@ object Subword {
     }
     merges.result().distinct
   }
+}
+
+/** Codegen'd greedy-subword token count over an `array<string>` of
+  * normalized words (the MinhashSig/SimhashFp pattern — r8, applied
+  * here per r11 verdict ask #3): the generated code is one static call
+  * into [[Subword.countArray]], so q_token_count/_pre/_bpe, BPE
+  * packing, and the length-quantile frames stay inside whole-stage
+  * codegen instead of paying the ScalaUDF row-conversion tax. NULL
+  * input counts 0 (matches the UDF-era contract). */
+case class SubwordCount(child: Expression, pretrained: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subword_count requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else Subword.countArray(v.asInstanceOf[ArrayData], pretrained)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |long ${ev.value} = ${childGen.isNull}
+         |  ? 0L
+         |  : graft.functions.Subword.countArray(${childGen.value}, $pretrained);
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+    copy(child = newChild)
 }

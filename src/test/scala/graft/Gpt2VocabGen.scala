@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{ByteBpe, Subword}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-time offline generator for the committed BYTE-LEVEL BPE fixture
+  * (`src/main/resources/graft/gpt2/{merges.txt,vocab.json}`) in the
+  * exact GPT-2 file layout. Unlike the word-level pretrained fixture
+  * (PretrainedVocabGen), this one is trained the way GPT-2's own vocab
+  * was trained: over GPT-2-pretokenized (case-preserved, punctuation-
+  * preserved, leading-space-carrying) pretokens whose initial symbols
+  * are byte→unicode-mapped BYTES, so 'Ġ'-prefixed merges arise
+  * naturally from the leading-space convention rather than being
+  * decoratively appended. Deterministic (BPE tie-break is
+  * lexicographic, id assignment is fixed-order) — rerunning reproduces
+  * the committed files byte-for-byte.
+  *
+  * Usage: Test/runMain graft.Gpt2VocabGen [corpusDir] [nMerges]
+  */
+object Gpt2VocabGen {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val nMerges = if (args.length > 1) args(1).toInt else 384
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // pretoken frequency map: the corpus is fixture-sized (hundreds of
+    // docs), so driver-side pretokenization is the offline training
+    // norm, not a scale anti-pattern
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      ByteBpe.pretokenize(t).foreach { pt =>
+        val mapped = ByteBpe.toByteSymbols(pt).mkString
+        counts(mapped) = counts.getOrElse(mapped, 0L) + 1L
+      }
+    }
+    val merges = Subword.trainMerges(counts.toMap, nMerges)
+
+    val outDir = java.nio.file.Paths.get("src/main/resources/graft/gpt2")
+    java.nio.file.Files.createDirectories(outDir)
+    val mergeLines = Seq("#version: 0.2") ++
+      merges.map { case (a, b) => s"$a $b" }
+    java.nio.file.Files.write(outDir.resolve("merges.txt"),
+      (mergeLines.mkString("\n") + "\n").getBytes("UTF-8"))
+
+    // vocab.json in the GPT-2 layout: the special, all 256 byte-level
+    // singles in byte order, then each merge result once, ids dense
+    val singles = (0 until 256).map(b => ByteBpe.byteToChar(b).toString)
+    val results = merges.map { case (a, b) => a + b }.distinct
+    val tokens = (Seq("<|endoftext|>") ++ singles ++ results).distinct
+    def jq(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+    val vocabJson = tokens.zipWithIndex
+      .map { case (t, i) => s"${jq(t)}: $i" }
+      .mkString("{\n  ", ",\n  ", "\n}\n")
+    java.nio.file.Files.write(outDir.resolve("vocab.json"),
+      vocabJson.getBytes("UTF-8"))
+    println(s"[gpt2gen] ${merges.size} merges, ${tokens.size} vocab tokens " +
+      s"from ${counts.size} distinct pretokens")
+    spark.stop()
+  }
+}
