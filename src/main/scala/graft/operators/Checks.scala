@@ -141,6 +141,10 @@ object Checks {
       .agg(max_by(struct((rest :+ opCol).map(col): _*), col("__batch"))
         .as("__last"))
       .filter(col(s"__last.$opCol") === "upsert")
-      .select(col(idCol) +: rest.map(c => col(s"__last.$c").as(c)): _*)
+      // re-select in base.columns ORDER (not id-first): the output
+      // schema must equal the input's and the applyChanges fold's
+      // positionally, not just by name (r11 ADVICE)
+      .select(dataCols.map(c =>
+        if (c == idCol) col(c) else col(s"__last.$c").as(c)): _*)
   }
 }

@@ -1019,6 +1019,7 @@ object Similarity {
     * — encode-once, exactly the MinHash keeper-table contract. */
   def semanticSignatureIndex(model: SemanticIndexModel, df: DataFrame,
                              idCol: String, vecCol: String): DataFrame = {
+    requireIntegralId(df, idCol, "semanticSignatureIndex")
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
@@ -1067,6 +1068,50 @@ object Similarity {
                                 nProbe: Int): Array[Int] =
     nearestCells(m.centers, raw, nProbe)
 
+  /** Persist a [[semanticSignatureIndex]] keeper table BUCKETED BY
+    * `cell` — the write that makes every later probe corpus-shuffle-
+    * free: the probe join's corpus side arrives hash-clustered on cell
+    * straight from the files, so the only exchange in
+    * [[incrementalSemanticFlags]] is the batch-sized probe side
+    * (plan-asserted in OperatorsSpec's bucketed-probe test, the
+    * ExportSpec zero-shuffle discipline). One shuffle at write time,
+    * amortized over every ingestion batch thereafter. */
+  def saveSemanticIndex(index: DataFrame, table: String,
+                        buckets: Int = 32): Unit =
+    index.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
+
+  /** Fail-loud id contract for the semantic-index operators: they run
+    * the id through cast("long") and back, which would turn a
+    * non-numeric id (string/uuid) into silent nulls — corrupting cell
+    * and canonical assignments instead of erroring (r11 ADVICE). The
+    * MinHash cluster operators support arbitrary ids; these require
+    * integral ones (or a caller-supplied surrogate key). */
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String,
+                                       op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType,
+      s"$op requires an integral id column (cast-to-long roundtrip); " +
+        s"'$idCol' is ${dt.catalogString} — supply a surrogate key")
+  }
+
+  /** The SINGLE shared scoring column for the asymmetric PQ cosine —
+    * one definition over [[approxCosFromCodes]] used by BOTH the batch
+    * flags and the streaming gate (r11 verdict ask #7; previously two
+    * identical closures). Null-tolerant: a left-outer probe row with
+    * no candidate scores 0.0 (below any positive threshold). */
+  private[graft] def approxCosUdf(model: SemanticIndexModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val books = model.books
+    val sd = model.subDim
+    udf { (q: Seq[Double], codes: Seq[Int], recNorm: Double) =>
+      if (q == null || codes == null) 0.0
+      else approxCosFromCodes(q, codes, recNorm, books, sd)
+    }
+  }
+
   /** Asymmetric approximate cosine from PQ codes alone: the query
     * stays full precision, the candidate contributes
     * dot(q, reconstruction)/(|q|·rec_norm) — shared by the batch
@@ -1106,9 +1151,13 @@ object Similarity {
     * 100-TB shape: the batch's probe-cell set (≤ batch × nProbe cells)
     * BROADCASTS as a semi-join filter over the index, so the
     * corpus-side shuffle carries only cells the batch actually probes
-    * — cost tracks the BATCH, not the corpus (with the index bucketed
-    * by cell the semi-join is partition pruning and the corpus never
-    * shuffles at all). In-batch candidates reuse the batch's own
+    * — cost tracks the BATCH, not the corpus. With the index persisted
+    * via [[saveSemanticIndex]] (bucketed by cell) the corpus never
+    * shuffles AT ALL: the probe join's corpus side reads
+    * hash-clustered from the files and only the batch side exchanges —
+    * plan-asserted in OperatorsSpec ("bucketed keeper table") and
+    * measured flat in corpus size by `graft.SemanticProbeScale`
+    * (SCALING.md). In-batch candidates reuse the batch's own
     * single-cell index rows with the strict `earlier id` join, exactly
     * the MinHash stage's shape. */
   def incrementalSemanticFlags(model: SemanticIndexModel,
@@ -1116,6 +1165,7 @@ object Similarity {
                                idCol: String, vecCol: String,
                                nProbe: Int = 4,
                                threshold: Double = 0.5): DataFrame = {
+    requireIntegralId(batch, idCol, "incrementalSemanticFlags")
     val spark = batch.sparkSession
     import spark.implicits._
     val idType = batch.schema(idCol).dataType
@@ -1137,13 +1187,10 @@ object Similarity {
       semanticSignatureIndex(model, batch, idCol, vecCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // asymmetric score from codes alone (books captured in the UDF —
-    // m × nCodes × subDim doubles, a few KB per task); shared kernel
-    // with the streaming gate so stream and batch scores are identical
-    val books = model.books
-    val sd = model.subDim
-    val approxCos = udf { (q: Seq[Double], codes: Seq[Int], recNorm: Double) =>
-      approxCosFromCodes(q, codes, recNorm, books, sd)
-    }
+    // m × nCodes × subDim doubles, a few KB per task); the ONE shared
+    // definition with the streaming gate, so stream and batch scores
+    // are identical by construction
+    val approxCos = approxCosUdf(model)
     val batchCells = probes.select("cell").distinct()
     val corpusHit = corpusIndex
       .join(broadcast(batchCells), Seq("cell"), "left_semi")

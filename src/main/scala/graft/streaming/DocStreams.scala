@@ -513,14 +513,21 @@ object DocStreams {
     * stateful pair stage when stream-internal dups matter.
     *
     * Plan: probes = nProbe (vec, cell) rows per arriving vector (pure
-    * flatMap); static index joins on cell (broadcastable when the
-    * index fits — pass it pre-`broadcast()`-hinted if so); asymmetric
-    * code scoring; per-vector fold + single emission via
-    * `flatMapGroupsWithState` (state never written — zero retained
-    * rows; vectors are batch-atomic like every per-doc gate here).
-    * Output: one row per arriving vector with is_near_dup, the minimum
-    * matching corpus id (own id when new), and the best approximate
-    * cosine (0.0 when new). */
+    * flatMap); static index joins on cell with a LEFT OUTER
+    * stream-static join — an arriving vector whose probe cells contain
+    * no corpus rows (a novel direction) still reaches the fold and
+    * emits `(id, false, id, 0.0)` instead of being silently dropped
+    * (r11 ADVICE; Structured Streaming supports stream-side outer
+    * joins against static frames). The static side is broadcastable
+    * when the index fits — pass it pre-`broadcast()`-hinted if so.
+    * Asymmetric code scoring via the ONE shared
+    * `Similarity.approxCosUdf` definition (identical scores to the
+    * batch operator by construction); per-vector fold + single
+    * emission via `flatMapGroupsWithState` (state never written — zero
+    * retained rows; vectors are batch-atomic like every per-doc gate
+    * here). Output: one row per arriving vector with is_near_dup, the
+    * minimum matching corpus id (own id when new), and the best
+    * approximate cosine (0.0 when new). */
   def streamingSemanticGate(vecs: DataFrame,
                             model: graft.operators.Similarity.SemanticIndexModel,
                             corpusIndex: DataFrame,
@@ -528,6 +535,8 @@ object DocStreams {
                             vecCol: String = "embedding",
                             nProbe: Int = 4,
                             threshold: Double = 0.5): DataFrame = {
+    graft.operators.Similarity.requireIntegralId(vecs, idCol,
+      "streamingSemanticGate")
     val spark = vecs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
@@ -542,18 +551,17 @@ object DocStreams {
         }
       }
       .toDF("id", "qv", "cell")
-    val books = model.books
-    val sd = model.subDim
-    val approxCos = udf { (q: Seq[Double], codes: Seq[Int], recNorm: Double) =>
-      graft.operators.Similarity.approxCosFromCodes(q, codes, recNorm,
-        books, sd)
-    }
+    val approxCos = graft.operators.Similarity.approxCosUdf(model)
     probes.join(
         corpusIndex.select(col("cell"), col("id").cast("long").as("cid"),
-          col("codes"), col("rec_norm")), Seq("cell"))
+          col("codes"), col("rec_norm")), Seq("cell"), "left_outer")
       .select(col("id"), col("cid"),
-        approxCos(col("qv"), col("codes"), col("rec_norm")).as("e"))
-      .as[(Long, Long, Double)]
+        // unmatched probe rows carry null cid/codes; the shared UDF is
+        // null-tolerant but Spark short-circuits null primitive args,
+        // so pin the no-candidate score to 0.0 (below any threshold)
+        coalesce(approxCos(col("qv"), col("codes"), col("rec_norm")),
+          lit(0.0)).as("e"))
+      .as[(Long, Option[Long], Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, SemGateOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
@@ -561,11 +569,11 @@ object DocStreams {
           // fold: best cosine + min matching corpus id above threshold
           var best = 0.0
           var canon = Long.MaxValue
-          rows.foreach { case (_, cid, e) =>
-            if (e >= threshold) {
+          rows.foreach {
+            case (_, Some(cid), e) if e >= threshold =>
               if (e > best) best = e
               if (cid < canon) canon = cid
-            }
+            case _ => () // no candidate in this probe cell, or below threshold
           }
           if (canon == Long.MaxValue) Iterator(SemGateOut(id, false, id, 0.0))
           else Iterator(SemGateOut(id, true, canon, best))
@@ -582,9 +590,11 @@ object DocStreams {
     * batch operator), per-doc fold + single emission via
     * `flatMapGroupsWithState` (state removed in the doc's own batch —
     * zero retained state; docs assumed batch-atomic like every per-doc
-    * gate here). Trigram-less docs produce no rows and are not
-    * emitted — filter empties upstream, or batch-score them
-    * (prior-only) separately. */
+    * gate here). Trigram-less (empty/blank) docs flow through an
+    * `explode_outer` as a single null-gram row contributing ZERO to
+    * every language sum, so the fold emits the prior-only argmax —
+    * exactly `LangId.classify`'s treatment; the gate loses no rows
+    * (r11 ADVICE: the previous inner explode dropped them). */
   def streamingLangIdGate(docs: DataFrame, modelDocs: DataFrame,
                           idCol: String = "doc_id",
                           textCol: String = "text",
@@ -599,9 +609,13 @@ object DocStreams {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("id"),
-        explode(lid.charTrigrams(col(textCol))).as("gram"))
+        explode_outer(lid.charTrigrams(col(textCol))).as("gram"))
       .join(broadcast(m.model), Seq("gram"), "left")
-      .select(col("id"), lpArr.as("lp"))
+      // the null-gram row of a trigram-less doc must contribute ZERO
+      // (not the OOV floors): batch classify has no trigram rows for
+      // such a doc, so its score is the prior alone
+      .select(col("id"), when(col("gram").isNull,
+          array(m.langs.map(_ => lit(0L)): _*)).otherwise(lpArr).as("lp"))
       .as[(Long, Seq[Long])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, LangGateOut](

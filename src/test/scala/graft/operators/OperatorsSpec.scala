@@ -596,6 +596,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaLoaded.toSeq == viaOrig.toSeq, "loaded model must code identically")
   }
 
+  test("bucketed keeper table: semantic probe leaves the corpus index unshuffled") {
+    // r11 verdict ask #6: the scaladoc claims "with the index bucketed
+    // by cell the corpus never shuffles at all" — prove it the way
+    // ExportSpec proves its layout. The keeper table is written
+    // bucketBy(cell) (saveSemanticIndex); the probe join's corpus side
+    // must then contain a bucketed scan and NO ShuffleExchange, with
+    // only the batch-sized probe side exchanging.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val rnd = new scala.util.Random(7)
+    def rv(): Array[Double] = Array.fill(8)(rnd.nextGaussian())
+    val corpus = (1L to 400L).map(i => (i, rv())).toDF("vec_id", "embedding")
+    val batch = (1000L to 1030L).map(i => (i, rv())).toDF("vec_id", "embedding")
+    val model = Similarity.trainSemanticIndex(corpus, "vec_id", "embedding",
+      nLists = 4, m = 2, nCodes = 4)
+    val idx = Similarity.semanticSignatureIndex(model, corpus,
+      "vec_id", "embedding")
+    spark.sql("DROP TABLE IF EXISTS graft_sem_idx_bkt")
+    Similarity.saveSemanticIndex(idx, "graft_sem_idx_bkt", buckets = 4)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val flags = Similarity.incrementalSemanticFlags(model,
+        spark.table("graft_sem_idx_bkt"), batch, "vec_id", "embedding",
+        nProbe = 2, threshold = 0.9)
+      def hasBucketedScan(p: SparkPlan): Boolean =
+        p.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty
+      // exchanges of CORPUS rows only: descent stops at broadcast
+      // builds (the batch-cells semi-join ships batch data, not corpus)
+      def corpusShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          Nil
+        case e: ShuffleExchangeExec =>
+          e +: e.children.flatMap(corpusShuffles)
+        case other => other.children.flatMap(corpusShuffles)
+      }
+      val plan = flags.queryExecution.executedPlan
+      // the PROBE join (keys on cell): its corpus side holds the
+      // bucketed scan and must move zero corpus rows before the join
+      val probeSides = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) => j
+      }.flatMap(j => Seq(j.left, j.right)).filter(hasBucketedScan)
+      assert(probeSides.nonEmpty,
+        s"bucketed corpus scan must feed the sort-merge probe join:\n$plan")
+      probeSides.foreach { side =>
+        val shuffles = corpusShuffles(side)
+        assert(shuffles.isEmpty,
+          s"corpus side of the probe join must not shuffle:\n$side")
+      }
+      // and the result equals the unbucketed run row-for-row
+      val viaBkt = flags.collect().map(_.toSeq).sortBy(_.head.toString)
+      graft.CacheRegistry.releaseAll()
+      val viaPlain = Similarity.incrementalSemanticFlags(model, idx, batch,
+        "vec_id", "embedding", nProbe = 2, threshold = 0.9)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(viaBkt.toSeq == viaPlain.toSeq)
+      graft.CacheRegistry.releaseAll()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_sem_idx_bkt")
+    }
+  }
+
   test("incremental dedup: corpus outranks batch, batch keep-first, new passes") {
     val corpus = docsDf(Seq(
       1L -> "shared content alpha",

@@ -554,7 +554,10 @@ class StreamingSpec extends AnyFunSuite {
     val crawl = (100L to 140L).map { id =>
       val v = if (id % 2 == 0) vocabA else vocabB
       (id, Seq.fill(2 + rnd.nextInt(7))(v(rnd.nextInt(v.size))).mkString(" "))
-    }
+    } ++ Seq((141L, ""), (142L, "   "))
+    // 141/142 are trigram-less: batch classify emits the prior-only
+    // argmax for them, and the gate must too (r11 ADVICE — the inner
+    // explode used to drop them from the stream entirely)
     val refDf = ref.toDF("doc_id", "text", "lang")
     val m = graft.operators.LangId.trainNb(refDf, "text", "lang")
     val expected = graft.operators.LangId.classify(
@@ -639,6 +642,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(id) == ((false, id, 0.0)), s"$id: ${got(id)}")
     }
     assert(spark.table("semgate_test").count() == 5, "one emission per vector")
+  }
+
+  test("streaming semantic gate emits novel-direction vectors whose probe cells are empty") {
+    // r11 ADVICE (medium): with an inner stream-static join, a vector
+    // whose nProbe probe cells hold NO corpus rows produced zero joined
+    // rows and was silently dropped — violating the one-row-per-vector
+    // contract. The left_outer join must surface it as
+    // (id, false, id, 0.0). Construction: the quantizer is trained on
+    // spread-out directions so it has >2 populated cells, but only TWO
+    // corpus vectors are indexed; a probe with nProbe=1 toward an
+    // unindexed direction lands in a cell with no corpus rows.
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(axis: Int): Array[Double] = {
+      val v = new Array[Double](8); v(axis) = 1.0; v
+    }
+    val trainAll = Seq((1L, vec(0)), (2L, vec(2)), (3L, vec(4)),
+      (4L, vec(6))).toDF("vec_id", "embedding")
+    val model = Similarity.trainSemanticIndex(trainAll, "vec_id",
+      "embedding", nLists = 4, m = 2, nCodes = 4)
+    val corpus = Seq((1L, vec(0)), (2L, vec(2))).toDF("vec_id", "embedding")
+    val idx = Similarity.semanticSignatureIndex(model, corpus,
+      "vec_id", "embedding")
+    // pick an arrival direction whose single probe cell has no corpus
+    // rows (vec(4) or vec(6) — whichever cell is unpopulated; assert
+    // the construction really produced an empty probe first)
+    val cells = idx.select("cell").collect().map(_.getInt(0)).toSet
+    val novel = Seq(vec(4), vec(6)).find { v =>
+      !cells.contains(Similarity.probeCells(model, v, 1)(0))
+    }
+    assert(novel.isDefined, "construction must yield an empty probe cell")
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.DocStreams.streamingSemanticGate(
+      stream.toDF().toDF("vec_id", "embedding"), model, idx,
+      nProbe = 1, threshold = 0.5)
+      .writeStream.format("memory").queryName("semgate_novel_test")
+      .outputMode("update").start()
+    stream.addData(Seq(200L -> novel.get.toSeq, 201L -> vec(0).toSeq): _*)
+    q.processAllAvailable()
+    val got = spark.table("semgate_novel_test").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    q.stop()
+    graft.CacheRegistry.releaseAll()
+    assert(got(200L) == ((false, 200L, 0.0)),
+      s"novel vector must be emitted as new, got ${got.get(200L)}")
+    assert(got(201L)._1, "the corpus near-dup still matches")
+    assert(got.size == 2, "one emission per vector, none dropped")
   }
 
   test("streaming LM gate equals the batch external-mode gate across batches") {
