@@ -115,6 +115,79 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.read(spark, dir).count() == 2)
   }
 
+  test("foreign-producer WET/WAT: Common-Crawl-style bytes the engine never wrote") {
+    // r11 verdict ask #8: the roundtrip tests prove self-consistency;
+    // this fixture is hand-authored per the WARC/1.0 spec in the shape
+    // Common Crawl actually publishes (the TfRecordSpec foreign-
+    // producer discipline) with framing our writer NEVER emits: a
+    // leading warcinfo record, WARC-Date/digest/language headers,
+    // lower-case header names, a different record-id scheme, UTF-8
+    // multibyte payloads, and payload text containing "WARC/1.0" —
+    // which only a Content-Length-driven parser survives.
+    def rec(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+      val head = new StringBuilder().append("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => head.append(s"$k: $v\r\n") }
+      head.append(s"Content-Length: ${payload.length}\r\n\r\n")
+      head.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val info = rec(Seq("WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:aaaa-0000>",
+      "content-type" -> "application/warc-fields"),
+      "software: cc/2.0\r\nformat: WARC File Format 1.0\r\n".getBytes(UTF_8))
+    val text1 = "Le texte extrait — ünïcode 🙂 body.\nWARC/1.0 looks like framing but is payload.\n"
+    val wet1 = rec(Seq("WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> "<urn:uuid:bbbb-1111>",
+      "WARC-Refers-To" -> "<urn:uuid:cccc-2222>",
+      "warc-target-uri" -> "https://example.org/page?a=1",
+      "WARC-Date" -> "2024-03-01T00:00:00Z",
+      "WARC-Block-Digest" -> "sha1:FAKEDIGESTAAA",
+      "WARC-Identified-Content-Language" -> "fra",
+      "Content-Type" -> "text/plain"), text1.getBytes(UTF_8))
+    val wet2 = rec(Seq("WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> "<urn:uuid:dddd-3333>",
+      "WARC-Refers-To" -> "<urn:uuid:eeee-4444>",
+      "WARC-Target-URI" -> "https://example.org/other",
+      "Content-Type" -> "text/plain"), "plain ascii body".getBytes(UTF_8))
+    val dir = tmpDir("foreign")
+    Files.write(new java.io.File(dir, "CC-MAIN-0000.warc.wet").toPath,
+      info ++ wet1 ++ wet2)
+    val watJson = """{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://example.org/page?a=1"},"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":[{"url":"https://example.org/linked"}]}}}}}"""
+    val wat = rec(Seq("WARC-Type" -> "metadata",
+      "WARC-Record-ID" -> "<urn:uuid:ffff-5555>",
+      "WARC-Refers-To" -> "<urn:uuid:cccc-2222>",
+      "WARC-Target-URI" -> "https://example.org/page?a=1",
+      "Content-Type" -> "application/json"), watJson.getBytes(UTF_8))
+    Files.write(new java.io.File(dir, "CC-MAIN-0000.warc.wat").toPath,
+      info ++ wat)
+
+    val wets = Warc.readWet(spark, dir).collect()
+    // the warcinfo record is filtered by type; both conversions parse
+    assert(wets.length == 2 && wets.forall(_.getBoolean(10)))
+    val byUri = wets.map(r => r.getString(4) -> r).toMap
+    val r1 = byUri("https://example.org/page?a=1")
+    assert(r1.getString(2) == "conversion")
+    assert(r1.getString(5) == "<urn:uuid:cccc-2222>") // refers_to
+    assert(new String(r1.getAs[Array[Byte]](9), UTF_8) == text1,
+      "multibyte payload must come back byte-exact by Content-Length")
+    assert(byUri.contains("https://example.org/other"))
+    val wats = Warc.readWat(spark, dir).collect()
+    assert(wats.length == 1 && wats.head.getBoolean(10))
+    assert(new String(wats.head.getAs[Array[Byte]](9), UTF_8) == watJson)
+    assert(wats.head.getString(7) == "application/json")
+
+    // quarantine on foreign malformation: a spec-violating record
+    // (garbage Content-Length) stops that FILE with a parse_ok=false
+    // row; the healthy sidecar files above are unaffected
+    val badBytes = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: NOT_A_NUMBER\r\n\r\nbody").getBytes(UTF_8)
+    Files.write(new java.io.File(dir, "CC-MAIN-bad.warc.wet").toPath,
+      wet2 ++ badBytes)
+    val withBad = Warc.readWet(spark, dir)
+    assert(withBad.filter(!col("parse_ok")).count() == 1)
+    assert(withBad.filter(col("parse_ok")).count() == 3,
+      "records before the malformed one (and other files) must survive")
+  }
+
   test("column pruning: a payload-free projection reads and aggregates") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"s${i % 3}", s"doc number $i body"))
