@@ -51,7 +51,24 @@ object GraftFunctions {
     ("graft_simhash",
       "graft_simhash(array<long> hashes) - one-pass 64-bit SimHash " +
         "fingerprint over pre-hashed features",
-      es => { requireArity("graft_simhash", es, 1); SimhashFp(es.head) }))
+      es => { requireArity("graft_simhash", es, 1); SimhashFp(es.head) }),
+    ("graft_gpt2_token_count",
+      "graft_gpt2_token_count(str) - byte-level merge-rank BPE token " +
+        "count (GPT-2 discipline) against the loaded merges fixture",
+      es => {
+        requireArity("graft_gpt2_token_count", es, 1); Gpt2TokenCount(es.head)
+      }),
+    ("graft_subword_token_count",
+      "graft_subword_token_count(array<string> words, bool pretrained) " +
+        "- greedy longest-match subword count over normalized words",
+      es => {
+        requireArity("graft_subword_token_count", es, 2)
+        SubwordCount(es.head, es(1) match {
+          case Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"graft_subword_token_count: expected a BOOLEAN literal, got $other")
+        })
+      }))
 
   /** Register every kernel on an existing session (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach {

@@ -37,6 +37,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
         org.apache.spark.sql.graft.ColumnShim.expression(col("h")))).as("sh"))
       .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
     assert(viaSql.toSeq == viaCol.toSeq)
+    // gpt2 + subword token counts: SQL == Column API
+    val tok = spark.sql(
+      "SELECT graft_gpt2_token_count(text) AS g FROM gf_docs")
+      .collect().map(_.getLong(0))
+    val tokCol = df.select(ByteBpe.gpt2TokenCount(col("text")))
+      .collect().map(_.getLong(0))
+    assert(tok.toSeq == tokCol.toSeq)
+    val sub = spark.sql(
+      "SELECT graft_subword_token_count(graft_words, false) AS s FROM " +
+        "(SELECT split(lower(text), ' ') AS graft_words FROM gf_docs)")
+      .collect().map(_.getLong(0))
+    assert(sub.forall(_ > 0))
     // arity/literal validation is loud, not silent
     val e = intercept[Exception](
       spark.sql("SELECT graft_deflate_size('a', 'b')").collect())
