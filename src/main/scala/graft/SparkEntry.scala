@@ -1498,6 +1498,30 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_gpt2_fertility" -> ((s, dir) => {
+      // q_tokenizer_stats under the PRODUCTION tokenizer: fertility /
+      // compression by source with byte-level merge-rank BPE counts
+      // (case + punctuation preserved), the numbers a pretraining
+      // dataset card actually reports when billing is in gpt2-style
+      // tokens. Same one-scan one-groupBy shape; the count is the
+      // codegen'd Gpt2TokenCount expression and the oracle replays
+      // the full merge loop per doc.
+      val t = graft.functions.TextFunctions
+      docs(s, dir)
+        .select(col("source"),
+          t.wsTokenCount(col("text")).cast("long").as("ws"),
+          graft.functions.ByteBpe.gpt2TokenCount(col("text")).as("g"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws").as("n_words"),
+          sum("g").as("n_gpt2_tokens"),
+          round(sum("g").cast("double") / sum("ws"), 6).as("fertility"),
+          round(sum("chars").cast("double") / sum("g"), 6)
+            .as("chars_per_token"))
+        .orderBy("source")
+    }),
+
     "q_seq_pack_bpe" -> ((s, dir) => {
       // same packing plan, SUBWORD token counts: greedy longest-match
       // against the committed BPE vocab (what a real pretraining
@@ -4639,6 +4663,18 @@ object SparkEntry {
              sum(ws)::BIGINT AS n_words, sum(sub)::BIGINT AS n_subwords,
              round(sum(sub)::DOUBLE / sum(ws), 6) AS fertility,
              round(sum(chars)::DOUBLE / sum(sub), 6) AS chars_per_token
+           FROM t GROUP BY source ORDER BY source""",
+
+      "q_gpt2_fertility" ->
+        s"""WITH RECURSIVE $Gpt2Cte,
+           t AS (
+             SELECT d.source, ($wcSql)::BIGINT AS ws, g.n_gpt2 AS gt,
+               length(d.text)::BIGINT AS chars
+             FROM documents d JOIN dgpt g USING (doc_id))
+           SELECT source, count(*)::BIGINT AS n_docs,
+             sum(ws)::BIGINT AS n_words, sum(gt)::BIGINT AS n_gpt2_tokens,
+             round(sum(gt)::DOUBLE / sum(ws), 6) AS fertility,
+             round(sum(chars)::DOUBLE / sum(gt), 6) AS chars_per_token
            FROM t GROUP BY source ORDER BY source""",
 
       "q_pack_manifest" ->
