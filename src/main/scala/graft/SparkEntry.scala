@@ -438,6 +438,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pack_ids_gpt2" -> ((s, dir) => {
+      // the LAST MILE: the actual fixed-length token-ID sequences a
+      // trainer consumes — gpt2 ids concatenated in doc order and cut
+      // every 512 (Packing.packTokenSequences; offsets via the
+      // range-bucketed PrefixSum, every token id shuffled exactly
+      // once). Each sequence is fingerprinted (md5 over the
+      // comma-joined ids), so one wrong id anywhere hash-mismatches;
+      // the oracle rebuilds every sequence from the merge-loop replay
+      // plus the same vocab id map.
+      graft.operators.Packing.packTokenSequences(docs(s, dir),
+        "doc_id", "text", seqLen = 512,
+        tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray)
+        .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+          md5(concat_ws(",", transform(col("input_ids"),
+            _.cast("string")))).as("ids_md5"))
+        .orderBy("seq_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
@@ -2919,13 +2937,53 @@ object SparkEntry {
     *     iteration equals the engine's all-occurrences-per-pass merge
     *     for any loader-accepted (well-formed) merges file — see the
     *     equivalence proof in ByteBpe's scaladoc. */
-  private lazy val Gpt2Cte: String = {
+  private lazy val Gpt2Cte: String =
+    s"""$Gpt2BpeBody,
+       __fin AS (
+         SELECT doc_id, len(syms) AS ntok FROM __bpe
+         WHERE ${gpt2NoMerge("syms")}),
+       __gs AS (SELECT doc_id, sum(ntok) AS n FROM __fin GROUP BY doc_id),
+       dgpt AS (
+         SELECT d.doc_id, coalesce(__gs.n, 0)::BIGINT AS n_gpt2
+         FROM documents d LEFT JOIN __gs USING (doc_id))"""
+
+  /** [[Gpt2BpeBody]] ending in `dids(doc_id, ids)` — the per-doc
+    * ORDERED token-id list (pretoken order, then symbol order), ids
+    * looked up from the same committed vocab.json by hex form. Feeds
+    * the packed-sequence oracle. */
+  private lazy val Gpt2IdsCte: String = {
+    val idMap = graft.functions.ByteBpe.hexVocabIds
+      .map { case (k, id) => s"'$k': $id" }.mkString("MAP {", ", ", "}")
+    s"""$Gpt2BpeBody,
+       __fin2 AS (
+         SELECT doc_id, i, j, syms FROM __bpe
+         WHERE ${gpt2NoMerge("syms")}),
+       __tok AS (SELECT doc_id, i, j, unnest(syms) AS sym,
+           unnest(generate_series(1, len(syms))) AS k FROM __fin2),
+       __tid AS (SELECT doc_id, i, j, k,
+           map_extract($idMap, sym)[1] AS tid FROM __tok),
+       dids AS (SELECT doc_id, list(tid ORDER BY i, j, k) AS ids
+         FROM __tid GROUP BY doc_id)"""
+  }
+
+  private val Gpt2Big = "2147483647"
+
+  private def gpt2PrsOf(syms: String): String = {
     val mapLit = graft.functions.ByteBpe.hexRanks
       .map { case (k, r) => s"'$k': $r" }.mkString("MAP {", ", ", "}")
-    val big = "2147483647"
-    def prsOf(syms: String) =
-      s"""list_transform(generate_series(1, len($syms) - 1),
-          i -> coalesce(map_extract($mapLit, $syms[i] || ' ' || $syms[i+1])[1], $big))"""
+    s"""list_transform(generate_series(1, len($syms) - 1),
+        i -> coalesce(map_extract($mapLit, $syms[i] || ' ' || $syms[i+1])[1], $Gpt2Big))"""
+  }
+
+  private def gpt2NoMerge(syms: String): String =
+    s"coalesce(list_min(${gpt2PrsOf(syms)}), $Gpt2Big) = $Gpt2Big"
+
+  /** The shared pretokenize + byte-encode + recursive merge body of
+    * the GPT-2 oracles, through `__bpe` (all intermediate merge
+    * states; the consumer selects the fixpoint rows). */
+  private lazy val Gpt2BpeBody: String = {
+    val big = Gpt2Big
+    def prsOf(syms: String) = gpt2PrsOf(syms)
     val wsRe = "'^\\s+$'"
     s"""__t0 AS (SELECT doc_id,
            regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tk
@@ -2963,14 +3021,7 @@ object SparkEntry {
              list_position(prs, list_min(prs)) AS bi, list_min(prs) AS best
            FROM (SELECT doc_id, i, j, syms, ${prsOf("syms")} AS prs
                  FROM __bpe))
-         WHERE best IS NOT NULL AND best < $big),
-       __fin AS (
-         SELECT doc_id, len(syms) AS ntok FROM __bpe
-         WHERE coalesce(list_min(${prsOf("syms")}), $big) = $big),
-       __gs AS (SELECT doc_id, sum(ntok) AS n FROM __fin GROUP BY doc_id),
-       dgpt AS (
-         SELECT d.doc_id, coalesce(__gs.n, 0)::BIGINT AS n_gpt2
-         FROM documents d LEFT JOIN __gs USING (doc_id))"""
+         WHERE best IS NOT NULL AND best < $big)"""
   }
 
   private def occSql(padded: String, term: String): String =
@@ -3484,6 +3535,33 @@ object SparkEntry {
              ((token_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
                AS last_seq
            FROM c ORDER BY doc_id""",
+
+      "q_pack_ids_gpt2" ->
+        s"""WITH RECURSIVE $Gpt2IdsCte,
+           t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
+                 WHERE len(ids) > 0),
+           c AS (SELECT doc_id, ids, n,
+                   (sum(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n)::BIGINT AS off
+                 FROM t),
+           s AS (SELECT doc_id, ids, n, off,
+                   unnest(generate_series(off // 512, (off + n - 1) // 512))
+                     AS seq_id
+                 FROM c),
+           p AS (SELECT seq_id,
+                   list_slice(ids,
+                     (greatest(seq_id * 512, off) - off + 1)::INT,
+                     (least((seq_id + 1) * 512, off + n) - off)::INT) AS part,
+                   (greatest(seq_id * 512, off) - seq_id * 512)::INT AS sis
+                 FROM s),
+           g AS (SELECT seq_id, count(*)::BIGINT AS n_docs,
+                   flatten(list(part ORDER BY sis)) AS input_ids
+                 FROM p GROUP BY seq_id)
+           SELECT seq_id, len(input_ids)::BIGINT AS n_tokens, n_docs,
+             md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
+               'string_agg', ',')) AS ids_md5
+           FROM g ORDER BY seq_id""",
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id",

@@ -295,6 +295,26 @@ object ByteBpe {
     import org.apache.spark.sql.graft.ColumnShim
     ColumnShim.column(Gpt2TokenCount(ColumnShim.expression(c)))
   }
+
+  /** BPE token ID column (array&lt;int&gt; of vocab.json ids) — the
+    * payload a training pipeline actually materializes; codegen'd. */
+  def gpt2TokenIdArray(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(Gpt2TokenIds(ColumnShim.expression(c)))
+  }
+
+  /** The vocab keyed by HEX of each token's raw bytes — the id-map
+    * form the DuckDB oracle joins its final hex symbols against
+    * (sidestepping the byte→unicode table in SQL, like [[hexRanks]]).
+    * Keys restricted to byte-decodable tokens (specials like
+    * &lt;|endoftext|&gt; contain chars outside the byte alphabet and can
+    * never appear as merge output). */
+  def hexVocabIds: Seq[(String, Int)] =
+    vocabIds.toSeq.flatMap { case (tok, id) =>
+      if (tok.forall(charToByte.contains))
+        Some(tok.map(c => f"${charToByte(c)}%02X").mkString -> id)
+      else None
+    }.sortBy(_._2)
 }
 
 /** Codegen'd `ByteBpe.tokenCount` over a string column (the
@@ -333,5 +353,46 @@ case class Gpt2TokenCount(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): Gpt2TokenCount =
+    copy(child = newChild)
+}
+
+/** Codegen'd `ByteBpe.tokenIds` over a string column: the vocab-id
+  * sequence (array&lt;int&gt;) a pretraining pipeline materializes and
+  * packs. NULL input yields an empty array (same no-tokens contract as
+  * [[Gpt2TokenCount]]); never null itself. */
+case class Gpt2TokenIds(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gpt2_token_ids requires string input, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Int])
+    else new GenericArrayData(
+      ByteBpe.tokenIds(v.asInstanceOf[UTF8String].toString))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  new $gad(${childGen.isNull}
+         |    ? new int[0]
+         |    : graft.functions.ByteBpe.tokenIds(${childGen.value}.toString()));
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Gpt2TokenIds =
     copy(child = newChild)
 }

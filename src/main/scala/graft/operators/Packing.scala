@@ -55,6 +55,62 @@ object Packing {
       .drop("__cum")
   }
 
+  /** The LAST MILE of a pretraining pipeline: materialize the actual
+    * fixed-length token-id sequences a trainer consumes — documents'
+    * id arrays concatenated in `idCol` order and cut every `seqLen`
+    * tokens (the [[packOffsets]] layout, but emitting the ids, not
+    * just the offsets). No separator token is inserted; document
+    * boundaries are recoverable from [[packOffsets]] on the same
+    * frame (pipelines that want an EOT token append it to `idsCol`
+    * upstream).
+    *
+    * Output: one row per sequence — `seq_id`, `input_ids`
+    * (array&lt;int&gt;, exactly `seqLen` long except the final partial
+    * sequence), `n_tokens`, `n_docs` (documents contributing to the
+    * sequence). Empty documents contribute nothing.
+    *
+    * 100-TB shape: offsets from the range-bucketed PrefixSum (no
+    * single-reducer window); each doc explodes to only the sequences
+    * it touches (n/seqLen + 1 rows) carrying SLICES of its id array;
+    * the final groupBy(seq_id) shuffles each token id exactly once —
+    * the necessary, linear cost of materializing training examples.
+    * Assembly is deterministic: parts sort by in-sequence start
+    * position (disjoint ranges, so the order is total). */
+  def packTokenSequences(docs: DataFrame, idCol: String, textCol: String,
+                         seqLen: Int,
+                         tokenIds: org.apache.spark.sql.Column =>
+                           org.apache.spark.sql.Column): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val withIds = docs.select(col(idCol), tokenIds(col(textCol)).as("__ids"))
+      .withColumn("n_tokens", size(col("__ids")).cast("long"))
+    val cum = PrefixSum.inclusive(withIds, Seq.empty, idCol,
+      "n_tokens", "__cum")
+    val off = cum
+      .withColumn("token_offset", (col("__cum") - col("n_tokens")).cast("long"))
+      .filter(col("n_tokens") > 0)
+    val L = lit(seqLen.toLong)
+    val parts = off.select(col("__ids"), col("token_offset"), col("n_tokens"),
+        explode(sequence((col("token_offset") / L).cast("long"),
+          ((col("token_offset") + col("n_tokens") - 1) / L).cast("long")))
+          .as("seq_id"))
+      // global token range this doc contributes to this sequence
+      .withColumn("__st", greatest(col("seq_id") * L, col("token_offset")))
+      .withColumn("__en", least((col("seq_id") + 1) * L,
+        col("token_offset") + col("n_tokens")))
+      .select(col("seq_id"),
+        slice(col("__ids"), (col("__st") - col("token_offset") + 1).cast("int"),
+          (col("__en") - col("__st")).cast("int")).as("part_ids"),
+        (col("__st") - col("seq_id") * L).cast("int").as("start_in_seq"))
+    parts.groupBy("seq_id")
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("start_in_seq"), col("part_ids")))),
+          x => x("part_ids"))).as("input_ids"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+      .select("seq_id", "input_ids", "n_tokens", "n_docs")
+  }
+
   /** Sequence packing WITHOUT document splitting (Krell et al. 2021,
     * "Efficient Sequence Packing without Cross-contamination"): each
     * bin holds whole documents up to `seqLen` tokens — no straddling,

@@ -155,6 +155,31 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(row.count() > 0)
   }
 
+  test("packTokenSequences: lossless concat-and-cut of the gpt2 id stream") {
+    // the trainer-facing invariant: concatenating every sequence's
+    // input_ids in seq_id order reproduces EXACTLY the concatenation
+    // of every doc's ids in doc_id order, and every sequence is full
+    // (seqLen) except the last
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = graft.operators.Packing.packTokenSequences(
+      docs, "doc_id", "text", seqLen = 128,
+      tokenIds = ByteBpe.gpt2TokenIdArray)
+      .collect().sortBy(_.getLong(0))
+    val expectStream = docs.select("doc_id", "text").collect()
+      .sortBy(_.getLong(0))
+      .flatMap(r => ByteBpe.tokenIds(r.getString(1)))
+    val gotStream = packed.flatMap(_.getSeq[Int](1))
+    assert(gotStream.toSeq == expectStream.toSeq,
+      "packed sequences must reproduce the doc-order id stream exactly")
+    // seq ids dense from 0; all full but the last
+    assert(packed.map(_.getLong(0)).toSeq == packed.indices.map(_.toLong))
+    packed.dropRight(1).foreach(r => assert(r.getLong(2) == 128L))
+    assert(packed.last.getLong(2) == (expectStream.length % 128 match {
+      case 0 => 128L; case m => m.toLong
+    }))
+  }
+
   test("Gpt2TokenCount: interpreted eval equals codegen result") {
     import spark.implicits._
     val texts = Seq("Hello  World!", "", "it's a test", "é🙂").toDF("t")
