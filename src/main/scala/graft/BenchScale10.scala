@@ -67,7 +67,12 @@ object BenchScale10 {
     // q_incremental_minhash (replica vec_ids land above the 400 split,
     // so the batch grows 10x against a fixed corpus index; the
     // exponent certifies the probe shuffle tracks the BATCH)
-    "q_incremental_semantic")
+    "q_incremental_semantic",
+    // round-12: the byte-level BPE family — per-row codegen'd counting
+    // (expected well under 1.0: fixed JIT/regex overhead amortizes)
+    // and the packed-sequence materialization, whose one groupBy(seq)
+    // shuffle carries every token id (the honest linear floor)
+    "q_token_count_gpt2", "q_pack_ids_gpt2")
 
   private val KeyOff = 100000000L
 
