@@ -195,10 +195,12 @@ object Bench {
     // 2-rep run is the standing record; the ride-along is a refresh)
     val auxTimeout = sys.env.getOrElse("SPARK_GRAFT_AUX_TIMEOUT_SEC",
       "1200").toLong
+    val auxWanted =
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt > 0 ||
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") != "0" ||
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "1") != "0"
     val auxNode =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt <= 0 &&
-          sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0" &&
-          sys.env.getOrElse("SPARK_GRAFT_SCALING_GATE", "1") == "0") None
+      if (!auxWanted) None
       else spawn("aux", "__aux_none__", Map(
         "SPARK_GRAFT_SCALING_REPS" ->
           sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2"),
@@ -213,11 +215,14 @@ object Bench {
         timeoutSec = auxTimeout)
 
     // SECOND emission — same query numbers, enriched with whatever the
-    // aux child produced (and the gate file it rewrote). Re-emitting
-    // the full marker block keeps the driver's "parse between the LAST
-    // marker pair" and "parse the FIRST pair" readings identical in
-    // query content.
-    if (auxNode.isDefined) {
+    // aux child produced. Runs after any aux ATTEMPT (success or not):
+    // a killed aux may still have rewritten SCALING_r{N}.json before
+    // dying, and fullJson re-reads that file from disk, so the final
+    // artifact never ships a stale gate snapshot. Re-emitting the full
+    // marker block keeps the driver's "parse between the LAST marker
+    // pair" and "parse the FIRST pair" readings identical in query
+    // content.
+    if (auxWanted) {
       val scalingJson = auxNode.flatMap(n =>
         Option(n.get("dedup_scaling")).map(_.toString)).getOrElse("{}")
       val streamJson = auxNode.flatMap(n =>

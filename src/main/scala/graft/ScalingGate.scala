@@ -73,6 +73,27 @@ object ScalingGate {
       "/tmp/graft_sf1")
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_GATE_REPS", "2").toInt)
+    // same-round policy: the standalone multi-rep run is the standing
+    // record. A weaker later run (the in-bench 1-rep ride-along) must
+    // neither overwrite it with noisier numbers nor MIN-MERGE into it
+    // — merged pre-regression mins would keep pass=true over code
+    // that regressed after the first run, defeating the gate. So: if
+    // this round's file was measured with >= this run's reps, keep it
+    // and skip the whole measurement (saves the aux child's clock).
+    val round = currentRound()
+    val outPath = java.nio.file.Paths.get(
+      f"/root/repo/SCALING_r$round%02d.json")
+    if (java.nio.file.Files.exists(outPath)) {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+      val priorReps = """"gate_reps":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(2) // legacy files: standalone 2-rep
+      if (priorReps >= reps) {
+        System.err.println(s"[gate] keeping existing $outPath " +
+          s"(reps=$priorReps >= $reps), skipping re-measurement")
+        return
+      }
+    }
     BenchScale10.generate(spark, sfDir, outDir, k = 10)
     val queries = Top10.filter(SparkEntry.queries.contains)
     // JIT warmup at the small scale, then round-robin timed cells
@@ -95,28 +116,9 @@ object ScalingGate {
       System.err.println(f"[gate] $q%-24s $dir%-22s rep$rep $dt%8.2fs")
       cells((q, dir)) = cells((q, dir)) :+ dt
     }
-    // same-round refinement: a later run this round (e.g. the 1-rep
-    // in-bench ride-along after the standalone 2-rep record) merges by
-    // PER-CELL MIN, so the committed artifact can only get more
-    // spike-robust, never degrade to the weaker run's noise
-    val round = currentRound()
-    val priorPath = java.nio.file.Paths.get(
-      f"/root/repo/SCALING_r$round%02d.json")
-    val prior: Map[String, (Double, Double)] =
-      if (!java.nio.file.Files.exists(priorPath)) Map.empty
-      else {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(priorPath), "UTF-8")
-        """"(q_\w+)":\{"sf0\.1_sec":([0-9.]+),"sf1_sec":([0-9.]+)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
-          .toMap
-      }
     val rows = queries.map { q =>
-      val ok1 = cells((q, sfDir)).filter(_ >= 0) ++
-        prior.get(q).map(_._1)
-      val ok10 = cells((q, outDir)).filter(_ >= 0) ++
-        prior.get(q).map(_._2)
+      val ok1 = cells((q, sfDir)).filter(_ >= 0)
+      val ok10 = cells((q, outDir)).filter(_ >= 0)
       val bound = ExponentBound(q)
       if (ok1.isEmpty || ok10.isEmpty)
         q -> s"""{"sf0.1_sec":-1,"sf1_sec":-1,"exponent":99,"bound":$bound,"pass":false}"""
@@ -129,11 +131,9 @@ object ScalingGate {
       }
     }
     val allPass = rows.forall(_._2.contains("\"pass\":true"))
-    val json = s"""{"round":$round,"pass":$allPass,"criterion":"exponent < 1.0 for every row; q_slope_cv measured with localCellLimitOverride=0 so both points take the distributed path (crossover-free); min of $reps reps, sf0.1 vs 10x","rows":${rows.map { case (q, r) => s""""$q":$r""" }.mkString("{", ",", "}")}}"""
-    val out = java.nio.file.Paths.get(
-      f"/root/repo/SCALING_r$round%02d.json")
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    System.err.println(s"[gate] wrote $out pass=$allPass")
+    val json = s"""{"round":$round,"pass":$allPass,"gate_reps":$reps,"criterion":"exponent < 1.0 for every row; q_slope_cv measured with localCellLimitOverride=0 so both points take the distributed path (crossover-free); min of $reps reps, sf0.1 vs 10x","rows":${rows.map { case (q, r) => s""""$q":$r""" }.mkString("{", ",", "}")}}"""
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
+    System.err.println(s"[gate] wrote $outPath pass=$allPass")
   }
 
   def main(args: Array[String]): Unit = {

@@ -2920,28 +2920,36 @@ object SparkEntry {
     *
     * Structure (all independent of the engine's kernels):
     *  1. Pretokenize with the GPT-2 regex. DuckDB's RE2 has no
-    *     lookahead, so whitespace runs are matched WHOLE and then
-    *     split by window fixup into exactly the `\s+(?!\S)` +
-    *     one-space-attaches-to-the-next-token decomposition (a run
-    *     before a non-ws token yields run[:-1], and its final char
+    *     lookahead and an ASCII `\s`, so the pattern spells out the
+    *     Unicode White_Space class (`[\t-\r\x{0085}\p{Z}]` — exactly
+    *     Java's UNICODE_CHARACTER_CLASS `\s`, NBSP and friends
+    *     included), whitespace runs are matched WHOLE, and a window
+    *     fixup reconstructs the `\s+(?!\S)` decomposition: a run
+    *     before a non-ws token yields run[:-1], then its final char
     *     either prefixes the next token if it is a literal space or
-    *     stands alone otherwise) — RE2's leftmost-first alternation
-    *     was probed to match the reference engine's semantics.
+    *     stands alone otherwise. A transferred space onto a
+    *     CONTRACTION re-splits as the reference regex would — ' ?punct'
+    *     takes space+apostrophe and the letters stand alone (the
+    *     contraction alternatives have no leading-space form).
     *  2. Byte-encode each pretoken as `hex(encode(tok))` split into
     *     2-char byte symbols — hex IS the byte alphabet here, so the
     *     byte→unicode table never appears in SQL; the merge table is
     *     inlined in the same hex form ([[graft.functions.ByteBpe.hexRanks]]).
-    *  3. Recursive CTE: find the lowest-rank adjacent pair, merge its
-    *     FIRST occurrence, recurse until no pair is in the table; the
-    *     fixpoint rows are the final tokenization. First-occurrence
-    *     iteration equals the engine's all-occurrences-per-pass merge
-    *     for any loader-accepted (well-formed) merges file — see the
-    *     equivalence proof in ByteBpe's scaladoc. */
+    *  3. Recursive CTE replicating encoder.py's pass structure
+    *     EXACTLY: the recursion carries the ACTIVE pair — while the
+    *     pair just merged still occurs, keep merging its first
+    *     occurrence (= the left-to-right all-occurrences pass; merging
+    *     can destroy but never create occurrences of the same pair);
+    *     only when it is exhausted re-find the global lowest-rank
+    *     pair. This stays exact even for duplicate-producer merge
+    *     files (two merges yielding the same string), where plain
+    *     first-occurrence + global re-find can diverge from the pass
+    *     semantics. */
   private lazy val Gpt2Cte: String =
     s"""$Gpt2BpeBody,
        __fin AS (
          SELECT doc_id, len(syms) AS ntok FROM __bpe
-         WHERE ${gpt2NoMerge("syms")}),
+         WHERE ${gpt2NoMerge("syms", "ap")}),
        __gs AS (SELECT doc_id, sum(ntok) AS n FROM __fin GROUP BY doc_id),
        dgpt AS (
          SELECT d.doc_id, coalesce(__gs.n, 0)::BIGINT AS n_gpt2
@@ -2957,7 +2965,7 @@ object SparkEntry {
     s"""$Gpt2BpeBody,
        __fin2 AS (
          SELECT doc_id, i, j, syms FROM __bpe
-         WHERE ${gpt2NoMerge("syms")}),
+         WHERE ${gpt2NoMerge("syms", "ap")}),
        __tok AS (SELECT doc_id, i, j, unnest(syms) AS sym,
            unnest(generate_series(1, len(syms))) AS k FROM __fin2),
        __tid AS (SELECT doc_id, i, j, k,
@@ -2968,25 +2976,38 @@ object SparkEntry {
 
   private val Gpt2Big = "2147483647"
 
-  private def gpt2PrsOf(syms: String): String = {
+  /** Adjacent-pair key list of a hex symbol list. */
+  private def gpt2PksOf(syms: String): String =
+    s"""list_transform(generate_series(1, len($syms) - 1),
+        i -> $syms[i] || ' ' || $syms[i+1])"""
+
+  /** Rank list for a pair-key list (BIG = not a merge). */
+  private def gpt2PrsOfPks(pks: String): String = {
     val mapLit = graft.functions.ByteBpe.hexRanks
       .map { case (k, r) => s"'$k': $r" }.mkString("MAP {", ", ", "}")
-    s"""list_transform(generate_series(1, len($syms) - 1),
-        i -> coalesce(map_extract($mapLit, $syms[i] || ' ' || $syms[i+1])[1], $Gpt2Big))"""
+    s"""list_transform($pks, p -> coalesce(map_extract($mapLit, p)[1], $Gpt2Big))"""
   }
 
-  private def gpt2NoMerge(syms: String): String =
-    s"coalesce(list_min(${gpt2PrsOf(syms)}), $Gpt2Big) = $Gpt2Big"
+  /** Fixpoint condition: the active pair (if any) is exhausted AND no
+    * adjacent pair is in the merge table. */
+  private def gpt2NoMerge(syms: String, ap: String): String =
+    s"""(($ap IS NULL OR coalesce(list_position(${gpt2PksOf(syms)}, $ap), 0) = 0)
+        AND coalesce(list_min(${gpt2PrsOfPks(gpt2PksOf(syms))}), $Gpt2Big) = $Gpt2Big)"""
 
   /** The shared pretokenize + byte-encode + recursive merge body of
-    * the GPT-2 oracles, through `__bpe` (all intermediate merge
-    * states; the consumer selects the fixpoint rows). */
+    * the GPT-2 oracles, through `__bpe(doc_id, i, j, syms, ap)` (all
+    * intermediate merge states with the ACTIVE pair; the consumer
+    * selects the fixpoint rows via [[gpt2NoMerge]]). */
   private lazy val Gpt2BpeBody: String = {
     val big = Gpt2Big
-    def prsOf(syms: String) = gpt2PrsOf(syms)
-    val wsRe = "'^\\s+$'"
+    // Unicode White_Space spelled out for RE2 (ASCII \s would diverge
+    // from the engine's UNICODE_CHARACTER_CLASS \s on NBSP & friends)
+    val ws = """[\t-\r\x{0085}\p{Z}]"""
+    val notWsLN = """[^\t-\r\x{0085}\p{Z}\p{L}\p{N}]"""
+    val wsRe = s"'^$ws+$$'"
+    val contrRe = "'^''(s|t|re|ve|m|ll|d)$'"
     s"""__t0 AS (SELECT doc_id,
-           regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS tk
+           regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?$notWsLN+|$ws+') AS tk
          FROM documents),
        __u AS (SELECT doc_id, unnest(tk) AS tok,
            unnest(generate_series(1, len(tk))) AS i FROM __t0),
@@ -3004,7 +3025,11 @@ object SparkEntry {
                           substr(tok, length(tok), 1)] END
              WHEN NOT regexp_matches(tok, $wsRe) AND prv IS NOT NULL
                   AND regexp_matches(prv, $wsRe) AND length(prv) >= 2
-                  AND substr(prv, length(prv), 1) = ' ' THEN [' ' || tok]
+                  AND substr(prv, length(prv), 1) = ' ' THEN
+               CASE WHEN regexp_matches(tok, $contrRe)
+                    THEN [' ' || substr(tok, 1, 1),
+                          substr(tok, 2, length(tok) - 1)]
+                    ELSE [' ' || tok] END
              ELSE [tok]
            END AS parts FROM __v),
        __pt AS (SELECT doc_id, i, unnest(parts) AS tok,
@@ -3012,16 +3037,26 @@ object SparkEntry {
        __ini AS (SELECT doc_id, i, j,
            regexp_extract_all(hex(encode(tok)), '..') AS syms FROM __pt),
        __bpe AS (
-         SELECT doc_id, i, j, syms FROM __ini
+         SELECT doc_id, i, j, syms, CAST(NULL AS VARCHAR) AS ap FROM __ini
          UNION ALL
          SELECT doc_id, i, j,
-           syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+           syms[1:bi-1] || [replace(pk, ' ', '')] || syms[bi+2:] AS syms,
+           pk AS ap
          FROM (
-           SELECT doc_id, i, j, syms,
-             list_position(prs, list_min(prs)) AS bi, list_min(prs) AS best
-           FROM (SELECT doc_id, i, j, syms, ${prsOf("syms")} AS prs
-                 FROM __bpe))
-         WHERE best IS NOT NULL AND best < $big)"""
+           SELECT doc_id, i, j, syms, pk,
+             list_position(pks, pk) AS bi
+           FROM (
+             SELECT doc_id, i, j, syms, pks,
+               CASE WHEN ap IS NOT NULL
+                         AND coalesce(list_position(pks, ap), 0) > 0 THEN ap
+                    WHEN coalesce(list_min(prs), $big) < $big
+                      THEN pks[list_position(prs, list_min(prs))]
+                    ELSE NULL END AS pk
+             FROM (SELECT doc_id, i, j, syms, ap,
+                     ${gpt2PksOf("syms")} AS pks,
+                     ${gpt2PrsOfPks(gpt2PksOf("syms"))} AS prs
+                   FROM __bpe)))
+         WHERE pk IS NOT NULL)"""
   }
 
   private def occSql(padded: String, term: String): String =

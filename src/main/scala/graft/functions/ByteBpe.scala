@@ -44,8 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * accepts it unchanged — same format, same semantics). Loading
   * VALIDATES the BPE well-formedness invariant — each merge's sides
   * are single byte symbols or results of strictly earlier merges —
-  * which any genuinely-trained merges file satisfies and which the
-  * first-occurrence oracle equivalence below requires.
+  * which any genuinely-trained merges file satisfies (a violating
+  * file is not BPE output and its merges could never apply).
   *
   * Scale shape: counting is a codegen'd [[Gpt2TokenCount]] expression
   * (no ScalaUDF node) calling this kernel; the merge table lives once
@@ -53,17 +53,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-pretoken memo ([[bpeCache]]) makes the amortized cost of a
   * Zipf-distributed corpus one hash probe per pretoken.
   *
-  * ORACLE EQUIVALENCE (why the DuckDB recursive CTE may merge only the
-  * FIRST occurrence per step): with well-formed ranks, any pair
-  * created by merging (a,b)→ab — i.e. (x,ab) or (ab,y) — has rank
-  * strictly greater than rank(a,b), because a merge involving ab can
-  * only be learned after ab exists. So after merging the first
-  * occurrence, the minimum-rank pair is again (a,b) at its next
-  * non-overlapping occurrence (overlaps are destroyed exactly as the
-  * left-to-right pass destroys them), and first-occurrence iteration
-  * replays the all-occurrence pass move for move. The loader's
-  * well-formedness check makes this argument airtight for any file it
-  * accepts.
+  * ORACLE EQUIVALENCE: the DuckDB recursive CTE carries the ACTIVE
+  * pair — while the pair just merged still occurs it keeps merging
+  * its first occurrence, which replays the engine's left-to-right
+  * all-occurrences pass exactly (merging (a,b)→ab can destroy but
+  * never create further (a,b) occurrences — new pairs involve the
+  * longer symbol ab); only when the pair is exhausted does it re-find
+  * the global minimum rank, the encoder's next pass. This holds for
+  * ANY merges file, including duplicate-producer ones (two merges
+  * yielding the same result string — present in real BPE tables),
+  * where a plain first-occurrence + global-re-find replay could
+  * diverge: a duplicate producer can give a pair involving the merged
+  * symbol a LOWER rank than the remaining occurrences of the pair
+  * mid-pass, and the encoder finishes its pass regardless.
   */
 object ByteBpe {
 

@@ -48,10 +48,11 @@ object Packing {
       "n_tokens", "__cum")
     cum
       .withColumn("token_offset", (col("__cum") - col("n_tokens")).cast("long"))
-      .withColumn("first_seq", (col("token_offset") / seqLen).cast("long"))
+      // integer `div`, not double `/`: exact at any offset (double
+      // division loses the boundary above ~2^53 tokens)
+      .withColumn("first_seq", expr(s"token_offset div $seqLen"))
       .withColumn("last_seq",
-        ((col("token_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
-          / seqLen).cast("long"))
+        expr(s"(token_offset + greatest(n_tokens, 1) - 1) div $seqLen"))
       .drop("__cum")
   }
 
@@ -90,8 +91,9 @@ object Packing {
       .filter(col("n_tokens") > 0)
     val L = lit(seqLen.toLong)
     val parts = off.select(col("__ids"), col("token_offset"), col("n_tokens"),
-        explode(sequence((col("token_offset") / L).cast("long"),
-          ((col("token_offset") + col("n_tokens") - 1) / L).cast("long")))
+        // integer `div` keeps sequence boundaries exact at any offset
+        explode(sequence(expr(s"token_offset div $seqLen"),
+          expr(s"(token_offset + n_tokens - 1) div $seqLen")))
           .as("seq_id"))
       // global token range this doc contributes to this sequence
       .withColumn("__st", greatest(col("seq_id") * L, col("token_offset")))

@@ -1166,6 +1166,7 @@ object Similarity {
                                nProbe: Int = 4,
                                threshold: Double = 0.5): DataFrame = {
     requireIntegralId(batch, idCol, "incrementalSemanticFlags")
+    requireIntegralId(corpusIndex, "id", "incrementalSemanticFlags(corpusIndex)")
     val spark = batch.sparkSession
     import spark.implicits._
     val idType = batch.schema(idCol).dataType

@@ -537,6 +537,8 @@ object DocStreams {
                             threshold: Double = 0.5): DataFrame = {
     graft.operators.Similarity.requireIntegralId(vecs, idCol,
       "streamingSemanticGate")
+    graft.operators.Similarity.requireIntegralId(corpusIndex, "id",
+      "streamingSemanticGate(corpusIndex)")
     val spark = vecs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)

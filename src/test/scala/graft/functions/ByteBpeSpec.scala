@@ -56,9 +56,21 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(ByteBpe.pretokenize("x42!?") == Seq("x", "42", "!?"))
     // space before punctuation attaches
     assert(ByteBpe.pretokenize("a ...") == Seq("a", " ..."))
+    // Unicode whitespace (NBSP — ubiquitous in HTML-derived text): \s
+    // under UNICODE_CHARACTER_CLASS matches it, and since NBSP is not
+    // a literal space it never prefixes a word — each stands alone
+    // (the oracle replays this with the spelled-out White_Space class)
+    assert(ByteBpe.pretokenize("a  b") ==
+      Seq("a", " ", " ", "b"))
+    // contraction after a whitespace RUN: the transferred space joins
+    // the apostrophe via ' ?punct' (contraction alternatives have no
+    // leading-space form), the letters match bare
+    assert(ByteBpe.pretokenize("it  's") == Seq("it", " ", " '", "s"))
     // lossless: concatenation reproduces the input
     val s = "The U.S.A.'s GDP grew 3.5%  in Q2!\n\n  (source: )"
     assert(ByteBpe.pretokenize(s).mkString == s)
+    val s2 = "mixed ws  and  'll ends  "
+    assert(ByteBpe.pretokenize(s2).mkString == s2)
   }
 
   test("merge-rank application: hand-replayed, diverges from longest-match") {
@@ -81,6 +93,27 @@ class ByteBpeSpec extends AnyFunSuite {
     // [aa, aa, a]; then (aa,aa),(aa,a) are not merges -> 3 tokens.
     val r = ranksOf(("a", "a"))
     assert(ByteBpe.bpe(Array.fill(5)("a"), r).toSeq == Seq("aa", "aa", "a"))
+  }
+
+  test("duplicate-producer merges: pass semantics pinned (encoder.py order)") {
+    // two merges producing the same string 'abcd' — legal BPE output
+    // (the pairs arise at different sites during training). The pass
+    // discipline matters here: after the (ab,cd) pass begins, ALL its
+    // occurrences merge before ranks are re-consulted, even though the
+    // first merge creates the lower-ranked (abcd,ab) adjacency.
+    val r = ranksOf(("a", "b"), ("c", "d"), ("b", "cd"), ("a", "bcd"),
+      ("abcd", "ab"), ("ab", "cd"))
+    // "abcdabcd": (a,b) pass -> [ab,c,d,ab,c,d]; (c,d) pass ->
+    // [ab,cd,ab,cd]; (ab,cd) pass merges BOTH -> [abcd,abcd]; no pair
+    // of (abcd,abcd) is a merge -> 2 tokens. First-occurrence-with-
+    // global-re-find would instead take (abcd,ab) after the first
+    // merge and yield [abcdab,cd].
+    val syms = "abcdabcd".map(_.toString).toArray
+    assert(ByteBpe.bpe(syms, r).toSeq == Seq("abcd", "abcd"))
+    // and the file parses: duplicate producers are well-formed BPE
+    val lines = Seq("#version: 0.2", "a b", "c d", "b cd", "a bcd",
+      "abcd ab", "ab cd").iterator
+    assert(ByteBpe.parseMerges(lines).size == 6)
   }
 
   test("well-formedness: loader rejects non-BPE merge files") {
