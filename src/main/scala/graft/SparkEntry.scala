@@ -456,6 +456,36 @@ object SparkEntry {
         .orderBy("seq_id")
     }),
 
+    "q_pack_export" -> ((s, dir) => {
+      // the COMPLETE last mile, serialized: tokenize (byte-level BPE)
+      // -> pack 512-token sequences -> write tf.train.Example shards
+      // (input_ids as Int64List, the trainer wire format) -> read the
+      // shards back and re-fingerprint each sequence. The oracle
+      // rebuilds every sequence from raw `documents`, so corruption
+      // anywhere in tokenize / pack / proto-encode / frame / decode
+      // hash-mismatches. Shares q_pack_ids_gpt2's oracle — identical
+      // output contract, measured through the serialization loop.
+      val edir = "/tmp/graft_packexp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val packed = graft.operators.Packing.packTokenSequences(docs(s, dir),
+        "doc_id", "text", seqLen = 512,
+        tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray)
+        .select(col("seq_id"),
+          col("input_ids").cast("array<long>").as("input_ids"),
+          col("n_docs"))
+      graft.sources.TfRecord.writeExamples(packed, edir, nFiles = 4,
+        shardKey = "seq_id")
+      graft.sources.TfRecord.read(s, edir)
+        .select(
+          element_at(col("int64_feats"), "seq_id").getItem(0).as("seq_id"),
+          element_at(col("int64_feats"), "input_ids").as("ids"),
+          element_at(col("int64_feats"), "n_docs").getItem(0).as("n_docs"))
+        .select(col("seq_id"), size(col("ids")).cast("long").as("n_tokens"),
+          col("n_docs"),
+          md5(concat_ws(",", transform(col("ids"),
+            _.cast("string")))).as("ids_md5"))
+        .orderBy("seq_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))
@@ -2974,6 +3004,38 @@ object SparkEntry {
          FROM __tid GROUP BY doc_id)"""
   }
 
+  /** Shared packed-sequence rebuild: every 512-token sequence's
+    * fingerprint straight from raw `documents` via the merge-loop
+    * replay + vocab id map. Oracle for BOTH q_pack_ids_gpt2 (the
+    * in-memory pack) and q_pack_export (the same pack driven through
+    * the TFRecord serialize/deserialize loop). */
+  private lazy val PackIdsGpt2Sql: String =
+    s"""WITH RECURSIVE $Gpt2IdsCte,
+       t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
+             WHERE len(ids) > 0),
+       c AS (SELECT doc_id, ids, n,
+               (sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n)::BIGINT AS off
+             FROM t),
+       s AS (SELECT doc_id, ids, n, off,
+               unnest(generate_series(off // 512, (off + n - 1) // 512))
+                 AS seq_id
+             FROM c),
+       p AS (SELECT seq_id,
+               list_slice(ids,
+                 (greatest(seq_id * 512, off) - off + 1)::INT,
+                 (least((seq_id + 1) * 512, off + n) - off)::INT) AS part,
+               (greatest(seq_id * 512, off) - seq_id * 512)::INT AS sis
+             FROM s),
+       g AS (SELECT seq_id, count(*)::BIGINT AS n_docs,
+               flatten(list(part ORDER BY sis)) AS input_ids
+             FROM p GROUP BY seq_id)
+       SELECT seq_id, len(input_ids)::BIGINT AS n_tokens, n_docs,
+         md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
+           'string_agg', ',')) AS ids_md5
+       FROM g ORDER BY seq_id"""
+
   private val Gpt2Big = "2147483647"
 
   /** Adjacent-pair key list of a hex symbol list. */
@@ -3571,32 +3633,12 @@ object SparkEntry {
                AS last_seq
            FROM c ORDER BY doc_id""",
 
-      "q_pack_ids_gpt2" ->
-        s"""WITH RECURSIVE $Gpt2IdsCte,
-           t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
-                 WHERE len(ids) > 0),
-           c AS (SELECT doc_id, ids, n,
-                   (sum(n) OVER (ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    - n)::BIGINT AS off
-                 FROM t),
-           s AS (SELECT doc_id, ids, n, off,
-                   unnest(generate_series(off // 512, (off + n - 1) // 512))
-                     AS seq_id
-                 FROM c),
-           p AS (SELECT seq_id,
-                   list_slice(ids,
-                     (greatest(seq_id * 512, off) - off + 1)::INT,
-                     (least((seq_id + 1) * 512, off + n) - off)::INT) AS part,
-                   (greatest(seq_id * 512, off) - seq_id * 512)::INT AS sis
-                 FROM s),
-           g AS (SELECT seq_id, count(*)::BIGINT AS n_docs,
-                   flatten(list(part ORDER BY sis)) AS input_ids
-                 FROM p GROUP BY seq_id)
-           SELECT seq_id, len(input_ids)::BIGINT AS n_tokens, n_docs,
-             md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
-               'string_agg', ',')) AS ids_md5
-           FROM g ORDER BY seq_id""",
+      "q_pack_ids_gpt2" -> PackIdsGpt2Sql,
+
+      // same rebuild: the export query reads the sequences back off
+      // the TFRecord shards, so fingerprint equality proves the whole
+      // serialize/deserialize loop id-exact
+      "q_pack_export" -> PackIdsGpt2Sql,
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id",
