@@ -2978,9 +2978,10 @@ object SparkEntry {
   private lazy val Gpt2Cte: String =
     s"""$Gpt2BpeBody,
        __fin AS (
-         SELECT doc_id, len(syms) AS ntok FROM __bpe
+         SELECT tok, len(syms) AS ntok FROM __bpe
          WHERE ${gpt2NoMerge("syms", "ap")}),
-       __gs AS (SELECT doc_id, sum(ntok) AS n FROM __fin GROUP BY doc_id),
+       __gs AS (SELECT p.doc_id, sum(f.ntok) AS n
+         FROM __pt p JOIN __fin f USING (tok) GROUP BY p.doc_id),
        dgpt AS (
          SELECT d.doc_id, coalesce(__gs.n, 0)::BIGINT AS n_gpt2
          FROM documents d LEFT JOIN __gs USING (doc_id))"""
@@ -2994,14 +2995,15 @@ object SparkEntry {
       .map { case (k, id) => s"'$k': $id" }.mkString("MAP {", ", ", "}")
     s"""$Gpt2BpeBody,
        __fin2 AS (
-         SELECT doc_id, i, j, syms FROM __bpe
+         SELECT tok, syms FROM __bpe
          WHERE ${gpt2NoMerge("syms", "ap")}),
-       __tok AS (SELECT doc_id, i, j, unnest(syms) AS sym,
+       __sym AS (SELECT tok, unnest(syms) AS sym,
            unnest(generate_series(1, len(syms))) AS k FROM __fin2),
-       __tid AS (SELECT doc_id, i, j, k,
-           map_extract($idMap, sym)[1] AS tid FROM __tok),
-       dids AS (SELECT doc_id, list(tid ORDER BY i, j, k) AS ids
-         FROM __tid GROUP BY doc_id)"""
+       __tid AS (SELECT tok,
+           list(map_extract($idMap, sym)[1] ORDER BY k) AS tids
+         FROM __sym GROUP BY tok),
+       dids AS (SELECT p.doc_id, flatten(list(t.tids ORDER BY p.i, p.j)) AS ids
+         FROM __pt p JOIN __tid t USING (tok) GROUP BY p.doc_id)"""
   }
 
   /** Shared packed-sequence rebuild: every 512-token sequence's
@@ -3096,27 +3098,27 @@ object SparkEntry {
            END AS parts FROM __v),
        __pt AS (SELECT doc_id, i, unnest(parts) AS tok,
            unnest(generate_series(1, len(parts))) AS j FROM __parts),
-       __ini AS (SELECT doc_id, i, j,
-           regexp_extract_all(hex(encode(tok)), '..') AS syms FROM __pt),
+       __dt AS (SELECT DISTINCT tok FROM __pt),
+       __ini AS (SELECT tok,
+           regexp_extract_all(hex(encode(tok)), '..') AS syms FROM __dt),
        __bpe AS (
-         SELECT doc_id, i, j, syms, CAST(NULL AS VARCHAR) AS ap FROM __ini
+         SELECT tok, syms, CAST(NULL AS VARCHAR) AS ap FROM __ini
          UNION ALL
-         SELECT doc_id, i, j,
+         SELECT tok,
            syms[1:bi-1] || [replace(pk, ' ', '')] || syms[bi+2:] AS syms,
            pk AS ap
          FROM (
-           SELECT doc_id, i, j, syms, pk,
+           SELECT tok, syms, pk,
              list_position(pks, pk) AS bi
            FROM (
-             SELECT doc_id, i, j, syms, pks,
+             SELECT tok, syms, pks,
                CASE WHEN ap IS NOT NULL
                          AND coalesce(list_position(pks, ap), 0) > 0 THEN ap
-                    WHEN coalesce(list_min(prs), $big) < $big
-                      THEN pks[list_position(prs, list_min(prs))]
+                    WHEN coalesce(list_min(${gpt2PrsOfPks("pks")}), $big) < $big
+                      THEN pks[list_position(${gpt2PrsOfPks("pks")},
+                             list_min(${gpt2PrsOfPks("pks")}))]
                     ELSE NULL END AS pk
-             FROM (SELECT doc_id, i, j, syms, ap,
-                     ${gpt2PksOf("syms")} AS pks,
-                     ${gpt2PrsOfPks(gpt2PksOf("syms"))} AS prs
+             FROM (SELECT tok, syms, ap, ${gpt2PksOf("syms")} AS pks
                    FROM __bpe)))
          WHERE pk IS NOT NULL)"""
   }
