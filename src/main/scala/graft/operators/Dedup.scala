@@ -427,10 +427,12 @@ object Dedup {
     * benchmark index, and the df-prune is unaffected because a bloom
     * decision is per shingle VALUE — a surviving shingle keeps all its
     * rows, so its document frequency on the filtered stream equals its
-    * true df. The `might_contain` probe is a scalar UDF by necessity
-    * (Spark's BloomFilterMightContain expression is not public API);
-    * it sits on the map side before any exchange, off the
-    * whole-stage-codegen hot path's critical joins. */
+    * true df. The probe is the codegen'd
+    * [[graft.functions.BloomMightContain]] expression over the
+    * broadcast filter (r12; it was a ScalaUDF through r11 — Spark's
+    * own BloomFilterMightContain is not public API, so the engine
+    * carries its own), keeping the map-side projection that touches
+    * EVERY training shingle inside whole-stage codegen. */
   def bloomContamination(docs: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          benchIdCol: String, benchTextCol: String,
@@ -442,10 +444,8 @@ object Dedup {
     val nItems = math.max(distinctSh.count(), 1L) // small-side job by contract
     val bloom = distinctSh.stat.bloomFilter("s", nItems, fpp)
     val bcBloom = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) =>
-      s != null && bcBloom.value.mightContainString(s))
     val d = shingleExploded(docs, idCol, textCol, "doc_id", n)
-      .filter(mightContain(col("s")))
+      .filter(graft.functions.BloomMightContain.column(col("s"), bcBloom))
     contaminationCore(d, b, minShared, maxDf)
   }
 

@@ -2714,6 +2714,13 @@ class OperatorsSpec extends AnyFunSuite {
       assert(bloomed.sameElements(exact),
         s"fpp=$fpp: ${bloomed.mkString(";")} vs ${exact.mkString(";")}")
     }
+    // the probe is the codegen'd BloomMightContain expression (r12):
+    // the plan that touches every training shingle has no ScalaUDF
+    val plan = Dedup.bloomContamination(docs, bench, "doc_id", "text",
+      "bid", "btext", n = 3, minShared = 2, maxDf = 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"bloom prefilter must stay inside codegen:\n$plan")
   }
 
   test("top tokens: exact counts, doc frequency, deterministic tie-break") {
