@@ -78,19 +78,25 @@ object ScalingGate {
     // neither overwrite it with noisier numbers nor MIN-MERGE into it
     // — merged pre-regression mins would keep pass=true over code
     // that regressed after the first run, defeating the gate. So: if
-    // this round's file was measured with >= this run's reps, keep it
-    // and skip the whole measurement (saves the aux child's clock).
+    // this round's file was measured with >= this run's reps AND
+    // passed, keep it and skip the whole measurement (saves the aux
+    // child's clock). A prior FAILING file never blocks (a fixed
+    // operator must be re-measurable), and SPARK_GRAFT_GATE_FORCE=1
+    // always re-measures (re-certify after a suspected regression).
     val round = currentRound()
     val outPath = java.nio.file.Paths.get(
       f"/root/repo/SCALING_r$round%02d.json")
-    if (java.nio.file.Files.exists(outPath)) {
+    val force = sys.env.getOrElse("SPARK_GRAFT_GATE_FORCE", "0") == "1"
+    if (!force && java.nio.file.Files.exists(outPath)) {
       val txt = new String(
         java.nio.file.Files.readAllBytes(outPath), "UTF-8")
       val priorReps = """"gate_reps":(\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toInt).getOrElse(2) // legacy files: standalone 2-rep
-      if (priorReps >= reps) {
+      val priorPass = """"round":\d+,"pass":(true|false)""".r
+        .findFirstMatchIn(txt).exists(_.group(1) == "true")
+      if (priorReps >= reps && priorPass) {
         System.err.println(s"[gate] keeping existing $outPath " +
-          s"(reps=$priorReps >= $reps), skipping re-measurement")
+          s"(reps=$priorReps >= $reps, pass=true), skipping re-measurement")
         return
       }
     }

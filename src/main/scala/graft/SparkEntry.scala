@@ -3070,6 +3070,12 @@ object SparkEntry {
     val notWsLN = """[^\t-\r\x{0085}\p{Z}\p{L}\p{N}]"""
     val wsRe = s"'^$ws+$$'"
     val contrRe = "'^''(s|t|re|ve|m|ll|d)$'"
+    // a transferred space turns RE2's contraction split back into the
+    // reference's ' ?punct' + bare-letters split; when the contraction
+    // is FOLLOWED by more letters ("  'silly"), the reference scans
+    // one letters run ("silly"), so the contraction's letters re-join
+    // the following letters token (prv2 sees the ws-run two back)
+    val letRe = """'^\p{L}+$'"""
     s"""__t0 AS (SELECT doc_id,
            regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?$notWsLN+|$ws+') AS tk
          FROM documents),
@@ -3077,7 +3083,8 @@ object SparkEntry {
            unnest(generate_series(1, len(tk))) AS i FROM __t0),
        __v AS (SELECT doc_id, i, tok,
            lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
-           lag(tok)  OVER (PARTITION BY doc_id ORDER BY i) AS prv
+           lag(tok)  OVER (PARTITION BY doc_id ORDER BY i) AS prv,
+           lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS prv2
          FROM __u),
        __parts AS (SELECT doc_id, i,
            CASE
@@ -3090,10 +3097,17 @@ object SparkEntry {
              WHEN NOT regexp_matches(tok, $wsRe) AND prv IS NOT NULL
                   AND regexp_matches(prv, $wsRe) AND length(prv) >= 2
                   AND substr(prv, length(prv), 1) = ' ' THEN
-               CASE WHEN regexp_matches(tok, $contrRe)
-                    THEN [' ' || substr(tok, 1, 1),
-                          substr(tok, 2, length(tok) - 1)]
+               CASE WHEN regexp_matches(tok, $contrRe) THEN
+                 CASE WHEN nxt IS NOT NULL AND regexp_matches(nxt, $letRe)
+                      THEN [' ' || substr(tok, 1, 1)]
+                      ELSE [' ' || substr(tok, 1, 1),
+                            substr(tok, 2, length(tok) - 1)] END
                     ELSE [' ' || tok] END
+             WHEN regexp_matches(tok, $letRe) AND prv IS NOT NULL
+                  AND regexp_matches(prv, $contrRe) AND prv2 IS NOT NULL
+                  AND regexp_matches(prv2, $wsRe) AND length(prv2) >= 2
+                  AND substr(prv2, length(prv2), 1) = ' '
+               THEN [substr(prv, 2, length(prv) - 1) || tok]
              ELSE [tok]
            END AS parts FROM __v),
        __pt AS (SELECT doc_id, i, unnest(parts) AS tok,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Scale-safe ordered prefix sum.
   *
@@ -22,9 +22,15 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   *     rows), turned into exclusive bucket offsets, and broadcast-joined
   *     back: prefix = bucket offset + local cumsum.
   *
-  * The arithmetic is identical to the single-window form whenever the
-  * summed values are exact in double (counts, integer weights — every
-  * engine call site), so results are bit-equal to the naive plan.
+  * INTEGRAL value columns accumulate as LongType end to end (bucket
+  * subtotals, driver offsets, output), so the prefix sum is exact at
+  * ANY magnitude — a double accumulator would lose token-offset
+  * boundaries above ~2^53 cumulative tokens, exactly the scale a
+  * 100-TB packed corpus reaches. Fractional value columns keep the
+  * double path; for those the arithmetic is identical to the
+  * single-window form whenever the summed values are exact in double
+  * (the engine's fractional call sites are AUC weights at corpus-
+  * bounded magnitudes), so results are bit-equal to the naive plan.
   */
 object PrefixSum {
 
@@ -82,24 +88,40 @@ object PrefixSum {
     val withB = in.withColumn(bCol, bucketExpr)
     val keyCols = partCols :+ bCol
 
+    // integral inputs accumulate exactly as longs; fractional as double
+    val integral = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val accType = if (integral) LongType else DoubleType
+
     // pass 1: per-bucket subtotals -> driver -> exclusive offsets.
     // Row count is ≤ |groups| * buckets — driver-tiny by construction.
     val totRows = withB.groupBy(keyCols.map(col): _*)
-      .agg(sum(col(valueCol)).cast(DoubleType).as(totCol))
+      .agg(sum(col(valueCol)).cast(accType).as(totCol))
       .collect()
     val offRows: Seq[Row] = totRows
       .groupBy(r => partCols.map(c => r.getAs[Any](c)))
       .valuesIterator.flatMap { rs =>
-        var acc = 0.0
-        rs.sortBy(_.getAs[Int](bCol)).map { r =>
-          val out = Row.fromSeq(r.toSeq.dropRight(1) :+ acc)
-          acc += r.getAs[Double](totCol)
-          out
+        if (integral) {
+          var acc = 0L
+          rs.sortBy(_.getAs[Int](bCol)).map { r =>
+            val out = Row.fromSeq(r.toSeq.dropRight(1) :+ acc)
+            acc += r.getAs[Long](totCol)
+            out
+          }
+        } else {
+          var acc = 0.0
+          rs.sortBy(_.getAs[Int](bCol)).map { r =>
+            val out = Row.fromSeq(r.toSeq.dropRight(1) :+ acc)
+            acc += r.getAs[Double](totCol)
+            out
+          }
         }
       }.toSeq
     val offSchema = StructType(
       withB.select(keyCols.map(col): _*).schema.fields.toSeq :+
-        StructField(offCol, DoubleType))
+        StructField(offCol, accType))
     val offDf = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(offRows).asJava), offSchema)

@@ -70,25 +70,34 @@ object Packing {
     * sequence), `n_tokens`, `n_docs` (documents contributing to the
     * sequence). Empty documents contribute nothing.
     *
-    * 100-TB shape: offsets from the range-bucketed PrefixSum (no
-    * single-reducer window); each doc explodes to only the sequences
-    * it touches (n/seqLen + 1 rows) carrying SLICES of its id array;
-    * the final groupBy(seq_id) shuffles each token id exactly once —
-    * the necessary, linear cost of materializing training examples.
-    * Assembly is deterministic: parts sort by in-sequence start
-    * position (disjoint ranges, so the order is total). */
+    * 100-TB shape: offsets come from the range-bucketed PrefixSum over
+    * a SLIM (id, n_tokens) projection — tokenization runs twice (once
+    * to count, once post-join to materialize; the executor-wide
+    * pretoken memo amortizes the second pass) so the heavy id arrays
+    * never enter the prefix-sum window shuffle or its internal cache.
+    * The ids then cross exactly ONE exchange: the doc-side join with
+    * the doc-count-sized offset frame co-partitions on the id, each
+    * doc explodes to only the sequences it touches (n/seqLen + 1
+    * rows) carrying SLICES of its array, and the final groupBy(seq_id)
+    * moves each token id once — the necessary, linear cost of
+    * materializing training examples. Assembly is deterministic:
+    * parts sort by in-sequence start position (disjoint ranges, so
+    * the order is total). */
   def packTokenSequences(docs: DataFrame, idCol: String, textCol: String,
                          seqLen: Int,
                          tokenIds: org.apache.spark.sql.Column =>
                            org.apache.spark.sql.Column): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val withIds = docs.select(col(idCol), tokenIds(col(textCol)).as("__ids"))
-      .withColumn("n_tokens", size(col("__ids")).cast("long"))
-    val cum = PrefixSum.inclusive(withIds, Seq.empty, idCol,
+    val counted = docs.select(col(idCol),
+      size(tokenIds(col(textCol))).cast("long").as("n_tokens"))
+    val cum = PrefixSum.inclusive(counted, Seq.empty, idCol,
       "n_tokens", "__cum")
-    val off = cum
+    val offsets = cum
       .withColumn("token_offset", (col("__cum") - col("n_tokens")).cast("long"))
       .filter(col("n_tokens") > 0)
+      .select(idCol, "n_tokens", "token_offset")
+    val off = docs.select(col(idCol), tokenIds(col(textCol)).as("__ids"))
+      .join(offsets, Seq(idCol))
     val L = lit(seqLen.toLong)
     val parts = off.select(col("__ids"), col("token_offset"), col("n_tokens"),
         // integer `div` keeps sequence boundaries exact at any offset

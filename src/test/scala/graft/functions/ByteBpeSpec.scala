@@ -66,6 +66,13 @@ class ByteBpeSpec extends AnyFunSuite {
     // the apostrophe via ' ?punct' (contraction alternatives have no
     // leading-space form), the letters match bare
     assert(ByteBpe.pretokenize("it  's") == Seq("it", " ", " '", "s"))
+    // ...and when more letters follow the contraction prefix, the
+    // reference scans ONE letters run — "silly" stays whole
+    assert(ByteBpe.pretokenize("it  'silly then") ==
+      Seq("it", " ", " '", "silly", " then"))
+    // without a preceding space the contraction alternative fires
+    // first: 'silly splits 's + illy (leftmost-first, both engines)
+    assert(ByteBpe.pretokenize("'silly") == Seq("'s", "illy"))
     // lossless: concatenation reproduces the input
     val s = "The U.S.A.'s GDP grew 3.5%  in Q2!\n\n  (source: )"
     assert(ByteBpe.pretokenize(s).mkString == s)

@@ -29,10 +29,10 @@ class PrefixSumSpec extends AnyFunSuite {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = df.withColumn("cs", sum("v").over(naiveW))
       .orderBy("x").select("x", "cs").collect()
-      .map(r => (r.getDouble(0), r.getLong(1).toDouble))
+      .map(r => (r.getDouble(0), r.getLong(1)))
     val got = PrefixSum.inclusive(df, Nil, "x", "v", "cs", buckets = 16)
       .orderBy("x").select("x", "cs").collect()
-      .map(r => (r.getDouble(0), r.getDouble(1)))
+      .map(r => (r.getDouble(0), r.getLong(1)))
     assert(got.length == naive.length)
     got.zip(naive).foreach { case ((xa, ca), (xb, cb)) =>
       assert(xa == xb && ca == cb, s"mismatch at $xa: $ca vs $cb")
@@ -45,10 +45,10 @@ class PrefixSumSpec extends AnyFunSuite {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = df.withColumn("cs", sum("v").over(naiveW))
       .orderBy("g", "x").select("g", "x", "cs").collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2).toDouble))
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
     val got = PrefixSum.inclusive(df, Seq("g"), "x", "v", "cs", buckets = 8)
       .orderBy("g", "x").select("g", "x", "cs").collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
     assert(got.length == naive.length)
     got.zip(naive).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
@@ -75,7 +75,28 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(PrefixSum.inclusive(empty, Nil, "x", "v", "cs").count() == 0)
     val one = Seq((1.0, 5L), (2.0, 7L)).toDF("x", "v")
     val got = PrefixSum.inclusive(one, Nil, "x", "v", "cs", buckets = 1)
-      .orderBy("x").collect().map(_.getDouble(2))
-    assert(got.toSeq == Seq(5.0, 12.0))
+      .orderBy("x").collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(5L, 12L))
+  }
+
+  test("integral inputs accumulate exactly beyond double precision") {
+    import spark.implicits._
+    // values near 2^53: a double accumulator would collapse the +1s
+    // (2^53 + 1 == 2^53 in double); the long path must keep them —
+    // this is the token-offset regime of a fully packed 100-TB corpus
+    val big = 1L << 53
+    val df = Seq((1.0, big), (2.0, 1L), (3.0, 1L), (4.0, 1L))
+      .toDF("x", "v")
+    val got = PrefixSum.inclusive(df, Nil, "x", "v", "cs", buckets = 2)
+      .orderBy("x").collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(big, big + 1, big + 2, big + 3),
+      s"long accumulation must be exact at 2^53: ${got.toSeq}")
+    // fractional inputs keep the double path (schema check)
+    val fr = Seq((1.0, 0.5), (2.0, 0.25)).toDF("x", "v")
+    val out = PrefixSum.inclusive(fr, Nil, "x", "v", "cs", buckets = 2)
+    assert(out.schema("cs").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(out.orderBy("x").collect().map(_.getDouble(2)).toSeq ==
+      Seq(0.5, 0.75))
   }
 }
