@@ -456,6 +456,22 @@ object SparkEntry {
         .orderBy("seq_id")
     }),
 
+    "q_pack_ids_eot" -> ((s, dir) => {
+      // the EOT convention: every document terminated with
+      // <|endoftext|> (id 0 in the committed vocab.json) before
+      // packing — boundaries become learnable tokens, and even an
+      // empty document contributes its terminator. Same fingerprint
+      // contract; the oracle appends the id in SQL.
+      graft.operators.Packing.packTokenSequences(docs(s, dir),
+        "doc_id", "text", seqLen = 512,
+        tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
+        eotId = Some(0))
+        .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+          md5(concat_ws(",", transform(col("input_ids"),
+            _.cast("string")))).as("ids_md5"))
+        .orderBy("seq_id")
+    }),
+
     "q_pack_export" -> ((s, dir) => {
       // the COMPLETE last mile, serialized: tokenize (byte-level BPE)
       // -> pack 512-token sequences -> write tf.train.Example shards
@@ -3011,10 +3027,24 @@ object SparkEntry {
     * replay + vocab id map. Oracle for BOTH q_pack_ids_gpt2 (the
     * in-memory pack) and q_pack_export (the same pack driven through
     * the TFRecord serialize/deserialize loop). */
-  private lazy val PackIdsGpt2Sql: String =
+  private lazy val PackIdsGpt2Sql: String = packIdsSqlFor(
+    """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
+             WHERE len(ids) > 0)""")
+
+  /** [[PackIdsGpt2Sql]] with the EOT convention: every document's id
+    * list ends with token 0 (&lt;|endoftext|&gt;), empty documents
+    * contribute just the terminator. */
+  private lazy val PackIdsEotSql: String = packIdsSqlFor(
+    """t AS (SELECT d.doc_id,
+             CASE WHEN di.ids IS NULL THEN [0]
+                  ELSE list_append(di.ids, 0) END AS ids,
+             (CASE WHEN di.ids IS NULL THEN 1
+                   ELSE len(di.ids) + 1 END)::BIGINT AS n
+           FROM documents d LEFT JOIN dids di USING (doc_id))""")
+
+  private def packIdsSqlFor(tCte: String): String =
     s"""WITH RECURSIVE $Gpt2IdsCte,
-       t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
-             WHERE len(ids) > 0),
+       $tCte,
        c AS (SELECT doc_id, ids, n,
                (sum(n) OVER (ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3650,6 +3680,8 @@ object SparkEntry {
            FROM c ORDER BY doc_id""",
 
       "q_pack_ids_gpt2" -> PackIdsGpt2Sql,
+
+      "q_pack_ids_eot" -> PackIdsEotSql,
 
       // same rebuild: the export query reads the sequences back off
       // the TFRecord shards, so fingerprint equality proves the whole

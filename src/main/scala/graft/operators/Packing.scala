@@ -86,17 +86,28 @@ object Packing {
   def packTokenSequences(docs: DataFrame, idCol: String, textCol: String,
                          seqLen: Int,
                          tokenIds: org.apache.spark.sql.Column =>
-                           org.apache.spark.sql.Column): DataFrame = {
+                           org.apache.spark.sql.Column,
+                         eotId: Option[Int] = None): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    // EOT convention: production pipelines terminate EVERY document
+    // with an end-of-text token (GPT-2's <|endoftext|>) so the model
+    // learns boundaries; the terminator joins the doc's id array
+    // BEFORE offsets, so counts/offsets include it, and an empty
+    // document still contributes its boundary token
+    val ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      eotId match {
+        case Some(e) => c => concat(tokenIds(c), array(lit(e)))
+        case None => tokenIds
+      }
     val counted = docs.select(col(idCol),
-      size(tokenIds(col(textCol))).cast("long").as("n_tokens"))
+      size(ids(col(textCol))).cast("long").as("n_tokens"))
     val cum = PrefixSum.inclusive(counted, Seq.empty, idCol,
       "n_tokens", "__cum")
     val offsets = cum
       .withColumn("token_offset", (col("__cum") - col("n_tokens")).cast("long"))
       .filter(col("n_tokens") > 0)
       .select(idCol, "n_tokens", "token_offset")
-    val off = docs.select(col(idCol), tokenIds(col(textCol)).as("__ids"))
+    val off = docs.select(col(idCol), ids(col(textCol)).as("__ids"))
       .join(offsets, Seq(idCol))
     val L = lit(seqLen.toLong)
     val parts = off.select(col("__ids"), col("token_offset"), col("n_tokens"),

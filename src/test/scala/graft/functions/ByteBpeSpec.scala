@@ -218,6 +218,16 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(packed.last.getLong(2) == (expectStream.length % 128 match {
       case 0 => 128L; case m => m.toLong
     }))
+    // the EOT convention: every document's contribution ends with the
+    // terminator id, so the packed stream equals ids ++ [eot] per doc
+    val eotPacked = graft.operators.Packing.packTokenSequences(
+      docs, "doc_id", "text", seqLen = 128,
+      tokenIds = ByteBpe.gpt2TokenIdArray, eotId = Some(0))
+      .collect().sortBy(_.getLong(0))
+    val eotExpect = docs.select("doc_id", "text").collect()
+      .sortBy(_.getLong(0))
+      .flatMap(r => ByteBpe.tokenIds(r.getString(1)) :+ 0)
+    assert(eotPacked.flatMap(_.getSeq[Int](1)).toSeq == eotExpect.toSeq)
   }
 
   test("Gpt2TokenCount: interpreted eval equals codegen result") {
