@@ -173,9 +173,19 @@ object Bench {
     def gateJson: String = {
       val p = java.nio.file.Paths.get(
         f"/root/repo/SCALING_r${ScalingGate.currentRound()}%02d.json")
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      else "{}"
+      if (!java.nio.file.Files.exists(p)) "{}"
+      else {
+        val raw =
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        // the aux child can be destroyForcibly'd mid-write, leaving a
+        // truncated file; embedding that verbatim would make the WHOLE
+        // bench artifact unparseable (r12 ADVICE) — validate first
+        try {
+          val node =
+            new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+          if (node != null && node.isObject) raw else "{}"
+        } catch { case _: Exception => "{}" }
+      }
     }
     def fullJson(scalingJson: String, streamJson: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","fork_batch":$batchSize,"n_children":${childResults.size},"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"queries_reps":$qreps,"queries_gc_ms":$qgc,"failed_queries":$failedJson,"reps":$reps,"sf":"$sfDir","dedup_scaling":$scalingJson,"nondedup_scaling":${readScale10()},"streaming":$streamJson,"scaling_gate":$gateJson,"isolation":${readIsolation()}}"""

@@ -427,6 +427,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_bpe_train" -> ((s, dir) => {
+      // DISTRIBUTED BPE TRAINING (r12 verdict ask #1): learn the first
+      // merges from the corpus itself — one pretoken-count groupBy,
+      // then per-merge pair-count aggregates with a one-row argmax
+      // collect (driver state = the merge list, the SLOPE-loop
+      // discipline). The oracle REPLAYS every step in SQL: pair counts
+      // over its own pretoken reconstruction, the same count-then-
+      // lexicographic argmax, the same left-to-right merge
+      // application — a wrong count, tie-break, or pass semantics
+      // anywhere hash-mismatches. Gpt2VocabGen builds the committed
+      // fixture through this exact operator (byte-identical re-run).
+      val merges = graft.operators.Tokenizer
+        .trainBpe(docs(s, dir), "text", 8)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+        .toDF("step", "lhs", "rhs")
+        .orderBy("step")
+    }),
+
     "q_seq_pack_gpt2" -> ((s, dir) => {
       // packing routed through the TRUE byte-level tokenizer — the
       // offsets a production pipeline would actually pack by
@@ -458,14 +478,36 @@ object SparkEntry {
 
     "q_pack_ids_eot" -> ((s, dir) => {
       // the EOT convention: every document terminated with
-      // <|endoftext|> (id 0 in the committed vocab.json) before
-      // packing — boundaries become learnable tokens, and even an
-      // empty document contributes its terminator. Same fingerprint
-      // contract; the oracle appends the id in SQL.
+      // <|endoftext|> before packing — boundaries become learnable
+      // tokens, and even an empty document contributes its terminator.
+      // The id is RESOLVED from the loaded vocab.json (0 in the
+      // committed fixture; 50256 in a real GPT-2 file, where a
+      // hardcoded 0 would silently terminate documents with '!' —
+      // r12 ADVICE), and the oracle SQL inlines the same resolved
+      // value. Same fingerprint contract.
       graft.operators.Packing.packTokenSequences(docs(s, dir),
         "doc_id", "text", seqLen = 512,
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
-        eotId = Some(0))
+        eotId = Some(graft.functions.ByteBpe.endOfTextId))
+        .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+          md5(concat_ws(",", transform(col("input_ids"),
+            _.cast("string")))).as("ids_md5"))
+        .orderBy("seq_id")
+    }),
+
+    "q_pack_ids_shuffled" -> ((s, dir) => {
+      // the EPOCH SHUFFLE (r12 verdict ask #2): the same last-mile
+      // pack, but over a seeded md5-rank PERMUTATION of documents —
+      // what a trainer actually consumes (deterministic id order bakes
+      // corpus layout into the curriculum). Same per-sequence
+      // fingerprint contract; the oracle computes the identical
+      // permutation in SQL, so order-key or string-order-PrefixSum
+      // bugs hash-mismatch. A different seed is a different complete
+      // pack (asserted in OperatorsSpec).
+      graft.operators.Packing.packTokenSequences(docs(s, dir),
+        "doc_id", "text", seqLen = 512,
+        tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
+        orderSeed = Some(13L))
         .select(col("seq_id"), col("n_tokens"), col("n_docs"),
           md5(concat_ws(",", transform(col("input_ids"),
             _.cast("string")))).as("ids_md5"))
@@ -487,18 +529,35 @@ object SparkEntry {
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray)
         .select(col("seq_id"),
           col("input_ids").cast("array<long>").as("input_ids"),
-          col("n_docs"))
+          col("n_docs"),
+          // the trainer masks ride the SAME Example rows (r12 verdict
+          // ask #3): document-boundary spans as two parallel int64
+          // lists + the pad/loss mask, all re-fingerprinted AFTER the
+          // serialize/deserialize loop below
+          transform(col("doc_spans"), sp => sp("start").cast("long"))
+            .as("doc_starts"),
+          transform(col("doc_spans"), sp => sp("end").cast("long"))
+            .as("doc_ends"),
+          col("loss_mask").cast("array<long>").as("loss_mask"))
       graft.sources.TfRecord.writeExamples(packed, edir, nFiles = 4,
         shardKey = "seq_id")
       graft.sources.TfRecord.read(s, edir)
         .select(
           element_at(col("int64_feats"), "seq_id").getItem(0).as("seq_id"),
           element_at(col("int64_feats"), "input_ids").as("ids"),
-          element_at(col("int64_feats"), "n_docs").getItem(0).as("n_docs"))
+          element_at(col("int64_feats"), "n_docs").getItem(0).as("n_docs"),
+          element_at(col("int64_feats"), "doc_starts").as("dst"),
+          element_at(col("int64_feats"), "doc_ends").as("den"),
+          element_at(col("int64_feats"), "loss_mask").as("lm"))
         .select(col("seq_id"), size(col("ids")).cast("long").as("n_tokens"),
           col("n_docs"),
           md5(concat_ws(",", transform(col("ids"),
-            _.cast("string")))).as("ids_md5"))
+            _.cast("string")))).as("ids_md5"),
+          md5(concat_ws(",", zip_with(col("dst"), col("den"),
+            (a, b) => concat(a.cast("string"), lit(":"),
+              b.cast("string"))))).as("spans_md5"),
+          md5(concat_ws(",", transform(col("lm"),
+            _.cast("string")))).as("mask_md5"))
         .orderBy("seq_id")
     }),
 
@@ -1616,11 +1675,14 @@ object SparkEntry {
 
     "q_pack_manifest" -> ((s, dir) => {
       // per-sequence packing manifest: docs contributing to each
-      // 512-token sequence and how many straddle a boundary (the
-      // packing-quality readout over q_seq_pack's offsets)
+      // 512-token sequence, how many straddle a boundary, and the
+      // in-sequence document-boundary spans fingerprint (r12 verdict
+      // ask #3 — the trainer's position-reset/attention-mask contract,
+      // rebuilt by the oracle from offsets alone)
       graft.operators.Packing.packManifest(docs(s, dir), "doc_id", "text",
         seqLen = 512)
-        .select(col("seq_id"), col("n_docs"), col("n_straddling"))
+        .select(col("seq_id"), col("n_docs"), col("n_straddling"),
+          col("spans_md5"))
         .orderBy("seq_id")
     }),
 
@@ -3031,22 +3093,61 @@ object SparkEntry {
     """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
              WHERE len(ids) > 0)""")
 
+  /** [[PackIdsGpt2Sql]] + the span/loss-mask fingerprints — the
+    * q_pack_export contract, where the masks also survive the TFRecord
+    * serialize/deserialize loop. */
+  private lazy val PackExportSql: String = packIdsSqlFor(
+    """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
+             WHERE len(ids) > 0)""",
+    withMasks = true)
+
+  /** [[PackIdsGpt2Sql]] under the seeded epoch-shuffle permutation:
+    * identical pack arithmetic, document order md5("13:" || id) — the
+    * oracle computes the same permutation (DuckDB md5 = Spark md5 =
+    * lowercase hex; BIGINT::VARCHAR = Spark's long→string cast), so a
+    * wrong order key, a biased bucket cut, or a tie mishandled
+    * anywhere in the string-order PrefixSum path hash-mismatches. */
+  private lazy val PackIdsShuffledSql: String = packIdsSqlFor(
+    """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
+             WHERE len(ids) > 0)""",
+    orderExpr = "md5('13:' || doc_id::VARCHAR)")
+
   /** [[PackIdsGpt2Sql]] with the EOT convention: every document's id
-    * list ends with token 0 (&lt;|endoftext|&gt;), empty documents
-    * contribute just the terminator. */
-  private lazy val PackIdsEotSql: String = packIdsSqlFor(
-    """t AS (SELECT d.doc_id,
-             CASE WHEN di.ids IS NULL THEN [0]
-                  ELSE list_append(di.ids, 0) END AS ids,
+    * list ends with the &lt;|endoftext|&gt; id RESOLVED from the same
+    * loaded vocab.json the engine resolves it from (not hardcoded —
+    * r12 ADVICE), empty documents contribute just the terminator. */
+  private lazy val PackIdsEotSql: String = {
+    val eot = graft.functions.ByteBpe.endOfTextId
+    packIdsSqlFor(
+      s"""t AS (SELECT d.doc_id,
+             CASE WHEN di.ids IS NULL THEN [$eot]
+                  ELSE list_append(di.ids, $eot) END AS ids,
              (CASE WHEN di.ids IS NULL THEN 1
                    ELSE len(di.ids) + 1 END)::BIGINT AS n
            FROM documents d LEFT JOIN dids di USING (doc_id))""")
+  }
 
-  private def packIdsSqlFor(tCte: String): String =
+  private def packIdsSqlFor(tCte: String,
+                            orderExpr: String = "doc_id",
+                            withMasks: Boolean = false): String = {
+    // the mask columns (r12 verdict ask #3), rebuilt INDEPENDENTLY
+    // from the oracle's own offsets: document-boundary spans in
+    // in-sequence order, and the 512-slot pad/loss mask from the
+    // sequence's token count alone
+    val maskCols = if (!withMasks) "" else
+      s""",
+         md5(list_aggregate(spans, 'string_agg', ',')) AS spans_md5,
+         md5(list_aggregate(list_transform(generate_series(0, 511),
+           i -> CASE WHEN i < len(input_ids) THEN '1' ELSE '0' END),
+           'string_agg', ',')) AS mask_md5"""
+    val spansAgg = if (!withMasks) "" else
+      s""",
+         list(sis::VARCHAR || ':' || (sis + len(part))::VARCHAR
+           ORDER BY sis) AS spans"""
     s"""WITH RECURSIVE $Gpt2IdsCte,
        $tCte,
        c AS (SELECT doc_id, ids, n,
-               (sum(n) OVER (ORDER BY doc_id
+               (sum(n) OVER (ORDER BY $orderExpr
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 - n)::BIGINT AS off
              FROM t),
@@ -3061,12 +3162,13 @@ object SparkEntry {
                (greatest(seq_id * 512, off) - seq_id * 512)::INT AS sis
              FROM s),
        g AS (SELECT seq_id, count(*)::BIGINT AS n_docs,
-               flatten(list(part ORDER BY sis)) AS input_ids
+               flatten(list(part ORDER BY sis)) AS input_ids$spansAgg
              FROM p GROUP BY seq_id)
        SELECT seq_id, len(input_ids)::BIGINT AS n_tokens, n_docs,
          md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
-           'string_agg', ',')) AS ids_md5
+           'string_agg', ',')) AS ids_md5$maskCols
        FROM g ORDER BY seq_id"""
+  }
 
   private val Gpt2Big = "2147483647"
 
@@ -3088,12 +3190,12 @@ object SparkEntry {
     s"""(($ap IS NULL OR coalesce(list_position(${gpt2PksOf(syms)}, $ap), 0) = 0)
         AND coalesce(list_min(${gpt2PrsOfPks(gpt2PksOf(syms))}), $Gpt2Big) = $Gpt2Big)"""
 
-  /** The shared pretokenize + byte-encode + recursive merge body of
-    * the GPT-2 oracles, through `__bpe(doc_id, i, j, syms, ap)` (all
-    * intermediate merge states with the ACTIVE pair; the consumer
-    * selects the fixpoint rows via [[gpt2NoMerge]]). */
-  private lazy val Gpt2BpeBody: String = {
-    val big = Gpt2Big
+  /** The shared GPT-2 PRETOKENIZER reconstruction, through
+    * `__pt(doc_id, i, j, tok)` — one row per pretoken occurrence in
+    * document order. Shared by the ENCODER oracles ([[Gpt2BpeBody]])
+    * and the TRAINER oracle ([[BpeTrainSql]]), which both start from
+    * the same pretoken stream the engine's published regex produces. */
+  private lazy val Gpt2PretokBody: String = {
     // Unicode White_Space spelled out for RE2 (ASCII \s would diverge
     // from the engine's UNICODE_CHARACTER_CLASS \s on NBSP & friends)
     val ws = """[\t-\r\x{0085}\p{Z}]"""
@@ -3141,7 +3243,16 @@ object SparkEntry {
              ELSE [tok]
            END AS parts FROM __v),
        __pt AS (SELECT doc_id, i, unnest(parts) AS tok,
-           unnest(generate_series(1, len(parts))) AS j FROM __parts),
+           unnest(generate_series(1, len(parts))) AS j FROM __parts)"""
+  }
+
+  /** The shared pretokenize + byte-encode + recursive merge body of
+    * the GPT-2 ENCODER oracles, through `__bpe(tok, syms, ap)` (all
+    * intermediate merge states with the ACTIVE pair; the consumer
+    * selects the fixpoint rows via [[gpt2NoMerge]]). */
+  private lazy val Gpt2BpeBody: String = {
+    val big = Gpt2Big
+    s"""$Gpt2PretokBody,
        __dt AS (SELECT DISTINCT tok FROM __pt),
        __ini AS (SELECT tok,
            regexp_extract_all(hex(encode(tok)), '..') AS syms FROM __dt),
@@ -3165,6 +3276,63 @@ object SparkEntry {
              FROM (SELECT tok, syms, ap, ${gpt2PksOf("syms")} AS pks
                    FROM __bpe)))
          WHERE pk IS NOT NULL)"""
+  }
+
+  /** Full DuckDB replay of [[graft.operators.Tokenizer.trainBpe]] —
+    * BPE TRAINING, not encoding: starting from the engine's own
+    * pretoken stream ([[Gpt2PretokBody]]), unroll the first
+    * [[BpeTrainSteps]] merge steps, each one = pair counts over the
+    * distinct-pretoken table → argmax (count DESC, then the
+    * lexicographically smallest pair) → apply the merge everywhere.
+    *
+    * Representation choices (each independent of the engine's code):
+    *  - symbols live in the MAPPED byte→unicode alphabet, rebuilt in
+    *    SQL from `hex(encode(tok))` via an inlined 256-entry hex→chr
+    *    map ([[graft.functions.ByteBpe.chrMapSql]]) — the TIE-BREAK is
+    *    defined on mapped symbols, and DuckDB's binary VARCHAR order,
+    *    Spark's UTF8String order, and Scala's UTF-16 order all agree
+    *    on this alphabet (every symbol char is a BMP code point);
+    *  - a word is rendered as TAB-wrapped symbols (`\t s \t\t s \t`; no
+    *    mapped char is a tab), so applying a merge is one literal
+    *    `replace` whose left-to-right non-overlapping scan is exactly
+    *    the BPE pass, with no mid-symbol or shared-delimiter matches;
+    *  - adjacent-pair counts include overlapping occurrences (both
+    *    (a,a) adjacencies of [a,a,a] count), the trainer's contract. */
+  private val BpeTrainSteps = 8
+
+  private lazy val BpeTrainSql: String = {
+    val chrMap = graft.functions.ByteBpe.chrMapSql
+    val tt = "chr(9)||chr(9)"
+    // each w{i-1} is consumed TWICE (pair counts + merge application):
+    // explicit MATERIALIZED stops the planner from inlining the chain,
+    // which would re-evaluate the whole prefix 2^steps times
+    def pairsAndBest(i: Int): String =
+      s"""p$i AS (SELECT sy[u] AS a, sy[u + 1] AS b, sum(cnt)::BIGINT AS c
+           FROM (SELECT sy, cnt,
+                   unnest(generate_series(1, len(sy) - 1)) AS u
+                 FROM (SELECT string_split(trim(rend, chr(9)), $tt) AS sy,
+                         cnt FROM w${i - 1}))
+           GROUP BY 1, 2),
+         b$i AS MATERIALIZED (
+           SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         w$i AS MATERIALIZED (SELECT replace(rend,
+             chr(9) || a || $tt || b || chr(9),
+             chr(9) || a || b || chr(9)) AS rend, cnt
+           FROM w${i - 1}, b$i)"""
+    val steps = (1 to BpeTrainSteps).map(pairsAndBest).mkString(",\n")
+    val out = (1 to BpeTrainSteps)
+      .map(i => s"SELECT $i::BIGINT AS step, a AS lhs, b AS rhs FROM b$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH $Gpt2PretokBody,
+       w0 AS MATERIALIZED (SELECT
+           list_aggregate(list_transform(
+             regexp_extract_all(hex(encode(tok)), '..'),
+             h -> chr(9) || map_extract($chrMap, h)[1] || chr(9)),
+             'string_agg', '') AS rend,
+           count(*)::BIGINT AS cnt
+         FROM __pt GROUP BY 1),
+       $steps
+       SELECT step, lhs, rhs FROM ($out) ORDER BY step"""
   }
 
   private def occSql(padded: String, term: String): String =
@@ -3679,14 +3847,19 @@ object SparkEntry {
                AS last_seq
            FROM c ORDER BY doc_id""",
 
+      "q_bpe_train" -> BpeTrainSql,
+
       "q_pack_ids_gpt2" -> PackIdsGpt2Sql,
 
       "q_pack_ids_eot" -> PackIdsEotSql,
 
-      // same rebuild: the export query reads the sequences back off
-      // the TFRecord shards, so fingerprint equality proves the whole
-      // serialize/deserialize loop id-exact
-      "q_pack_export" -> PackIdsGpt2Sql,
+      "q_pack_ids_shuffled" -> PackIdsShuffledSql,
+
+      // same rebuild PLUS the independently-reconstructed span and
+      // loss-mask fingerprints: the export query reads everything back
+      // off the TFRecord shards, so fingerprint equality proves the
+      // whole serialize/deserialize loop exact for ids AND masks
+      "q_pack_export" -> PackExportSql,
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id",
@@ -4890,17 +5063,25 @@ object SparkEntry {
                 - n_tokens)::BIGINT AS off
              FROM t),
            s AS (
-             SELECT doc_id, off // 512 AS first_seq,
+             SELECT doc_id, off, n_tokens, off // 512 AS first_seq,
                (off + greatest(n_tokens, 1) - 1) // 512 AS last_seq
              FROM c WHERE n_tokens > 0),
            e AS (
-             SELECT doc_id, first_seq, last_seq,
+             SELECT doc_id, off, n_tokens, first_seq, last_seq,
                unnest(range(first_seq, last_seq + 1)) AS seq_id
-             FROM s)
+             FROM s),
+           e2 AS (
+             SELECT seq_id, first_seq, last_seq,
+               greatest(seq_id * 512, off) - seq_id * 512 AS st,
+               least((seq_id + 1) * 512, off + n_tokens) - seq_id * 512 AS en
+             FROM e)
            SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs,
              sum(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)::BIGINT
-               AS n_straddling
-           FROM e GROUP BY seq_id ORDER BY seq_id""",
+               AS n_straddling,
+             md5(list_aggregate(
+               list(st::VARCHAR || ':' || en::VARCHAR ORDER BY st),
+               'string_agg', ',')) AS spans_md5
+           FROM e2 GROUP BY seq_id ORDER BY seq_id""",
 
       "q_pii_redact" -> {
         val em = graft.functions.TextFunctions.EmailPattern

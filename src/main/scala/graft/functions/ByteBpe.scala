@@ -174,10 +174,18 @@ object ByteBpe {
 
   /** Parse a GPT-2 merges.txt (optional `#version` header, one
     * "left right" pair per line in rank order) and VALIDATE the BPE
-    * well-formedness invariant: each side is a single byte symbol or
-    * the result of a strictly earlier merge. Fail-loud on violation —
-    * a file outside this invariant is not the output of BPE training
-    * and would break the oracle's first-occurrence equivalence. */
+    * well-formedness invariants: each side is a single byte symbol or
+    * the result of a strictly earlier merge, and no PAIR repeats — a
+    * duplicate pair is impossible in genuine BPE training output
+    * (after a pair is merged everywhere, its count is zero; it can
+    * only re-enter via a duplicate-PRODUCER, whose occurrences carry
+    * the producer's own rank). Fail-loud on violation — a file outside
+    * these invariants is not the output of BPE training and would
+    * break the oracle's first-occurrence equivalence. Uniqueness as a
+    * loader invariant (rather than a silent first-or-last-wins pick)
+    * also removes the one case where [[ranks]] could diverge from the
+    * reference encoder's `dict(zip(merges, ...))`, which is
+    * LAST-occurrence-wins. */
   def parseMerges(lines: Iterator[String]): IndexedSeq[(String, String)] = {
     val pairs = lines.map(_.stripLineEnd)
       .filter(l => l.nonEmpty && !l.startsWith("#version"))
@@ -188,6 +196,7 @@ object ByteBpe {
         (l.substring(0, sp), l.substring(sp + 1))
       }.toIndexedSeq
     val resultRank = scala.collection.mutable.Map.empty[String, Int]
+    val seenPairs = scala.collection.mutable.Set.empty[(String, String)]
     pairs.zipWithIndex.foreach { case ((a, b), r) =>
       def wellFormed(s: String): Boolean =
         (s.length == 1 && charToByte.contains(s.charAt(0))) ||
@@ -195,6 +204,9 @@ object ByteBpe {
       require(wellFormed(a) && wellFormed(b),
         s"merge $r ('$a' '$b') uses a symbol not derivable from earlier " +
           "merges — not a BPE-trained file")
+      require(seenPairs.add((a, b)),
+        s"merge $r ('$a' '$b') repeats an earlier pair — not possible " +
+          "in genuine BPE training output")
       if (!resultRank.contains(a + b)) resultRank(a + b) = r
     }
     pairs
@@ -204,12 +216,15 @@ object ByteBpe {
   lazy val merges: IndexedSeq[(String, String)] =
     parseMerges(readResource(MergesResource).linesIterator)
 
-  /** "left right" -> rank. */
+  /** "left right" -> rank. [[parseMerges]] guarantees pair keys are
+    * UNIQUE (a duplicate-pair file is rejected at load), so there is
+    * no first-vs-last-wins choice to make here — the map is exactly
+    * the reference encoder's `dict(zip(merges, range(...)))` on every
+    * loadable file. */
   lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((a, b), r) =>
-      // first occurrence wins, as in the reference encoder's dict
-      if (!m.containsKey(a + " " + b)) m.put(a + " " + b, r)
+      m.put(a + " " + b, r)
     }
     m
   }
@@ -230,18 +245,40 @@ object ByteBpe {
 
   /** Bounded per-pretoken memo (the reference encoder keeps the same
     * cache): Zipf corpora re-tokenize the same pretokens constantly.
-    * Cleared wholesale past the bound — correctness never depends on
-    * it. */
+    * Bounded BOTH by entry count and by an approximate byte budget —
+    * unsegmented text (CJK, long letter runs) makes one pretoken per
+    * document via ` ?\p{L}+`, so an entry-count bound alone could
+    * accumulate 200k document-sized key+array pairs per executor JVM
+    * (r12 ADVICE). Pretokens past [[MaxCachePretokenLen]] are never
+    * cached at all (a >4 KB pretoken is not a Zipf-head repeat worth
+    * memoizing, and its O(len²) merge cost dwarfs one hash probe).
+    * Cleared wholesale past either bound — correctness never depends
+    * on it. */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
   private val CacheBound = 200000
+  private val CacheByteBudget = 64L << 20 // ~64 MB of cached chars/JVM
+  private val MaxCachePretokenLen = 4096
+  private val cacheChars = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def bpeCached(pretoken: String): Array[String] = {
     val hit = bpeCache.get(pretoken)
     if (hit != null) return hit
     val res = bpe(toByteSymbols(pretoken), ranks)
-    if (bpeCache.size() >= CacheBound) bpeCache.clear()
-    bpeCache.put(pretoken, res)
+    if (pretoken.length <= MaxCachePretokenLen) {
+      if (bpeCache.size() >= CacheBound ||
+          cacheChars.get() * 2 >= CacheByteBudget) {
+        bpeCache.clear()
+        cacheChars.set(0L)
+      }
+      if (bpeCache.put(pretoken, res) == null) {
+        // key chars + result symbol chars (each UTF-16 char ~2 bytes;
+        // the ×2 happens at the budget comparison above)
+        var n = pretoken.length.toLong
+        res.foreach(s => n += s.length)
+        cacheChars.addAndGet(n)
+      }
+    }
     res
   }
 
@@ -290,7 +327,23 @@ object ByteBpe {
       .toSeq.sortBy(_._2)
   }
 
+  /** The GPT-2 pretokens of `text`, each already byte→unicode MAPPED
+    * (the symbol alphabet the merge loop and the TRAINER operate in).
+    * Distinct texts can share pretokens — the trainer's groupBy key. */
+  def mappedPretokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    pretokenize(text).iterator
+      .map(pt => toByteSymbols(pt).mkString).toArray
+  }
+
   // ---- Spark surface ----
+
+  /** Mapped-pretoken array column — codegen'd, no ScalaUDF; the
+    * distributed BPE trainer's scan expression. */
+  def gpt2Pretokens(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(Gpt2Pretokens(ColumnShim.expression(c)))
+  }
 
   /** BPE token count column — a codegen'd expression, no ScalaUDF. */
   def gpt2TokenCount(c: Column): Column = {
@@ -305,18 +358,41 @@ object ByteBpe {
     ColumnShim.column(Gpt2TokenIds(ColumnShim.expression(c)))
   }
 
+  /** Known special tokens — vocab entries that are TRAINER-inserted
+    * markers, not merge output. NOTE every char of `<|endoftext|>` IS
+    * byte-decodable (it is made of printable ASCII), so a
+    * "byte-decodable" filter alone would NOT exclude it — it must be
+    * excluded by name (r12 ADVICE: the old comment claimed otherwise). */
+  val SpecialTokens: Set[String] = Set("<|endoftext|>")
+
+  /** The special-token id resolved from the committed vocab.json — the
+    * value callers should terminate documents with (hardcoding 0 is
+    * only correct for THIS fixture; a real GPT-2 vocab.json has
+    * `<|endoftext|>` = 50256 and id 0 = '!'). */
+  lazy val endOfTextId: Int = vocabIds("<|endoftext|>")
+
   /** The vocab keyed by HEX of each token's raw bytes — the id-map
     * form the DuckDB oracle joins its final hex symbols against
     * (sidestepping the byte→unicode table in SQL, like [[hexRanks]]).
-    * Keys restricted to byte-decodable tokens (specials like
-    * &lt;|endoftext|&gt; contain chars outside the byte alphabet and can
-    * never appear as merge output). */
+    * [[SpecialTokens]] are excluded BY NAME: they are never merge
+    * output, so they must not shadow a (theoretical) colliding merge
+    * result in the oracle's symbol→id lookup. */
   def hexVocabIds: Seq[(String, Int)] =
     vocabIds.toSeq.flatMap { case (tok, id) =>
-      if (tok.forall(charToByte.contains))
+      if (!SpecialTokens(tok) && tok.forall(charToByte.contains))
         Some(tok.map(c => f"${charToByte(c)}%02X").mkString -> id)
       else None
     }.sortBy(_._2)
+
+  /** DuckDB MAP literal `{'41': chr(65), ...}` mapping each byte's
+    * uppercase hex to its byte→unicode representative char — lets an
+    * oracle reconstruct the engine's MAPPED symbol strings from
+    * `hex(encode(tok))` without any string-literal escaping (chr()
+    * sidesteps quotes/backslashes entirely). Used by the BPE TRAINER
+    * oracle, whose tie-break order is defined on mapped symbols. */
+  def chrMapSql: String =
+    (0 until 256).map(b => f"'$b%02X': chr(${byteToChar(b).toInt})")
+      .mkString("MAP {", ", ", "}")
 }
 
 /** Codegen'd `ByteBpe.tokenCount` over a string column (the
@@ -397,4 +473,55 @@ case class Gpt2TokenIds(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Gpt2TokenIds =
     copy(child = newChild)
+}
+
+/** Codegen'd `ByteBpe.mappedPretokens` over a string column: the
+  * byte→unicode-mapped GPT-2 pretoken array — the distributed BPE
+  * TRAINER's corpus-scan expression (one static call, stays inside
+  * whole-stage codegen). NULL input yields an empty array. */
+case class Gpt2Pretokens(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gpt2_pretokens requires string input, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any])
+    else Gpt2Pretokens.toArrayData(v.asInstanceOf[UTF8String].toString)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val helper = classOf[Gpt2Pretokens].getName
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  $helper.toArrayData(${childGen.isNull}
+         |    ? null : ${childGen.value}.toString());
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Gpt2Pretokens =
+    copy(child = newChild)
+}
+
+object Gpt2Pretokens {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Codegen entry point: mapped pretokens as Catalyst ArrayData. */
+  def toArrayData(text: String): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    new GenericArrayData(
+      ByteBpe.mappedPretokens(text).map(UTF8String.fromString(_)): Array[Any])
+  }
 }

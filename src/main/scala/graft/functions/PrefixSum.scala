@@ -36,10 +36,17 @@ object PrefixSum {
 
   /** Adds `outCol` = inclusive running sum of `valueCol` over rows
     * ordered by `orderCol` (ascending) within each `partCols` group.
-    * `orderCol` must be numeric and distinct per (group, row) — the
+    * `orderCol` must be numeric — or a lowercase-HEX string (an md5
+    * rank, the seeded-shuffle pack order): a string order column is
+    * bucketed by the numeric value of its first 15 hex chars (a
+    * MONOTONE non-strict function of the full string's binary order,
+    * so equal prefixes share a bucket and bucketing stays consistent
+    * with the exact full-string window order) and ORDERED by the full
+    * string. Either way it must be distinct per (group, row) — the
     * engine's call sites all pre-aggregate per distinct order value,
     * which any caller of a cumulative sum should do anyway (ties in a
-    * running sum are order-ambiguous).
+    * running sum are order-ambiguous; for md5 ranks distinctness is
+    * the 2^-128 collision bound).
     *
     * PRECONDITION: `partCols` and `orderCol` values must be non-null.
     * The naive window would keep a null partition and sort nulls first;
@@ -75,17 +82,31 @@ object PrefixSum {
     val in = if (callerCached) df
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // a STRING order column (md5 rank) buckets by the numeric value of
+    // its first 15 hex chars — monotone in the string's binary order,
+    // so every bucket is an order-contiguous range; the window below
+    // still orders by the exact full string
+    val stringOrder =
+      df.schema(orderCol).dataType == org.apache.spark.sql.types.StringType
+    val onCol = "__ps_on"
+    val withOn =
+      if (stringOrder)
+        in.withColumn(onCol,
+          conv(substring(col(orderCol), 1, 15), 16, 10).cast(LongType))
+      else in
+    val quantCol = if (stringOrder) onCol else orderCol
+
     // deterministic global boundaries; duplicates collapse (skewed
     // order values simply yield fewer, fatter buckets)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds =
       if (buckets <= 1) Array.empty[Double]
-      else in.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+      else withOn.stat.approxQuantile(quantCol, probs, 0.001).distinct.sorted
     val bucketExpr: Column =
       if (bounds.isEmpty) lit(0)
-      else size(filter(lit(bounds), b => col(orderCol) > b))
+      else size(filter(lit(bounds), b => col(quantCol) > b))
 
-    val withB = in.withColumn(bCol, bucketExpr)
+    val withB = withOn.withColumn(bCol, bucketExpr)
     val keyCols = partCols :+ bCol
 
     // integral inputs accumulate exactly as longs; fractional as double
@@ -135,7 +156,7 @@ object PrefixSum {
       .withColumn(lcCol, sum(col(valueCol)).over(localW))
       .join(broadcast(offDf), keyCols)
       .withColumn(outCol, col(offCol) + col(lcCol))
-      .drop(bCol, lcCol, offCol)
+      .drop(bCol, lcCol, offCol, onCol)
     // internal actions are done; release the cache (non-blocking).
     // The caller's execution of `out` re-scans upstream once — see the
     // scaladoc for the pre-persist escape hatch.

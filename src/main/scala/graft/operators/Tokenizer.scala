@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.ByteBpe
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE TOKENIZER TRAINING (r12 verdict ask #1): learn the
+  * merge table from the corpus the engine will later pack — promoted
+  * from test-side driver code (the old Gpt2VocabGen collected every
+  * document to the driver) to a first-class operator a real pipeline
+  * can run on the corpus it trains on.
+  *
+  * Algorithm (the published BPE training loop — Sennrich et al. 2016,
+  * and the byte-level discipline of the GPT-2 encoder,
+  * github.com/openai/gpt-2):
+  *
+  *  1. PRETOKEN COUNTS — one distributed pass: explode each document
+  *     into byte→unicode-MAPPED GPT-2 pretokens (the codegen'd
+  *     [[graft.functions.Gpt2Pretokens]] expression), `groupBy(pt)`
+  *     count. The state from here on is the DISTINCT-pretoken table
+  *     (Zipf-bounded: vocabulary-sized, not corpus-sized).
+  *  2. Per merge step: count every ADJACENT SYMBOL PAIR weighted by
+  *     pretoken count (one aggregate over the distinct-pretoken
+  *     table), take the argmax — highest count, ties broken by the
+  *     lexicographically SMALLEST (left, right) in the mapped-symbol
+  *     alphabet — with a `limit(1)` collect (TakeOrdered, one row to
+  *     the driver), then apply the winning merge to every pretoken's
+  *     symbol sequence and iterate.
+  *
+  * Driver state is the merge list only — p-sized, never data-sized
+  * (the SLOPE fit-loop discipline). Each iteration is one shuffle of
+  * pair counts over the distinct-pretoken table plus a one-row
+  * collect; the corpus itself is touched exactly once, in step 1.
+  * The per-iteration frame is `localCheckpoint`ed so 384 iterations
+  * do not accumulate 384 plans of lineage.
+  *
+  * MERGE APPLICATION stays declarative (whole-stage codegen, no UDF):
+  * a symbol sequence is rendered as TAB-wrapped symbols
+  * (`\t s1 \t\t s2 \t…` — the mapped alphabet is ≥ U+0021, so no
+  * symbol can contain a tab) and the merge applied with the built-in
+  * `replace`, whose left-to-right non-overlapping scan IS the BPE
+  * pass semantics: wrapping each symbol in its own tab pair means a
+  * match can only start and end on true symbol boundaries (a mapped
+  * pattern can never match mid-symbol, and adjacent matches share no
+  * characters, so `[a,a,a,a]` merging (a,a) yields `[aa,aa]`, not the
+  * shared-delimiter bug `[aa,a,a]`), and `replace` resumes scanning
+  * AFTER the replacement, exactly the `j += 2` of the array pass.
+  *
+  * Byte-for-byte equivalent to the driver-side reference trainer
+  * ([[graft.functions.Subword.trainMerges]]) on any corpus: identical
+  * pair counting (all adjacent pairs, overlapping occurrences
+  * included), identical argmax tie-break (Spark's UTF8String binary
+  * order, DuckDB's binary VARCHAR order, and Scala's UTF-16 order all
+  * agree on the mapped alphabet — every symbol char is a BMP code
+  * point, where UTF-8 byte order = code-point order = UTF-16 order),
+  * identical left-to-right merge application, identical stop
+  * condition. Asserted by TokenizerSpec's differential and by
+  * Gpt2VocabGen, which now calls this operator and reproduces the
+  * committed fixture byte-for-byte.
+  *
+  * 100-TB shape: the corpus-sized work is ONE scan + ONE groupBy; the
+  * training loop runs over the distinct-pretoken table (memory-bounded
+  * by the vocabulary, cluster-sharded), each step one map-side-combined
+  * aggregate whose result is further reduced to a single driver row by
+  * TakeOrdered. Nothing document-sized ever reaches the driver.
+  */
+object Tokenizer {
+
+  /** Train `nMerges` byte-level BPE merges on `textCol` of `docs`.
+    * Returns the RAW merge sequence in training order, in the mapped
+    * symbol alphabet (the exact lines of a GPT-2 `merges.txt`). The
+    * sequence can contain a repeated pair only via duplicate-producer
+    * re-formation (two merges yielding the same string) — callers
+    * writing a merges file apply `.distinct`, mirroring the reference
+    * trainer. Stops early when no adjacent pair remains. */
+  def trainBpe(docs: DataFrame, textCol: String,
+               nMerges: Int): IndexedSeq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    // 1. the ONE corpus-sized pass: distinct mapped pretokens + counts,
+    //    symbols initialized to single mapped chars (each one byte)
+    var words = docs
+      .select(explode(ByteBpe.gpt2Pretokens(col(textCol))).as("pt"))
+      .groupBy("pt").agg(count(lit(1)).as("cnt"))
+      .select(
+        expr("transform(sequence(1, length(pt)), i -> substring(pt, i, 1))")
+          .as("syms"),
+        col("cnt"))
+      .localCheckpoint()
+
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      // 2a. pair counts: every adjacent pair (overlapping included,
+      //     the trainMerges contract), weighted by pretoken count
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        // 2b. argmax, ONE row to the driver: highest count, then
+        //     lexicographically smallest pair (binary order — equals
+        //     the reference trainer's and the oracle's tie-break)
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += ((a, b))
+        // 2c. apply the merge declaratively: tab-wrapped rendering +
+        //     literal replace (left-to-right non-overlapping = the BPE
+        //     pass), split back to symbols; lineage truncated per step
+        val rend = concat(lit("\t"), array_join(col("syms"), "\t\t"),
+          lit("\t"))
+        val rep = org.apache.spark.sql.functions.replace(rend,
+          lit("\t" + a + "\t\t" + b + "\t"), lit("\t" + a + b + "\t"))
+        words = words
+          .withColumn("__r", rep)
+          // strip the single wrapping tab at each end, split on the
+          // double-tab separators (substring is code-point-exact and
+          // every mapped symbol char is one code point)
+          .select(
+            split(expr("substring(__r, 2, length(__r) - 2)"), "\t\t")
+              .as("syms"),
+            col("cnt"))
+          .localCheckpoint()
+        m += 1
+      }
+    }
+    merges.result()
+  }
+}

@@ -123,6 +123,17 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(ByteBpe.parseMerges(lines).size == 6)
   }
 
+  test("well-formedness: loader rejects a duplicate PAIR (r12 advice)") {
+    // a repeated pair is impossible in genuine BPE training output
+    // (after a pair merges everywhere its count is zero); rather than
+    // silently choosing first- or last-occurrence-wins — where Python's
+    // dict(zip(...)) is LAST-wins and a quiet divergence risk — the
+    // loader makes uniqueness an invariant and fails loud
+    val dup = Seq("#version: 0.2", "a b", "c d", "a b").iterator
+    val e = intercept[IllegalArgumentException](ByteBpe.parseMerges(dup))
+    assert(e.getMessage.contains("repeats an earlier pair"))
+  }
+
   test("well-formedness: loader rejects non-BPE merge files") {
     // (xy,z) at rank 0: 'xy' is not a single byte symbol and no earlier
     // merge produced it -> not the output of BPE training
@@ -228,6 +239,41 @@ class ByteBpeSpec extends AnyFunSuite {
       .sortBy(_.getLong(0))
       .flatMap(r => ByteBpe.tokenIds(r.getString(1)) :+ 0)
     assert(eotPacked.flatMap(_.getSeq[Int](1)).toSeq == eotExpect.toSeq)
+  }
+
+  test("packTokenSequences: seeded shuffle is a complete permutation") {
+    // the epoch-shuffle contract (r12 verdict ask #2): a seed packs
+    // the SAME token multiset in a DIFFERENT, deterministic order —
+    // the packed stream equals the concatenation of doc id-arrays in
+    // md5("<seed>:<id>") rank order, two seeds give different streams,
+    // and re-running a seed is bit-identical
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def packedStream(seed: Option[Long]): Seq[Int] =
+      graft.operators.Packing.packTokenSequences(
+        docs, "doc_id", "text", seqLen = 128,
+        tokenIds = ByteBpe.gpt2TokenIdArray, orderSeed = seed)
+        .collect().sortBy(_.getLong(0)).toSeq.flatMap(_.getSeq[Int](1))
+    val s13a = packedStream(Some(13L))
+    // the reference permutation, computed driver-side with Java md5
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    def rank(seed: Long, id: Long) = hex(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8")))
+    val expect13 = docs.select("doc_id", "text").collect()
+      .sortBy(r => rank(13L, r.getLong(0)))
+      .flatMap(r => ByteBpe.tokenIds(r.getString(1))).toSeq
+    assert(s13a == expect13,
+      "seeded pack must equal the md5-rank permutation stream")
+    // different seed => different order, same multiset; no seed => id
+    // order (differs from both on any non-trivial corpus)
+    val s7 = packedStream(Some(7L))
+    val s0 = packedStream(None)
+    assert(s7.sorted == s13a.sorted && s0.sorted == s13a.sorted,
+      "every seed packs the complete token multiset")
+    assert(s7 != s13a && s0 != s13a, "seeds must permute the order")
+    // determinism: re-running the same seed is bit-identical
+    assert(packedStream(Some(13L)) == s13a)
   }
 
   test("Gpt2TokenCount: interpreted eval equals codegen result") {
