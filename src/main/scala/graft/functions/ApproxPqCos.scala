@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Codegen'd asymmetric PQ cosine (r12 verdict hygiene #1 / r11 ask
+  * #7's Expression upgrade): `dot(q, reconstruction) / (|q|·rec_norm)`
+  * where the query stays full precision and the candidate contributes
+  * only its PQ codes — the ONE shared scoring definition used by BOTH
+  * the batch semantic flags and the streaming gate, now a native
+  * expression (the Gpt2TokenCount pattern, fifth application) instead
+  * of a closure ScalaUDF: the candidate-scoring projection stays
+  * inside whole-stage codegen with no encode/decode/closure tax, and
+  * the probe plan is ScalaUDF-free (plan-asserted in OperatorsSpec).
+  *
+  * The codebooks ride along as a codegen REFERENCE OBJECT (one
+  * broadcast-deserialized array per executor, `ctx.addReferenceObj` —
+  * never re-serialized per row). NULL in any argument scores 0.0
+  * (below every positive threshold) — the left-outer novel-vector
+  * contract of the streaming gate, now handled INSIDE the expression
+  * instead of via UDF-null + coalesce. Arithmetic order is identical
+  * to the UDF-era kernel, so batch/stream scores stay bit-identical
+  * with prior rounds. */
+case class ApproxPqCosine(qv: Expression, codes: Expression,
+                          recNorm: Expression,
+                          books: Array[Array[Array[Double]]],
+                          subDim: Int)
+    extends TernaryExpression {
+
+  override def first: Expression = qv
+  override def second: Expression = codes
+  override def third: Expression = recNorm
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (qv.dataType, codes.dataType, recNorm.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _),
+            DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (q, c, r) => TypeCheckResult.TypeCheckFailure(
+        s"approx_pq_cosine requires (array<double>, array<int>, double), " +
+          s"got (${q.catalogString}, ${c.catalogString}, ${r.catalogString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val q = qv.eval(input)
+    val c = codes.eval(input)
+    val r = recNorm.eval(input)
+    if (q == null || c == null || r == null) 0.0
+    else ApproxPqCosine.score(q.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], r.asInstanceOf[Double], books, subDim)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    val qGen = qv.genCode(ctx)
+    val cGen = codes.genCode(ctx)
+    val rGen = recNorm.genCode(ctx)
+    val helper = ApproxPqCosine.getClass.getName.stripSuffix("$")
+    ev.copy(code =
+      code"""
+         |${qGen.code}
+         |${cGen.code}
+         |${rGen.code}
+         |double ${ev.value} =
+         |  (${qGen.isNull} || ${cGen.isNull} || ${rGen.isNull})
+         |  ? 0.0
+         |  : $helper.score(${qGen.value}, ${cGen.value}, ${rGen.value},
+         |      $booksRef, $subDim);
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): ApproxPqCosine =
+    copy(qv = newFirst, codes = newSecond, recNorm = newThird)
+}
+
+object ApproxPqCosine {
+
+  /** The shared kernel over Catalyst array data — same arithmetic
+    * ORDER as the UDF-era `Similarity.approxCosFromCodes` (|q| first,
+    * then per-code sub-vector dots), so scores are bit-identical to
+    * prior rounds' goldens. */
+  def score(qv: ArrayData, codes: ArrayData, recNorm: Double,
+            books: Array[Array[Array[Double]]], sd: Int): Double = {
+    var qn = 0.0
+    var i = 0
+    val qLen = qv.numElements()
+    while (i < qLen) { qn += qv.getDouble(i) * qv.getDouble(i); i += 1 }
+    val qnorm = math.sqrt(qn)
+    if (qnorm == 0.0 || recNorm == 0.0) 0.0
+    else {
+      var s = 0.0
+      var j = 0
+      val m = codes.numElements()
+      while (j < m) {
+        val cc = books(j)(codes.getInt(j))
+        var t = 0
+        while (t < sd) { s += qv.getDouble(j * sd + t) * cc(t); t += 1 }
+        j += 1
+      }
+      s / (qnorm * recNorm)
+    }
+  }
+}

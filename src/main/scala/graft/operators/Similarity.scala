@@ -1098,17 +1098,26 @@ object Similarity {
   }
 
   /** The SINGLE shared scoring column for the asymmetric PQ cosine —
-    * one definition over [[approxCosFromCodes]] used by BOTH the batch
-    * flags and the streaming gate (r11 verdict ask #7; previously two
-    * identical closures). Null-tolerant: a left-outer probe row with
-    * no candidate scores 0.0 (below any positive threshold). */
+    * one definition used by BOTH the batch flags and the streaming
+    * gate (r11 verdict ask #7), since r13 a NATIVE codegen'd
+    * expression ([[graft.functions.ApproxPqCosine]]) instead of a
+    * closure ScalaUDF: the candidate projection stays inside
+    * whole-stage codegen, and NULL handling (a left-outer probe row
+    * with no candidate scores 0.0, below any positive threshold) lives
+    * inside the expression itself. Same arithmetic order as
+    * [[approxCosFromCodes]], so scores are bit-identical. */
   private[graft] def approxCosUdf(model: SemanticIndexModel)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) => org.apache.spark.sql.Column = {
     val books = model.books
     val sd = model.subDim
-    udf { (q: Seq[Double], codes: Seq[Int], recNorm: Double) =>
-      if (q == null || codes == null) 0.0
-      else approxCosFromCodes(q, codes, recNorm, books, sd)
+    (q, codes, recNorm) => {
+      import org.apache.spark.sql.graft.ColumnShim
+      ColumnShim.column(graft.functions.ApproxPqCosine(
+        ColumnShim.expression(q.cast("array<double>")),
+        ColumnShim.expression(codes.cast("array<int>")),
+        ColumnShim.expression(recNorm.cast("double")),
+        books, sd))
     }
   }
 

@@ -558,9 +558,9 @@ object DocStreams {
         corpusIndex.select(col("cell"), col("id").cast("long").as("cid"),
           col("codes"), col("rec_norm")), Seq("cell"), "left_outer")
       .select(col("id"), col("cid"),
-        // unmatched probe rows carry null cid/codes; the shared UDF is
-        // null-tolerant but Spark short-circuits null primitive args,
-        // so pin the no-candidate score to 0.0 (below any threshold)
+        // unmatched probe rows carry null cid/codes; the shared native
+        // expression scores NULL inputs 0.0 itself (below any
+        // threshold) — the coalesce is a belt-and-suspenders no-op
         coalesce(approxCos(col("qv"), col("codes"), col("rec_norm")),
           lit(0.0)).as("e"))
       .as[(Long, Option[Long], Double)]

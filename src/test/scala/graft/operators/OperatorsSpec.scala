@@ -638,6 +638,11 @@ class OperatorsSpec extends AnyFunSuite {
         case other => other.children.flatMap(corpusShuffles)
       }
       val plan = flags.queryExecution.executedPlan
+      // r12 hygiene #1: the asymmetric PQ scoring is now a native
+      // codegen'd expression (ApproxPqCosine) — the probe plan must
+      // contain no ScalaUDF node anywhere
+      assert(!plan.toString.contains("ScalaUDF"),
+        s"semantic probe scoring must be codegen'd (no ScalaUDF):\n$plan")
       // the PROBE join (keys on cell): its corpus side holds the
       // bucketed scan and must move zero corpus rows before the join
       val probeSides = plan.collect {
