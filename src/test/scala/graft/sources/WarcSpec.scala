@@ -115,6 +115,86 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.read(spark, dir).count() == 2)
   }
 
+  test("WET writer conformance: CC-required header set on written records") {
+    // r12 verdict ask #9: the foreign fixture proves the READER; this
+    // proves the WRITER — the engine's own WET output must carry every
+    // header Common Crawl's WET records carry (WARC/1.0 mandatory set
+    // + the CC conventions), verified on the RAW bytes and then
+    // consumed through the same parser path the foreign fixture uses.
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "extracted text zero — ünïcode 🙂"),
+      (1L, ""), // empty extraction still gets a conformant record
+      (2L, "body two\nwith lines"))
+      .toDF("doc_id", "payload")
+    val dir = tmpDir("conf")
+    Warc.writeWet(docs, dir, nFiles = 2)
+    val required = Seq("WARC-Type", "WARC-Record-ID", "WARC-Refers-To",
+      "WARC-Target-URI", "WARC-Date", "WARC-Block-Digest",
+      "Content-Type", "Content-Length")
+    // raw-bytes check: walk each record's header block per the
+    // WARC/1.0 grammar (version line, headers, blank, Content-Length
+    // octets) — independent of the engine's parser
+    val recHeaders = scala.collection.mutable.ArrayBuffer[Map[String, String]]()
+    new java.io.File(dir).listFiles.filter(_.getName.endsWith(".warc.wet"))
+      .foreach { f =>
+        // walk BYTES — Content-Length counts octets, and the unicode
+        // payload makes char offsets diverge from byte offsets
+        val b = Files.readAllBytes(f.toPath)
+        def indexOfCrlfCrlf(from: Int): Int = {
+          var i = from
+          while (i + 3 < b.length &&
+            !(b(i) == '\r' && b(i + 1) == '\n' &&
+              b(i + 2) == '\r' && b(i + 3) == '\n')) i += 1
+          if (i + 3 < b.length) i else -1
+        }
+        var off = 0
+        while (off < b.length) {
+          while (off < b.length && (b(off) == '\r' || b(off) == '\n')) off += 1
+          if (off < b.length) {
+            val hdrEnd = indexOfCrlfCrlf(off)
+            assert(hdrEnd > off, "record must have a CRLF CRLF header end")
+            val lines =
+              new String(b, off, hdrEnd - off, UTF_8).split("\r\n")
+            assert(lines.head == "WARC/1.0")
+            val hs = lines.tail.map { l =>
+              val i = l.indexOf(':'); l.take(i) -> l.drop(i + 1).trim
+            }.toMap
+            recHeaders += hs
+            off = hdrEnd + 4 + hs("Content-Length").toInt
+          }
+        }
+      }
+    assert(recHeaders.size == 3)
+    recHeaders.foreach { hs =>
+      val missing = required.filterNot(hs.contains)
+      assert(missing.isEmpty, s"missing CC-required headers: $missing")
+      assert(hs("WARC-Type") == "conversion")
+      assert(hs("Content-Type") == "text/plain")
+      assert(hs("WARC-Date")
+        .matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"""))
+      assert(hs("WARC-Block-Digest").matches("sha1:[A-Z2-7]{32}"))
+    }
+    assert(recHeaders.map(_("WARC-Record-ID")).distinct.size == 3,
+      "record ids must be unique")
+    // parser-path check (the foreign-fixture path): parse_ok, payload
+    // byte-exact, and the block digest recomputes from the payload
+    val back = Warc.readWet(spark, dir).collect()
+    assert(back.length == 3 && back.forall(_.getBoolean(10)))
+    val digestByRid = recHeaders
+      .map(h => h("WARC-Record-ID") -> h("WARC-Block-Digest")).toMap
+    back.foreach { r =>
+      val payload = r.getAs[Array[Byte]](9)
+      assert(digestByRid(r.getString(3)) ==
+        s"sha1:${Warc.sha1Base32(payload)}",
+        "WARC-Block-Digest must be the sha1-base32 of the block bytes")
+    }
+    // and a known-answer digest pin (RFC 3174 'abc' test vector:
+    // sha1(abc) = a9993e364706816aba3e25717850c26c9cd0d89d)
+    assert(Warc.sha1Base32("abc".getBytes(UTF_8)) ==
+      "VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+  }
+
   test("foreign-producer WET/WAT: Common-Crawl-style bytes the engine never wrote") {
     // r11 verdict ask #8: the roundtrip tests prove self-consistency;
     // this fixture is hand-authored per the WARC/1.0 spec in the shape
