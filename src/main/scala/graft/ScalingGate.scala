@@ -26,12 +26,17 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingGate {
 
-  /** Top-10 by committed r10 bench medians (honest/isolated mins). */
+  /** Top-10 by committed r10 bench medians (honest/isolated mins),
+    * plus the standing PACK row (r12 verdict ask #7): q_pack_ids_gpt2
+    * is the last mile — the one family that had no per-round 10× row —
+    * so epoch-pack scaling (slim-projection PrefixSum + the single id
+    * exchange) is now certified under the default 1.0 bound every
+    * round. */
   val Top10: Seq[String] = Seq(
     "q_pseudo_ppl_5", "q_slope_binom_dist", "q_slope_fit_dist",
     "q_quality_classifier", "q_leakage_split_neardup", "q_pipeline",
     "q_exact_substr", "q_pseudo_ppl_ext", "q_pseudo_ppl_tri",
-    "q_slope_cv")
+    "q_slope_cv", "q_pack_ids_gpt2")
 
   /** Per-row exponent bound: 1.0 for every row (sub-linear in corpus
     * size). The r11 gate carried a bespoke 1.45 bound for q_slope_cv
