@@ -72,15 +72,28 @@ object Tokenizer {
     * sequence can contain a repeated pair only via duplicate-producer
     * re-formation (two merges yielding the same string) — callers
     * writing a merges file apply `.distinct`, mirroring the reference
-    * trainer. Stops early when no adjacent pair remains. */
+    * trainer. Stops early when no adjacent pair remains.
+    *
+    * `minCount` prunes pretokens rarer than the threshold AFTER the
+    * count pass — the standard vocabulary-scale state control for a
+    * 100-TB corpus, where long-tail pretokens (typos, hashes,
+    * unsegmented runs) dominate the DISTINCT table while contributing
+    * counts far below any merge argmax. The default 1 keeps every
+    * pretoken (exact reference-trainer equivalence); production runs
+    * at corpus scale set it to a small constant and shrink the
+    * training state by orders of magnitude with no effect on the top
+    * merges (a pair made only of sub-threshold pretokens can never
+    * beat one backed by the Zipf head). */
   def trainBpe(docs: DataFrame, textCol: String,
-               nMerges: Int): IndexedSeq[(String, String)] = {
+               nMerges: Int, minCount: Long = 1L): IndexedSeq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     // 1. the ONE corpus-sized pass: distinct mapped pretokens + counts,
     //    symbols initialized to single mapped chars (each one byte)
     var words = docs
       .select(explode(ByteBpe.gpt2Pretokens(col(textCol))).as("pt"))
       .groupBy("pt").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
       .select(
         expr("transform(sequence(1, length(pt)), i -> substring(pt, i, 1))")
           .as("syms"),

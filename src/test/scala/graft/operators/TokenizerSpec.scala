@@ -86,6 +86,23 @@ class TokenizerSpec extends AnyFunSuite {
     assert(merges == Vector(("a", "a"), ("aa", "aa")))
   }
 
+  test("trainBpe minCount prunes the long tail without touching head merges") {
+    import spark.implicits._
+    // head word repeated 30x; 30 distinct singleton words share no
+    // pairs with it — pruning them must leave the head merges intact
+    val head = Seq.fill(30)("zzqq")
+    val tail = (1 to 30).map(i => s"x${i}y")
+    val df = (head ++ tail).toDF("text")
+    val pruned = Tokenizer.trainBpe(df, "text", 3, minCount = 5L)
+    val full = Tokenizer.trainBpe(df, "text", 3)
+    assert(pruned.take(1) == full.take(1),
+      "the head argmax must be unaffected by tail pruning")
+    // (z,z),(z,q),(q,q) all count 30 — lexicographic tie-break picks
+    // (q,q); the full sequence then merges (z,qq) and (z,zqq)
+    assert(pruned == Vector(("q", "q"), ("z", "qq"), ("z", "zqq")))
+    assert(full.take(3) == pruned)
+  }
+
   test("trainBpe is case- and punctuation-preserving (byte-level)") {
     import spark.implicits._
     val df = Seq.fill(20)("It's IT'S it's").toDF("text")
