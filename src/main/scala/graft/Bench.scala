@@ -300,6 +300,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen cache is smaller than this
+      // suite's plan diversity: with several queries sharing a child
+      // JVM, eviction forces Janino to recompile a heavy plan's
+      // generated classes on EVERY rep, and the rep then measures the
+      // compiler, not the operator (q_lang_confusion_nb: 2.8 s warm
+      // steady-state vs 16 s with its codegen evicted between reps —
+      // the r12→r13 "regression" was exactly this). Uniform
+      // measurement-infrastructure setting, applied to every query.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up at the smallest SF: compiles/JITs every query's codegen

@@ -151,6 +151,9 @@ object BenchScale10 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // match Bench: plan diversity exceeds the 100-entry default, and
+      // an evicted heavy plan re-measures Janino instead of the operator
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, sfDir, outDir, k = 10)

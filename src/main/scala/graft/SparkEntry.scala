@@ -447,6 +447,53 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    "q_wordpiece_train" -> ((s, dir) => {
+      // distributed WORDPIECE training (the BERT discipline): merges
+      // maximize the likelihood score count(ab)/(count(a)·count(b)),
+      // symbols carry the ## continuation prefix. The oracle replays
+      // every step in SQL — pair AND symbol counts over its own word
+      // reconstruction, the same double-precision score, the same
+      // lexicographic tie-break, the same left-to-right merge
+      // application — so a wrong denominator, prefix rule, or argmax
+      // anywhere hash-mismatches. WordPieceVocabGen builds the
+      // committed vocab through this exact operator.
+      val merges = graft.operators.Tokenizer
+        .trainWordPiece(docs(s, dir), "text", 6)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+        .toDF("step", "lhs", "rhs")
+        .orderBy("step")
+    }),
+
+    "q_token_count_wordpiece" -> ((s, dir) => {
+      // WordPiece counting against the committed ##-prefixed vocab:
+      // greedy longest-match with continuation pieces and the BERT
+      // [UNK] contract (a word that stalls ANYWHERE counts as one
+      // token). Counted by the codegen'd WordPieceCount expression;
+      // the oracle replays the greedy scan as a recursive CTE over the
+      // same inlined vocab, so a wrong continuation rule, match
+      // length, or UNK fold hash-mismatches.
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        graft.functions.WordPiece.wordPieceTokenCount(col("text"))
+          .as("wp_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_sampler_manifest" -> ((s, dir) => {
+      // the trainer-side RESUMABLE SAMPLER contract: which packed
+      // sequence each data-parallel rank consumes at each step of a
+      // seeded epoch permutation (round-robin over worldSize). The
+      // oracle recomputes the same md5 permutation and row-number
+      // assignment in SQL; the engine's rank comes from the
+      // range-bucketed string-order PrefixSum (no global-order
+      // window), so an order-key or bucketing bug hash-mismatches.
+      graft.operators.Packing.samplerManifest(docs(s, dir), "text",
+        seqLen = 512, worldSize = 8, epoch = 2L, seed = 17L)
+        .orderBy("seq_id")
+    }),
+
     "q_seq_pack_gpt2" -> ((s, dir) => {
       // packing routed through the TRUE byte-level tokenizer — the
       // offsets a production pipeline would actually pack by
@@ -3335,6 +3382,97 @@ object SparkEntry {
        SELECT step, lhs, rhs FROM ($out) ORDER BY step"""
   }
 
+  /** Steps the WordPiece-trainer oracle replays (matches the engine
+    * query's nMerges). Same MATERIALIZED-chain discipline as
+    * [[BpeTrainSql]]; the score adds one symbol-count CTE per step and
+    * the argmax orders by the double-precision likelihood ratio
+    * `c / (sa · sb)` — both engines compute it as exact BIGINT counts
+    * cast to double, one multiply, one divide, so the comparison is
+    * bit-identical; ties fall through to the lexicographic pair. */
+  private val WordPieceTrainSteps = 6
+
+  private lazy val WordPieceTrainSql: String = {
+    val tt = "chr(9)||chr(9)"
+    def step(i: Int): String =
+      s"""sy$i AS MATERIALIZED (
+           SELECT string_split(trim(rend, chr(9)), $tt) AS sy, cnt
+           FROM w${i - 1}),
+         s$i AS (SELECT s, sum(cnt)::BIGINT AS sc
+           FROM (SELECT unnest(sy) AS s, cnt FROM sy$i) GROUP BY 1),
+         p$i AS (SELECT sy[u] AS a, sy[u + 1] AS b, sum(cnt)::BIGINT AS c
+           FROM (SELECT sy, cnt,
+                   unnest(generate_series(1, len(sy) - 1)) AS u
+                 FROM sy$i)
+           GROUP BY 1, 2),
+         b$i AS MATERIALIZED (
+           SELECT a, b FROM p$i
+           JOIN s$i sa ON sa.s = p$i.a
+           JOIN s$i sb ON sb.s = p$i.b
+           ORDER BY c::DOUBLE / (sa.sc::DOUBLE * sb.sc::DOUBLE) DESC,
+             a, b LIMIT 1),
+         w$i AS MATERIALIZED (SELECT replace(rend,
+             chr(9) || a || $tt || b || chr(9),
+             chr(9) || a || substr(b, 3) || chr(9)) AS rend, cnt
+           FROM w${i - 1}, b$i)"""
+    val steps = (1 to WordPieceTrainSteps).map(step).mkString(",\n")
+    val out = (1 to WordPieceTrainSteps)
+      .map(i => s"SELECT $i::BIGINT AS step, a AS lhs, b AS rhs FROM b$i")
+      .mkString("\n UNION ALL ")
+    // w0: distinct normalized words, rendered tab-wrapped with the
+    // first symbol bare and the rest ##-prefixed
+    s"""WITH w0 AS MATERIALIZED (
+         SELECT list_aggregate(list_transform(
+             range(1, length(word) + 1),
+             i -> chr(9) || (CASE WHEN i = 1 THEN substr(word, 1, 1)
+               ELSE '##' || substr(word, i::INT, 1) END) || chr(9)),
+             'string_agg', '') AS rend,
+           count(*)::BIGINT AS cnt
+         FROM (SELECT unnest(string_split($NormSql, ' ')) AS word
+               FROM documents)
+         WHERE length(word) > 0 GROUP BY 1),
+       $steps
+       SELECT step, lhs, rhs FROM ($out) ORDER BY step"""
+  }
+
+  /** Recursive-CTE replay of [[graft.functions.WordPiece]]'s greedy
+    * continuation-aware longest-match (vocab inlined as VALUES): at
+    * position 0 the longest matching INITIAL piece, after that the
+    * longest `##`-prefixed continuation; a word that stalls anywhere
+    * folds to ONE `[UNK]` token (the coalesce(.., 1)). Greedy is a
+    * single deterministic path, so the recursion holds exactly one row
+    * per reached position. Ends with `dwp(doc_id, n_wp)`. */
+  private lazy val WordPieceCte: String = {
+    val vocabValues = graft.functions.WordPiece.vocabSorted
+      .map(p => s"('$p')").mkString(",")
+    s"""wpv(piece) AS (VALUES $vocabValues),
+       __wn AS (SELECT doc_id, $NormSql AS nt FROM documents),
+       __ww0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS word
+         FROM __wn),
+       __ww AS (SELECT doc_id, word FROM __ww0 WHERE length(word) > 0),
+       __wdw AS (SELECT DISTINCT word FROM __ww),
+       __wseg AS (
+         SELECT word, 0 AS pos, 0 AS toks FROM __wdw
+         UNION ALL
+         SELECT word, pos + step, toks + 1 FROM (
+           SELECT word, pos, toks,
+             (SELECT max(CASE WHEN pos = 0 THEN length(piece)
+                              ELSE length(piece) - 2 END)
+              FROM wpv WHERE piece = CASE WHEN pos = 0
+                  THEN substr(word, 1, length(piece))
+                  ELSE '##' || substr(word, pos + 1, length(piece) - 2)
+                END) AS step
+           FROM __wseg WHERE pos < length(word))
+         WHERE step IS NOT NULL AND step >= 1),
+       __wtok AS (SELECT word,
+           coalesce(max(CASE WHEN pos = length(word) THEN toks END), 1)
+             AS n_tok
+         FROM __wseg GROUP BY word),
+       __wds AS (SELECT __ww.doc_id, sum(n_tok) AS n_wp
+         FROM __ww JOIN __wtok USING (word) GROUP BY __ww.doc_id),
+       dwp AS (SELECT d.doc_id, coalesce(__wds.n_wp, 0)::BIGINT AS n_wp
+         FROM documents d LEFT JOIN __wds USING (doc_id))"""
+  }
+
   private def occSql(padded: String, term: String): String =
     s"((length($padded) - length(replace($padded, ' $term ', ''))) // ${term.length + 2})"
 
@@ -3848,6 +3986,30 @@ object SparkEntry {
            FROM c ORDER BY doc_id""",
 
       "q_bpe_train" -> BpeTrainSql,
+
+      "q_wordpiece_train" -> WordPieceTrainSql,
+
+      "q_token_count_wordpiece" ->
+        s"""WITH RECURSIVE $WordPieceCte
+           SELECT d.doc_id, ($wcSql)::INT AS ws_tokens,
+             w.n_wp AS wp_tokens
+           FROM documents d JOIN dwp w USING (doc_id) ORDER BY doc_id""",
+
+      "q_sampler_manifest" ->
+        s"""WITH tot AS (
+             SELECT coalesce(sum($wcSql), 0)::BIGINT AS t FROM documents),
+           ns AS (SELECT ((t + 511) // 512)::BIGINT AS n FROM tot),
+           s AS (SELECT unnest(generate_series(0,
+             (SELECT n FROM ns) - 1))::BIGINT AS seq_id),
+           o AS (SELECT seq_id,
+             md5('17:2:' || seq_id::VARCHAR) AS ord FROM s),
+           r AS (SELECT seq_id,
+             (row_number() OVER (ORDER BY ord) - 1)::BIGINT AS global_step
+             FROM o)
+           SELECT seq_id, 2::BIGINT AS epoch, global_step,
+             (global_step % 8)::BIGINT AS world_rank,
+             (global_step // 8)::BIGINT AS local_step
+           FROM r ORDER BY seq_id""",
 
       "q_pack_ids_gpt2" -> PackIdsGpt2Sql,
 

@@ -68,6 +68,19 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"graft_subword_token_count: expected a BOOLEAN literal, got $other")
         })
+      }),
+    ("graft_wordpiece_token_count",
+      "graft_wordpiece_token_count(array<string> words) - WordPiece " +
+        "count (## continuations, whole-word [UNK]) over normalized words",
+      es => {
+        requireArity("graft_wordpiece_token_count", es, 1)
+        WordPieceCount(es.head)
+      }),
+    ("graft_char_trigrams",
+      "graft_char_trigrams(str) - sliding 3-code-point windows (the " +
+        "language-ID feature pass), one O(len) native scan",
+      es => {
+        requireArity("graft_char_trigrams", es, 1); CharTrigrams(es.head)
       }))
 
   /** Register every kernel on an existing session (temp functions). */

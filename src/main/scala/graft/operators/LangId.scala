@@ -53,13 +53,18 @@ object LangId {
 
   /** Character trigrams of the space-padded normalized text: positions
     * 1..len−2 of `' ' + normalizeText(c) + ' '`. Empty/short texts
-    * yield an empty array. Pure projection — no shuffle. */
-  def charTrigrams(c: Column): Column = {
-    val t = concat(lit(" "), TextFunctions.normalizeText(c), lit(" "))
-    when(length(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - 2),
-        i => t.substr(i, lit(3))))
-  }
+    * yield an empty array. Pure projection — no shuffle.
+    *
+    * The window is the native [[graft.functions.CharTrigrams]]
+    * expression: the declarative `transform(sequence, substr)` form it
+    * replaced was O(len²) per doc and interpreter-bound (higher-order
+    * functions evaluate outside whole-stage codegen), which made the
+    * trigram pass dominate the whole NB path at sf0.1 (~10s of a ~12s
+    * query at 4 cores). Same strings, same order, same empty-array
+    * contract — every oracle hash unchanged. */
+  def charTrigrams(c: Column): Column =
+    graft.functions.CharGrams.charTrigrams(
+      concat(lit(" "), TextFunctions.normalizeText(c), lit(" ")))
 
   /** A trained model: per-language stats + the quantized per-gram
     * log-prob frame (gram, lpq_<lang> ...), ready to broadcast. */

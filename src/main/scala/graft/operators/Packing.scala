@@ -190,6 +190,53 @@ object Packing {
         "doc_spans", "loss_mask")
   }
 
+  /** Resumable data-order manifest — the trainer-side contract that
+    * closes the loop after [[packTokenSequences]]: which packed
+    * sequence each data-parallel rank consumes at each step of an
+    * epoch. The epoch's order is the seeded md5 permutation of
+    * sequence ids (`md5("<seed>:<epoch>:<seq_id>")` — the q_split /
+    * epoch-shuffle determinism pattern, so every epoch is a different
+    * complete permutation and any engine recomputes it bit-exactly),
+    * and the assignment is the standard round-robin data-parallel
+    * sampler: `global_step = rank-in-permutation`, `world_rank =
+    * global_step % worldSize`, `local_step = global_step div
+    * worldSize`. A training job resuming at local step k on rank r
+    * reads its exact remaining order off this frame — no stateful
+    * sampler checkpoint needed.
+    *
+    * 100-TB shape: one aggregate over the corpus for the total token
+    * count (a single bounded row to the driver), then the permutation
+    * rank comes from the same range-bucketed string-order
+    * [[graft.functions.PrefixSum]] as the epoch-shuffled pack — no
+    * global-order window, no single-reducer sort anywhere.
+    *
+    * Output: `seq_id`, `epoch`, `global_step`, `world_rank`,
+    * `local_step`. */
+  def samplerManifest(docs: DataFrame, textCol: String, seqLen: Int,
+                      worldSize: Int, epoch: Long, seed: Long,
+                      tokenCount: org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column =
+                        TextFunctions.wsTokenCount): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(worldSize >= 1, s"worldSize must be >= 1, got $worldSize")
+    val spark = docs.sparkSession
+    // one corpus aggregate -> ONE bounded row (the gated-collect class)
+    val total = docs
+      .agg(coalesce(sum(tokenCount(col(textCol)).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    val nSeqs = (total + seqLen - 1) / seqLen
+    val seqs = spark.range(nSeqs).select(col("id").as("seq_id"))
+      .withColumn("__ord",
+        md5(concat(lit(s"$seed:$epoch:"), col("seq_id").cast("string"))))
+      .withColumn("__one", lit(1L))
+    val w = worldSize.toLong
+    PrefixSum.inclusive(seqs, Seq.empty, "__ord", "__one", "__step")
+      .select(col("seq_id"), lit(epoch).as("epoch"),
+        (col("__step") - 1).cast("long").as("global_step"),
+        ((col("__step") - 1) % w).cast("long").as("world_rank"),
+        expr(s"(__step - 1) div $w").cast("long").as("local_step"))
+  }
+
   /** Sequence packing WITHOUT document splitting (Krell et al. 2021,
     * "Efficient Sequence Packing without Cross-contamination"): each
     * bin holds whole documents up to `seqLen` tokens — no straddling,

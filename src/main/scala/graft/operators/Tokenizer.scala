@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.ByteBpe
+import graft.functions.{ByteBpe, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,112 @@ object Tokenizer {
           // strip the single wrapping tab at each end, split on the
           // double-tab separators (substring is code-point-exact and
           // every mapped symbol char is one code point)
+          .select(
+            split(expr("substring(__r, 2, length(__r) - 2)"), "\t\t")
+              .as("syms"),
+            col("cnt"))
+          .localCheckpoint()
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed WORDPIECE training (the BERT discipline): like
+    * [[trainBpe]] but merges maximize the LIKELIHOOD score
+    * `count(ab) / (count(a) · count(b))` — the pair whose merge most
+    * increases corpus likelihood under a unigram piece model — instead
+    * of raw pair frequency, and symbols carry the `##` continuation
+    * prefix (a word's first character is unprefixed, the rest are
+    * `##`-prefixed; merging `(a, ##b)` yields `a + b`, preserving
+    * `a`'s prefix status). Published algorithm: Schuster & Nakajima
+    * 2012, as implemented by the BERT/HF wordpiece trainers.
+    *
+    * Words come from the engine's shared normalization
+    * ([[TextFunctions.normalizedWords]] — the [a-z0-9] alphabet every
+    * text operator and the SQL oracle share), so the state here is the
+    * DISTINCT-word table: vocabulary-sized, Zipf-bounded, never
+    * corpus-sized. Per merge step: one pair-count aggregate, one
+    * symbol-count aggregate (both map-side-combined over the distinct
+    * table; the symbol table is vocab-sized so the score join
+    * BROADCASTS it twice), a one-row TakeOrdered argmax to the driver,
+    * then the same tab-wrapped declarative merge application as
+    * [[trainBpe]] (`##` is outside the word alphabet but tab-free, so
+    * the rendering stays unambiguous).
+    *
+    * DETERMINISM: the score is an IEEE double `c / (sa · sb)` computed
+    * identically by Spark and the DuckDB oracle replay (exact integer
+    * counts cast to double, one multiply, one divide — no
+    * order-dependent summation), ties broken by the lexicographically
+    * smallest (left, right); two rationals that round to the same
+    * double fall through to the same tie-break in both engines.
+    *
+    * Returns merge pairs in training order; the right side of every
+    * pair is `##`-prefixed by construction. The resulting vocab is
+    * alphabet ∪ merge results (see `graft.WordPieceVocabGen`). Stops
+    * early when no adjacent pair remains. */
+  def trainWordPiece(docs: DataFrame, textCol: String, nMerges: Int,
+                     minCount: Long = 1L): IndexedSeq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    // the ONE corpus-sized pass: distinct normalized words + counts,
+    // symbols = first char bare, the rest ##-prefixed
+    var words = docs
+      .select(explode(TextFunctions.normalizedWords(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(
+        expr("transform(sequence(1, length(w)), i -> CASE WHEN i = 1" +
+          " THEN substring(w, 1, 1)" +
+          " ELSE concat('##', substring(w, i, 1)) END)").as("syms"),
+        col("cnt"))
+      .localCheckpoint()
+
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      // symbol counts over ALL words (denominators), pair counts over
+      // words with >= 2 symbols; both one aggregate over the distinct
+      // table. The symbol frame is vocab-sized — broadcast both joins.
+      val symc = words
+        .select(explode(col("syms")).as("s"), col("cnt"))
+        .groupBy("s").agg(sum("cnt").as("sc"))
+      val pairs = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+      val top = pairs
+        .join(broadcast(symc.select(col("s").as("a"), col("sc").as("sa"))), "a")
+        .join(broadcast(symc.select(col("s").as("b"), col("sc").as("sb"))), "b")
+        .orderBy(
+          (col("c").cast("double") /
+            (col("sa").cast("double") * col("sb").cast("double"))).desc,
+          col("a").asc, col("b").asc)
+        .limit(1)
+        .select("a", "b")
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        // the right side of an adjacent pair is always a continuation
+        // (it sits at word position >= 1) — merge strips its prefix
+        require(b.startsWith("##"),
+          s"wordpiece invariant violated: right symbol '$b' not ##-prefixed")
+        val merged = a + b.substring(2)
+        merges += ((a, b))
+        val rend = concat(lit("\t"), array_join(col("syms"), "\t\t"),
+          lit("\t"))
+        val rep = org.apache.spark.sql.functions.replace(rend,
+          lit("\t" + a + "\t\t" + b + "\t"), lit("\t" + merged + "\t"))
+        words = words
+          .withColumn("__r", rep)
           .select(
             split(expr("substring(__r, 2, length(__r) - 2)"), "\t\t")
               .as("syms"),

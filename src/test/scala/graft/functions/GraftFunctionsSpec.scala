@@ -49,6 +49,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
         "(SELECT split(lower(text), ' ') AS graft_words FROM gf_docs)")
       .collect().map(_.getLong(0))
     assert(sub.forall(_ > 0))
+    // wordpiece count: SQL == Column API
+    val wp = spark.sql(
+      "SELECT graft_wordpiece_token_count(split(lower(text), ' ')) FROM gf_docs")
+      .collect().map(_.getLong(0))
+    val wpCol = df.select(WordPiece.wordPieceTokenCount(col("text")))
+      .collect().map(_.getLong(0))
+    assert(wp.toSeq == wpCol.toSeq && wp.forall(_ > 0))
+    // char trigrams: SQL == kernel, and the padded form matches the
+    // LangId feature pass
+    val tri = spark.sql(
+      "SELECT graft_char_trigrams(' ' || lower(text) || ' ') FROM gf_docs")
+      .collect().map(_.getSeq[String](0))
+    val triCol = df.select(graft.operators.LangId.charTrigrams(col("text")))
+      .collect().map(_.getSeq[String](0))
+    assert(tri.toSeq == triCol.toSeq)
     // arity/literal validation is loud, not silent
     val e = intercept[Exception](
       spark.sql("SELECT graft_deflate_size('a', 'b')").collect())

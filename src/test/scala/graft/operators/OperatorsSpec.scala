@@ -1903,6 +1903,46 @@ class OperatorsSpec extends AnyFunSuite {
       e.getAs[Long]("first_seq") == 3L && e.getAs[Long]("last_seq") == 3L)
   }
 
+  test("sampler manifest: complete permutation, round-robin ranks, epoch-distinct") {
+    import spark.implicits._
+    val p = graft.operators.Packing
+    // 10 docs x 7 ws tokens = 70 tokens -> 18 sequences at seqLen=4
+    val docs = (1L to 10L)
+      .map(i => (i, "a b c d e f g")).toDF("doc_id", "text")
+      .repartition(3)
+    val m = p.samplerManifest(docs, "text", seqLen = 4, worldSize = 4,
+      epoch = 1L, seed = 7L).collect()
+    assert(m.length == 18)
+    // global_step is a complete permutation of 0..n-1
+    assert(m.map(_.getAs[Long]("global_step")).sorted.toSeq ==
+      (0L until 18L))
+    // round-robin rank assignment, resumable local steps
+    m.foreach { r =>
+      val gs = r.getAs[Long]("global_step")
+      assert(r.getAs[Long]("world_rank") == gs % 4)
+      assert(r.getAs[Long]("local_step") == gs / 4)
+    }
+    // a different epoch is a DIFFERENT complete permutation of the
+    // same sequence set
+    val m2 = p.samplerManifest(docs, "text", seqLen = 4, worldSize = 4,
+      epoch = 2L, seed = 7L).collect()
+    assert(m2.map(_.getAs[Long]("global_step")).sorted.toSeq ==
+      (0L until 18L))
+    val order1 = m.sortBy(_.getAs[Long]("seq_id"))
+      .map(_.getAs[Long]("global_step")).toSeq
+    val order2 = m2.sortBy(_.getAs[Long]("seq_id"))
+      .map(_.getAs[Long]("global_step")).toSeq
+    assert(order1 != order2, "epochs must not share an order")
+    // empty corpus -> empty manifest, no failure
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(p.samplerManifest(empty, "text", 4, 4, 1L, 7L).count() == 0L)
+    // scale shape: no single-partition exchange in the rank plan
+    val plan = p.samplerManifest(docs, "text", seqLen = 4, worldSize = 4,
+      epoch = 1L, seed = 7L).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "sampler manifest plan contains a single-partition exchange")
+  }
+
   test("multimodal: real GIF video codec roundtrips per-frame formula exactly") {
     import spark.implicits._
     val mm = graft.multimodal.Multimodal

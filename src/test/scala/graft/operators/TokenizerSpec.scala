@@ -112,4 +112,118 @@ class TokenizerSpec extends AnyFunSuite {
     assert(syms.exists(_.contains("'")) || syms.exists(_.head.isUpper),
       s"case/punct lost in $merges")
   }
+
+  // ------------------------------------------------------- WordPiece
+
+  /** Driver-side reference WordPiece trainer (the published BERT/HF
+    * discipline, reimplemented independently for the differential):
+    * likelihood-score argmax over ##-prefixed symbol sequences,
+    * lexicographic tie-break, left-to-right non-overlapping merge
+    * application. */
+  private def referenceWordPiece(wordCounts: Map[String, Long],
+                                 n: Int): Seq[(String, String)] = {
+    var words: Vector[(Vector[String], Long)] =
+      wordCounts.toVector.sortBy(_._1).map { case (w, c) =>
+        w.zipWithIndex.map { case (ch, i) =>
+          if (i == 0) ch.toString else "##" + ch }.toVector -> c
+      }
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < n && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sc = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (syms, c) =>
+        syms.foreach(s => sc(s) = sc.getOrElse(s, 0L) + c)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pc(p) = pc.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        // argmax by double score (the same IEEE arithmetic the engine
+        // and the oracle use), ties to the lexicographically smallest
+        val best = pc.toSeq.map { case ((a, b), c) =>
+          (a, b, c.toDouble / (sc(a).toDouble * sc(b).toDouble))
+        }.reduceLeft { (x, y) =>
+          if (y._3 > x._3 ||
+            (y._3 == x._3 && (y._1 < x._1 ||
+              (y._1 == x._1 && y._2 < x._2)))) y else x
+        }
+        val (a, b, _) = best
+        val merged = a + b.stripPrefix("##")
+        merges += ((a, b))
+        words = words.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  test("trainWordPiece == driver reference trainer on the fixture corpus") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    val counts = df
+      .select(explode(
+        graft.functions.TextFunctions.normalizedWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceWordPiece(counts, 24)
+    val got = Tokenizer.trainWordPiece(df, "text", 24)
+    assert(got == expected,
+      s"first divergence at ${got.zip(expected).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("trainWordPiece argmax is LIKELIHOOD, not frequency") {
+    import spark.implicits._
+    // (a,##z) is 16x more frequent than (x,##y), but 'a' is diluted
+    // across many words: score(x,##y) = 3/(3*3) = 1/3 beats
+    // score(a,##z) = 50/(54*50) = 1/54. A frequency argmax (BPE)
+    // would pick (a,##z) — this is the defining behavioral split.
+    val df = (Seq.fill(3)("xy") ++ Seq.fill(4)("ab") ++
+      Seq.fill(50)("az")).toDF("text")
+    val wp = Tokenizer.trainWordPiece(df, "text", 1)
+    assert(wp == Vector(("x", "##y")), s"got $wp")
+    val bpeStyle = Tokenizer.trainBpe(df, "text", 1)
+    assert(bpeStyle.head._2.contains("z"), s"got $bpeStyle")
+  }
+
+  test("trainWordPiece merges preserve the ## prefix discipline") {
+    import spark.implicits._
+    val df = Seq.fill(10)("abcd abcd").toDF("text")
+    val merges = Tokenizer.trainWordPiece(df, "text", 3)
+    assert(merges.nonEmpty)
+    // every right side is a continuation; every left side keeps its
+    // own prefix status (bare first symbol or ##)
+    merges.foreach { case (a, b) =>
+      assert(b.startsWith("##"), s"right side not ##-prefixed: ($a,$b)")
+      assert(!a.drop(2).contains("#"), s"stray # inside: ($a,$b)")
+    }
+    // a fully-merged word is ONE bare piece: segment count 1 under the
+    // learned vocab
+    val vocab = (Seq("a", "##b", "##c", "##d") ++
+      merges.map { case (a, b) => a + b.substring(2) }).toSet
+    assert(graft.functions.WordPiece.segmentCount("abcd", vocab, 4) == 1)
+  }
+
+  test("trainWordPiece stops early when no pair remains") {
+    import spark.implicits._
+    val df = Seq.fill(5)("ab").toDF("text")
+    val merges = Tokenizer.trainWordPiece(df, "text", 10)
+    assert(merges == Vector(("a", "##b")))
+  }
 }
