@@ -121,6 +121,45 @@ object BenchStreaming {
     } finally { out.stop(); spark.sql("DROP TABLE IF EXISTS bench_tokdf") }
   }
 
+  /** Streaming pack throughput: the foreachBatch + resumable-pack
+    * composition (DocStreams.streamingPack) over synthetic docs —
+    * tokenize (ws), pack 512-token sequences, carry the partial tail
+    * across triggers, count completed sequences. */
+  def benchStreamingPack(spark: SparkSession, batches: Int,
+                         batchSize: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(c), " +"),
+        w => org.apache.spark.sql.functions.length(w)
+          .cast("int"))
+    var emitted = 0L
+    val (writer, _) = graft.streaming.DocStreams.streamingPack(
+      docs, "doc_id", "text", 512, ids,
+      emit = df => emitted += df.count())
+    val out = writer.start()
+    try {
+      var k = 0L
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        val batch = Array.tabulate(batchSize)(i => (k + i, docText(k + i, 30)))
+        k += batchSize
+        stream.addData(batch.toIndexedSeq)
+        out.processAllAvailable()
+        b += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = batches.toLong * batchSize
+      Result("pack_stream", rows, batches, dt, rows / dt, stateRows = 0L,
+        extra = Map("sequences_emitted" -> emitted.toDouble))
+    } finally out.stop()
+  }
+
   /** Streaming LM gate throughput: a pretrained trigram Stupid-Backoff
     * model from a 500-doc static reference corpus scores arriving docs
     * via stream-static joins (live backoff + OOV floor). State rows
@@ -278,7 +317,9 @@ object BenchStreaming {
       val t = benchTokenCounts(spark, batches = 10, batchSize = 1000)
       benchLmGate(spark, batches = 2, batchSize = 200) // warm
       val g = benchLmGate(spark, batches = 10, batchSize = 1000)
-      Seq(s, m, floor, mBig2, t, g)
+      benchStreamingPack(spark, batches = 2, batchSize = 200) // warm
+      val pk = benchStreamingPack(spark, batches = 10, batchSize = 1000)
+      Seq(s, m, floor, mBig2, t, g, pk)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

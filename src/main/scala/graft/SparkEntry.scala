@@ -481,6 +481,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_token_count_unigram" -> ((s, dir) => {
+      // unigram-LM counting (the SentencePiece discipline): VITERBI
+      // segmentation under the committed integer-quantized piece
+      // costs — the globally-optimal tokenizer family, where the
+      // other three commit to local decisions. Counted by the
+      // codegen'd UnigramTokenCount expression; the oracle replays
+      // the DP as a recursive CTE over the same inlined model in
+      // exact BIGINT arithmetic, so a wrong cost, tie-break, or UNK
+      // fold hash-mismatches.
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        graft.functions.UnigramLm.unigramTokenCount(col("text"))
+          .as("uni_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q_sampler_manifest" -> ((s, dir) => {
       // the trainer-side RESUMABLE SAMPLER contract: which packed
       // sequence each data-parallel rank consumes at each step of a
@@ -558,6 +574,39 @@ object SparkEntry {
         .select(col("seq_id"), col("n_tokens"), col("n_docs"),
           md5(concat_ws(",", transform(col("input_ids"),
             _.cast("string")))).as("ids_md5"))
+        .orderBy("seq_id")
+    }),
+
+    "q_incremental_pack" -> ((s, dir) => {
+      // the CORPUS-APPEND contract: pack the first half of the corpus,
+      // persist the bounded checkpoint (total tokens + the final
+      // partial sequence's ids), then pack the second half as a
+      // CONTINUATION — offsets shifted, the partial sequence
+      // re-emitted complete. Concat-and-cut is associative, so the
+      // result must equal the one-shot full pack bit-for-bit; the
+      // oracle is literally the full-pack SQL (it knows nothing about
+      // the split), so any drift in the resume arithmetic — offset
+      // base, carry splice, boundary re-emission — hash-mismatches.
+      val p = graft.operators.Packing
+      val d = docs(s, dir)
+      val cut = d.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+      val firstHalf = p.packTokenSequences(d.filter(col("doc_id") <= cut),
+        "doc_id", "text", seqLen = 512,
+        tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray)
+      val st = p.packState(firstHalf, 512)
+      val cont = p.packTokenSequences(d.filter(col("doc_id") > cut),
+        "doc_id", "text", seqLen = 512,
+        tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
+        resume = Some(st))
+      // the continuation re-emits the boundary sequence complete
+      // whenever a carry exists — keep only the first pack's rows
+      // strictly below it
+      val keepBelow = if (st._2.nonEmpty) st._1 / 512 else Long.MaxValue
+      def out(df: DataFrame) = df.select(col("seq_id"), col("n_tokens"),
+        md5(concat_ws(",", transform(col("input_ids"),
+          _.cast("string")))).as("ids_md5"))
+      out(firstHalf.filter(col("seq_id") < keepBelow))
+        .unionByName(out(cont))
         .orderBy("seq_id")
     }),
 
@@ -3140,6 +3189,18 @@ object SparkEntry {
     """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
              WHERE len(ids) > 0)""")
 
+  /** [[PackIdsGpt2Sql]] WITHOUT the per-sequence doc count — the
+    * q_incremental_pack contract: the incremental (checkpoint +
+    * continue) pack must reproduce the FULL pack's sequences
+    * bit-for-bit, so its oracle is literally the full-pack SQL; only
+    * n_docs is out of scope (the carried partial sequence rides as ONE
+    * part, so the boundary row's doc count is definitionally
+    * different). */
+  private lazy val PackIdsIncrementalSql: String = packIdsSqlFor(
+    """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
+             WHERE len(ids) > 0)""",
+    withDocs = false)
+
   /** [[PackIdsGpt2Sql]] + the span/loss-mask fingerprints — the
     * q_pack_export contract, where the masks also survive the TFRecord
     * serialize/deserialize loop. */
@@ -3176,7 +3237,8 @@ object SparkEntry {
 
   private def packIdsSqlFor(tCte: String,
                             orderExpr: String = "doc_id",
-                            withMasks: Boolean = false): String = {
+                            withMasks: Boolean = false,
+                            withDocs: Boolean = true): String = {
     // the mask columns (r12 verdict ask #3), rebuilt INDEPENDENTLY
     // from the oracle's own offsets: document-boundary spans in
     // in-sequence order, and the 512-slot pad/loss mask from the
@@ -3211,7 +3273,8 @@ object SparkEntry {
        g AS (SELECT seq_id, count(*)::BIGINT AS n_docs,
                flatten(list(part ORDER BY sis)) AS input_ids$spansAgg
              FROM p GROUP BY seq_id)
-       SELECT seq_id, len(input_ids)::BIGINT AS n_tokens, n_docs,
+       SELECT seq_id, len(input_ids)::BIGINT AS n_tokens,${
+           if (withDocs) " n_docs," else ""}
          md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
            'string_agg', ',')) AS ids_md5$maskCols
        FROM g ORDER BY seq_id"""
@@ -3471,6 +3534,46 @@ object SparkEntry {
          FROM __ww JOIN __wtok USING (word) GROUP BY __ww.doc_id),
        dwp AS (SELECT d.doc_id, coalesce(__wds.n_wp, 0)::BIGINT AS n_wp
          FROM documents d LEFT JOIN __wds USING (doc_id))"""
+  }
+
+  /** Recursive-CTE replay of [[graft.functions.UnigramLm]]'s Viterbi
+    * segmentation (the committed (piece, quantized-cost) model inlined
+    * as VALUES): iteration k of the recursion holds, per (word,
+    * position), the MINIMUM integer cost among k-piece paths reaching
+    * that position — additive costs make best-prefix exchange safe, so
+    * the min over all rows at pos = len is the Viterbi optimum, with
+    * ties to the fewest tokens via the struct min. Uncoverable words
+    * fold to 1 [UNK]. Exact BIGINT arithmetic end to end — zero float
+    * risk. Ends with `duni(doc_id, n_uni)`. */
+  private lazy val UnigramCte: String = {
+    val vals = graft.functions.UnigramLm.modelSorted
+      .map { case (p, c) => s"('$p', ${c}::BIGINT)" }.mkString(",")
+    s"""uvocab(piece, cq) AS (VALUES $vals),
+       __un AS (SELECT doc_id, $NormSql AS nt FROM documents),
+       __uw0 AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS word
+         FROM __un),
+       __uw AS (SELECT doc_id, word FROM __uw0 WHERE length(word) > 0),
+       __udw AS (SELECT DISTINCT word FROM __uw),
+       __useg AS (
+         SELECT word, 0 AS pos, 0::BIGINT AS cost, 0 AS ntok FROM __udw
+         UNION ALL
+         SELECT word, pos + length(piece) AS pos,
+           min(cost + cq)::BIGINT AS cost, ntok + 1 AS ntok
+         FROM __useg JOIN uvocab
+           ON piece = substr(word, pos + 1, length(piece))
+         WHERE pos < length(word)
+         GROUP BY word, pos + length(piece), ntok + 1),
+       __ubest AS (
+         SELECT word, min(struct_pack(c := cost, t := ntok)) AS bb
+         FROM __useg WHERE pos = length(word) AND ntok > 0
+         GROUP BY word),
+       __uwtok AS (
+         SELECT d.word, coalesce(b.bb.t, 1) AS n_tok
+         FROM __udw d LEFT JOIN __ubest b USING (word)),
+       __uds AS (SELECT __uw.doc_id, sum(n_tok) AS n_uni
+         FROM __uw JOIN __uwtok USING (word) GROUP BY __uw.doc_id),
+       duni AS (SELECT d.doc_id, coalesce(__uds.n_uni, 0)::BIGINT AS n_uni
+         FROM documents d LEFT JOIN __uds USING (doc_id))"""
   }
 
   private def occSql(padded: String, term: String): String =
@@ -3995,6 +4098,12 @@ object SparkEntry {
              w.n_wp AS wp_tokens
            FROM documents d JOIN dwp w USING (doc_id) ORDER BY doc_id""",
 
+      "q_token_count_unigram" ->
+        s"""WITH RECURSIVE $UnigramCte
+           SELECT d.doc_id, ($wcSql)::INT AS ws_tokens,
+             u.n_uni AS uni_tokens
+           FROM documents d JOIN duni u USING (doc_id) ORDER BY doc_id""",
+
       "q_sampler_manifest" ->
         s"""WITH tot AS (
              SELECT coalesce(sum($wcSql), 0)::BIGINT AS t FROM documents),
@@ -4016,6 +4125,10 @@ object SparkEntry {
       "q_pack_ids_eot" -> PackIdsEotSql,
 
       "q_pack_ids_shuffled" -> PackIdsShuffledSql,
+
+      // the FULL-pack SQL verbatim (minus n_docs): the incremental
+      // checkpoint-and-continue pack must reproduce it exactly
+      "q_incremental_pack" -> PackIdsIncrementalSql,
 
       // same rebuild PLUS the independently-reconstructed span and
       // loss-mask fingerprints: the export query reads everything back

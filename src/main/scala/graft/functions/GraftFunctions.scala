@@ -76,6 +76,14 @@ object GraftFunctions {
         requireArity("graft_wordpiece_token_count", es, 1)
         WordPieceCount(es.head)
       }),
+    ("graft_unigram_token_count",
+      "graft_unigram_token_count(array<string> words) - Viterbi " +
+        "unigram-LM count (integer costs, fewest-token ties) over " +
+        "normalized words",
+      es => {
+        requireArity("graft_unigram_token_count", es, 1)
+        UnigramTokenCount(es.head)
+      }),
     ("graft_char_trigrams",
       "graft_char_trigrams(str) - sliding 3-code-point windows (the " +
         "language-ID feature pass), one O(len) native scan",

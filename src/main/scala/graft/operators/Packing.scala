@@ -117,7 +117,8 @@ object Packing {
                          tokenIds: org.apache.spark.sql.Column =>
                            org.apache.spark.sql.Column,
                          eotId: Option[Int] = None,
-                         orderSeed: Option[Long] = None): DataFrame = {
+                         orderSeed: Option[Long] = None,
+                         resume: Option[(Long, Array[Int])] = None): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     // EOT convention: production pipelines terminate EVERY document
     // with an end-of-text token (GPT-2's <|endoftext|>) so the model
@@ -129,6 +130,21 @@ object Packing {
         case Some(e) => c => concat(tokenIds(c), array(lit(e)))
         case None => tokenIds
       }
+    // RESUMABLE CONTINUATION (the corpus-append contract): `resume =
+    // Some((prevTotalTokens, carryIds))` packs `docs` as the NEXT
+    // slice of an already-running token stream — offsets shift by the
+    // previous total, and the previous pack's final PARTIAL sequence
+    // (whose ids are the carry, = prevTotal % seqLen of them) is
+    // re-emitted COMPLETE, extended with the new tokens. By
+    // construction pack(A ++ B) == pack(A) minus its partial final row
+    // union packContinue(state(A), B) — concat-and-cut is associative,
+    // and q_incremental_pack's oracle is literally the FULL-pack SQL.
+    // The carry rides as one part row (bounded by seqLen), so the
+    // boundary sequence's n_docs counts it as ONE contribution.
+    val (base, carry) = resume.getOrElse((0L, Array.empty[Int]))
+    require(base >= 0, s"resume total must be >= 0, got $base")
+    require(carry.length == (base % seqLen),
+      s"carry length ${carry.length} != prevTotal % seqLen (${base % seqLen})")
     val counted = docs.select(col(idCol),
       size(ids(col(textCol))).cast("long").as("n_tokens"))
     val cum = orderSeed match {
@@ -145,7 +161,8 @@ object Packing {
           "n_tokens", "__cum")
     }
     val offsets = cum
-      .withColumn("token_offset", (col("__cum") - col("n_tokens")).cast("long"))
+      .withColumn("token_offset",
+        (col("__cum") - col("n_tokens") + lit(base)).cast("long"))
       .filter(col("n_tokens") > 0)
       .select(idCol, "n_tokens", "token_offset")
     val off = docs.select(col(idCol), ids(col(textCol)).as("__ids"))
@@ -164,7 +181,20 @@ object Packing {
         slice(col("__ids"), (col("__st") - col("token_offset") + 1).cast("int"),
           (col("__en") - col("__st")).cast("int")).as("part_ids"),
         (col("__st") - col("seq_id") * L).cast("int").as("start_in_seq"))
-    parts.groupBy("seq_id")
+    val withCarry = if (carry.isEmpty) parts else {
+      // the carried partial sequence joins assembly as one part at
+      // in-sequence position 0 of the boundary sequence
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val carryDf = Seq((base / seqLen, carry.toSeq, 0))
+        .toDF("seq_id", "part_ids", "start_in_seq")
+        .select(col("seq_id").cast("long"),
+          col("part_ids").cast(parts.schema("part_ids").dataType)
+            .as("part_ids"),
+          col("start_in_seq").cast("int"))
+      parts.unionByName(carryDf)
+    }
+    withCarry.groupBy("seq_id")
       .agg(
         array_sort(collect_list(struct(col("start_in_seq"), col("part_ids"))))
           .as("__parts"),
@@ -235,6 +265,31 @@ object Packing {
         (col("__step") - 1).cast("long").as("global_step"),
         ((col("__step") - 1) % w).cast("long").as("world_rank"),
         expr(s"(__step - 1) div $w").cast("long").as("local_step"))
+  }
+
+  /** The resume checkpoint of a [[packTokenSequences]] result: total
+    * tokens packed so far and the final partial sequence's ids (empty
+    * when the stream ended exactly on a boundary). This pair is what a
+    * daily corpus-append job persists; feeding it back as `resume`
+    * continues the pack exactly where it stopped. ONE bounded driver
+    * row (≤ seqLen ids) via a map-side-combined max(struct) — no sort,
+    * no window. */
+  def packState(packed: DataFrame, seqLen: Int): (Long, Array[Int]) = {
+    val rows = packed
+      .agg(max(struct(col("seq_id"), col("n_tokens"), col("input_ids")))
+        .as("m"))
+      .select(col("m.seq_id"), col("m.n_tokens"), col("m.input_ids"))
+      .collect()
+    if (rows.isEmpty || rows(0).isNullAt(0)) (0L, Array.empty[Int])
+    else {
+      val r = rows(0)
+      val seqId = r.getLong(0)
+      val n = r.getLong(1)
+      val total = seqId * seqLen + n
+      val carry =
+        if (n < seqLen) r.getSeq[Int](2).toArray else Array.empty[Int]
+      (total, carry)
+    }
   }
 
   /** Sequence packing WITHOUT document splitting (Krell et al. 2021,

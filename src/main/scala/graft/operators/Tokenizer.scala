@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{ByteBpe, TextFunctions}
+import graft.functions.{ByteBpe, TextFunctions, UnigramLm}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -252,5 +252,114 @@ object Tokenizer {
       }
     }
     merges.result()
+  }
+
+  /** Quantize a (negative) log value to the engine's integer scale —
+    * HALF_UP (away from zero), the LangId convention matching Spark's
+    * and DuckDB's round(). */
+  private def quantizeCost(x: Double): Long =
+    BigDecimal(x * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Distributed UNIGRAM-LM training (the SentencePiece discipline,
+    * Kudo 2018, hard-EM form): seed a candidate vocabulary with the
+    * most frequent substrings, then alternate Viterbi segmentation of
+    * the corpus under the current piece costs (E) with cost
+    * re-estimation from piece usage (M). Returns (piece, quantized
+    * cost) pairs sorted by piece — the [[graft.functions.UnigramLm]]
+    * model file format.
+    *
+    * Algorithm per round, all over the DISTINCT-word table
+    * (vocabulary-sized, the trainBpe/trainWordPiece state discipline):
+    *
+    *  - SEED: every substring of length 1..maxPieceLen of every
+    *    distinct word, weighted by word count — one explode + one
+    *    map-side-combined groupBy. All single characters are kept
+    *    (they are the coverage floor: with them every word segments);
+    *    multi-char candidates keep the top (vocabSize − alphabet) by
+    *    (frequency desc, piece asc) — a deterministic vocab-sized
+    *    TakeOrdered. Initial cost(p) = round(−ln(freq_p / Σfreq)·1e6).
+    *  - E: Viterbi-segment each distinct word under the broadcast
+    *    model ([[UnigramLm.segmentPieces]] — exact integer costs,
+    *    fewest-tokens tie-break), explode the pieces, groupBy sum of
+    *    word counts → usage. The segmentation closure runs over the
+    *    distinct-word table only, never the corpus.
+    *  - M: multi-char pieces with zero usage drop out (the pruning
+    *    step); single characters always survive (usage floor 1) so
+    *    coverage never regresses; cost = round(−ln(usage/Σusage)·1e6).
+    *
+    * Deterministic end to end: exact integer counts, one double ln per
+    * piece quantized HALF_UP, deterministic tie-breaks — the committed
+    * model regenerates byte-identically (`UnigramVocabGen`), and
+    * TokenizerSpec re-derives it with an independent driver
+    * implementation. 100-TB shape: the corpus is touched ONCE (the
+    * distinct-word pass); each EM round is one vocab-bounded
+    * segmentation pass + one aggregate; driver state is the model
+    * (vocab-sized). */
+  def trainUnigram(docs: DataFrame, textCol: String, vocabSize: Int = 300,
+                   maxPieceLen: Int = 6, emRounds: Int = 2,
+                   minCount: Long = 1L): Seq[(String, Long)] = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(TextFunctions.normalizedWords(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // SEED frequencies: every substring occurrence, weighted
+      val subs = words
+        .select(explode(expr(
+          s"""flatten(transform(sequence(1, length(w)),
+              i -> transform(sequence(i, least(length(w), i + ${maxPieceLen - 1})),
+                j -> substring(w, i, j - i + 1))))""")).as("p"),
+          col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val singles = subs.filter(length(col("p")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      require(singles.nonEmpty, "empty corpus: no seed alphabet")
+      val nMulti = math.max(0, vocabSize - singles.length)
+      val multis = subs.filter(length(col("p")) > 1)
+        .orderBy(col("c").desc, col("p").asc)
+        .limit(nMulti)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      subs.unpersist()
+      var freqs: Map[String, Long] = (singles ++ multis).toMap
+      var model: Map[String, Long] = {
+        val tot = freqs.values.map(_.toDouble).sum
+        freqs.map { case (p, c) => p -> quantizeCost(-math.log(c / tot)) }
+      }
+      val ml = maxPieceLen
+      var r = 0
+      while (r < emRounds) {
+        val bc = spark.sparkContext.broadcast(model)
+        val segUdf = udf((w: String) =>
+          UnigramLm.segmentPieces(w, bc.value, ml))
+        // E: usage counts under the current model (distinct-word table
+        // only — the closure never touches the corpus)
+        val usage = words
+          .select(explode(segUdf(col("w"))).as("p"), col("cnt"))
+          .groupBy("p").agg(sum("cnt").as("c"))
+          .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+        bc.destroy()
+        // M: prune unused multi-char pieces; singles keep a floor of 1
+        val kept = model.keysIterator.flatMap { p =>
+          val u = usage.getOrElse(p, 0L)
+          if (u > 0L) Some(p -> u)
+          else if (p.length == 1) Some(p -> 1L)
+          else None
+        }.toMap
+        val tot = kept.values.map(_.toDouble).sum
+        model = kept.map { case (p, u) =>
+          p -> quantizeCost(-math.log(u / tot)) }
+        freqs = kept
+        r += 1
+      }
+      model.toSeq.sortBy(_._1)
+    } finally words.unpersist()
   }
 }

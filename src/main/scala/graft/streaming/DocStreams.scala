@@ -723,4 +723,71 @@ object DocStreams {
           Iterator(LmGateOut(id, n, math.exp(-s / n)))
       }.toDF()
   }
+
+  /** STREAMING SEQUENCE PACKING — the last mile on a live corpus:
+    * pack arriving documents into fixed-length token-id sequences,
+    * carrying the partial tail across micro-batches. The canonical
+    * Structured-Streaming sink composition: `foreachBatch` runs the
+    * BATCH packer on each micro-batch with
+    * [[graft.operators.Packing.packTokenSequences]]'s `resume`
+    * continuation, emits only COMPLETED sequences (exactly `seqLen`
+    * tokens — a trainer never sees a sequence twice), and keeps the
+    * bounded checkpoint (total tokens, ≤ seqLen carried ids) as the
+    * cross-trigger state. Because the batch packer is associative
+    * under `resume` (proven by q_incremental_pack against the
+    * full-pack oracle), the stream's emitted sequences equal the
+    * one-shot batch pack of the concatenated arrival stream exactly —
+    * asserted in StreamingSpec across multi-doc triggers.
+    *
+    * Sequence order within a trigger is `idCol` order (the batch
+    * contract); across triggers it is arrival order — what a live
+    * pipeline means by document order. `state.flush()` returns the
+    * final partial sequence (pad it or drop it — trainer policy) after
+    * the stream stops.
+    *
+    * 100-TB shape: per trigger the work is the batch packer's (one
+    * range-bucketed prefix sum, ids crossing one exchange); the
+    * driver-held state is TWO values — a long and one partial
+    * sequence — regardless of corpus size. */
+  final class PackStream(seqLen: Int) extends Serializable {
+    @volatile private var total = 0L
+    @volatile private var carry = Array.empty[Int]
+    /** (totalTokens, carriedIds) — the resume checkpoint. */
+    def state: (Long, Array[Int]) = (total, carry)
+    /** The final partial sequence after the stream stops (ids, count);
+      * empty when the stream ended exactly on a boundary. */
+    def flush(): Array[Int] = carry
+    private[streaming] def advance(st: (Long, Array[Int])): Unit = {
+      total = st._1; carry = st._2
+    }
+  }
+
+  /** Attach the packer to a streaming `docs` frame: returns the
+    * `DataStreamWriter` (caller picks trigger/checkpoint and starts
+    * it) plus the carry-state handle. `emit` receives each trigger's
+    * COMPLETED sequences (same schema as the batch packer). */
+  def streamingPack(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int,
+                    tokenIds: org.apache.spark.sql.Column =>
+                      org.apache.spark.sql.Column,
+                    emit: DataFrame => Unit)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[
+           org.apache.spark.sql.Row], PackStream) = {
+    val ps = new PackStream(seqLen)
+    val writer = docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // triggers are serialized by the engine; the state handle is
+        // only touched here
+        val packed = graft.operators.Packing.packTokenSequences(
+          batch, idCol, textCol, seqLen, tokenIds,
+          resume = Some(ps.state))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          emit(packed.filter(col("n_tokens") === seqLen.toLong))
+          ps.advance(graft.operators.Packing.packState(packed, seqLen))
+        } finally packed.unpersist()
+        ()
+      }
+    (writer, ps)
+  }
 }

@@ -1903,6 +1903,62 @@ class OperatorsSpec extends AnyFunSuite {
       e.getAs[Long]("first_seq") == 3L && e.getAs[Long]("last_seq") == 3L)
   }
 
+  test("resumable pack: checkpoint + continue == one-shot pack at every cut") {
+    import spark.implicits._
+    val p = graft.operators.Packing
+    // ws-token ids via a deterministic per-word id (hash-free: word
+    // length), seqLen 4 so carries of every size 0..3 arise
+    val ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(split(trim(c), " +"), w => length(w).cast("int"))
+    val docs = Seq(
+      (1L, "a bb ccc"), (2L, "dddd e"), (3L, "ff ggg hh i"),
+      (4L, "jj"), (5L, "kkkk llll m nn ooo")).toDF("doc_id", "text")
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("seq_id"), col("n_tokens"),
+        concat_ws(",", transform(col("input_ids"), _.cast("string")))
+          .as("ids"))
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val full = sig(p.packTokenSequences(docs, "doc_id", "text", 4, ids))
+    for (cut <- 0L to 5L) {
+      val first = p.packTokenSequences(
+        docs.filter(col("doc_id") <= cut), "doc_id", "text", 4, ids)
+      val st = p.packState(first, 4)
+      val cont = p.packTokenSequences(
+        docs.filter(col("doc_id") > cut), "doc_id", "text", 4, ids,
+        resume = Some(st))
+      val keepBelow = if (st._2.nonEmpty) st._1 / 4 else Long.MaxValue
+      val merged = (sig(first).filter(_._1 < keepBelow) ++ sig(cont))
+        .sortBy(_._1)
+      assert(merged == full, s"cut=$cut state=$st")
+    }
+    // exact-boundary checkpoint: first two docs = 3+2+... tokens; craft
+    // a cut where total is a multiple of seqLen -> empty carry, pure
+    // offset shift
+    val evenDocs = Seq((1L, "a b c d"), (2L, "e f g"), (3L, "h"))
+      .toDF("doc_id", "text")
+    val f1 = p.packTokenSequences(
+      evenDocs.filter(col("doc_id") === 1L), "doc_id", "text", 4, ids)
+    val st1 = p.packState(f1, 4)
+    assert(st1._1 == 4L && st1._2.isEmpty)
+    // malformed state fails loud
+    intercept[IllegalArgumentException] {
+      p.packTokenSequences(evenDocs, "doc_id", "text", 4, ids,
+        resume = Some((5L, Array.empty[Int])))
+    }
+    // empty continuation re-emits the carried partial row complete
+    // (docs total 15 tokens -> carry of 3)
+    val fAll = p.packTokenSequences(docs, "doc_id", "text", 4, ids)
+    val stAll = p.packState(fAll, 4)
+    assert(stAll._2.nonEmpty)
+    val contEmpty = p.packTokenSequences(
+      docs.filter(lit(false)), "doc_id", "text", 4, ids,
+      resume = Some(stAll))
+    val tail = sig(contEmpty)
+    assert(tail.map(_._1) == Seq(stAll._1 / 4) &&
+      tail.head._2 == stAll._2.length)
+  }
+
   test("sampler manifest: complete permutation, round-robin ranks, epoch-distinct") {
     import spark.implicits._
     val p = graft.operators.Packing

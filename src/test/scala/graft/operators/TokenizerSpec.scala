@@ -226,4 +226,91 @@ class TokenizerSpec extends AnyFunSuite {
     val merges = Tokenizer.trainWordPiece(df, "text", 10)
     assert(merges == Vector(("a", "##b")))
   }
+
+  // ------------------------------------------------------ Unigram LM
+
+  /** Driver-side reference unigram trainer: same seed / hard-EM /
+    * prune / quantize pipeline in plain Scala over a word-count map
+    * (the Viterbi kernel itself is oracle-verified separately by
+    * q_token_count_unigram's recursive-CTE replay). */
+  private def referenceUnigram(wordCounts: Map[String, Long],
+                               vocabSize: Int, maxLen: Int,
+                               rounds: Int): Seq[(String, Long)] = {
+    def q(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        while (j <= math.min(w.length, i + maxLen)) {
+          val p = w.substring(i, j)
+          sub(p) = sub.getOrElse(p, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val singles = sub.filter(_._1.length == 1).toMap
+    val multis = sub.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - singles.size))
+    var kept: Map[String, Long] = singles ++ multis
+    var model: Map[String, Long] = {
+      val tot = kept.values.map(_.toDouble).sum
+      kept.map { case (p, c) => p -> q(-math.log(c / tot)) }
+    }
+    var r = 0
+    while (r < rounds) {
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      wordCounts.foreach { case (w, c) =>
+        graft.functions.UnigramLm.segmentPieces(w, model, maxLen)
+          .foreach(p => usage(p) = usage.getOrElse(p, 0L) + c)
+      }
+      kept = model.keysIterator.flatMap { p =>
+        val u = usage.getOrElse(p, 0L)
+        if (u > 0L) Some(p -> u)
+        else if (p.length == 1) Some(p -> 1L)
+        else None
+      }.toMap
+      val tot = kept.values.map(_.toDouble).sum
+      model = kept.map { case (p, u) => p -> q(-math.log(u / tot)) }
+      r += 1
+    }
+    model.toSeq.sortBy(_._1)
+  }
+
+  test("trainUnigram == driver reference trainer on the fixture corpus") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    val counts = df
+      .select(explode(
+        graft.functions.TextFunctions.normalizedWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceUnigram(counts, vocabSize = 120,
+      maxLen = 5, rounds = 2)
+    val got = Tokenizer.trainUnigram(df, "text", vocabSize = 120,
+      maxPieceLen = 5, emRounds = 2)
+    assert(got == expected,
+      s"first divergence: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("trainUnigram prunes unused candidates, keeps the alphabet") {
+    import spark.implicits._
+    // 'abab' dominates: after EM the model keeps 'abab'/'ab' usage and
+    // drops dead multis like 'aba'/'bab' (seeded but never chosen)
+    val df = Seq.fill(20)("abab abab").toDF("text")
+    val model = Tokenizer.trainUnigram(df, "text", vocabSize = 20,
+      maxPieceLen = 4, emRounds = 2).toMap
+    assert(model.contains("a") && model.contains("b"),
+      "alphabet must always survive")
+    assert(model.contains("abab"), s"dominant piece pruned: $model")
+    assert(!model.contains("aba") && !model.contains("bab"),
+      s"dead candidates must be pruned: ${model.keys.toSeq.sorted}")
+    // and the trained model segments its corpus with ONE token
+    assert(graft.functions.UnigramLm.segmentCount("abab", model, 4) == 1)
+  }
 }

@@ -872,6 +872,47 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(got == Seq((1L, 2L, 0)), s"full bucket must stay silent: $got")
   }
+
+  test("streaming pack: emitted sequences equal the one-shot batch pack") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic per-word ids (word length) so parity is id-exact
+    val ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(split(trim(c), " +"), w => length(w).cast("int"))
+    val triggers = Seq(
+      Seq((1L, "a bb ccc"), (2L, "dddd e")),
+      Seq((3L, "ff ggg hh i"), (4L, "jj")),
+      Seq((5L, "kkkk llll m nn ooo")))
+    val all = triggers.flatten.toDF("doc_id", "text")
+    val expectedAll = graft.operators.Packing
+      .packTokenSequences(all, "doc_id", "text", 4, ids)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getAs[Long]("seq_id"),
+        r.getAs[scala.collection.Seq[Int]]("input_ids").toSeq))
+    val expectedFull = expectedAll.filter(_._2.length == 4)
+    val expectedTail = expectedAll.filterNot(_._2.length == 4)
+
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Int])]
+    val stream = MemoryStream[(Long, String)]
+    val (writer, ps) = DocStreams.streamingPack(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, ids,
+      emit = df => emitted.synchronized {
+        emitted ++= df.orderBy("seq_id").collect()
+          .map(r => (r.getAs[Long]("seq_id"),
+            r.getAs[scala.collection.Seq[Int]]("input_ids").toSeq))
+      })
+    val q = writer.start()
+    triggers.foreach { t => stream.addData(t: _*); q.processAllAvailable() }
+    q.stop()
+    // completed sequences: exactly the batch pack's full rows, each
+    // emitted once, in order
+    assert(emitted.toSeq == expectedFull.toSeq,
+      s"stream ${emitted.size} vs batch ${expectedFull.length}")
+    // the flush tail is the batch pack's partial final sequence
+    assert(ps.flush().toSeq == expectedTail.flatMap(_._2).toSeq)
+    assert(ps.state._1 == expectedAll.map(_._2.length).sum)
+  }
 }
 
 /** Small indirection so the streaming test compiles without importing
