@@ -26,13 +26,14 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingGate {
 
-  /** Top-10 by committed r10 bench medians (honest/isolated mins),
+  /** The standing gate rows: the top-10 most expensive queries by
+    * committed r10 bench medians (honest/isolated mins),
     * plus the standing PACK row (r12 verdict ask #7): q_pack_ids_gpt2
     * is the last mile — the one family that had no per-round 10× row —
     * so epoch-pack scaling (slim-projection PrefixSum + the single id
     * exchange) is now certified under the default 1.0 bound every
     * round. */
-  val Top10: Seq[String] = Seq(
+  val GateRows: Seq[String] = Seq(
     "q_pseudo_ppl_5", "q_slope_binom_dist", "q_slope_fit_dist",
     "q_quality_classifier", "q_leakage_split_neardup", "q_pipeline",
     "q_exact_substr", "q_pseudo_ppl_ext", "q_pseudo_ppl_tri",
@@ -106,7 +107,7 @@ object ScalingGate {
       }
     }
     BenchScale10.generate(spark, sfDir, outDir, k = 10)
-    val queries = Top10.filter(SparkEntry.queries.contains)
+    val queries = GateRows.filter(SparkEntry.queries.contains)
     // JIT warmup at the small scale, then round-robin timed cells
     queries.foreach { q =>
       try withDispatch(q) { SparkEntry.queries(q)(spark, sfDir).count() }

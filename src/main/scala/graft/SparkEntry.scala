@@ -497,6 +497,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_tokenizer_compare" -> ((s, dir) => {
+      // the tokenizer-SELECTION diagnostic: per-source token mass and
+      // fertility (tokens per whitespace word) under the engine's four
+      // segmentation disciplines side by side — greedy subword,
+      // WordPiece (## continuation + [UNK]), Viterbi unigram-LM, and
+      // whitespace as the denominator — in ONE scan and one groupBy.
+      // All three subword counters are codegen'd expressions over the
+      // same normalized word array; the oracle composes their three
+      // independent SQL replays (greedy CTE, continuation CTE,
+      // Viterbi CTE) and must match per source.
+      val t = col("text")
+      docs(s, dir).select(col("source"),
+        TextFunctions.wsTokenCount(t).cast("long").as("ws"),
+        graft.functions.Subword.subwordTokenCount(t).as("sub"),
+        graft.functions.WordPiece.wordPieceTokenCount(t).as("wp"),
+        graft.functions.UnigramLm.unigramTokenCount(t).as("uni"))
+        .groupBy("source")
+        .agg(sum("ws").as("ws_tokens"),
+          sum("sub").as("sub_tokens"),
+          sum("wp").as("wp_tokens"),
+          sum("uni").as("uni_tokens"),
+          round(sum("sub") / sum("ws"), 6).as("sub_fertility"),
+          round(sum("wp") / sum("ws"), 6).as("wp_fertility"),
+          round(sum("uni") / sum("ws"), 6).as("uni_fertility"))
+        .orderBy("source")
+    }),
+
     "q_sampler_manifest" -> ((s, dir) => {
       // the trainer-side RESUMABLE SAMPLER contract: which packed
       // sequence each data-parallel rank consumes at each step of a
@@ -580,13 +607,16 @@ object SparkEntry {
     "q_incremental_pack" -> ((s, dir) => {
       // the CORPUS-APPEND contract: pack the first half of the corpus,
       // persist the bounded checkpoint (total tokens + the final
-      // partial sequence's ids), then pack the second half as a
-      // CONTINUATION — offsets shifted, the partial sequence
-      // re-emitted complete. Concat-and-cut is associative, so the
-      // result must equal the one-shot full pack bit-for-bit; the
-      // oracle is literally the full-pack SQL (it knows nothing about
-      // the split), so any drift in the resume arithmetic — offset
-      // base, carry splice, boundary re-emission — hash-mismatches.
+      // partial sequence's ids AND document spans), then pack the
+      // second half as a CONTINUATION — offsets shifted, the partial
+      // sequence re-emitted complete with exact doc_spans/n_docs (the
+      // carry splices as one part per carried document, never a fused
+      // blob). Concat-and-cut is associative, so the result must equal
+      // the one-shot full pack bit-for-bit INCLUDING the doc counts;
+      // the oracle is literally q_pack_ids_gpt2's full-pack SQL (it
+      // knows nothing about the split), so any drift in the resume
+      // arithmetic — offset base, carry splice, span carry, boundary
+      // re-emission — hash-mismatches.
       val p = graft.operators.Packing
       val d = docs(s, dir)
       val cut = d.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
@@ -601,8 +631,10 @@ object SparkEntry {
       // the continuation re-emits the boundary sequence complete
       // whenever a carry exists — keep only the first pack's rows
       // strictly below it
-      val keepBelow = if (st._2.nonEmpty) st._1 / 512 else Long.MaxValue
+      val keepBelow =
+        if (st.carryIds.nonEmpty) st.total / 512 else Long.MaxValue
       def out(df: DataFrame) = df.select(col("seq_id"), col("n_tokens"),
+        col("n_docs"),
         md5(concat_ws(",", transform(col("input_ids"),
           _.cast("string")))).as("ids_md5"))
       out(firstHalf.filter(col("seq_id") < keepBelow))
@@ -3189,18 +3221,6 @@ object SparkEntry {
     """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
              WHERE len(ids) > 0)""")
 
-  /** [[PackIdsGpt2Sql]] WITHOUT the per-sequence doc count — the
-    * q_incremental_pack contract: the incremental (checkpoint +
-    * continue) pack must reproduce the FULL pack's sequences
-    * bit-for-bit, so its oracle is literally the full-pack SQL; only
-    * n_docs is out of scope (the carried partial sequence rides as ONE
-    * part, so the boundary row's doc count is definitionally
-    * different). */
-  private lazy val PackIdsIncrementalSql: String = packIdsSqlFor(
-    """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
-             WHERE len(ids) > 0)""",
-    withDocs = false)
-
   /** [[PackIdsGpt2Sql]] + the span/loss-mask fingerprints — the
     * q_pack_export contract, where the masks also survive the TFRecord
     * serialize/deserialize loop. */
@@ -3237,8 +3257,7 @@ object SparkEntry {
 
   private def packIdsSqlFor(tCte: String,
                             orderExpr: String = "doc_id",
-                            withMasks: Boolean = false,
-                            withDocs: Boolean = true): String = {
+                            withMasks: Boolean = false): String = {
     // the mask columns (r12 verdict ask #3), rebuilt INDEPENDENTLY
     // from the oracle's own offsets: document-boundary spans in
     // in-sequence order, and the 512-slot pad/loss mask from the
@@ -3273,8 +3292,7 @@ object SparkEntry {
        g AS (SELECT seq_id, count(*)::BIGINT AS n_docs,
                flatten(list(part ORDER BY sis)) AS input_ids$spansAgg
              FROM p GROUP BY seq_id)
-       SELECT seq_id, len(input_ids)::BIGINT AS n_tokens,${
-           if (withDocs) " n_docs," else ""}
+       SELECT seq_id, len(input_ids)::BIGINT AS n_tokens, n_docs,
          md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
            'string_agg', ',')) AS ids_md5$maskCols
        FROM g ORDER BY seq_id"""
@@ -3526,12 +3544,12 @@ object SparkEntry {
                 END) AS step
            FROM __wseg WHERE pos < length(word))
          WHERE step IS NOT NULL AND step >= 1),
-       __wtok AS (SELECT word,
+       __wwtok AS (SELECT word,
            coalesce(max(CASE WHEN pos = length(word) THEN toks END), 1)
              AS n_tok
          FROM __wseg GROUP BY word),
        __wds AS (SELECT __ww.doc_id, sum(n_tok) AS n_wp
-         FROM __ww JOIN __wtok USING (word) GROUP BY __ww.doc_id),
+         FROM __ww JOIN __wwtok USING (word) GROUP BY __ww.doc_id),
        dwp AS (SELECT d.doc_id, coalesce(__wds.n_wp, 0)::BIGINT AS n_wp
          FROM documents d LEFT JOIN __wds USING (doc_id))"""
   }
@@ -4104,6 +4122,24 @@ object SparkEntry {
              u.n_uni AS uni_tokens
            FROM documents d JOIN duni u USING (doc_id) ORDER BY doc_id""",
 
+      "q_tokenizer_compare" ->
+        s"""WITH RECURSIVE $SubwordCte,
+           $WordPieceCte,
+           $UnigramCte
+           SELECT d.source,
+             sum($wcSql)::BIGINT AS ws_tokens,
+             sum(s.n_sub)::BIGINT AS sub_tokens,
+             sum(w.n_wp)::BIGINT AS wp_tokens,
+             sum(u.n_uni)::BIGINT AS uni_tokens,
+             round(sum(s.n_sub) / sum($wcSql), 6) AS sub_fertility,
+             round(sum(w.n_wp) / sum($wcSql), 6) AS wp_fertility,
+             round(sum(u.n_uni) / sum($wcSql), 6) AS uni_fertility
+           FROM documents d
+           JOIN dsub s USING (doc_id)
+           JOIN dwp w USING (doc_id)
+           JOIN duni u USING (doc_id)
+           GROUP BY d.source ORDER BY d.source""",
+
       "q_sampler_manifest" ->
         s"""WITH tot AS (
              SELECT coalesce(sum($wcSql), 0)::BIGINT AS t FROM documents),
@@ -4126,9 +4162,10 @@ object SparkEntry {
 
       "q_pack_ids_shuffled" -> PackIdsShuffledSql,
 
-      // the FULL-pack SQL verbatim (minus n_docs): the incremental
-      // checkpoint-and-continue pack must reproduce it exactly
-      "q_incremental_pack" -> PackIdsIncrementalSql,
+      // the FULL-pack SQL verbatim (q_pack_ids_gpt2's oracle, n_docs
+      // included): the incremental checkpoint-and-continue pack must
+      // reproduce the one-shot pack exactly, doc counts and all
+      "q_incremental_pack" -> PackIdsGpt2Sql,
 
       // same rebuild PLUS the independently-reconstructed span and
       // loss-mask fingerprints: the export query reads everything back

@@ -204,9 +204,18 @@ object ByteBpe {
       require(wellFormed(a) && wellFormed(b),
         s"merge $r ('$a' '$b') uses a symbol not derivable from earlier " +
           "merges — not a BPE-trained file")
+      // a FILE with a repeated pair is malformed: the second
+      // occurrence is unreachable (its pair never survives the first
+      // merge) and the reference encoder's dict would silently shadow
+      // one of the ranks. The raw training SEQUENCE can legitimately
+      // repeat a pair via duplicate-producer re-formation — which is
+      // exactly why the trainer contract (Tokenizer.trainBpe scaladoc,
+      // Gpt2VocabGen) requires writers to `.distinct` before writing;
+      // this guard enforces that contract at load time.
       require(seenPairs.add((a, b)),
-        s"merge $r ('$a' '$b') repeats an earlier pair — not possible " +
-          "in genuine BPE training output")
+        s"merge $r ('$a' '$b') repeats an earlier pair — a merges FILE " +
+          "must be distinct (writers dedupe the raw training sequence; " +
+          "see Tokenizer.trainBpe)")
       if (!resultRank.contains(a + b)) resultRank(a + b) = r
     }
     pairs

@@ -85,14 +85,24 @@ object PrefixSum {
     // a STRING order column (md5 rank) buckets by the numeric value of
     // its first 15 hex chars — monotone in the string's binary order,
     // so every bucket is an order-contiguous range; the window below
-    // still orders by the exact full string
+    // still orders by the exact full string. The hex precondition is
+    // ENFORCED, not assumed: conv() on a non-hex prefix parses only
+    // the leading valid digits ('apple' -> 10, 'zebra' -> 0 — bucket
+    // values that DECREASE while string order increases), which would
+    // silently misassign offsets; a non-hex rank raises instead.
     val stringOrder =
       df.schema(orderCol).dataType == org.apache.spark.sql.types.StringType
     val onCol = "__ps_on"
     val withOn =
       if (stringOrder)
         in.withColumn(onCol,
-          conv(substring(col(orderCol), 1, 15), 16, 10).cast(LongType))
+          conv(substring(
+            when(col(orderCol).rlike("^[0-9a-f]{15}"), col(orderCol))
+              .otherwise(raise_error(concat(
+                lit("PrefixSum string-order column must be a " +
+                  "lowercase-hex rank (md5-style), got: "),
+                col(orderCol)))),
+            1, 15), 16, 10).cast(LongType))
       else in
     val quantCol = if (stringOrder) onCol else orderCol
 

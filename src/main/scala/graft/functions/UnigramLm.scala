@@ -62,16 +62,19 @@ object UnigramLm {
   /** The model sorted by piece — for the SQL oracle's VALUES table. */
   def modelSorted: Seq[(String, Long)] = model.toSeq.sortBy(_._1)
 
-  /** Viterbi segment count of one word under `pieces`: minimum total
-    * integer cost over all segmentations, ties to the fewest tokens;
-    * 1 ([UNK]) when no segmentation covers the word; 0 for empty. */
-  def segmentCount(word: String, pieces: Map[String, Long],
-                   maxLen: Int): Int = {
+  /** ONE Viterbi DP for both counting and piece extraction — the
+    * (cost, ntok) tie-break exists in exactly one place, so the
+    * `segmentPieces(w).length == segmentCount(w)` invariant the
+    * trainer's E-step relies on can never drift. Returns the
+    * backpointer array (best piece length ending at each position) or
+    * null when no segmentation covers the word; `outT(n)` holds the
+    * token count. */
+  private def viterbi(word: String, pieces: Map[String, Long],
+                      maxLen: Int, outT: Array[Int]): Array[Int] = {
     val n = word.length
-    if (n == 0) return 0
     val INF = Long.MaxValue
     val dpc = new Array[Long](n + 1)
-    val dpt = new Array[Int](n + 1)
+    val bp = new Array[Int](n + 1)
     var i = 1
     while (i <= n) { dpc(i) = INF; i += 1 }
     var pos = 1
@@ -83,51 +86,11 @@ object UnigramLm {
           pieces.get(word.substring(pos - l, pos)) match {
             case Some(c) =>
               val cand = pc + c
-              val candT = dpt(pos - l) + 1
+              val candT = outT(pos - l) + 1
               if (cand < dpc(pos) ||
-                (cand == dpc(pos) && candT < dpt(pos))) {
+                (cand == dpc(pos) && candT < outT(pos))) {
                 dpc(pos) = cand
-                dpt(pos) = candT
-              }
-            case None => ()
-          }
-        }
-        l -= 1
-      }
-      pos += 1
-    }
-    if (dpc(n) == INF) 1 else dpt(n)
-  }
-
-  /** [[segmentCount]] with backpointers: the Viterbi-best piece
-    * sequence itself (empty for uncoverable words — the E-step skips
-    * them; [[segmentCount]] reports those as 1 [UNK]). Same DP, same
-    * (cost, ntok) tie-break, so `segmentPieces(w).length ==
-    * segmentCount(w)` for every coverable word. */
-  def segmentPieces(word: String, pieces: Map[String, Long],
-                    maxLen: Int): Seq[String] = {
-    val n = word.length
-    if (n == 0) return Seq.empty
-    val INF = Long.MaxValue
-    val dpc = new Array[Long](n + 1)
-    val dpt = new Array[Int](n + 1)
-    val bp = new Array[Int](n + 1) // best piece length ending at pos
-    var i = 1
-    while (i <= n) { dpc(i) = INF; i += 1 }
-    var pos = 1
-    while (pos <= n) {
-      var l = math.min(maxLen, pos)
-      while (l >= 1) {
-        val pc = dpc(pos - l)
-        if (pc != INF) {
-          pieces.get(word.substring(pos - l, pos)) match {
-            case Some(c) =>
-              val cand = pc + c
-              val candT = dpt(pos - l) + 1
-              if (cand < dpc(pos) ||
-                (cand == dpc(pos) && candT < dpt(pos))) {
-                dpc(pos) = cand
-                dpt(pos) = candT
+                outT(pos) = candT
                 bp(pos) = l
               }
             case None => ()
@@ -137,17 +100,39 @@ object UnigramLm {
       }
       pos += 1
     }
-    if (dpc(n) == INF) Seq.empty
+    if (dpc(n) == INF) null else bp
+  }
+
+  /** Viterbi segment count of one word under `pieces`: minimum total
+    * integer cost over all segmentations, ties to the fewest tokens;
+    * 1 ([UNK]) when no segmentation covers the word; 0 for empty. */
+  def segmentCount(word: String, pieces: Map[String, Long],
+                   maxLen: Int): Int = {
+    if (word.isEmpty) return 0
+    val dpt = new Array[Int](word.length + 1)
+    if (viterbi(word, pieces, maxLen, dpt) == null) 1
+    else dpt(word.length)
+  }
+
+  /** [[segmentCount]] with backpointers: the Viterbi-best piece
+    * sequence itself (empty for uncoverable words — the E-step skips
+    * them; [[segmentCount]] reports those as 1 [UNK]). Shares the DP,
+    * so `segmentPieces(w).length == segmentCount(w)` for every
+    * coverable word by construction. */
+  def segmentPieces(word: String, pieces: Map[String, Long],
+                    maxLen: Int): Seq[String] = {
+    if (word.isEmpty) return Seq.empty
+    val dpt = new Array[Int](word.length + 1)
+    val bp = viterbi(word, pieces, maxLen, dpt)
+    if (bp == null) Seq.empty
     else {
-      val out = List.newBuilder[String]
-      val stack = scala.collection.mutable.ArrayBuffer.empty[String]
-      var p = n
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = word.length
       while (p > 0) {
-        stack += word.substring(p - bp(p), p)
+        out += word.substring(p - bp(p), p)
         p -= bp(p)
       }
-      stack.reverseIterator.foreach(out += _)
-      out.result()
+      out.reverseIterator.toSeq
     }
   }
 

@@ -40,8 +40,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * expression over the normalized word array (the [[SubwordCount]]
   * pattern) — the vocab is a few hundred interned strings loaded from
   * the classpath once per executor JVM (never shipped per-task), the
-  * match is O(word_len · max_piece_len) with zero allocation per
-  * step, and the whole projection stays inside whole-stage codegen.
+  * match is O(word_len · max_piece_len) probing pre-split
+  * initial/continuation sets (one substring per probe — no per-step
+  * "##" concatenation), and the whole projection stays inside
+  * whole-stage codegen.
   */
 object WordPiece {
 
@@ -67,6 +69,15 @@ object WordPiece {
     if (vocab.isEmpty) 0
     else vocab.iterator.map(p =>
       if (p.startsWith("##")) p.length - 2 else p.length).max
+
+  /** The committed vocab split once at load into initial pieces and
+    * continuation SURFACES (prefix stripped) — the hot counting path
+    * probes with a bare substring instead of allocating a
+    * "##" + substring candidate per (position, length) step. */
+  private lazy val initialPieces: Set[String] =
+    vocab.filterNot(_.startsWith("##"))
+  private lazy val contSurfaces: Set[String] =
+    vocab.collect { case p if p.startsWith("##") => p.substring(2) }
 
   /** The vocab sorted — for the SQL oracle's inline VALUES table. */
   def vocabSorted: Seq[String] = vocab.toSeq.sorted
@@ -98,11 +109,36 @@ object WordPiece {
     n
   }
 
+  /** [[segmentCount]] against pre-split initial/continuation sets —
+    * one substring per probe, no per-step "##" concatenation.
+    * Semantics identical to `segmentCount(word, vocab, maxLen)`
+    * (asserted by WordPieceSpec's split≡combined sweep). */
+  private def segmentCountSplit(word: String, init: Set[String],
+                                cont: Set[String], maxLen: Int): Int = {
+    if (word.isEmpty) return 0
+    var pos = 0
+    var n = 0
+    while (pos < word.length) {
+      val table = if (pos == 0) init else cont
+      var step = 0
+      var l = math.min(maxLen, word.length - pos)
+      while (l >= 1 && step == 0) {
+        if (table.contains(word.substring(pos, pos + l))) step = l
+        l -= 1
+      }
+      if (step == 0) return 1
+      pos += step
+      n += 1
+    }
+    n
+  }
+
   /** Static counting kernel shared by [[WordPieceCount]]'s interpreted
     * and generated paths: sum of greedy WordPiece segment counts over a
     * word array (null/empty words count 0, stalled words count 1). */
   def countArray(arr: ArrayData): Long = {
-    val v = vocab
+    val init = initialPieces
+    val cont = contSurfaces
     val ml = maxSurfaceLen
     var s = 0L
     var i = 0
@@ -110,7 +146,7 @@ object WordPiece {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val w = arr.getUTF8String(i).toString
-        if (w.nonEmpty) s += segmentCount(w, v, ml)
+        if (w.nonEmpty) s += segmentCountSplit(w, init, cont, ml)
       }
       i += 1
     }

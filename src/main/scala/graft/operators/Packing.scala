@@ -112,13 +112,30 @@ object Packing {
     * materializing training examples. Assembly is deterministic:
     * parts sort by in-sequence start position (disjoint ranges, so
     * the order is total). */
+  /** The resume checkpoint of a pack: total tokens packed so far, the
+    * final partial sequence's ids, and that sequence's document-
+    * boundary spans (in-sequence [start, end) per contributing doc —
+    * carried so a continuation re-emits the boundary sequence with
+    * EXACT `doc_spans`/`n_docs`, never one fused blob that would let a
+    * mask built from the continuation attend across carried document
+    * boundaries). `carryIds` empty ⇔ the stream ended on a boundary. */
+  final case class PackState(total: Long, carryIds: Array[Int],
+                             carrySpans: Seq[(Int, Int)]) {
+    require(total >= 0, s"total must be >= 0, got $total")
+    require(carrySpans.iterator.map(s => s._2 - s._1).sum == carryIds.length,
+      s"carrySpans $carrySpans do not cover ${carryIds.length} carried ids")
+  }
+
+  /** Empty checkpoint — packing from scratch. */
+  val FreshPack: PackState = PackState(0L, Array.empty[Int], Seq.empty)
+
   def packTokenSequences(docs: DataFrame, idCol: String, textCol: String,
                          seqLen: Int,
                          tokenIds: org.apache.spark.sql.Column =>
                            org.apache.spark.sql.Column,
                          eotId: Option[Int] = None,
                          orderSeed: Option[Long] = None,
-                         resume: Option[(Long, Array[Int])] = None): DataFrame = {
+                         resume: Option[PackState] = None): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     // EOT convention: production pipelines terminate EVERY document
     // with an end-of-text token (GPT-2's <|endoftext|>) so the model
@@ -131,20 +148,25 @@ object Packing {
         case None => tokenIds
       }
     // RESUMABLE CONTINUATION (the corpus-append contract): `resume =
-    // Some((prevTotalTokens, carryIds))` packs `docs` as the NEXT
-    // slice of an already-running token stream — offsets shift by the
-    // previous total, and the previous pack's final PARTIAL sequence
-    // (whose ids are the carry, = prevTotal % seqLen of them) is
-    // re-emitted COMPLETE, extended with the new tokens. By
-    // construction pack(A ++ B) == pack(A) minus its partial final row
-    // union packContinue(state(A), B) — concat-and-cut is associative,
-    // and q_incremental_pack's oracle is literally the FULL-pack SQL.
-    // The carry rides as one part row (bounded by seqLen), so the
-    // boundary sequence's n_docs counts it as ONE contribution.
-    val (base, carry) = resume.getOrElse((0L, Array.empty[Int]))
-    require(base >= 0, s"resume total must be >= 0, got $base")
+    // Some(packState(prev))` packs `docs` as the NEXT slice of an
+    // already-running token stream — offsets shift by the previous
+    // total, and the previous pack's final PARTIAL sequence (whose ids
+    // are the carry, = prevTotal % seqLen of them) is re-emitted
+    // COMPLETE, extended with the new tokens. By construction
+    // pack(A ++ B) == pack(A) minus its partial final row union
+    // packContinue(state(A), B) — concat-and-cut is associative, and
+    // q_incremental_pack's oracle is literally the FULL-pack SQL,
+    // n_docs and spans included: the carry rides as one part row PER
+    // carried document span, so the boundary sequence's doc_spans,
+    // n_docs, and mask contract are identical to the one-shot pack's.
+    val PackState(base, carry, carrySpans) = resume.getOrElse(FreshPack)
     require(carry.length == (base % seqLen),
       s"carry length ${carry.length} != prevTotal % seqLen (${base % seqLen})")
+    require(carry.isEmpty || (carrySpans.nonEmpty &&
+      carrySpans.head._1 == 0 && carrySpans.last._2 == carry.length &&
+      carrySpans.sliding(2).forall(w =>
+        w.length < 2 || w(0)._2 == w(1)._1)),
+      s"carrySpans $carrySpans must partition [0, ${carry.length})")
     val counted = docs.select(col(idCol),
       size(ids(col(textCol))).cast("long").as("n_tokens"))
     val cum = orderSeed match {
@@ -182,11 +204,14 @@ object Packing {
           (col("__en") - col("__st")).cast("int")).as("part_ids"),
         (col("__st") - col("seq_id") * L).cast("int").as("start_in_seq"))
     val withCarry = if (carry.isEmpty) parts else {
-      // the carried partial sequence joins assembly as one part at
-      // in-sequence position 0 of the boundary sequence
+      // the carried partial sequence joins assembly as one part PER
+      // carried document span (its original in-sequence coordinates),
+      // so the boundary sequence reassembles with exact doc_spans
       val spark = docs.sparkSession
       import spark.implicits._
-      val carryDf = Seq((base / seqLen, carry.toSeq, 0))
+      val carryDf = carrySpans
+        .map { case (s0, e0) =>
+          (base / seqLen, carry.slice(s0, e0).toSeq, s0) }
         .toDF("seq_id", "part_ids", "start_in_seq")
         .select(col("seq_id").cast("long"),
           col("part_ids").cast(parts.schema("part_ids").dataType)
@@ -268,27 +293,33 @@ object Packing {
   }
 
   /** The resume checkpoint of a [[packTokenSequences]] result: total
-    * tokens packed so far and the final partial sequence's ids (empty
-    * when the stream ended exactly on a boundary). This pair is what a
-    * daily corpus-append job persists; feeding it back as `resume`
-    * continues the pack exactly where it stopped. ONE bounded driver
-    * row (≤ seqLen ids) via a map-side-combined max(struct) — no sort,
-    * no window. */
-  def packState(packed: DataFrame, seqLen: Int): (Long, Array[Int]) = {
+    * tokens packed so far, the final partial sequence's ids, and its
+    * document-boundary spans (all empty when the stream ended exactly
+    * on a boundary). This is what a daily corpus-append job persists;
+    * feeding it back as `resume` continues the pack exactly where it
+    * stopped. ONE bounded driver row (≤ seqLen ids) via a
+    * map-side-combined max(struct) — no sort, no window. Returns
+    * [[FreshPack]] for an EMPTY pack frame — callers carrying state
+    * across triggers must keep their prior state in that case (an
+    * empty micro-batch packs nothing; it does not restart the
+    * stream — see `DocStreams.streamingPack`). */
+  def packState(packed: DataFrame, seqLen: Int): PackState = {
     val rows = packed
-      .agg(max(struct(col("seq_id"), col("n_tokens"), col("input_ids")))
-        .as("m"))
-      .select(col("m.seq_id"), col("m.n_tokens"), col("m.input_ids"))
+      .agg(max(struct(col("seq_id"), col("n_tokens"), col("input_ids"),
+        col("doc_spans"))).as("m"))
+      .select(col("m.seq_id"), col("m.n_tokens"), col("m.input_ids"),
+        col("m.doc_spans"))
       .collect()
-    if (rows.isEmpty || rows(0).isNullAt(0)) (0L, Array.empty[Int])
+    if (rows.isEmpty || rows(0).isNullAt(0)) FreshPack
     else {
       val r = rows(0)
       val seqId = r.getLong(0)
       val n = r.getLong(1)
       val total = seqId * seqLen + n
-      val carry =
-        if (n < seqLen) r.getSeq[Int](2).toArray else Array.empty[Int]
-      (total, carry)
+      if (n >= seqLen) PackState(total, Array.empty[Int], Seq.empty)
+      else PackState(total, r.getSeq[Int](2).toArray,
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(s => (s.getInt(0), s.getInt(1))))
     }
   }
 

@@ -750,16 +750,15 @@ object DocStreams {
     * driver-held state is TWO values — a long and one partial
     * sequence — regardless of corpus size. */
   final class PackStream(seqLen: Int) extends Serializable {
-    @volatile private var total = 0L
-    @volatile private var carry = Array.empty[Int]
-    /** (totalTokens, carriedIds) — the resume checkpoint. */
-    def state: (Long, Array[Int]) = (total, carry)
-    /** The final partial sequence after the stream stops (ids, count);
+    @volatile private var st: graft.operators.Packing.PackState =
+      graft.operators.Packing.FreshPack
+    /** The resume checkpoint (total tokens, carried ids + spans). */
+    def state: graft.operators.Packing.PackState = st
+    /** The final partial sequence's ids after the stream stops;
       * empty when the stream ended exactly on a boundary. */
-    def flush(): Array[Int] = carry
-    private[streaming] def advance(st: (Long, Array[Int])): Unit = {
-      total = st._1; carry = st._2
-    }
+    def flush(): Array[Int] = st.carryIds
+    private[streaming] def advance(
+        next: graft.operators.Packing.PackState): Unit = st = next
   }
 
   /** Attach the packer to a streaming `docs` frame: returns the
@@ -784,7 +783,11 @@ object DocStreams {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           emit(packed.filter(col("n_tokens") === seqLen.toLong))
-          ps.advance(graft.operators.Packing.packState(packed, seqLen))
+          val next = graft.operators.Packing.packState(packed, seqLen)
+          // a trigger that packs NOTHING (zero-token docs, empty carry)
+          // yields an empty frame -> FreshPack; keep the prior state —
+          // an empty micro-batch must not restart the sequence stream
+          if (next.total > 0L) ps.advance(next)
         } finally packed.unpersist()
         ()
       }

@@ -61,6 +61,26 @@ class WordPieceSpec extends AnyFunSuite {
     assert(df.filter(col("wp") > 0).count() > 0)
   }
 
+  test("split-set fast path == generic segmentCount on the fixture") {
+    // countArray probes pre-split initial/continuation sets; the
+    // generic segmentCount concatenates "##" per probe — they must
+    // agree word for word (doc totals via the expression vs per-word
+    // generic sums)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ml = WordPiece.vocabSorted.map(p =>
+      if (p.startsWith("##")) p.length - 2 else p.length).max
+    val rows = docs.select(
+      TextFunctions.normalizedWords(col("text")).as("ws"),
+      WordPiece.wordPieceTokenCount(col("text")).as("wp"))
+      .collect()
+    rows.foreach { r =>
+      val expected = r.getSeq[String](0).filter(_.nonEmpty)
+        .map(WordPiece.segmentCount(_, WordPiece.vocab, ml).toLong).sum
+      assert(r.getLong(1) == expected)
+    }
+  }
+
   test("committed vocab segments the fixture corpus without [UNK]") {
     // the committed vocab carries the corpus's full initial/continuation
     // alphabet, so every normalized word must segment (UNK would mean

@@ -1913,12 +1913,20 @@ class OperatorsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "a bb ccc"), (2L, "dddd e"), (3L, "ff ggg hh i"),
       (4L, "jj"), (5L, "kkkk llll m nn ooo")).toDF("doc_id", "text")
+    // the FULL contract: ids AND n_docs AND doc_spans AND loss_mask —
+    // the carry splices per document span, so even the boundary
+    // sequence's masks must equal the one-shot pack's
     def sig(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("seq_id"), col("n_tokens"),
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
         concat_ws(",", transform(col("input_ids"), _.cast("string")))
-          .as("ids"))
+          .as("ids"),
+        concat_ws(",", transform(col("doc_spans"),
+          x => concat(x("start"), lit(":"), x("end")))).as("spans"),
+        concat_ws("", transform(col("loss_mask"), _.cast("string")))
+          .as("mask"))
       .orderBy("seq_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSeq
     val full = sig(p.packTokenSequences(docs, "doc_id", "text", 4, ids))
     for (cut <- 0L to 5L) {
       val first = p.packTokenSequences(
@@ -1927,7 +1935,8 @@ class OperatorsSpec extends AnyFunSuite {
       val cont = p.packTokenSequences(
         docs.filter(col("doc_id") > cut), "doc_id", "text", 4, ids,
         resume = Some(st))
-      val keepBelow = if (st._2.nonEmpty) st._1 / 4 else Long.MaxValue
+      val keepBelow =
+        if (st.carryIds.nonEmpty) st.total / 4 else Long.MaxValue
       val merged = (sig(first).filter(_._1 < keepBelow) ++ sig(cont))
         .sortBy(_._1)
       assert(merged == full, s"cut=$cut state=$st")
@@ -1940,23 +1949,26 @@ class OperatorsSpec extends AnyFunSuite {
     val f1 = p.packTokenSequences(
       evenDocs.filter(col("doc_id") === 1L), "doc_id", "text", 4, ids)
     val st1 = p.packState(f1, 4)
-    assert(st1._1 == 4L && st1._2.isEmpty)
+    assert(st1.total == 4L && st1.carryIds.isEmpty)
     // malformed state fails loud
     intercept[IllegalArgumentException] {
       p.packTokenSequences(evenDocs, "doc_id", "text", 4, ids,
-        resume = Some((5L, Array.empty[Int])))
+        resume = Some(p.PackState(5L, Array.empty[Int], Seq.empty)))
     }
     // empty continuation re-emits the carried partial row complete
     // (docs total 15 tokens -> carry of 3)
     val fAll = p.packTokenSequences(docs, "doc_id", "text", 4, ids)
     val stAll = p.packState(fAll, 4)
-    assert(stAll._2.nonEmpty)
+    assert(stAll.carryIds.nonEmpty)
     val contEmpty = p.packTokenSequences(
       docs.filter(lit(false)), "doc_id", "text", 4, ids,
       resume = Some(stAll))
     val tail = sig(contEmpty)
-    assert(tail.map(_._1) == Seq(stAll._1 / 4) &&
-      tail.head._2 == stAll._2.length)
+    assert(tail.map(_._1) == Seq(stAll.total / 4) &&
+      tail.head._2 == stAll.carryIds.length)
+    // an EMPTY pack frame yields the fresh checkpoint — stateful
+    // callers must keep their prior state (DocStreams does)
+    assert(p.packState(contEmpty.filter(lit(false)), 4) == p.FreshPack)
   }
 
   test("sampler manifest: complete permutation, round-robin ranks, epoch-distinct") {

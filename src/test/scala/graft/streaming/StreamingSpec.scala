@@ -911,7 +911,37 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${emitted.size} vs batch ${expectedFull.length}")
     // the flush tail is the batch pack's partial final sequence
     assert(ps.flush().toSeq == expectedTail.flatMap(_._2).toSeq)
-    assert(ps.state._1 == expectedAll.map(_._2.length).sum)
+    assert(ps.state.total == expectedAll.map(_._2.length).sum)
+  }
+
+  test("streaming pack: an empty trigger never restarts the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ids drop zero-length words, so an empty-text doc packs NOTHING
+    val ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => filter(
+        transform(split(trim(c), " +"), w => length(w).cast("int")),
+        x => x > 0)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, String)]
+    val (writer, ps) = DocStreams.streamingPack(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, ids,
+      emit = df => emitted.synchronized {
+        emitted ++= df.collect().map(_.getAs[Long]("seq_id")) })
+    val q = writer.start()
+    // trigger 1: exactly one full sequence -> empty carry, total 4
+    stream.addData((1L, "a bb c d")); q.processAllAvailable()
+    assert(ps.state.total == 4L && ps.flush().isEmpty)
+    // trigger 2: zero-token doc -> packs nothing. The state must NOT
+    // reset to zero (the empty-frame packState pitfall)
+    stream.addData((2L, "")); q.processAllAvailable()
+    assert(ps.state.total == 4L, s"state reset by empty trigger: ${ps.state}")
+    // trigger 3: two more tokens -> partial seq 1, nothing emitted yet
+    stream.addData((3L, "x yy")); q.processAllAvailable()
+    q.stop()
+    assert(ps.state.total == 6L)
+    assert(ps.flush().toSeq == Seq(1, 2))
+    assert(emitted.toSeq == Seq(0L))
   }
 }
 
