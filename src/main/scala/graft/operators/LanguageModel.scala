@@ -187,12 +187,16 @@ object LanguageModel {
   private[graft] def tokenizeNgrams(src: DataFrame, idCol: Option[String],
                                     textCol: String, order: Int,
                                     parallelism: Int): DataFrame = {
-    val w = split(TextFunctions.normalizeText(col(textCol)), " ")
-    val pairs = transform(sequence(lit(0), size(w) - 1), i =>
-      struct((Seq(i.as("pos"), element_at(w, i + 1).as("word")) ++
-        (1 until order).map(k =>
-          when(i < k, lit(null).cast("string"))
-            .otherwise(element_at(w, i + 1 - k)).as(s"prev$k"))): _*))
+    // the token frame is the native NgramTokens expression — the
+    // transform(sequence, struct(element_at..)) HOF it replaced was
+    // interpreter-bound (outside whole-stage codegen, one boxed struct
+    // + `order` element_at probes per token) and alone cost ~11 s of
+    // q_pseudo_ppl_5's ~12 s at sf0.1; the kernel splits once and
+    // shares each word's UTF8String across the adjacent tokens'
+    // context fields. Same split semantics, same null-context rule —
+    // every oracle hash unchanged.
+    val pairs = graft.functions.NgramTokens.ngramTokens(
+      TextFunctions.normalizeText(col(textCol)), order)
     val idCols = idCol.map(col).toSeq
     spread(src, parallelism)
       .select((idCols :+ explode(pairs).as("t")): _*)
