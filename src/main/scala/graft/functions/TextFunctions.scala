@@ -155,16 +155,15 @@ object TextFunctions {
     * aliases into predicates wholesale. */
   def shinglesFromWords(words: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
-    // acc[i] accumulates "w_i w_i+1 ... w_i+k"; the trailing entries
-    // that run past the array end pick up nulls (concat_ws skips them)
-    // and are cut by the final slice
-    var acc = words
-    for (k <- 1 until n)
-      acc = zip_with(acc,
-        slice(words, lit(k + 1), greatest(size(words) - k, lit(0))),
-        (a, b) => concat_ws(" ", a, b))
-    when(size(words) <= n, array(concat_ws(" ", words)))
-      .otherwise(slice(acc, lit(1), size(words) - n + 1))
+    // native one-pass window (the CharTrigrams pattern): the previous
+    // chain of n-1 zip_with calls was a per-row interpreter pass (HOFs
+    // evaluate outside whole-stage codegen) taxing every shingle
+    // consumer — MinHash, SimHash, Jaccard, contamination, leakage
+    // splits. Same output exactly: <= n words fold to one shingle,
+    // otherwise windows of n joined by ' ' (nulls skipped, the
+    // concat_ws contract).
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(WordShinglesExpr(ColumnShim.expression(words), n))
   }
 
   /** Normalized word array — the canonical shingling input. */
