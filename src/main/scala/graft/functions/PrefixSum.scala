@@ -83,26 +83,31 @@ object PrefixSum {
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // a STRING order column (md5 rank) buckets by the numeric value of
-    // its first 15 hex chars — monotone in the string's binary order,
-    // so every bucket is an order-contiguous range; the window below
+    // its 15-char '0'-padded hex prefix — right-padding with '0' (the
+    // smallest hex char) preserves lexicographic order for ANY-length
+    // lowercase hex (x ≤ y ⟹ pad(x) ≤ pad(y): a proper prefix pads
+    // below its extension's real characters), so every bucket is an
+    // order-contiguous range at any rank length; the window below
     // still orders by the exact full string. The hex precondition is
-    // ENFORCED, not assumed: conv() on a non-hex prefix parses only
+    // ENFORCED, not assumed: conv() on a non-hex string parses only
     // the leading valid digits ('apple' -> 10, 'zebra' -> 0 — bucket
     // values that DECREASE while string order increases), which would
-    // silently misassign offsets; a non-hex rank raises instead.
+    // silently misassign offsets; a non-hex rank raises instead. The
+    // check is a translate-empty test (no per-row regex).
     val stringOrder =
       df.schema(orderCol).dataType == org.apache.spark.sql.types.StringType
     val onCol = "__ps_on"
     val withOn =
       if (stringOrder)
         in.withColumn(onCol,
-          conv(substring(
-            when(col(orderCol).rlike("^[0-9a-f]{15}"), col(orderCol))
+          conv(substring(rpad(
+            when(length(translate(col(orderCol), "0123456789abcdef", ""))
+                   === 0 && length(col(orderCol)) > 0, col(orderCol))
               .otherwise(raise_error(concat(
-                lit("PrefixSum string-order column must be a " +
+                lit("PrefixSum string-order column must be a non-empty " +
                   "lowercase-hex rank (md5-style), got: "),
                 col(orderCol)))),
-            1, 15), 16, 10).cast(LongType))
+            15, "0"), 1, 15), 16, 10).cast(LongType))
       else in
     val quantCol = if (stringOrder) onCol else orderCol
 

@@ -65,16 +65,17 @@ object UnigramLm {
   /** ONE Viterbi DP for both counting and piece extraction — the
     * (cost, ntok) tie-break exists in exactly one place, so the
     * `segmentPieces(w).length == segmentCount(w)` invariant the
-    * trainer's E-step relies on can never drift. Returns the
-    * backpointer array (best piece length ending at each position) or
-    * null when no segmentation covers the word; `outT(n)` holds the
-    * token count. */
+    * trainer's E-step relies on can never drift. Fills `outT` (token
+    * counts per position) and, when non-null, `bp` (best piece length
+    * ending at each position — the counting path passes null and
+    * skips the allocation); returns whether any segmentation covers
+    * the word. */
   private def viterbi(word: String, pieces: Map[String, Long],
-                      maxLen: Int, outT: Array[Int]): Array[Int] = {
+                      maxLen: Int, outT: Array[Int],
+                      bp: Array[Int]): Boolean = {
     val n = word.length
     val INF = Long.MaxValue
     val dpc = new Array[Long](n + 1)
-    val bp = new Array[Int](n + 1)
     var i = 1
     while (i <= n) { dpc(i) = INF; i += 1 }
     var pos = 1
@@ -91,7 +92,7 @@ object UnigramLm {
                 (cand == dpc(pos) && candT < outT(pos))) {
                 dpc(pos) = cand
                 outT(pos) = candT
-                bp(pos) = l
+                if (bp != null) bp(pos) = l
               }
             case None => ()
           }
@@ -100,7 +101,7 @@ object UnigramLm {
       }
       pos += 1
     }
-    if (dpc(n) == INF) null else bp
+    dpc(n) != INF
   }
 
   /** Viterbi segment count of one word under `pieces`: minimum total
@@ -110,8 +111,8 @@ object UnigramLm {
                    maxLen: Int): Int = {
     if (word.isEmpty) return 0
     val dpt = new Array[Int](word.length + 1)
-    if (viterbi(word, pieces, maxLen, dpt) == null) 1
-    else dpt(word.length)
+    // bp = null: the counting path skips the backpointer allocation
+    if (viterbi(word, pieces, maxLen, dpt, null)) dpt(word.length) else 1
   }
 
   /** [[segmentCount]] with backpointers: the Viterbi-best piece
@@ -123,8 +124,8 @@ object UnigramLm {
                     maxLen: Int): Seq[String] = {
     if (word.isEmpty) return Seq.empty
     val dpt = new Array[Int](word.length + 1)
-    val bp = viterbi(word, pieces, maxLen, dpt)
-    if (bp == null) Seq.empty
+    val bp = new Array[Int](word.length + 1)
+    if (!viterbi(word, pieces, maxLen, dpt, bp)) Seq.empty
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var p = word.length

@@ -22,7 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Drop-in exact: `size(words) <= n` folds to ONE shingle joining all
   * words; otherwise shingle i joins words i..i+n−1; null elements are
   * skipped by the join exactly as `concat_ws` does. Every committed
-  * oracle hash is unchanged (full-suite sweep).
+  * oracle hash is unchanged (full-suite sweep). One deliberate
+  * divergence from the old chain: at n = 1 with m > 1 the old slice
+  * path PRESERVED null elements where this kernel's join folds them
+  * to "" (the schema here is containsNull = false) — no caller passes
+  * nullable word arrays (every consumer feeds `normalizedWords`,
+  * whose split never yields nulls), and "" is what the concat_ws
+  * contract gives every other (m, n) combination.
   */
 object WordShingles {
 

@@ -79,6 +79,25 @@ object Packing {
       .drop("__cum")
   }
 
+  /** The resume checkpoint of a pack: total tokens packed so far, the
+    * final partial sequence's ids, and that sequence's document-
+    * boundary spans (in-sequence [start, end) per contributing doc —
+    * carried so a continuation re-emits the boundary sequence with
+    * EXACT `doc_spans`/`n_docs`, never one fused blob that would let a
+    * mask built from the continuation attend across carried document
+    * boundaries). `carryIds` empty ⇔ the stream ended on a boundary.
+    * Seq fields keep equality STRUCTURAL — a checkpoint reloaded from
+    * persistence compares equal to the state that produced it. */
+  final case class PackState(total: Long, carryIds: Seq[Int],
+                             carrySpans: Seq[(Int, Int)]) {
+    require(total >= 0, s"total must be >= 0, got $total")
+    require(carrySpans.iterator.map(s => s._2 - s._1).sum == carryIds.length,
+      s"carrySpans $carrySpans do not cover ${carryIds.length} carried ids")
+  }
+
+  /** Empty checkpoint — packing from scratch. */
+  val FreshPack: PackState = PackState(0L, Seq.empty, Seq.empty)
+
   /** The LAST MILE of a pretraining pipeline: materialize the actual
     * fixed-length token-id sequences a trainer consumes — documents'
     * id arrays concatenated in `idCol` order and cut every `seqLen`
@@ -112,23 +131,6 @@ object Packing {
     * materializing training examples. Assembly is deterministic:
     * parts sort by in-sequence start position (disjoint ranges, so
     * the order is total). */
-  /** The resume checkpoint of a pack: total tokens packed so far, the
-    * final partial sequence's ids, and that sequence's document-
-    * boundary spans (in-sequence [start, end) per contributing doc —
-    * carried so a continuation re-emits the boundary sequence with
-    * EXACT `doc_spans`/`n_docs`, never one fused blob that would let a
-    * mask built from the continuation attend across carried document
-    * boundaries). `carryIds` empty ⇔ the stream ended on a boundary. */
-  final case class PackState(total: Long, carryIds: Array[Int],
-                             carrySpans: Seq[(Int, Int)]) {
-    require(total >= 0, s"total must be >= 0, got $total")
-    require(carrySpans.iterator.map(s => s._2 - s._1).sum == carryIds.length,
-      s"carrySpans $carrySpans do not cover ${carryIds.length} carried ids")
-  }
-
-  /** Empty checkpoint — packing from scratch. */
-  val FreshPack: PackState = PackState(0L, Array.empty[Int], Seq.empty)
-
   def packTokenSequences(docs: DataFrame, idCol: String, textCol: String,
                          seqLen: Int,
                          tokenIds: org.apache.spark.sql.Column =>
@@ -211,7 +213,7 @@ object Packing {
       import spark.implicits._
       val carryDf = carrySpans
         .map { case (s0, e0) =>
-          (base / seqLen, carry.slice(s0, e0).toSeq, s0) }
+          (base / seqLen, carry.slice(s0, e0), s0) }
         .toDF("seq_id", "part_ids", "start_in_seq")
         .select(col("seq_id").cast("long"),
           col("part_ids").cast(parts.schema("part_ids").dataType)
@@ -316,8 +318,8 @@ object Packing {
       val seqId = r.getLong(0)
       val n = r.getLong(1)
       val total = seqId * seqLen + n
-      if (n >= seqLen) PackState(total, Array.empty[Int], Seq.empty)
-      else PackState(total, r.getSeq[Int](2).toArray,
+      if (n >= seqLen) PackState(total, Seq.empty, Seq.empty)
+      else PackState(total, r.getSeq[Int](2).toSeq,
         r.getSeq[org.apache.spark.sql.Row](3)
           .map(s => (s.getInt(0), s.getInt(1))))
     }

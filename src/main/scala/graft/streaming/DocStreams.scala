@@ -756,7 +756,7 @@ object DocStreams {
     def state: graft.operators.Packing.PackState = st
     /** The final partial sequence's ids after the stream stops;
       * empty when the stream ended exactly on a boundary. */
-    def flush(): Array[Int] = st.carryIds
+    def flush(): Seq[Int] = st.carryIds
     private[streaming] def advance(
         next: graft.operators.Packing.PackState): Unit = st = next
   }

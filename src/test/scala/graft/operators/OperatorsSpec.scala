@@ -1953,7 +1953,7 @@ class OperatorsSpec extends AnyFunSuite {
     // malformed state fails loud
     intercept[IllegalArgumentException] {
       p.packTokenSequences(evenDocs, "doc_id", "text", 4, ids,
-        resume = Some(p.PackState(5L, Array.empty[Int], Seq.empty)))
+        resume = Some(p.PackState(5L, Seq.empty, Seq.empty)))
     }
     // empty continuation re-emits the carried partial row complete
     // (docs total 15 tokens -> carry of 3)
