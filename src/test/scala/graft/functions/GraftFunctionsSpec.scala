@@ -79,4 +79,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(GraftFunctions.all.map(_._1).distinct.size ==
       GraftFunctions.all.size)
   }
+
+  test("ApproxPqCosine equality is CONTENT equality over the codebooks (r13 hygiene #3)") {
+    // two expressions built from DISTINCT but equal-content codebook
+    // arrays must semanticEquals (the PackState array-field lesson at
+    // the expression layer); a one-ULP change must break it
+    def mkBooks(): Array[Array[Array[Double]]] =
+      Array(Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+        Array(Array(5.0, 6.0), Array(7.0, 8.0)))
+    val ch1 = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType), nullable = true)
+    val ch2 = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      1, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType), nullable = true)
+    val ch3 = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      2, org.apache.spark.sql.types.DoubleType, nullable = true)
+    val e1 = ApproxPqCosine(ch1, ch2, ch3, new PqCodebooks(mkBooks()), 2)
+    val e2 = ApproxPqCosine(ch1, ch2, ch3, new PqCodebooks(mkBooks()), 2)
+    assert(e1.semanticEquals(e2),
+      "equal-content codebooks must compare equal")
+    assert(e1.hashCode == e2.hashCode)
+    val tweaked = mkBooks()
+    tweaked(1)(0)(1) = java.lang.Double.longBitsToDouble(
+      java.lang.Double.doubleToRawLongBits(6.0) + 1L)
+    val e3 = ApproxPqCosine(ch1, ch2, ch3, new PqCodebooks(tweaked), 2)
+    assert(!e1.semanticEquals(e3),
+      "a one-ULP codebook change must compare unequal")
+    // the digest is over raw bits + dimensions, not flattened values:
+    // same multiset of doubles, different sub-quantizer shape
+    val reshaped = Array(Array(Array(1.0, 2.0), Array(3.0, 4.0),
+      Array(5.0, 6.0), Array(7.0, 8.0)))
+    val e4 = ApproxPqCosine(ch1, ch2, ch3, new PqCodebooks(reshaped), 2)
+    assert(!e1.semanticEquals(e4), "shape must participate in equality")
+  }
 }

@@ -103,6 +103,93 @@ class TokenizerSpec extends AnyFunSuite {
     assert(full.take(3) == pruned)
   }
 
+  /** A deterministic corpus RICH enough for deep merge counts: the
+    * fixture corpus's ~40-word vocabulary exhausts every learnable
+    * pair at 127 merges (exactly the committed merges.txt), so the
+    * 512-merge differential needs more distinct pretokens. Base-26
+    * words of varying length with Zipf-ish repetition. */
+  private def richTexts: Seq[String] = {
+    def word(i: Int): String = {
+      var n = i
+      val sb = new StringBuilder
+      while (n > 0) { sb += ('a' + n % 26).toChar; n /= 26 }
+      sb.result()
+    }
+    (1 to 1200).map { i =>
+      val reps = 1 + (1200 / i min 40)
+      (Seq.fill(reps)(word(i)) ++ Seq(word(i * 7 % 1200 + 1))).mkString(" ")
+    }
+  }
+
+  test("trainBpe: local, distributed and naive reference are byte-identical at 512 merges (r13 ask #1)") {
+    import spark.implicits._
+    val df = richTexts.toDF("text")
+    val expected = referenceMerges(richTexts, 512)
+    val local = Tokenizer.trainBpe(df, "text", 512,
+      localByteLimit = Long.MaxValue)
+    val dist = Tokenizer.trainBpe(df, "text", 512, localByteLimit = 0L)
+    // the distributed-incremental and local-incremental paths must be
+    // byte-identical to each other AND (after the writer's dedupe) to
+    // the recount-everything reference trainer — counts, argmax
+    // tie-break, pass semantics, stop condition
+    assert(local == dist,
+      s"local/dist divergence at ${local.zip(dist).indexWhere(p => p._1 != p._2)}")
+    assert(local.distinct == expected,
+      s"reference divergence at ${local.distinct.zip(expected).indexWhere(p => p._1 != p._2)}")
+    // the corpus must actually support the full request — no early stop
+    assert(local.size == 512, s"corpus exhausted at ${local.size}")
+  }
+
+  test("trainBpe: both paths agree on EARLY STOP at the fixture corpus's 127-pair ceiling") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    // 512 requested; the synthetic corpus's 61 distinct pretokens
+    // exhaust every learnable pair at 127 (= the committed fixture's
+    // merges.txt) — both paths must agree on the sequence AND the stop
+    val local = Tokenizer.trainBpe(df, "text", 512,
+      localByteLimit = Long.MaxValue)
+    val dist = Tokenizer.trainBpe(df, "text", 512, localByteLimit = 0L)
+    assert(local == dist,
+      s"divergence at ${local.zip(dist).indexWhere(p => p._1 != p._2)}")
+    assert(local.size == 127, s"expected the 127-merge ceiling, got ${local.size}")
+  }
+
+  test("trainWordPiece: local, distributed and naive reference are byte-identical at 256 merges") {
+    import spark.implicits._
+    val df = richTexts.toDF("text")
+    val counts = richTexts
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = referenceWordPiece(counts, 256)
+    val local = Tokenizer.trainWordPiece(df, "text", 256,
+      localByteLimit = Long.MaxValue)
+    val dist = Tokenizer.trainWordPiece(df, "text", 256,
+      localByteLimit = 0L)
+    assert(local == dist,
+      s"local/dist divergence at ${local.zip(dist).indexWhere(p => p._1 != p._2)}")
+    assert(local == expected,
+      s"reference divergence at ${local.zip(expected).indexWhere(p => p._1 != p._2)}")
+    assert(local.size == 256, s"corpus exhausted at ${local.size}")
+  }
+
+  test("trainBpe duplicate-producer merges keep exact counts on both paths") {
+    import spark.implicits._
+    // 'abab' learns (a,b) then (ab,ab); words containing the string
+    // "abab" as a symbol BEFORE a later (a,b)-adjacent rewrite would
+    // corrupt a delta scheme that reconstructs old state by
+    // un-replacing — both paths must stay exact through it
+    val texts = Seq.fill(40)("abab") ++ Seq.fill(30)("ababab") ++
+      Seq.fill(20)("aabb") ++ Seq.fill(10)("bbaa")
+    val df = texts.toDF("text")
+    val expected = referenceMerges(texts, 12)
+    val local = Tokenizer.trainBpe(df, "text", 12,
+      localByteLimit = Long.MaxValue)
+    val dist = Tokenizer.trainBpe(df, "text", 12, localByteLimit = 0L)
+    assert(local == dist, s"local $local vs dist $dist")
+    assert(local.distinct == expected)
+  }
+
   test("trainBpe is case- and punctuation-preserving (byte-level)") {
     import spark.implicits._
     val df = Seq.fill(20)("It's IT'S it's").toDF("text")
@@ -312,5 +399,49 @@ class TokenizerSpec extends AnyFunSuite {
       s"dead candidates must be pruned: ${model.keys.toSeq.sorted}")
     // and the trained model segments its corpus with ONE token
     assert(graft.functions.UnigramLm.segmentCount("abab", model, 4) == 1)
+  }
+
+  test("unigram E-step segmentation is a native expression: ScalaUDF-free plan, closure-identical pieces (r13 ask #3)") {
+    import spark.implicits._
+    // an arbitrary in-training model (NOT the committed one): integer
+    // costs, a multi-char piece that wins, a cheap-single trap where
+    // Viterbi must prefer two singles over one expensive piece
+    val model = Map("a" -> 10L, "b" -> 10L, "c" -> 40L, "ab" -> 15L,
+      "ba" -> 100L, "abc" -> 90L, "cc" -> 30L)
+    val words = Seq("ababcc", "abc", "cba", "zzz", "", "a", "ccc")
+    val df = words.toDF("w")
+    val frame = df.select(org.apache.spark.sql.functions.col("w"),
+      graft.functions.UnigramLm.segmentPiecesCol(
+        org.apache.spark.sql.functions.col("w"), model, 3).as("p"))
+    // the E-step plan must be ScalaUDF-free (the whole point of the
+    // native expression — TRAINING shares the codegen'd kernel)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"closure UDF in E-step plan:\n$plan")
+    val got = frame.collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]](1).toSeq).toMap
+    words.foreach { w =>
+      val exp = graft.functions.UnigramLm.segmentPieces(w, model, 3)
+      assert(got(w) == exp, s"'$w': got ${got(w)}, want $exp")
+      // the shared-DP invariant the trainer's E/M accounting rests on
+      if (exp.nonEmpty)
+        assert(exp.length ==
+          graft.functions.UnigramLm.segmentCount(w, model, 3))
+    }
+    // semanticEquals: equal models -> equal expressions (structural
+    // Map equality, no Array-field reference-equality trap). The
+    // child is a shared bound reference — an UNRESOLVED column wraps
+    // an Origin carrying the construction stack trace, which is
+    // never semantically comparable pre-analysis.
+    val ch = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.StringType, nullable = true)
+    val e1 = graft.functions.UnigramSegmentPieces(
+      ch, Map("x" -> 1L, "y" -> 2L), 2)
+    val e2 = graft.functions.UnigramSegmentPieces(
+      ch, Map("y" -> 2L, "x" -> 1L), 2)
+    assert(e1.semanticEquals(e2), "equal models must compare equal")
+    val e3 = graft.functions.UnigramSegmentPieces(
+      ch, Map("x" -> 1L, "y" -> 3L), 2)
+    assert(!e1.semanticEquals(e3), "different models must compare unequal")
   }
 }

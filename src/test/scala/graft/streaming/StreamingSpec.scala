@@ -943,6 +943,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(ps.flush().toSeq == Seq(1, 2))
     assert(emitted.toSeq == Seq(0L))
   }
+
+  test("streaming pack: ALL six columns equal the batch pack at every trigger, through a carry-straddling boundary (r13 ask #8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(split(trim(c), " +"), w => length(w).cast("int"))
+    // seqLen 8; trigger 1 packs 5 tokens over TWO documents (no emit —
+    // the carry holds two doc spans); trigger 2 completes the boundary
+    // sequence, which must reassemble with THREE doc_spans (two carried
+    // + the new doc) — the carry-fusion bug class as a standing
+    // streaming assertion
+    val triggers = Seq(
+      Seq((1L, "a bb"), (2L, "c dd eee")),
+      Seq((3L, "f gg hhh iiii jjjjj kkkkkk")),
+      Seq((4L, "l mm nnn oooo ppppp qqqqqq rrrrrrr ssssssss ttttttttt")))
+    val all = triggers.flatten.toDF("doc_id", "text")
+    val expected = graft.operators.Packing
+      .packTokenSequences(all, "doc_id", "text", 8, ids)
+      .filter(col("n_tokens") === 8)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getAs[Long]("seq_id"),
+        r.getAs[scala.collection.Seq[Int]]("input_ids").toSeq,
+        r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_docs"),
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+          .map(s => (s.getInt(0), s.getInt(1))).toSeq,
+        r.getAs[scala.collection.Seq[Int]]("loss_mask").toSeq))
+    // DEFERRED consumption (r13 ADVICE #1): store the frames, collect
+    // only after the stream stops — the eager localCheckpoint must
+    // make that safe (no recompute of a dead micro-batch plan)
+    val frames = scala.collection.mutable
+      .ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val stream = MemoryStream[(Long, String)]
+    val (writer, ps) = DocStreams.streamingPack(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", 8, ids,
+      emit = df => frames.synchronized { frames += df })
+    val q = writer.start()
+    triggers.foreach { t => stream.addData(t: _*); q.processAllAvailable() }
+    q.stop()
+    val got = frames.flatMap(_.orderBy("seq_id").collect())
+      .map(r => (r.getAs[Long]("seq_id"),
+        r.getAs[scala.collection.Seq[Int]]("input_ids").toSeq,
+        r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_docs"),
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+          .map(s => (s.getInt(0), s.getInt(1))).toSeq,
+        r.getAs[scala.collection.Seq[Int]]("loss_mask").toSeq))
+    assert(got.toSeq == expected.toSeq,
+      s"stream\n  ${got.mkString("\n  ")}\nvs batch\n  ${expected.mkString("\n  ")}")
+    // the boundary sequence really did straddle: its spans fuse two
+    // carried documents plus the completing one
+    val boundary = got.head
+    assert(boundary._4 == 3L && boundary._5 == Seq((0, 2), (2, 5), (5, 8)),
+      s"carry must splice per-document spans: $boundary")
+    // flush tail = the batch pack's partial remainder
+    assert(ps.state.total == 20L && ps.flush().length == 4)
+  }
 }
 
 /** Small indirection so the streaming test compiles without importing
