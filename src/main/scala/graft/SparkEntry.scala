@@ -438,8 +438,12 @@ object SparkEntry {
       // application — a wrong count, tie-break, or pass semantics
       // anywhere hash-mismatches. Gpt2VocabGen builds the committed
       // fixture through this exact operator (byte-identical re-run).
+      // localByteLimit = 0 pins the DISTRIBUTED incremental path (the
+      // r13 ask #1 rework) so the oracle keeps verifying the cluster
+      // loop; the byte-gated local fallback is proven identical to it
+      // at 512 merges in TokenizerSpec.
       val merges = graft.operators.Tokenizer
-        .trainBpe(docs(s, dir), "text", 8)
+        .trainBpe(docs(s, dir), "text", 8, localByteLimit = 0L)
       import s.implicits._
       merges.zipWithIndex
         .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
@@ -456,9 +460,10 @@ object SparkEntry {
       // lexicographic tie-break, the same left-to-right merge
       // application — so a wrong denominator, prefix rule, or argmax
       // anywhere hash-mismatches. WordPieceVocabGen builds the
-      // committed vocab through this exact operator.
+      // committed vocab through this exact operator. localByteLimit =
+      // 0 pins the DISTRIBUTED incremental path (see q_bpe_train).
       val merges = graft.operators.Tokenizer
-        .trainWordPiece(docs(s, dir), "text", 6)
+        .trainWordPiece(docs(s, dir), "text", 6, localByteLimit = 0L)
       import s.implicits._
       merges.zipWithIndex
         .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
@@ -534,6 +539,40 @@ object SparkEntry {
       // window), so an order-key or bucketing bug hash-mismatches.
       graft.operators.Packing.samplerManifest(docs(s, dir), "text",
         seqLen = 512, worldSize = 8, epoch = 2L, seed = 17L)
+        .orderBy("seq_id")
+    }),
+
+    "q_epoch_plan" -> ((s, dir) => {
+      // the COMPOSED epoch pipeline (r13 verdict ask #5): seeded doc
+      // shuffle -> pack -> sampler manifest over the pack's ACTUAL
+      // sequences — samplerManifestFor ranks the packed frame's own
+      // seq_ids, so manifest and pack agree on the sequence count BY
+      // CONSTRUCTION in the plan (no token re-count, no tokenizer /
+      // EOT drift — the r13 ADVICE trap closed structurally). The
+      // oracle rebuilds the shuffled pack AND the epoch permutation
+      // independently, so a drift anywhere in the composition —
+      // shuffle order key, pack arithmetic, permutation rank,
+      // round-robin assignment — hash-mismatches.
+      // the pack feeds TWO plan branches (sequence fingerprints + the
+      // manifest's permutation rank) — registered cache so it
+      // materializes once (a production epoch job persists the pack
+      // anyway: it IS the training artifact the manifest permutes)
+      val packed = graft.CacheRegistry.register(
+        graft.operators.Packing.packTokenSequences(docs(s, dir),
+          "doc_id", "text", seqLen = 512,
+          tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
+          orderSeed = Some(13L))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val manifest = graft.operators.Packing
+        .samplerManifestFor(packed, worldSize = 8, epoch = 1L, seed = 17L)
+      packed
+        .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+          md5(concat_ws(",", transform(col("input_ids"),
+            _.cast("string")))).as("ids_md5"))
+        .join(manifest, Seq("seq_id"))
+        .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+          col("ids_md5"), col("epoch"), col("global_step"),
+          col("world_rank"), col("local_step"))
         .orderBy("seq_id")
     }),
 
@@ -1799,6 +1838,33 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), aug.as("text")),
         "doc_id", "text", seqLen = 96, nBuckets = 8)
         .orderBy("doc_id")
+    }),
+
+    "q_pack_bins" -> ((s, dir) => {
+      // MATERIALIZED no-split bins (r13 verdict ask #4): the SFT last
+      // mile — each FFD bin's whole documents' gpt2 token ids
+      // concatenated in FFD insertion order, with the trainer-mask
+      // contract (doc_spans + pad/loss mask; oversize docs route with
+      // a NULL mask). Unlike q_pack_nosplit's golden, this oracle is
+      // FULL SQL: the md5 bucket replays via the q_split idiom and
+      // FFD ITSELF replays as a recursive CTE carrying each bucket's
+      // bin-remainder list — a wrong sort key, fit scan, oversize
+      // route, in-bin order, span, or mask anywhere hash-mismatches.
+      graft.operators.Packing.packBinSequences(docs(s, dir),
+        "doc_id", "text", seqLen = 96,
+        tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
+        nBuckets = 8)
+        .select(col("bucket"), col("bin"), col("n_docs"), col("n_tokens"),
+          col("oversize"),
+          md5(concat_ws(",", transform(col("input_ids"),
+            _.cast("string")))).as("ids_md5"),
+          md5(concat_ws(",", transform(col("doc_spans"),
+            sp => concat(sp("start").cast("string"), lit(":"),
+              sp("end").cast("string"))))).as("spans_md5"),
+          when(col("oversize"), lit(null).cast("string"))
+            .otherwise(md5(concat_ws(",", transform(col("loss_mask"),
+              _.cast("string"))))).as("mask_md5"))
+        .orderBy("bucket", "bin")
     }),
 
     "q_pack_manifest" -> ((s, dir) => {
@@ -3255,9 +3321,91 @@ object SparkEntry {
            FROM documents d LEFT JOIN dids di USING (doc_id))""")
   }
 
+  /** [[PackIdsShuffledSql]] + the independently-rebuilt epoch
+    * manifest: the permutation rank of the pack's OWN sequences under
+    * md5("&lt;seed&gt;:&lt;epoch&gt;:&lt;seq_id&gt;") and the round-robin
+    * data-parallel assignment — the q_epoch_plan contract, where the
+    * manifest is composed over the pack in one plan. */
+  private lazy val PackEpochPlanSql: String = packIdsSqlFor(
+    """t AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM dids
+             WHERE len(ids) > 0)""",
+    orderExpr = "md5('13:' || doc_id::VARCHAR)",
+    manifest = Some((8, 1L, 17L)))
+
+  /** Full DuckDB replay of [[graft.operators.Packing.packBinSequences]]
+    * — including FFD ITSELF (q_pack_nosplit's golden-only excuse was
+    * "FFD is imperative, not SQL"; here the recursive CTE carries each
+    * bucket's bin-remainder LIST as state and replays the exact
+    * first-fit-decreasing scan: docs in (n desc, id) order, first bin
+    * with remaining ≥ n, new bin at the end on no fit, oversize docs
+    * in a dead −1 bin). Buckets come from the md5 idiom (engine-
+    * portable, unlike xxhash64), ids from the same merge-loop replay
+    * ([[Gpt2IdsCte]]) as the pack oracles, spans/masks rebuilt from
+    * the in-bin part sizes alone. */
+  private lazy val PackBinsSql: String = {
+    val L = 96
+    val B = 8
+    s"""WITH RECURSIVE $Gpt2IdsCte,
+       t AS (SELECT d.doc_id,
+               coalesce(di.ids, CAST([] AS BIGINT[])) AS ids,
+               coalesce(len(di.ids), 0)::BIGINT AS n,
+               (('0x' || substr(md5(d.doc_id::VARCHAR || 'binpack'), 1, 8))
+                  ::UBIGINT % $B)::INT AS bucket
+             FROM documents d LEFT JOIN dids di USING (doc_id)),
+       db AS (SELECT bucket, doc_id, ids, n,
+                row_number() OVER (PARTITION BY bucket
+                  ORDER BY n DESC, doc_id) AS rn
+              FROM t),
+       ffd AS (
+         SELECT bucket, 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS bins,
+                CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin,
+                false AS oversize
+         FROM (SELECT DISTINCT bucket FROM db)
+         UNION ALL
+         SELECT bucket, rn,
+           CASE WHEN n > $L THEN list_append(bins, (-1)::BIGINT)
+                WHEN fit IS NULL THEN list_append(bins, ($L - n)::BIGINT)
+                ELSE bins[1:fit-1] || [bins[fit] - n] || bins[fit+1:]
+           END AS bins,
+           doc_id,
+           (CASE WHEN n > $L OR fit IS NULL THEN len(bins)
+                 ELSE fit - 1 END)::INT AS bin,
+           n > $L AS oversize
+         FROM (
+           SELECT f.bucket, d.rn, f.bins, d.doc_id, d.n,
+             list_min(list_filter(generate_series(1, len(f.bins)),
+               i -> f.bins[i] >= d.n)) AS fit
+           FROM ffd f JOIN db d ON d.bucket = f.bucket
+             AND d.rn = f.rn + 1)),
+       asg AS (SELECT bucket, bin, doc_id, oversize FROM ffd
+               WHERE doc_id IS NOT NULL),
+       j AS (SELECT a.bucket, a.bin, a.oversize, t.doc_id, t.ids, t.n
+             FROM asg a JOIN t USING (doc_id)),
+       g AS (SELECT bucket, bin, count(*)::BIGINT AS n_docs,
+               max(oversize) AS oversize,
+               flatten(list(ids ORDER BY n DESC, doc_id)) AS input_ids,
+               list(n ORDER BY n DESC, doc_id) AS sizes
+             FROM j GROUP BY bucket, bin)
+       SELECT bucket, bin, n_docs, len(input_ids)::BIGINT AS n_tokens,
+         oversize,
+         md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
+           'string_agg', ',')) AS ids_md5,
+         md5(list_aggregate(list_transform(generate_series(1, len(sizes)),
+           i -> coalesce(list_sum(sizes[1:i-1]), 0)::VARCHAR || ':' ||
+                coalesce(list_sum(sizes[1:i]), 0)::VARCHAR),
+           'string_agg', ',')) AS spans_md5,
+         CASE WHEN oversize THEN NULL ELSE
+           md5(list_aggregate(list_transform(generate_series(0, ${L - 1}),
+             i -> CASE WHEN i < len(input_ids) THEN '1' ELSE '0' END),
+             'string_agg', ',')) END AS mask_md5
+       FROM g ORDER BY bucket, bin"""
+  }
+
   private def packIdsSqlFor(tCte: String,
                             orderExpr: String = "doc_id",
-                            withMasks: Boolean = false): String = {
+                            withMasks: Boolean = false,
+                            manifest: Option[(Int, Long, Long)] = None)
+      : String = {
     // the mask columns (r12 verdict ask #3), rebuilt INDEPENDENTLY
     // from the oracle's own offsets: document-boundary spans in
     // in-sequence order, and the 512-slot pad/loss mask from the
@@ -3291,11 +3439,28 @@ object SparkEntry {
              FROM s),
        g AS (SELECT seq_id, count(*)::BIGINT AS n_docs,
                flatten(list(part ORDER BY sis)) AS input_ids$spansAgg
-             FROM p GROUP BY seq_id)
-       SELECT seq_id, len(input_ids)::BIGINT AS n_tokens, n_docs,
+             FROM p GROUP BY seq_id)${manifest match {
+      case None => ""
+      case Some((w, epoch, seed)) =>
+        s""",
+       m AS (SELECT seq_id,
+               (row_number() OVER (ORDER BY
+                  md5('$seed:$epoch:' || seq_id::VARCHAR)) - 1)::BIGINT
+                 AS gs
+             FROM g)"""
+    }}
+       SELECT ${if (manifest.isDefined) "g.seq_id" else "seq_id"},
+         len(input_ids)::BIGINT AS n_tokens, n_docs,
          md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
-           'string_agg', ',')) AS ids_md5$maskCols
-       FROM g ORDER BY seq_id"""
+           'string_agg', ',')) AS ids_md5$maskCols${manifest match {
+      case None => ""
+      case Some((w, epoch, _)) =>
+        s""",
+         $epoch::BIGINT AS epoch, gs AS global_step,
+         (gs % $w)::BIGINT AS world_rank, (gs // $w)::BIGINT AS local_step"""
+    }}
+       FROM g${if (manifest.isDefined) " JOIN m USING (seq_id)" else ""}
+       ORDER BY seq_id"""
   }
 
   private val Gpt2Big = "2147483647"
@@ -4161,6 +4326,10 @@ object SparkEntry {
       "q_pack_ids_eot" -> PackIdsEotSql,
 
       "q_pack_ids_shuffled" -> PackIdsShuffledSql,
+
+      "q_epoch_plan" -> PackEpochPlanSql,
+
+      "q_pack_bins" -> PackBinsSql,
 
       // the FULL-pack SQL verbatim (q_pack_ids_gpt2's oracle, n_docs
       // included): the incremental checkpoint-and-continue pack must

@@ -316,6 +316,68 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packBinSequences materializes FFD bins with exact ids, spans and masks (r13 ask #4)") {
+    import spark.implicits._
+    // deterministic per-word ids (word length), one bucket so the FFD
+    // layout is hand-checkable: lengths 6,5,4,3,15(oversize at 10),1
+    val docs = Seq(
+      (1L, "a bb ccc dddd eeeee ffffff"),            // 6 tokens
+      (2L, "a bb ccc dddd eeeee"),                   // 5
+      (3L, "a bb ccc dddd"),                         // 4
+      (4L, "a bb ccc"),                              // 3
+      (5L, Seq.fill(15)("xx").mkString(" ")),        // 15 -> oversize
+      (6L, "a"))                                     // 1
+      .toDF("doc_id", "text")
+    val ids: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => transform(split(trim(c), " +"), w => length(w).cast("int"))
+    val out = Packing.packBinSequences(docs, "doc_id", "text",
+      seqLen = 10, tokenIds = ids, nBuckets = 1).collect()
+      .map { r =>
+        (r.getAs[Int]("bucket"), r.getAs[Int]("bin")) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+            r.getAs[Boolean]("oversize"),
+            r.getAs[scala.collection.Seq[Int]]("input_ids").toSeq,
+            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+              .map(s => (s.getInt(0), s.getInt(1))).toSeq,
+            Option(r.getAs[scala.collection.Seq[Int]]("loss_mask"))
+              .map(_.toSeq)))
+      }.toMap
+    // FFD over (len desc, id): 15 -> oversize own bin; 6 -> bin;
+    // 5 -> same bin? 6+5>10 new bin; 4 -> bin0 (6+4=10); 3 -> bin1
+    // (5+3=8); 1 -> bin1 (9)
+    val regular = out.filterNot(_._2._3)
+    assert(out.size == 3 && regular.size == 2, s"layout: ${out.keys}")
+    val binOf6 = regular.find(_._2._4.startsWith(Seq(1, 2, 3, 4, 5, 6))).get
+    // bin with docs 1 (6 tokens) + 3 (4 tokens), FFD insertion order
+    assert(binOf6._2._4 == Seq(1, 2, 3, 4, 5, 6, 1, 2, 3, 4))
+    assert(binOf6._2._5 == Seq((0, 6), (6, 10)), s"spans: ${binOf6._2._5}")
+    assert(binOf6._2._6.get == Seq.fill(10)(1), "full bin pads nothing")
+    // bin with docs 2 (5) + 4 (3) + 6 (1): 9 tokens, 1 pad slot
+    val binOf5 = regular.find(_._2._4.startsWith(Seq(1, 2, 3, 4, 5, 1))).get
+    assert(binOf5._2 == ((3L, 9L, false,
+      Seq(1, 2, 3, 4, 5, 1, 2, 3, 1),
+      Seq((0, 5), (5, 8), (8, 9)),
+      Some(Seq(1, 1, 1, 1, 1, 1, 1, 1, 1, 0)))), s"got ${binOf5._2}")
+    // oversize: single doc, UNPADDED, NULL mask (route, never train)
+    val over = out.find(_._2._3).get
+    assert(over._2._1 == 1L && over._2._2 == 15L && over._2._6.isEmpty)
+    assert(over._2._5 == Seq((0, 15)))
+    // every non-oversize bin respects capacity and its mask length
+    regular.values.foreach { case (_, n, _, idsv, spans, mask) =>
+      assert(n <= 10 && idsv.length == n.toInt)
+      assert(mask.get.length == 10 && mask.get.count(_ == 1) == n.toInt)
+      assert(spans.head._1 == 0 && spans.last._2 == n.toInt &&
+        spans.sliding(2).forall(w => w.length < 2 || w(0)._2 == w(1)._1),
+        s"spans must partition [0, n): $spans")
+    }
+    // determinism under a different partition layout
+    val rerun = Packing.packBinSequences(docs.repartition(4), "doc_id",
+      "text", seqLen = 10, tokenIds = ids, nBuckets = 1).collect()
+      .map(r => (r.getAs[Int]("bin"),
+        r.getAs[scala.collection.Seq[Int]]("input_ids").toSeq)).toSet
+    assert(rerun == out.map(kv => (kv._1._2, kv._2._4)).toSet)
+  }
+
   test("FFD packing: zero-token doc never lands in an oversize doc's dead bin") {
     import spark.implicits._
     // oversize first in FFD order (desc), then the empty doc: before the
