@@ -1828,15 +1828,19 @@ object SparkEntry {
     "q_pack_nosplit" -> ((s, dir) => {
       // whole-document bin packing (Krell et al. FFD, no straddling —
       // the fine-tuning layout where q_seq_pack is the pretraining
-      // one): deterministic hash-bucketed FFD, golden oracle (FFD is
-      // imperative, not SQL). Docs at doc_id % 50 == 0 are tripled so
-      // the oversize routing is exercised at oracle scale
+      // one). r14: the md5 shard key made the whole computation
+      // SQL-replayable, so the r9-r13 golden became a FULL oracle —
+      // the DuckDB replay reruns the FFD recursion itself (bucket,
+      // sort key, fit scan, oversize routing all verified per row).
+      // Docs at doc_id % 50 == 0 are tripled so the oversize routing
+      // is exercised at oracle scale
       val aug = when(col("doc_id") % 50 === 0,
         concat_ws(" ", col("text"), col("text"), col("text")))
         .otherwise(col("text"))
       graft.operators.Packing.packWithoutSplitting(
         docs(s, dir).select(col("doc_id"), aug.as("text")),
-        "doc_id", "text", seqLen = 96, nBuckets = 8)
+        "doc_id", "text", seqLen = 96, nBuckets = 8,
+        bucketSalt = Some("nosplit"))
         .orderBy("doc_id")
     }),
 
@@ -3342,17 +3346,15 @@ object SparkEntry {
     * portable, unlike xxhash64), ids from the same merge-loop replay
     * ([[Gpt2IdsCte]]) as the pack oracles, spans/masks rebuilt from
     * the in-bin part sizes alone. */
-  private lazy val PackBinsSql: String = {
-    val L = 96
-    val B = 8
-    s"""WITH RECURSIVE $Gpt2IdsCte,
-       t AS (SELECT d.doc_id,
-               coalesce(di.ids, CAST([] AS BIGINT[])) AS ids,
-               coalesce(len(di.ids), 0)::BIGINT AS n,
-               (('0x' || substr(md5(d.doc_id::VARCHAR || 'binpack'), 1, 8))
-                  ::UBIGINT % $B)::INT AS bucket
-             FROM documents d LEFT JOIN dids di USING (doc_id)),
-       db AS (SELECT bucket, doc_id, ids, n,
+  /** The FFD recursion as a reusable CTE fragment: assumes a CTE
+    * `t(doc_id, n, bucket, …)` is in scope; yields `asg(bucket, bin,
+    * doc_id, oversize)` — each bucket's working row carries its
+    * bin-remainder LIST as recursion state and replays the exact
+    * first-fit-decreasing scan (docs in (n desc, id) order, first bin
+    * with remaining ≥ n, new bin on no fit, oversize docs in a dead
+    * −1 bin — the engine's `ffdAssign` semantics). */
+  private def ffdCteFor(seqLen: Int): String =
+    s"""db AS (SELECT bucket, doc_id, n,
                 row_number() OVER (PARTITION BY bucket
                   ORDER BY n DESC, doc_id) AS rn
               FROM t),
@@ -3363,14 +3365,14 @@ object SparkEntry {
          FROM (SELECT DISTINCT bucket FROM db)
          UNION ALL
          SELECT bucket, rn,
-           CASE WHEN n > $L THEN list_append(bins, (-1)::BIGINT)
-                WHEN fit IS NULL THEN list_append(bins, ($L - n)::BIGINT)
+           CASE WHEN n > $seqLen THEN list_append(bins, (-1)::BIGINT)
+                WHEN fit IS NULL THEN list_append(bins, ($seqLen - n)::BIGINT)
                 ELSE bins[1:fit-1] || [bins[fit] - n] || bins[fit+1:]
            END AS bins,
            doc_id,
-           (CASE WHEN n > $L OR fit IS NULL THEN len(bins)
+           (CASE WHEN n > $seqLen OR fit IS NULL THEN len(bins)
                  ELSE fit - 1 END)::INT AS bin,
-           n > $L AS oversize
+           n > $seqLen AS oversize
          FROM (
            SELECT f.bucket, d.rn, f.bins, d.doc_id, d.n,
              list_min(list_filter(generate_series(1, len(f.bins)),
@@ -3378,7 +3380,41 @@ object SparkEntry {
            FROM ffd f JOIN db d ON d.bucket = f.bucket
              AND d.rn = f.rn + 1)),
        asg AS (SELECT bucket, bin, doc_id, oversize FROM ffd
-               WHERE doc_id IS NOT NULL),
+               WHERE doc_id IS NOT NULL)"""
+
+  /** Full DuckDB replay of the q_pack_nosplit ASSIGNMENT — md5 bucket
+    * + ws token counts over the augmented text + the FFD recursion
+    * ([[ffdCteFor]]). Replaces the r9-r13 golden: "FFD is imperative,
+    * not SQL" stopped being true when the recursion learned to carry
+    * the bin-remainder list. */
+  private lazy val PackNosplitSql: String = {
+    val augWc = wcSql.replace("text", "atext")
+    s"""WITH RECURSIVE aug AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 50 = 0
+                THEN text || ' ' || text || ' ' || text
+                ELSE text END AS atext
+         FROM documents),
+       t AS (SELECT doc_id, ($augWc)::BIGINT AS n,
+               (('0x' || substr(md5(doc_id::VARCHAR || 'nosplit'), 1, 8))
+                  ::UBIGINT % 8)::INT AS bucket
+             FROM aug),
+       ${ffdCteFor(96)}
+       SELECT a.doc_id, t.n AS n_tokens, a.bucket, a.bin, a.oversize
+       FROM asg a JOIN t USING (doc_id) ORDER BY a.doc_id"""
+  }
+
+  private lazy val PackBinsSql: String = {
+    val L = 96
+    val B = 8
+    s"""WITH RECURSIVE $Gpt2IdsCte,
+       t AS (SELECT d.doc_id,
+               coalesce(di.ids, CAST([] AS BIGINT[])) AS ids,
+               coalesce(len(di.ids), 0)::BIGINT AS n,
+               (('0x' || substr(md5(d.doc_id::VARCHAR || 'binpack'), 1, 8))
+                  ::UBIGINT % $B)::INT AS bucket
+             FROM documents d LEFT JOIN dids di USING (doc_id)),
+       ${ffdCteFor(L)},
        j AS (SELECT a.bucket, a.bin, a.oversize, t.doc_id, t.ids, t.n
              FROM asg a JOIN t USING (doc_id)),
        g AS (SELECT bucket, bin, count(*)::BIGINT AS n_docs,
@@ -4330,6 +4366,8 @@ object SparkEntry {
       "q_epoch_plan" -> PackEpochPlanSql,
 
       "q_pack_bins" -> PackBinsSql,
+
+      "q_pack_nosplit" -> PackNosplitSql,
 
       // the FULL-pack SQL verbatim (q_pack_ids_gpt2's oracle, n_docs
       // included): the incremental checkpoint-and-continue pack must
@@ -6132,7 +6170,7 @@ object SparkEntry {
     "q_slope_pwide", "q_bodyfat_path", "q_heart_binomial",
     "q_wine_multinomial", "q_abalone_poisson", "q_student_multitask",
     "q_semantic_dedup", "q_kmeans_clusters", "q_quality_classifier",
-    "q_compression_ratio", "q_pack_nosplit", "q_image_dhash_pairs",
+    "q_compression_ratio", "q_image_dhash_pairs",
     "q_video_frame_dups", "q_audio_dhash_pairs", "q_incremental_semantic")
 
   private val GoldenDir = "/root/repo/golden"

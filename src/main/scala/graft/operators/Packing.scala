@@ -394,16 +394,34 @@ object Packing {
     * is genuinely imperative); driver sees nothing. Per-doc cost is
     * O(open bins) per bucket; production bucket sizes (1e5-1e6 docs)
     * keep that trivial next to the scan. */
+  /** The engine-portable md5 shard key (the q_split idiom): first 8
+    * hex chars of md5(long-cast id || salt), mod nBuckets — exactly
+    * replayable by DuckDB, so FFD assignments under it get a FULL SQL
+    * oracle instead of a golden. */
+  private def md5Bucket(id: org.apache.spark.sql.Column, salt: String,
+                        nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8),
+      16, 10).cast("long"), lit(nBuckets.toLong)).cast("int")
+
+  /** `bucketSalt = Some(salt)` shards by [[md5Bucket]] (SQL-replayable
+    * — the q_pack_nosplit oracle replays bucket AND the FFD recursion
+    * itself); None keeps the xxhash64 shard key (same determinism,
+    * cheaper hash — fine when no cross-engine replay is needed). */
   def packWithoutSplitting(docs: DataFrame, idCol: String, textCol: String,
                            seqLen: Int, nBuckets: Int = 32,
                            tokenCount: org.apache.spark.sql.Column =>
                              org.apache.spark.sql.Column =
-                             TextFunctions.wsTokenCount): DataFrame = {
+                             TextFunctions.wsTokenCount,
+                           bucketSalt: Option[String] = None): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val bucket = bucketSalt match {
+      case Some(salt) => md5Bucket(col(idCol).cast("long"), salt, nBuckets)
+      case None => pmod(xxhash64(col(idCol)), lit(nBuckets)).cast("int")
+    }
     val counted = docs.select(col(idCol).cast("long").as("id"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      pmod(xxhash64(col(idCol)), lit(nBuckets)).cast("int").as("bucket"))
+      bucket.as("bucket"))
     ffdAssign(counted, seqLen, nBuckets).withColumnRenamed("id", idCol)
   }
 
@@ -494,15 +512,9 @@ object Packing {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val withIds = docs.select(col(idCol).cast("long").as("id"),
       tokenIds(col(textCol)).as("__ids"))
-    // the engine-portable shard key (md5 over the canonical long-cast
-    // id + salt — the q_split idiom; DuckDB replays it exactly)
-    val mdBucket = pmod(
-      conv(substring(md5(concat(col("id").cast("string"),
-        lit(bucketSalt))), 1, 8), 16, 10).cast("long"),
-      lit(nBuckets.toLong)).cast("int")
     val counted = withIds.select(col("id"),
       size(col("__ids")).cast("long").as("n_tokens"),
-      mdBucket.as("bucket"))
+      md5Bucket(col("id"), bucketSalt, nBuckets).as("bucket"))
     val assigned = ffdAssign(counted, seqLen, nBuckets)
     val joined = withIds.join(assigned, Seq("id"))
     joined.groupBy("bucket", "bin")

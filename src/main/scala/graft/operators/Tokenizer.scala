@@ -431,11 +431,14 @@ object Tokenizer {
                                wordpiece: Boolean)
       : IndexedSeq[(String, String)] = {
     val wp = wordpiece
+    // persisted through the TWO init jobs (count maps + the loop-state
+    // materialization) so the corpus-sized distinct pass runs once
     val full = words.select(col("w"), col("cnt"))
       .as[(String, Long)](org.apache.spark.sql.Encoders
         .tuple(org.apache.spark.sql.Encoders.STRING,
           org.apache.spark.sql.Encoders.scalaLong))
       .rdd.map { case (w, c) => (initialSyms(w, wp), c) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // initial counts: ONE job — per-partition (pair, sym) count maps,
     // reduced on the driver by exact integer addition (order-free).
@@ -474,6 +477,7 @@ object Tokenizer {
     var cur = full.filter(_._1.length >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cur.count()
+    full.unpersist(false)
     val nPart = math.max(cur.getNumPartitions, 1)
     var lastFold = cur
     val sinceFold = scala.collection.mutable
