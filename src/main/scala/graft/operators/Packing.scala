@@ -498,10 +498,13 @@ object Packing {
     * (exactly `seqLen` long; null when oversize).
     *
     * 100-TB shape: sizes travel as a SLIM (id, n_tokens, bucket)
-    * projection through the FFD shuffle; the heavy id arrays cross
-    * exactly ONE exchange (the id-keyed join with the assignment) and
-    * land directly on their bin's groupBy — the same
-    * one-heavy-exchange discipline as [[packTokenSequences]]. */
+    * projection through the FFD shuffle, so the assignment costs no
+    * heavy movement; the id arrays then move twice — the id-keyed
+    * join with the doc-count-sized assignment frame, and the
+    * (bucket, bin) assembly groupBy — the necessary, linear cost of
+    * materializing training examples (the same join+assemble shape as
+    * [[packTokenSequences]]'s last mile; each bin's rows are few, so
+    * the assembly aggregate is skew-free by construction). */
   def packBinSequences(docs: DataFrame, idCol: String, textCol: String,
                        seqLen: Int,
                        tokenIds: org.apache.spark.sql.Column =>

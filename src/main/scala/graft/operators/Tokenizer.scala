@@ -233,6 +233,63 @@ object Tokenizer {
     s2 > s1 || (s2 == s1 &&
       (a2 < a1 || (a2 == a1 && b2 < b1)))
 
+  /** Lazy-invalidation argmax queue for the FREQUENCY-scored (BPE)
+    * merge loop: every count update pushes a fresh (count, pair)
+    * snapshot; the argmax pops entries until the head's snapshot
+    * matches the pair's LIVE count (stale snapshots — the pair was
+    * re-counted since — discard). Order: count desc, then the
+    * lexicographically smallest pair, exactly [[beats]] on a
+    * frequency score, so heap argmax ≡ scan argmax (the 512-merge
+    * TokenizerSpec differentials run through this structure). Makes
+    * the per-merge argmax O(log P) amortized instead of an O(P) scan
+    * over live pairs — the difference between a 50k-merge production
+    * run scanning ~10^6 live pairs 50k times and popping a few stale
+    * entries per merge. WordPiece cannot use it (the likelihood score
+    * has symbol-count denominators, so one merge re-scores every pair
+    * touching the changed symbols — its argmax stays a scan, bounded
+    * by live pairs).
+    *
+    * Stale entries are garbage: the queue REBUILDS from the live map
+    * whenever it exceeds 4× the map size, bounding memory at O(P). */
+  private final class FreqArgmax(
+      counts: scala.collection.mutable.HashMap[(String, String), Long]) {
+    private val ord = new java.util.Comparator[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+                  y: (Long, String, String)): Int = {
+        if (x._1 != y._1) java.lang.Long.compare(y._1, x._1) // count desc
+        else {
+          val ca = x._2.compareTo(y._2)
+          if (ca != 0) ca else x._3.compareTo(y._3) // pair asc
+        }
+      }
+    }
+    private var pq =
+      new java.util.PriorityQueue[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), c) => if (c > 0L) pq.add((c, a, b)) }
+
+    /** Record that `p`'s live count changed to `c` (push a snapshot). */
+    def update(p: (String, String), c: Long): Unit = {
+      if (c > 0L) pq.add((c, p._1, p._2))
+      if (pq.size > 4 * math.max(counts.size, 16)) rebuild()
+    }
+
+    private def rebuild(): Unit = {
+      pq = new java.util.PriorityQueue[(Long, String, String)](ord)
+      counts.foreach { case ((a, b), c) => if (c > 0L) pq.add((c, a, b)) }
+    }
+
+    /** The live argmax, or null when no pair has a positive count. */
+    def pop(): (String, String) = {
+      while (!pq.isEmpty) {
+        val h = pq.peek()
+        val live = counts.getOrElse((h._2, h._3), 0L)
+        if (live == h._1) return (h._2, h._3)
+        pq.poll() // stale snapshot (count changed since the push)
+      }
+      null
+    }
+  }
+
   /** One left-to-right non-overlapping merge pass over a symbol array
     * (the array form of the tab-rendered `replace`): every adjacent
     * (a, b) becomes `merged`, scanning resumes after the replacement.
@@ -275,10 +332,12 @@ object Tokenizer {
     val symCounts = scala.collection.mutable.HashMap.empty[String, Long]
     val whereUsed = scala.collection.mutable
       .HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    var fam: FreqArgmax = null // set after init (BPE mode only)
 
     def addPair(p: (String, String), w: Long, row: Int): Unit = {
       val c = pairCounts.getOrElse(p, 0L) + w
       if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+      if (fam != null) fam.update(p, c)
       if (row >= 0)
         whereUsed.getOrElseUpdate(
           p, scala.collection.mutable.Set.empty[Int]) += row
@@ -302,6 +361,8 @@ object Tokenizer {
       r += 1
     }
 
+    if (!wordpiece) fam = new FreqArgmax(pairCounts)
+
     def score(p: (String, String), c: Long): Double =
       if (!wordpiece) c.toDouble
       else c.toDouble /
@@ -311,15 +372,19 @@ object Tokenizer {
     var m = 0
     var done = false
     while (m < nMerges && !done) {
-      // argmax over live pairs — vocabulary-bounded, not table-bounded
-      var best: (String, String) = null
-      var bestScore = 0.0
-      pairCounts.foreach { case (p, c) =>
-        if (c > 0L) {
-          val sc = score(p, c)
-          if (best == null ||
-            beats(sc, p._1, p._2, bestScore, best._1, best._2)) {
-            best = p; bestScore = sc
+      // argmax: O(log P) heap pop in BPE mode; a scan over live pairs
+      // (vocabulary-bounded, not table-bounded) in WordPiece mode,
+      // whose score denominators preclude a stable heap order
+      var best: (String, String) = if (fam != null) fam.pop() else null
+      if (fam == null) {
+        var bestScore = 0.0
+        pairCounts.foreach { case (p, c) =>
+          if (c > 0L) {
+            val sc = score(p, c)
+            if (best == null ||
+              beats(sc, p._1, p._2, bestScore, best._1, best._2)) {
+              best = p; bestScore = sc
+            }
           }
         }
       }
@@ -488,19 +553,24 @@ object Tokenizer {
       else c.toDouble /
         (symCounts(p._1).toDouble * symCounts(p._2).toDouble)
 
+    val fam: FreqArgmax = if (!wp) new FreqArgmax(pairCounts) else null
+
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
     while (m < nMerges && !done) {
-      // argmax on the driver map — no job, no shuffle
-      var best: (String, String) = null
-      var bestScore = 0.0
-      pairCounts.foreach { case (p, c) =>
-        if (c > 0L) {
-          val sc = score(p, c)
-          if (best == null ||
-            beats(sc, p._1, p._2, bestScore, best._1, best._2)) {
-            best = p; bestScore = sc
+      // argmax on the driver — no job, no shuffle; O(log P) heap pop
+      // in BPE mode, a live-pair scan in WordPiece mode (FreqArgmax doc)
+      var best: (String, String) = if (fam != null) fam.pop() else null
+      if (fam == null) {
+        var bestScore = 0.0
+        pairCounts.foreach { case (p, c) =>
+          if (c > 0L) {
+            val sc = score(p, c)
+            if (best == null ||
+              beats(sc, p._1, p._2, bestScore, best._1, best._2)) {
+              best = p; bestScore = sc
+            }
           }
         }
       }
@@ -554,6 +624,7 @@ object Tokenizer {
           pd.foreach { case (k, v) =>
             val c = pairCounts.getOrElse(k, 0L) + v
             if (c == 0L) pairCounts.remove(k) else pairCounts(k) = c
+            if (fam != null) fam.update(k, c)
           }
           sd.foreach { case (k, v) =>
             val c = symCounts.getOrElse(k, 0L) + v
