@@ -3424,12 +3424,16 @@ object SparkEntry {
              FROM j GROUP BY bucket, bin)
        SELECT bucket, bin, n_docs, len(input_ids)::BIGINT AS n_tokens,
          oversize,
-         md5(list_aggregate(list_transform(input_ids, x -> x::VARCHAR),
-           'string_agg', ',')) AS ids_md5,
-         md5(list_aggregate(list_transform(generate_series(1, len(sizes)),
-           i -> coalesce(list_sum(sizes[1:i-1]), 0)::VARCHAR || ':' ||
-                coalesce(list_sum(sizes[1:i]), 0)::VARCHAR),
-           'string_agg', ',')) AS spans_md5,
+         -- coalesce('') = Spark's concat_ws over an empty array (an
+         -- all-zero-token bin must hash md5(''), not NULL)
+         md5(coalesce(list_aggregate(
+           list_transform(input_ids, x -> x::VARCHAR),
+           'string_agg', ','), '')) AS ids_md5,
+         md5(coalesce(list_aggregate(
+           list_transform(generate_series(1, len(sizes)),
+             i -> coalesce(list_sum(sizes[1:i-1]), 0)::VARCHAR || ':' ||
+                  coalesce(list_sum(sizes[1:i]), 0)::VARCHAR),
+           'string_agg', ','), '')) AS spans_md5,
          CASE WHEN oversize THEN NULL ELSE
            md5(list_aggregate(list_transform(generate_series(0, ${L - 1}),
              i -> CASE WHEN i < len(input_ids) THEN '1' ELSE '0' END),

@@ -513,8 +513,15 @@ object Packing {
                        bucketSalt: String = "binpack"): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val withIds = docs.select(col(idCol).cast("long").as("id"),
-      tokenIds(col(textCol)).as("__ids"))
+    // the tokenized frame feeds TWO branches (the slim FFD counts and
+    // the id-keyed assembly join); without a cache Catalyst would run
+    // the tokenizer kernel — the dominant cost at corpus scale —
+    // twice. Operator-scoped cache, released by whoever materializes
+    // the result (the CacheRegistry contract).
+    val withIds = graft.CacheRegistry.register(
+      docs.select(col(idCol).cast("long").as("id"),
+        tokenIds(col(textCol)).as("__ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counted = withIds.select(col("id"),
       size(col("__ids")).cast("long").as("n_tokens"),
       md5Bucket(col("id"), bucketSalt, nBuckets).as("bucket"))

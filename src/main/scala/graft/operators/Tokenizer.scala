@@ -96,10 +96,15 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
-  /** Driver-collect byte gate for the distinct pretoken/word table
-    * (estimate: `2·len + 48` bytes per distinct row). Overridable per
-    * JVM via `-Dgraft.tokenizer.localByteLimitOverride=` (0 forces
-    * the distributed path — used by specs and the scaling probe). */
+  /** Driver byte gate for the local fallback, measured against the
+    * LOCAL TRAINER'S working set, not the collected strings: per
+    * distinct word the loop holds per-character String symbols
+    * (~56·len), the where-used index's boxed pair/row entries
+    * (~80·(len−1)), and count-map/heap entries — estimated as
+    * `140·len + 64` bytes per row. Callers pin a path explicitly via
+    * the `localByteLimit` parameter (0 forces distributed,
+    * Long.MaxValue forces local — what the specs and the scaling
+    * probe do). */
   val DefaultLocalByteLimit: Long = 256L * 1024 * 1024
 
   /** Fold cadence of the distributed-incremental loop: every this
@@ -107,12 +112,6 @@ object Tokenizer {
     * checkpoint (plan depth stays bounded; superseded checkpoints'
     * blocks are released). */
   val FoldEvery: Int = 16
-
-  private def effectiveByteLimit(limit: Long): Long =
-    sys.props.get("graft.tokenizer.localByteLimitOverride") match {
-      case Some(v) => v.toLong
-      case None => limit
-    }
 
   // ===================================================== entry points
 
@@ -144,8 +143,7 @@ object Tokenizer {
       .select(explode(ByteBpe.gpt2Pretokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    train(words, nMerges, wordpiece = false,
-      effectiveByteLimit(localByteLimit))
+    train(words, nMerges, wordpiece = false, localByteLimit)
   }
 
   /** Distributed WORDPIECE training (the BERT discipline): like
@@ -175,8 +173,7 @@ object Tokenizer {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    train(words, nMerges, wordpiece = true,
-      effectiveByteLimit(localByteLimit))
+    train(words, nMerges, wordpiece = true, localByteLimit)
   }
 
   // ================================================== shared plumbing
@@ -209,9 +206,12 @@ object Tokenizer {
     * minCount-pruned distinct table (w, cnt). */
   private def train(words: DataFrame, nMerges: Int, wordpiece: Boolean,
                     byteLimit: Long): IndexedSeq[(String, String)] = {
-    // one bounded-row aggregate: estimated driver bytes of the table
+    // one bounded-row aggregate: estimated LOCAL-LOOP working-set
+    // bytes (per-char String symbols + where-used index + count maps
+    // — see DefaultLocalByteLimit), so the gate bounds what the
+    // driver actually holds, not just the collected strings
     val est = words
-      .agg(coalesce(sum(length(col("w")).cast("long") * 2 + 48), lit(0L)))
+      .agg(coalesce(sum(length(col("w")).cast("long") * 140 + 64), lit(0L)))
       .collect()(0).getLong(0)
     if (est <= byteLimit) {
       val rows = words.collect().map(r =>
@@ -290,6 +290,31 @@ object Tokenizer {
     }
   }
 
+  /** The WORDPIECE argmax — one scan over live pairs maximizing the
+    * likelihood score `c / (sa·sb)` with the [[beats]] tie-break,
+    * shared by BOTH paths so the cross-path determinism argument
+    * rests on a single implementation (BPE mode uses [[FreqArgmax]]
+    * instead — its frequency score admits a stable heap order, the
+    * likelihood score does not). Returns null when no pair is live. */
+  private def likelihoodArgmax(
+      pairCounts: scala.collection.mutable.HashMap[(String, String), Long],
+      symCounts: scala.collection.mutable.HashMap[String, Long])
+      : (String, String) = {
+    var best: (String, String) = null
+    var bestScore = 0.0
+    pairCounts.foreach { case (p, c) =>
+      if (c > 0L) {
+        val sc = c.toDouble /
+          (symCounts(p._1).toDouble * symCounts(p._2).toDouble)
+        if (best == null ||
+          beats(sc, p._1, p._2, bestScore, best._1, best._2)) {
+          best = p; bestScore = sc
+        }
+      }
+    }
+    best
+  }
+
   /** One left-to-right non-overlapping merge pass over a symbol array
     * (the array form of the tab-rendered `replace`): every adjacent
     * (a, b) becomes `merged`, scanning resumes after the replacement.
@@ -363,31 +388,15 @@ object Tokenizer {
 
     if (!wordpiece) fam = new FreqArgmax(pairCounts)
 
-    def score(p: (String, String), c: Long): Double =
-      if (!wordpiece) c.toDouble
-      else c.toDouble /
-        (symCounts(p._1).toDouble * symCounts(p._2).toDouble)
-
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
     while (m < nMerges && !done) {
-      // argmax: O(log P) heap pop in BPE mode; a scan over live pairs
-      // (vocabulary-bounded, not table-bounded) in WordPiece mode,
-      // whose score denominators preclude a stable heap order
-      var best: (String, String) = if (fam != null) fam.pop() else null
-      if (fam == null) {
-        var bestScore = 0.0
-        pairCounts.foreach { case (p, c) =>
-          if (c > 0L) {
-            val sc = score(p, c)
-            if (best == null ||
-              beats(sc, p._1, p._2, bestScore, best._1, best._2)) {
-              best = p; bestScore = sc
-            }
-          }
-        }
-      }
+      // argmax: O(log P) heap pop in BPE mode; the shared likelihood
+      // scan (vocabulary-bounded, not table-bounded) in WordPiece mode
+      val best: (String, String) =
+        if (fam != null) fam.pop()
+        else likelihoodArgmax(pairCounts, symCounts)
       if (best == null) done = true
       else {
         val (a, b) = best
@@ -548,11 +557,6 @@ object Tokenizer {
     val sinceFold = scala.collection.mutable
       .ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
-    def score(p: (String, String), c: Long): Double =
-      if (!wp) c.toDouble
-      else c.toDouble /
-        (symCounts(p._1).toDouble * symCounts(p._2).toDouble)
-
     val fam: FreqArgmax = if (!wp) new FreqArgmax(pairCounts) else null
 
     val merges = Vector.newBuilder[(String, String)]
@@ -560,20 +564,10 @@ object Tokenizer {
     var done = false
     while (m < nMerges && !done) {
       // argmax on the driver — no job, no shuffle; O(log P) heap pop
-      // in BPE mode, a live-pair scan in WordPiece mode (FreqArgmax doc)
-      var best: (String, String) = if (fam != null) fam.pop() else null
-      if (fam == null) {
-        var bestScore = 0.0
-        pairCounts.foreach { case (p, c) =>
-          if (c > 0L) {
-            val sc = score(p, c)
-            if (best == null ||
-              beats(sc, p._1, p._2, bestScore, best._1, best._2)) {
-              best = p; bestScore = sc
-            }
-          }
-        }
-      }
+      // in BPE mode, the shared likelihood scan in WordPiece mode
+      val best: (String, String) =
+        if (fam != null) fam.pop()
+        else likelihoodArgmax(pairCounts, symCounts)
       if (best == null) done = true
       else {
         val (a, b) = best
@@ -738,10 +732,11 @@ object Tokenizer {
         .limit(nMulti)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       subs.unpersist()
-      var freqs: Map[String, Long] = (singles ++ multis).toMap
+      val seedFreqs: Map[String, Long] = (singles ++ multis).toMap
       var model: Map[String, Long] = {
-        val tot = freqs.values.map(_.toDouble).sum
-        freqs.map { case (p, c) => p -> quantizeCost(-math.log(c / tot)) }
+        val tot = seedFreqs.values.map(_.toDouble).sum
+        seedFreqs.map { case (p, c) =>
+          p -> quantizeCost(-math.log(c / tot)) }
       }
       val ml = maxPieceLen
       var r = 0
@@ -764,7 +759,6 @@ object Tokenizer {
         val tot = kept.values.map(_.toDouble).sum
         model = kept.map { case (p, u) =>
           p -> quantizeCost(-math.log(u / tot)) }
-        freqs = kept
         r += 1
       }
       model.toSeq.sortBy(_._1)

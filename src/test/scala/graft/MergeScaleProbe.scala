@@ -74,23 +74,6 @@ object MergeScaleProbe {
     merges.result()
   }
 
-  /** TokenizerSpec's rich deterministic corpus (base-26 words,
-    * Zipf-ish repetition) — thousands of distinct pretokens, so deep
-    * merge counts run WITHOUT early stop (the testdata corpus's
-    * ~40-word vocabulary exhausts at 127). Pass `rich` as corpusDir. */
-  private def richTexts: Seq[String] = {
-    def word(i: Int): String = {
-      var n = i
-      val sb = new StringBuilder
-      while (n > 0) { sb += ('a' + n % 26).toChar; n /= 26 }
-      sb.result()
-    }
-    (1 to 1200).map { i =>
-      val reps = 1 + (1200 / i min 40)
-      (Seq.fill(reps)(word(i)) ++ Seq(word(i * 7 % 1200 + 1))).mkString(" ")
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val counts =
@@ -101,10 +84,12 @@ object MergeScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // `rich` = TestCorpora.richTexts (the TokenizerSpec differential
+    // corpus — deep merge counts with no early stop)
     val docs =
       if (dir == "rich") {
         import spark.implicits._
-        richTexts.toDF("text")
+        TestCorpora.richTexts.toDF("text")
       } else spark.read.parquet(s"$dir/documents.parquet").select("text")
     docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()

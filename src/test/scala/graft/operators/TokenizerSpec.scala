@@ -103,23 +103,14 @@ class TokenizerSpec extends AnyFunSuite {
     assert(full.take(3) == pruned)
   }
 
-  /** A deterministic corpus RICH enough for deep merge counts: the
-    * fixture corpus's ~40-word vocabulary exhausts every learnable
-    * pair at 127 merges (exactly the committed merges.txt), so the
-    * 512-merge differential needs more distinct pretokens. Base-26
-    * words of varying length with Zipf-ish repetition. */
-  private def richTexts: Seq[String] = {
-    def word(i: Int): String = {
-      var n = i
-      val sb = new StringBuilder
-      while (n > 0) { sb += ('a' + n % 26).toChar; n /= 26 }
-      sb.result()
-    }
-    (1 to 1200).map { i =>
-      val reps = 1 + (1200 / i min 40)
-      (Seq.fill(reps)(word(i)) ++ Seq(word(i * 7 % 1200 + 1))).mkString(" ")
-    }
-  }
+  /** The shared deep-merge corpus ([[graft.TestCorpora.richTexts]] —
+    * one definition for this spec's byte-identity differentials AND
+    * MergeScaleProbe's SCALING.md ledger, so they provably measure
+    * the same corpus): the fixture corpus's ~40-word vocabulary
+    * exhausts every learnable pair at 127 merges (exactly the
+    * committed merges.txt), so the 512-merge differential needs
+    * thousands of distinct pretokens. */
+  private def richTexts: Seq[String] = graft.TestCorpora.richTexts
 
   test("trainBpe: local, distributed and naive reference are byte-identical at 512 merges (r13 ask #1)") {
     import spark.implicits._
