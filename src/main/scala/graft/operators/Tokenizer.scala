@@ -42,16 +42,18 @@ import org.apache.spark.sql.functions._
   *    pair-delta maintenance — a pair→rows where-used index, so each
   *    merge rewrites only the rows containing the winning pair and
   *    updates pair (and WordPiece symbol) counts by exact integer
-  *    deltas. Per-merge cost: one argmax scan over live pairs
-  *    (vocabulary-bounded) + work proportional to AFFECTED rows — the
+  *    deltas. Per-merge cost: an O(log P) heap argmax in BPE mode
+  *    ([[Tokenizer.FreqArgmax]]; WordPiece scans live pairs —
+  *    vocabulary-bounded) + work proportional to AFFECTED rows — the
   *    HF-trainer shape, and the realistic production path: a
   *    minCount-pruned distinct table is tens of millions of rows at
   *    100 TB, i.e. a few hundred MB.
   *  - DISTRIBUTED INCREMENTAL, for distinct tables past the byte
   *    gate: the initial pair counts (alphabet²-bounded — symbols
   *    start as single characters) reduce ONCE into a driver-held
-  *    count map; per merge the argmax is a driver map scan (no
-  *    shuffle, no job), and exactly ONE narrow data-parallel job
+  *    count map; per merge the argmax runs on the driver (heap/scan
+  *    as above — no shuffle, no job), and exactly ONE narrow
+  *    data-parallel job
   *    runs: filter the rows CONTAINING the winning pair, rewrite them
   *    with the same kernel the local path uses, and reduce their
   *    exact count deltas (old pairs −cnt, new pairs +cnt — counting
@@ -251,7 +253,7 @@ object Tokenizer {
     *
     * Stale entries are garbage: the queue REBUILDS from the live map
     * whenever it exceeds 4× the map size, bounding memory at O(P). */
-  private final class FreqArgmax(
+  private[operators] final class FreqArgmax(
       counts: scala.collection.mutable.HashMap[(String, String), Long]) {
     private val ord = new java.util.Comparator[(Long, String, String)] {
       def compare(x: (Long, String, String),

@@ -164,6 +164,43 @@ class TokenizerSpec extends AnyFunSuite {
     assert(local.size == 256, s"corpus exhausted at ${local.size}")
   }
 
+  test("FreqArgmax: heap argmax equals the scan argmax under random update sequences") {
+    // the lazy-invalidation heap's correctness argument (any entry
+    // ordered before the true argmax that validates would itself be a
+    // better live argmax) exercised directly: seeded random count
+    // mutations, including transient zero-crossings and re-additions
+    val rnd = new scala.util.Random(20260816L)
+    val counts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val keys = (0 until 60).map(i => (s"a${i % 12}", s"b${i / 12}"))
+    keys.foreach(k => counts(k) = rnd.nextInt(50).toLong + 1L)
+    val fam = new Tokenizer.FreqArgmax(counts)
+    def scanBest: (String, String) = {
+      var best: (String, String) = null
+      counts.foreach { case (p, c) =>
+        if (c > 0L && (best == null || c > counts(best) ||
+          (c == counts(best) &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))))
+          best = p
+      }
+      best
+    }
+    (1 to 400).foreach { step =>
+      // mutate 1-4 keys by a random delta (may hit or cross zero)
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        val k = keys(rnd.nextInt(keys.length))
+        val c = math.max(0L,
+          counts.getOrElse(k, 0L) + rnd.nextInt(21) - 10)
+        if (c == 0L) counts.remove(k) else counts(k) = c
+        fam.update(k, c)
+      }
+      assert(fam.pop() == scanBest, s"divergence at step $step")
+    }
+    // drain to empty: removing every key yields a null argmax
+    keys.foreach { k => counts.remove(k); fam.update(k, 0L) }
+    assert(fam.pop() == null)
+  }
+
   test("trainBpe duplicate-producer merges keep exact counts on both paths") {
     import spark.implicits._
     // 'abab' learns (a,b) then (ab,ab); words containing the string
