@@ -3388,7 +3388,7 @@ object SparkEntry {
     * not SQL" stopped being true when the recursion learned to carry
     * the bin-remainder list. */
   private lazy val PackNosplitSql: String = {
-    val augWc = wcSql.replace("text", "atext")
+    val augWc = wcSqlFor("atext")
     s"""WITH RECURSIVE aug AS (
          SELECT doc_id,
            CASE WHEN doc_id % 50 = 0
@@ -3861,8 +3861,14 @@ object SparkEntry {
              PARTITION BY doc_id ORDER BY t DESC, lang ASC) AS rn
            FROM allsc) WHERE rn = 1)"""
 
-  private val wcSql =
-    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+  /** Whitespace token count of column `c` (r14 ADVICE: a function of
+    * the column name, so callers over derived columns — e.g.
+    * [[PackNosplitSql]]'s augmented text — never string-replace into
+    * the SQL). */
+  private def wcSqlFor(c: String): String =
+    s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim($c), '\\s+')) END"
+
+  private val wcSql = wcSqlFor("text")
 
   /** Shared recursive-CTE prefix: exact n-gram-jaccard pair graph →
     * min-label reachability (the DuckDB mirror of ngramJaccardPairs +

@@ -146,22 +146,67 @@ class TokenizerSpec extends AnyFunSuite {
     assert(local.size == 127, s"expected the 127-merge ceiling, got ${local.size}")
   }
 
-  test("trainWordPiece: local, distributed and naive reference are byte-identical at 256 merges") {
+  test("trainWordPiece: local, distributed and naive reference are byte-identical at 512 merges (r14 ask #3)") {
     import spark.implicits._
     val df = richTexts.toDF("text")
     val counts = richTexts
       .flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val expected = referenceWordPiece(counts, 256)
-    val local = Tokenizer.trainWordPiece(df, "text", 256,
+    val expected = referenceWordPiece(counts, 512)
+    val local = Tokenizer.trainWordPiece(df, "text", 512,
       localByteLimit = Long.MaxValue)
-    val dist = Tokenizer.trainWordPiece(df, "text", 256,
+    val dist = Tokenizer.trainWordPiece(df, "text", 512,
       localByteLimit = 0L)
     assert(local == dist,
       s"local/dist divergence at ${local.zip(dist).indexWhere(p => p._1 != p._2)}")
     assert(local == expected,
       s"reference divergence at ${local.zip(expected).indexWhere(p => p._1 != p._2)}")
-    assert(local.size == 256, s"corpus exhausted at ${local.size}")
+    assert(local.size == 512, s"corpus exhausted at ${local.size}")
+  }
+
+  test("ScoreArgmax: heap argmax equals the likelihood scan under random update sequences") {
+    // the WordPiece analogue of the FreqArgmax property: snapshot
+    // scores re-pushed through the symbol→pairs index must agree with
+    // the naive live-pair scan at every step, through pair deltas,
+    // SYMBOL-count changes (which re-score pairs whose own count
+    // never moved), zero-crossings and re-additions
+    val rnd = new scala.util.Random(20260815L)
+    val syms = (0 until 14).map(i => s"s$i")
+    val pairCounts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val symCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    syms.foreach(s => symCounts(s) = rnd.nextInt(200).toLong + 50L)
+    val keys = (0 until 70).map { _ =>
+      (syms(rnd.nextInt(syms.length)), syms(rnd.nextInt(syms.length)))
+    }.distinct
+    keys.foreach(k => pairCounts(k) = rnd.nextInt(40).toLong + 1L)
+    val sam = new Tokenizer.ScoreArgmax(pairCounts, symCounts)
+    (1 to 400).foreach { step =>
+      val chP = scala.collection.mutable.Set.empty[(String, String)]
+      val chS = scala.collection.mutable.Set.empty[String]
+      // mutate 1-3 pair counts (may hit zero)
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        val k = keys(rnd.nextInt(keys.length))
+        val c = math.max(0L,
+          pairCounts.getOrElse(k, 0L) + rnd.nextInt(21) - 10)
+        if (c == 0L) pairCounts.remove(k) else pairCounts(k) = c
+        chP += k
+      }
+      // mutate 0-2 SYMBOL counts (floor 1: a live pair's symbols
+      // always occur) — the denominator moves, the pair count doesn't
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val s = syms(rnd.nextInt(syms.length))
+        symCounts(s) = math.max(1L, symCounts(s) + rnd.nextInt(41) - 20)
+        chS += s
+      }
+      sam.noteChanged(chP, chS)
+      assert(sam.pop() == Tokenizer.likelihoodArgmax(pairCounts, symCounts),
+        s"divergence at step $step")
+    }
+    // drain to empty: removing every pair yields a null argmax
+    keys.foreach { k => pairCounts.remove(k) }
+    sam.noteChanged(keys, Nil)
+    assert(sam.pop() == null)
   }
 
   test("FreqArgmax: heap argmax equals the scan argmax under random update sequences") {
