@@ -451,6 +451,40 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    "q_tokenizer_export" -> ((s, dir) => {
+      // TOKENIZER-ARTIFACT EXPORT as an engine operator (r14 verdict
+      // ask #4): train the q_bpe_train merges through the SAME pinned
+      // distributed path, hand them to the production writer
+      // (TokenizerArtifacts.writeBpe — the real GPT-2 merges.txt +
+      // vocab.json layout + SHA-256 manifest), verify the manifest,
+      // then read the BYTES BACK FROM DISK and hash them — the result
+      // pins what the engine actually shipped, not what it meant to
+      // ship. The oracle re-renders both files from its own replayed
+      // merge steps and md5s the content strings (TokenizerExportSql).
+      val merges = graft.operators.Tokenizer
+        .trainBpe(docs(s, dir), "text", 8, localByteLimit = 0L)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_tok_export").toString
+      graft.sources.TokenizerArtifacts.writeBpe(out, merges)
+      val verified = graft.sources.TokenizerArtifacts.verifyManifest(out)
+      require(verified.toSet == Set("merges.txt", "vocab.json"),
+        s"manifest verification returned $verified")
+      import s.implicits._
+      val rows = Seq("merges.txt", "vocab.json").map { f =>
+        val bytes = java.nio.file.Files
+          .readAllBytes(java.nio.file.Paths.get(out, f))
+        (f, bytes.length.toLong,
+          graft.sources.TokenizerArtifacts.md5Hex(bytes))
+      }
+      // hygiene: the artifacts are hashed into the result; drop the
+      // temp dir so repeated bench reps don't accumulate
+      Seq("merges.txt", "vocab.json", "manifest.json").foreach { f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out, f))
+      }
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out))
+      rows.toDF("file", "n_bytes", "md5").orderBy("file")
+    }),
+
     "q_wordpiece_train" -> ((s, dir) => {
       // distributed WORDPIECE training (the BERT discipline): merges
       // maximize the likelihood score count(ab)/(count(a)·count(b)),
@@ -3633,7 +3667,11 @@ object SparkEntry {
     *    (a,a) adjacencies of [a,a,a] count), the trainer's contract. */
   private val BpeTrainSteps = 8
 
-  private lazy val BpeTrainSql: String = {
+  /** The trainer-replay CTE CHAIN (everything after `WITH`, through
+    * step tables `b1..bN`/`w1..wN`) — shared by [[BpeTrainSql]] and
+    * the artifact-export oracle ([[TokenizerExportSql]]), which
+    * append different consumers over the same replayed merges. */
+  private lazy val BpeTrainCtes: String = {
     val chrMap = graft.functions.ByteBpe.chrMapSql
     val tt = "chr(9)||chr(9)"
     // each w{i-1} is consumed TWICE (pair counts + merge application):
@@ -3653,10 +3691,7 @@ object SparkEntry {
              chr(9) || a || b || chr(9)) AS rend, cnt
            FROM w${i - 1}, b$i)"""
     val steps = (1 to BpeTrainSteps).map(pairsAndBest).mkString(",\n")
-    val out = (1 to BpeTrainSteps)
-      .map(i => s"SELECT $i::BIGINT AS step, a AS lhs, b AS rhs FROM b$i")
-      .mkString("\n UNION ALL ")
-    s"""WITH $Gpt2PretokBody,
+    s"""$Gpt2PretokBody,
        w0 AS MATERIALIZED (SELECT
            list_aggregate(list_transform(
              regexp_extract_all(hex(encode(tok)), '..'),
@@ -3664,8 +3699,63 @@ object SparkEntry {
              'string_agg', '') AS rend,
            count(*)::BIGINT AS cnt
          FROM __pt GROUP BY 1),
-       $steps
-       SELECT step, lhs, rhs FROM ($out) ORDER BY step"""
+       $steps"""
+  }
+
+  /** `(step, lhs, rhs)` union over the replayed step tables. */
+  private lazy val BpeTrainStepsUnion: String =
+    (1 to BpeTrainSteps)
+      .map(i => s"SELECT $i::BIGINT AS step, a AS lhs, b AS rhs FROM b$i")
+      .mkString("\n UNION ALL ")
+
+  private lazy val BpeTrainSql: String =
+    s"""WITH $BpeTrainCtes
+       SELECT step, lhs, rhs FROM ($BpeTrainStepsUnion) ORDER BY step"""
+
+  /** Full DuckDB replay of the q_tokenizer_export ARTIFACT BYTES
+    * (r14 verdict ask #4): the replayed merge steps ([[BpeTrainCtes]])
+    * render into the exact `merges.txt` and `vocab.json` content
+    * strings [[graft.sources.TokenizerArtifacts]] writes — the
+    * `#version: 0.2` header, training-order lines with
+    * duplicate-producer dedup (min(step) per pair), the GPT-2 id
+    * assignment (`<|endoftext|>` at 0, the 256 byte singles in byte
+    * order via an inlined chr() VALUES list, merge results once in
+    * training order from 257), and the minimal JSON escaping — and the
+    * byte count/md5 are taken over those strings, so ONE wrong byte
+    * anywhere in the production writer (header, ordering, id, escape)
+    * hash-mismatches against the files the engine put on disk. */
+  private lazy val TokenizerExportSql: String = {
+    val singleRows = (0 until 256)
+      .map(b =>
+        s"(chr(${graft.functions.ByteBpe.byteToChar(b).toInt}), ${b + 1})")
+      .mkString(", ")
+    s"""WITH $BpeTrainCtes,
+       mseq AS (SELECT step, lhs, rhs FROM ($BpeTrainStepsUnion)),
+       dm AS (SELECT lhs, rhs, min(step) AS st FROM mseq GROUP BY 1, 2),
+       mtxt AS (SELECT '#version: 0.2' || chr(10) ||
+           string_agg(lhs || ' ' || rhs, chr(10) ORDER BY st) || chr(10)
+           AS content FROM dm),
+       singles(tok, id) AS (VALUES $singleRows),
+       res AS (SELECT tok, 256 + row_number() OVER (ORDER BY st) AS id
+         FROM (SELECT lhs || rhs AS tok, min(st) AS st FROM dm GROUP BY 1)),
+       toks AS (SELECT '<|endoftext|>' AS tok, 0 AS id
+         UNION ALL SELECT tok, id FROM singles
+         UNION ALL SELECT tok, id FROM res),
+       vj AS (SELECT '{' || chr(10) || '  ' ||
+           string_agg('"' ||
+               replace(replace(tok, chr(92), chr(92) || chr(92)),
+                       '"', chr(92) || '"')
+               || '": ' || id, ',' || chr(10) || '  ' ORDER BY id)
+           || chr(10) || '}' || chr(10) AS content FROM toks)
+       SELECT * FROM (
+         SELECT 'merges.txt' AS file,
+             octet_length(encode(content))::BIGINT AS n_bytes,
+             md5(content) AS md5 FROM mtxt
+         UNION ALL
+         SELECT 'vocab.json' AS file,
+             octet_length(encode(content))::BIGINT AS n_bytes,
+             md5(content) AS md5 FROM vj)
+       ORDER BY file"""
   }
 
   /** Steps the WordPiece-trainer oracle replays (matches the engine
@@ -4318,6 +4408,7 @@ object SparkEntry {
            FROM c ORDER BY doc_id""",
 
       "q_bpe_train" -> BpeTrainSql,
+      "q_tokenizer_export" -> TokenizerExportSql,
 
       "q_wordpiece_train" -> WordPieceTrainSql,
 

@@ -19,6 +19,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * epsilon. */
 final class PqCodebooks(val books: Array[Array[Array[Double]]])
     extends Serializable {
+  /** Per-row-path assertion (r14 verdict ask #6): this digest backs
+    * ONLY `equals`/`hashCode`, which Catalyst calls during plan
+    * canonicalization and `semanticEquals` — the PLANNING path. The
+    * row path never touches it: [[ApproxPqCosine.eval]] and
+    * `doGenCode` read `books` directly (the codegen side via
+    * `ctx.addReferenceObj`), so an executor pays at most ONE lazy
+    * digest computation per deserialized instance, and only if
+    * something on that JVM compares expressions. Spec-pinned in
+    * GraftFunctionsSpec (compute-once identity + serialization
+    * round trip). */
   lazy val digest: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)

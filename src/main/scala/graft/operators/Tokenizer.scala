@@ -521,7 +521,9 @@ object Tokenizer {
     }
 
     val sam: ScoreArgmax =
-      if (wordpiece) new ScoreArgmax(pairCounts, symCounts) else null
+      if (wordpiece && !probeForceScanArgmax)
+        new ScoreArgmax(pairCounts, symCounts)
+      else null
     if (!wordpiece) fam = new FreqArgmax(pairCounts)
     if (wordpiece) {
       chPairs = scala.collection.mutable.Set.empty[(String, String)]
@@ -533,9 +535,12 @@ object Tokenizer {
     var done = false
     while (m < nMerges && !done) {
       // argmax: O(log P) amortized heap pop in both modes (FreqArgmax
-      // on raw counts / ScoreArgmax on likelihood snapshots)
+      // on raw counts / ScoreArgmax on likelihood snapshots; the
+      // probe-only scan fallback measures the r14 baseline)
       val best: (String, String) =
-        if (fam != null) fam.pop() else sam.pop()
+        if (fam != null) fam.pop()
+        else if (sam != null) sam.pop()
+        else likelihoodArgmax(pairCounts, symCounts)
       if (best == null) done = true
       else {
         val (a, b) = best
@@ -648,6 +653,15 @@ object Tokenizer {
       val h = PartitionPairSummary.hash(a, b)
       get((h & mask).toInt) && get(((h >>> 32) & mask).toInt)
     }
+    /** OR-merge another summary of the SAME size into this one (the
+      * driver folds per-partition delta summaries into one per-LAYER
+      * summary). */
+    def orInPlace(other: PartitionPairSummary): Unit = {
+      require(other.bits.length == bits.length,
+        "summary size mismatch — layer summaries must share the window's nBits")
+      var i = 0
+      while (i < bits.length) { bits(i) |= other.bits(i); i += 1 }
+    }
   }
 
   private[operators] object PartitionPairSummary {
@@ -679,8 +693,7 @@ object Tokenizer {
     * scan. */
   private def buildSummaries(
       rdd: org.apache.spark.rdd.RDD[(Array[String], Long)],
-      livePairs: Int): Array[PartitionPairSummary] = {
-    val nBits = PartitionPairSummary.bitsFor(livePairs)
+      nBits: Int): Array[PartitionPairSummary] = {
     rdd.mapPartitionsWithIndex { (idx, it) =>
       val s = new PartitionPairSummary(nBits)
       it.foreach { case (syms, _) =>
@@ -713,6 +726,13 @@ object Tokenizer {
     * for SCALING.md. Production callers never set it. */
   private[graft] var probeScanLedger
       : scala.collection.mutable.ArrayBuffer[(Int, Int)] = null
+
+  /** MergeScaleProbe-only switch: force the WordPiece argmax back to
+    * the naive O(live pairs) [[likelihoodArgmax]] scan instead of the
+    * [[ScoreArgmax]] heap, so the heap's win is measured against the
+    * r14 baseline ON THE SAME build (byte-identity asserted by the
+    * probe). Production callers never set it. */
+  private[graft] var probeForceScanArgmax: Boolean = false
 
   /** Distributed-incremental trainer over the distinct table (w, cnt):
     * driver-held pair/symbol count maps updated by affected-rows-only
@@ -820,7 +840,10 @@ object Tokenizer {
     // summary-building job doubles as the cache materialization
     var base = full.filter(_._1.length >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var summaries = buildSummaries(base, pairCounts.size)
+    // one summary size per fold window: base summaries and the
+    // per-layer summaries OR-merged from the delta job must agree
+    var windowBits = PartitionPairSummary.bitsFor(pairCounts.size)
+    var summaries = buildSummaries(base, windowBits)
     full.unpersist(false)
     words.unpersist(false) // train()'s byte-gate persist (r14 ADVICE)
     val nPart = math.max(base.getNumPartitions, 1)
@@ -835,23 +858,28 @@ object Tokenizer {
     // and every cache to drop at the next fold
     val winners =
       scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val layers = scala.collection.mutable.ArrayBuffer
-      .empty[(org.apache.spark.rdd.RDD[(Array[String], Long)], Int)]
+    val layers = scala.collection.mutable.ArrayBuffer.empty[
+      (org.apache.spark.rdd.RDD[(Array[String], Long)], Int,
+        PartitionPairSummary)]
     val sinceFold = scala.collection.mutable
       .ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
     val fam: FreqArgmax = if (!wp) new FreqArgmax(pairCounts) else null
     val sam: ScoreArgmax =
-      if (wp) new ScoreArgmax(pairCounts, symCounts) else null
+      if (wp && !probeForceScanArgmax)
+        new ScoreArgmax(pairCounts, symCounts)
+      else null
 
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
     while (m < nMerges && !done) {
       // argmax on the driver — no job, no shuffle; O(log P) amortized
-      // heap pop in both modes
+      // heap pop in both modes (probe-only scan fallback: r14 baseline)
       val best: (String, String) =
-        if (fam != null) fam.pop() else sam.pop()
+        if (fam != null) fam.pop()
+        else if (sam != null) sam.pop()
+        else likelihoodArgmax(pairCounts, symCounts)
       if (best == null) done = true
       else {
         val (a, b) = best
@@ -867,9 +895,14 @@ object Tokenizer {
         val baseCand = org.apache.spark.rdd.PartitionPruningRDD
           .create(base, i => sums(i).mayContain(a, b))
           .filter(r => aliveRow(r, wSnap, 0) && containsPair(r._1, a, b))
-        val layerCands = layers.map { case (rdd, wi) =>
-          rdd.filter(r =>
-            aliveRow(r, wSnap, wi + 1) && containsPair(r._1, a, b))
+        // delta layers are skip-scanned too: a layer's rows are
+        // immutable after creation, so its creation-time summary
+        // over-approximates its pair content for the whole window —
+        // layers that cannot contain the winner contribute no tasks
+        val layerCands = layers.collect {
+          case (rdd, wi, ls) if ls.mayContain(a, b) =>
+            rdd.filter(r =>
+              aliveRow(r, wSnap, wi + 1) && containsPair(r._1, a, b))
         }
         val affSrc =
           if (layerCands.isEmpty) baseCand
@@ -883,9 +916,11 @@ object Tokenizer {
             (applyMergeLocal(old, a, b, merged), old, c) }
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sinceFold += aff
+        val wb = windowBits
         val deltas = aff.mapPartitions { it =>
           val pd = scala.collection.mutable.HashMap.empty[(String, String), Long]
           val sd = scala.collection.mutable.HashMap.empty[String, Long]
+          val ls = new PartitionPairSummary(wb)
           it.foreach { case (neu, old, c) =>
             var i = 0
             while (i < old.length - 1) {
@@ -897,6 +932,7 @@ object Tokenizer {
             while (i < neu.length - 1) {
               val p = (neu(i), neu(i + 1))
               pd(p) = pd.getOrElse(p, 0L) + c
+              ls.add(neu(i), neu(i + 1))
               i += 1
             }
             if (wp) {
@@ -912,13 +948,15 @@ object Tokenizer {
               }
             }
           }
-          Iterator((pd, sd))
+          Iterator((pd, sd, ls))
         }.collect()
         val chPairs: scala.collection.mutable.Set[(String, String)] =
           if (wp) scala.collection.mutable.Set.empty else null
         val chSyms: scala.collection.mutable.Set[String] =
           if (wp) scala.collection.mutable.Set.empty else null
-        deltas.foreach { case (pd, sd) =>
+        val laySum = new PartitionPairSummary(wb)
+        deltas.foreach { case (pd, sd, ls) =>
+          laySum.orInPlace(ls)
           pd.foreach { case (k, v) =>
             val c = pairCounts.getOrElse(k, 0L) + v
             if (c == 0L) pairCounts.remove(k) else pairCounts(k) = c
@@ -944,7 +982,7 @@ object Tokenizer {
         winners += best
         layers += ((aff.map { case (neu, _, c) => (neu, c) }
           .filter(_._1.length >= 2)
-          .coalesce(layerParts), winners.length - 1))
+          .coalesce(layerParts), winners.length - 1, laySum))
         m += 1
         if (m % FoldEvery == 0) {
           // consolidate the live set into a fresh checkpoint at the
@@ -953,14 +991,15 @@ object Tokenizer {
           // ADVICE #3 discipline)
           val wAll = winners.toArray
           val baseLive = base.filter(r => aliveRow(r, wAll, 0))
-          val layerLive = layers.map { case (rdd, wi) =>
+          val layerLive = layers.map { case (rdd, wi, _) =>
             rdd.filter(r => aliveRow(r, wAll, wi + 1))
           }
           val folded = sc0.union(baseLive +: layerLive.toSeq)
             .coalesce(nPart)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           folded.localCheckpoint()
-          summaries = buildSummaries(folded, pairCounts.size)
+          windowBits = PartitionPairSummary.bitsFor(pairCounts.size)
+          summaries = buildSummaries(folded, windowBits)
           sinceFold.foreach(_.unpersist(false))
           sinceFold.clear()
           base.unpersist(false)
@@ -976,6 +1015,40 @@ object Tokenizer {
   }
 
   // ====================================================== unigram LM
+
+  /** Sentinel for "no alternative segmentation" in the loss-prune DP
+    * (far below Long overflow when added to a real cost). */
+  private val UncoverableCost: Long = Long.MaxValue / 4
+
+  /** Viterbi cost of segmenting `w` under `costs` with the piece
+    * equal to the WHOLE string excluded — the "best alternative
+    * cover" of Kudo's removal-loss criterion. Returns
+    * [[UncoverableCost]] (or more) when no alternative cover exists.
+    * Driver-side and vocab-bounded: it runs once per candidate piece
+    * per prune, never over corpus data. */
+  private def viterbiCostExcluding(w: String, costs: Map[String, Long],
+                                   maxPieceLen: Int): Long = {
+    val n = w.length
+    val dp = Array.fill(n + 1)(UncoverableCost)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      val lmax = math.min(maxPieceLen, i)
+      var l = 1
+      while (l <= lmax) {
+        if (dp(i - l) < UncoverableCost) {
+          val piece = w.substring(i - l, i)
+          if (piece != w) costs.get(piece).foreach { c =>
+            val cand = dp(i - l) + c
+            if (cand < dp(i)) dp(i) = cand
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    dp(n)
+  }
 
   /** Quantize a (negative) log value to the engine's integer scale —
     * HALF_UP (away from zero), the LangId convention matching Spark's
@@ -1015,6 +1088,25 @@ object Tokenizer {
     *    step); single characters always survive (usage floor 1) so
     *    coverage never regresses; cost = round(−ln(usage/Σusage)·1e6).
     *
+    * == Kudo loss-delta pruning (r14 verdict ask #5) ==
+    *
+    * `pruneShrink = 0` (the default) keeps the declared hard-EM
+    * semantics above — `q_token_count_unigram`'s oracle and the
+    * committed model are unchanged. `pruneShrink ∈ (0, 1)` switches
+    * the M-step to SentencePiece's actual criterion: seed
+    * `seedMultiplier ×` the multi-char budget, then each round rank
+    * every surviving multi-char piece by REMOVAL LOSS — usage ×
+    * (cost of its best alternative segmentation with itself excluded
+    * − its own cost), [[viterbiCostExcluding]] — and keep the top
+    * pieces, shrinking the set by `pruneShrink` per round and all the
+    * way to the `vocabSize` budget on the last. Pieces with no
+    * alternative cover have infinite loss and always survive; singles
+    * are never pruned (the coverage floor). Deterministic: integer
+    * Viterbi costs, one double product per piece computed identically
+    * everywhere, ties to the lexicographically smallest piece.
+    * TokenizerSpec re-derives a loss-pruned model with an independent
+    * driver implementation.
+    *
     * Deterministic end to end: exact integer counts, one double ln per
     * piece quantized HALF_UP, deterministic tie-breaks — the committed
     * model regenerates byte-identically (`UnigramVocabGen`), and
@@ -1025,10 +1117,15 @@ object Tokenizer {
     * (vocab-sized). */
   def trainUnigram(docs: DataFrame, textCol: String, vocabSize: Int = 300,
                    maxPieceLen: Int = 6, emRounds: Int = 2,
-                   minCount: Long = 1L): Seq[(String, Long)] = {
+                   minCount: Long = 1L, seedMultiplier: Int = 1,
+                   pruneShrink: Double = 0.0): Seq[(String, Long)] = {
     require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    require(seedMultiplier >= 1,
+      s"seedMultiplier must be >= 1, got $seedMultiplier")
+    require(pruneShrink >= 0.0 && pruneShrink < 1.0,
+      s"pruneShrink must be in [0, 1), got $pruneShrink")
     val words = docs
       .select(explode(TextFunctions.normalizedWords(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
@@ -1048,7 +1145,8 @@ object Tokenizer {
       val singles = subs.filter(length(col("p")) === 1)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       require(singles.nonEmpty, "empty corpus: no seed alphabet")
-      val nMulti = math.max(0, vocabSize - singles.length)
+      val nMulti = math.max(0, vocabSize - singles.length) *
+        (if (pruneShrink > 0.0) seedMultiplier else 1)
       val multis = subs.filter(length(col("p")) > 1)
         .orderBy(col("c").desc, col("p").asc)
         .limit(nMulti)
@@ -1072,12 +1170,44 @@ object Tokenizer {
           .groupBy("p").agg(sum("cnt").as("c"))
           .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
         // M: prune unused multi-char pieces; singles keep a floor of 1
-        val kept = model.keysIterator.flatMap { p =>
+        var kept = model.keysIterator.flatMap { p =>
           val u = usage.getOrElse(p, 0L)
           if (u > 0L) Some(p -> u)
           else if (p.length == 1) Some(p -> 1L)
           else None
         }.toMap
+        // Kudo loss-delta prune (pruneShrink > 0 — r14 verdict ask
+        // #5): rank multi-char pieces by removal loss
+        // usage × (altCost − ownCost), where altCost is the piece's
+        // best alternative segmentation under the CURRENT costs with
+        // itself excluded (SentencePiece's criterion in hard-EM
+        // form); shrink toward the vocabSize budget each round,
+        // all the way on the last. A piece with no alternative cover
+        // has infinite removal loss and always survives; singles are
+        // the coverage floor and are never pruned.
+        if (pruneShrink > 0.0) {
+          val nSingles = kept.keysIterator.count(_.length == 1)
+          val multisNow = kept.size - nSingles
+          val finalTarget = math.max(0, vocabSize - nSingles)
+          val target =
+            if (r == emRounds - 1) finalTarget
+            else math.max(finalTarget,
+              math.floor(multisNow * (1.0 - pruneShrink)).toInt)
+          if (multisNow > target) {
+            val keep = kept.iterator
+              .filter(_._1.length > 1)
+              .map { case (p, u) =>
+                val alt = viterbiCostExcluding(p, model, ml)
+                val loss: Double =
+                  if (alt >= UncoverableCost) Double.PositiveInfinity
+                  else u.toDouble * (alt - model(p)).toDouble
+                (p, loss)
+              }.toSeq
+              .sortBy { case (p, l) => (-l, p) } // loss desc, piece asc
+              .take(target).map(_._1).toSet
+            kept = kept.filter { case (p, _) => p.length == 1 || keep(p) }
+          }
+        }
         val tot = kept.values.map(_.toDouble).sum
         model = kept.map { case (p, u) =>
           p -> quantizeCost(-math.log(u / tot)) }

@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.functions.ByteBpe
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TOKENIZER-ARTIFACT EXPORT — the engine surface that hands a trained
+  * tokenizer to a training job (r14 verdict ask #4): the
+  * [[graft.operators.Tokenizer]] trainers return driver-held models
+  * (merge lists / piece costs — vocabulary-sized by the trainer's
+  * state discipline), and this object writes them in the REAL file
+  * layouts the corresponding loaders and the published tools consume,
+  * with a verifiable manifest — the `q_pack_export`/[[TfRecord]]
+  * discipline applied to tokenizer models:
+  *
+  *  - BPE: `merges.txt` (the GPT-2 `#version: 0.2` header + one
+  *    `left right` line per merge, github.com/openai/gpt-2) +
+  *    `vocab.json` (token→id, ids dense: `<|endoftext|>`, the 256
+  *    byte-level singles in byte order, then each merge result once
+  *    in training order) — exactly what [[ByteBpe]] loads and what
+  *    `Gpt2VocabGen` commits as the fixture.
+  *  - WordPiece: `vocab.txt`, one piece per line sorted (the BERT
+  *    layout [[graft.functions.WordPiece]] loads): alphabet symbols ∪
+  *    `##`-stripped merge results.
+  *  - Unigram LM: `unigram_vocab.tsv`, `piece\tquantized-cost` lines
+  *    sorted by piece (the [[graft.functions.UnigramLm]] model file).
+  *
+  * Every writer emits `manifest.json` alongside — kind, per-file byte
+  * count and SHA-256 — and [[verifyManifest]] re-hashes the files
+  * against it (the consumer-side integrity check before a 100-TB
+  * tokenization run commits to a model). All rendering is
+  * DETERMINISTIC (no timestamps, fixed ordering), so the
+  * `q_tokenizer_export` oracle replays the exact BYTES in SQL and the
+  * reload≡retrain differentials in TokenizerArtifactsSpec hold
+  * byte-for-byte.
+  *
+  * Scale note: artifacts are model-sized (KB-MB), not data-sized —
+  * the driver writes them directly; the 100-TB work (training) happens
+  * upstream in the trainers' distributed passes. Writes are
+  * local-filesystem (`java.nio`), matching the [[TfRecord]] export
+  * discipline; a cluster deployment points `dir` at a mounted
+  * artifact store.
+  */
+object TokenizerArtifacts {
+
+  // ------------------------------------------------------- renderers
+
+  /** `merges.txt` bytes: the `#version: 0.2` header, one `left right`
+    * line per merge IN TRAINING ORDER with duplicate-producer repeats
+    * dropped (`.distinct` — the loader/reference-trainer contract,
+    * see [[graft.operators.Tokenizer.trainBpe]]), trailing newline. */
+  def renderMergesTxt(merges: Seq[(String, String)]): Array[Byte] = {
+    val lines = Seq("#version: 0.2") ++
+      merges.distinct.map { case (a, b) => s"$a $b" }
+    (lines.mkString("\n") + "\n").getBytes(UTF_8)
+  }
+
+  /** `vocab.json` bytes in the GPT-2 layout: `<|endoftext|>` at id 0,
+    * the 256 byte-level singles in byte order, then each merge result
+    * once in training order; minimal JSON string escaping (quote,
+    * backslash, control chars — the mapped alphabet contains no
+    * controls, so only the first two ever fire). One definition with
+    * `Gpt2VocabGen`'s committed fixture. */
+  def renderBpeVocabJson(merges: Seq[(String, String)]): Array[Byte] = {
+    val singles = (0 until 256).map(b => ByteBpe.byteToChar(b).toString)
+    val results = merges.distinct.map { case (a, b) => a + b }.distinct
+    val tokens = (Seq("<|endoftext|>") ++ singles ++ results).distinct
+    val vocabJson = tokens.zipWithIndex
+      .map { case (t, i) => s"${jsonQuote(t)}: $i" }
+      .mkString("{\n  ", ",\n  ", "\n}\n")
+    vocabJson.getBytes(UTF_8)
+  }
+
+  /** `vocab.txt` bytes (BERT layout): alphabet ∪ `##`-stripped merge
+    * results, one piece per line, sorted, trailing newline. */
+  def renderWordPieceVocab(alphabet: Seq[String],
+                           merges: Seq[(String, String)]): Array[Byte] = {
+    val pieces = (alphabet ++
+      merges.map { case (a, b) => a + b.substring(2) }).distinct.sorted
+    (pieces.mkString("\n") + "\n").getBytes(UTF_8)
+  }
+
+  /** `unigram_vocab.tsv` bytes: `piece\tquantized-cost` lines sorted
+    * by piece, trailing newline (the [[graft.functions.UnigramLm]]
+    * model-file format `UnigramVocabGen` commits). */
+  def renderUnigramTsv(model: Seq[(String, Long)]): Array[Byte] =
+    (model.sortBy(_._1).map { case (p, c) => s"$p\t$c" }
+      .mkString("\n") + "\n").getBytes(UTF_8)
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+
+  // -------------------------------------------------------- manifest
+
+  def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
+  /** Deterministic `manifest.json` over the sibling files: kind +
+    * per-file byte count and SHA-256, files in name order. */
+  private def renderManifest(kind: String,
+                             files: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val rows = files.sortBy(_._1).map { case (name, bytes) =>
+      s"""    {"name": "$name", "bytes": ${bytes.length}, "sha256": "${sha256Hex(bytes)}"}"""
+    }
+    (s"""{\n  "kind": "$kind",\n  "files": [\n""" +
+      rows.mkString(",\n") + "\n  ]\n}\n").getBytes(UTF_8)
+  }
+
+  private def writeAll(dir: String, kind: String,
+                       files: Seq[(String, Array[Byte])]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    files.foreach { case (name, bytes) =>
+      Files.write(d.resolve(name), bytes)
+    }
+    Files.write(d.resolve("manifest.json"), renderManifest(kind, files))
+  }
+
+  /** Re-hash every file `manifest.json` lists and require byte-count
+    * and SHA-256 agreement; returns the verified file names. */
+  def verifyManifest(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    val manifest = new String(
+      Files.readAllBytes(d.resolve("manifest.json")), UTF_8)
+    val entry =
+      """\{"name": "([^"]+)", "bytes": (\d+), "sha256": "([0-9a-f]{64})"\}""".r
+    val entries = entry.findAllMatchIn(manifest).map { m =>
+      (m.group(1), m.group(2).toLong, m.group(3))
+    }.toSeq
+    require(entries.nonEmpty, s"manifest at $dir lists no files")
+    entries.map { case (name, nBytes, sha) =>
+      val bytes = Files.readAllBytes(d.resolve(name))
+      require(bytes.length.toLong == nBytes,
+        s"$name: manifest says $nBytes bytes, file has ${bytes.length}")
+      require(sha256Hex(bytes) == sha,
+        s"$name: manifest sha256 mismatch — artifact corrupted")
+      name
+    }
+  }
+
+  // ---------------------------------------------------------- writers
+
+  /** Write the BPE family (`merges.txt` + `vocab.json` + manifest)
+    * from a raw [[graft.operators.Tokenizer.trainBpe]] merge
+    * sequence. */
+  def writeBpe(dir: String, merges: Seq[(String, String)]): Unit =
+    writeAll(dir, "bpe", Seq(
+      "merges.txt" -> renderMergesTxt(merges),
+      "vocab.json" -> renderBpeVocabJson(merges)))
+
+  /** Write the WordPiece vocab (`vocab.txt` + manifest). */
+  def writeWordPiece(dir: String, alphabet: Seq[String],
+                     merges: Seq[(String, String)]): Unit =
+    writeAll(dir, "wordpiece", Seq(
+      "vocab.txt" -> renderWordPieceVocab(alphabet, merges)))
+
+  /** Write the unigram-LM model (`unigram_vocab.tsv` + manifest). */
+  def writeUnigram(dir: String, model: Seq[(String, Long)]): Unit =
+    writeAll(dir, "unigram", Seq(
+      "unigram_vocab.tsv" -> renderUnigramTsv(model)))
+
+  // ---------------------------------------------------------- readers
+
+  /** Reload `merges.txt` through the production parser
+    * ([[ByteBpe.parseMerges]] — header-aware, shape-validating). */
+  def readMerges(dir: String): IndexedSeq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    ByteBpe.parseMerges(
+      Files.readAllLines(Paths.get(dir, "merges.txt"), UTF_8)
+        .asScala.iterator)
+  }
+
+  /** Reload `vocab.json` (token → id). Parses exactly the layout
+    * [[renderBpeVocabJson]] emits (one `"token": id` entry per line,
+    * the same minimal escaping). */
+  def readBpeVocab(dir: String): Map[String, Int] = {
+    val txt = new String(
+      Files.readAllBytes(Paths.get(dir, "vocab.json")), UTF_8)
+    val entry = """"((?:[^"\\]|\\.)*)":\s*(\d+)""".r
+    entry.findAllMatchIn(txt).map { m =>
+      unescapeJson(m.group(1)) -> m.group(2).toInt
+    }.toMap
+  }
+
+  private def unescapeJson(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'u' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.result()
+  }
+
+  /** Reload `vocab.txt` (the sorted WordPiece piece list). */
+  def readWordPieceVocab(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(Paths.get(dir, "vocab.txt"), UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Reload `unigram_vocab.tsv` ((piece, quantized cost) sorted). */
+  def readUnigramModel(dir: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(Paths.get(dir, "unigram_vocab.tsv"), UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty).map { line =>
+        val t = line.split('\t')
+        require(t.length == 2, s"malformed unigram line: $line")
+        (t(0), t(1).toLong)
+      }
+  }
+
+  // ------------------------------------------------- alphabet helper
+
+  /** The WordPiece ALPHABET of a corpus — every initial /
+    * `##`-continuation single-character symbol of the engine's shared
+    * normalization, via one distinct aggregate over the word table
+    * (tiny; the `WordPieceVocabGen` derivation as an engine surface). */
+  def wordPieceAlphabet(docs: DataFrame, textCol: String): Seq[String] =
+    docs
+      .select(explode(graft.functions.TextFunctions
+        .normalizedWords(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> CASE WHEN i = 1" +
+          " THEN substring(w, 1, 1)" +
+          " ELSE concat('##', substring(w, i, 1)) END)")).as("s"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+}

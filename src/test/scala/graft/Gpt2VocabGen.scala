@@ -39,31 +39,19 @@ object Gpt2VocabGen {
     val merges = graft.operators.Tokenizer
       .trainBpe(docsDf, "text", nMerges).distinct
 
+    // rendering lives in the PRODUCTION export surface
+    // (graft.sources.TokenizerArtifacts) — one definition for the
+    // committed fixture, the writeBpe engine operator, and the
+    // q_tokenizer_export oracle; TokenizerArtifactsSpec asserts the
+    // renderers reproduce these committed bytes exactly
     val outDir = java.nio.file.Paths.get("src/main/resources/graft/gpt2")
     java.nio.file.Files.createDirectories(outDir)
-    val mergeLines = Seq("#version: 0.2") ++
-      merges.map { case (a, b) => s"$a $b" }
     java.nio.file.Files.write(outDir.resolve("merges.txt"),
-      (mergeLines.mkString("\n") + "\n").getBytes("UTF-8"))
-
-    // vocab.json in the GPT-2 layout: the special, all 256 byte-level
-    // singles in byte order, then each merge result once, ids dense
-    val singles = (0 until 256).map(b => ByteBpe.byteToChar(b).toString)
-    val results = merges.map { case (a, b) => a + b }.distinct
-    val tokens = (Seq("<|endoftext|>") ++ singles ++ results).distinct
-    def jq(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
-      case ch => ch.toString
-    } + "\""
-    val vocabJson = tokens.zipWithIndex
-      .map { case (t, i) => s"${jq(t)}: $i" }
-      .mkString("{\n  ", ",\n  ", "\n}\n")
+      graft.sources.TokenizerArtifacts.renderMergesTxt(merges))
     java.nio.file.Files.write(outDir.resolve("vocab.json"),
-      vocabJson.getBytes("UTF-8"))
-    println(s"[gpt2gen] ${merges.size} merges, ${tokens.size} vocab tokens " +
-      "(distributed trainBpe)")
+      graft.sources.TokenizerArtifacts.renderBpeVocabJson(merges))
+    println(s"[gpt2gen] ${merges.size} merges " +
+      "(distributed trainBpe, TokenizerArtifacts rendering)")
     spark.stop()
   }
 }

@@ -74,6 +74,13 @@ object MergeScaleProbe {
     merges.result()
   }
 
+  /** Legacy-loop depth cutoff: the r12/r13 baseline is
+    * O(merges × table) with ~2 Spark jobs per merge — at 2048+ it
+    * takes tens of minutes and measures nothing new (its per-merge
+    * cost is flat by construction). The incremental paths run at
+    * every requested depth. */
+  private val LegacyMaxMerges = 512
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val counts =
@@ -85,11 +92,15 @@ object MergeScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // `rich` = TestCorpora.richTexts (the TokenizerSpec differential
-    // corpus — deep merge counts with no early stop)
+    // corpus); `rich2` = TestCorpora.richTexts2 (the 2048-4096
+    // fold-cadence octaves — richTexts exhausts first)
     val docs =
       if (dir == "rich") {
         import spark.implicits._
         TestCorpora.richTexts.toDF("text")
+      } else if (dir == "rich2") {
+        import spark.implicits._
+        TestCorpora.richTexts2.toDF("text")
       } else spark.read.parquet(s"$dir/documents.parquet").select("text")
     docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
@@ -103,25 +114,73 @@ object MergeScaleProbe {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    val Tok = graft.operators.Tokenizer
     counts.foreach { n =>
-      val (lg, tLegacy) = time(legacyTrainBpe(docs, "text", n))
+      val legacyOpt =
+        if (n <= LegacyMaxMerges) Some(time(legacyTrainBpe(docs, "text", n)))
+        else None
+      // skip-scan ledger: scanned vs total base partitions per merge
+      val ledger = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      Tok.probeScanLedger = ledger
       val (ds, tDist) = time {
-        graft.operators.Tokenizer.trainBpe(docs, "text", n,
-          localByteLimit = 0L)
+        Tok.trainBpe(docs, "text", n, localByteLimit = 0L)
       }
+      Tok.probeScanLedger = null
       val (lc, tLocal) = time {
-        graft.operators.Tokenizer.trainBpe(docs, "text", n,
-          localByteLimit = Long.MaxValue)
+        Tok.trainBpe(docs, "text", n, localByteLimit = Long.MaxValue)
       }
-      require(lg == ds && ds == lc,
-        s"path divergence at nMerges=$n: legacy=${lg.size} dist=${ds.size} " +
-          s"local=${lc.size}, first diff at " +
-          lg.zip(ds).indexWhere(p => p._1 != p._2) + "/" +
-          ds.zip(lc).indexWhere(p => p._1 != p._2))
+      legacyOpt.foreach { case (lg, _) =>
+        require(lg == ds,
+          s"path divergence at nMerges=$n: legacy=${lg.size} dist=${ds.size}" +
+            s", first diff at ${lg.zip(ds).indexWhere(p => p._1 != p._2)}")
+      }
+      require(ds == lc,
+        s"path divergence at nMerges=$n: dist=${ds.size} local=${lc.size}" +
+          s", first diff at ${ds.zip(lc).indexWhere(p => p._1 != p._2)}")
+      // scan decay: mean scanned partitions over the first and last
+      // 128 merges (the skip-scan's read-cost evidence)
+      def meanScan(rows: Seq[(Int, Int)]): Double =
+        if (rows.isEmpty) 0.0
+        else rows.map(_._1).sum.toDouble / rows.size
+      val head = ledger.take(128).toSeq
+      val tail = ledger.takeRight(128).toSeq
+      val nPartTot = ledger.headOption.map(_._2).getOrElse(0)
+      val legacyStr = legacyOpt
+        .map { case (_, t) =>
+          f"legacy=${t}%.1fs legacy_per_merge=${t / ds.size}%.3fs " }
+        .getOrElse("legacy=skipped ")
       println(f"[mergescale] nMerges=$n merges=${ds.size} " +
-        f"legacy=${tLegacy}%.1fs dist=${tDist}%.1fs local=${tLocal}%.2fs " +
-        f"legacy_per_merge=${tLegacy / ds.size}%.3fs " +
-        f"dist_per_merge=${tDist / ds.size}%.3fs")
+        legacyStr +
+        f"dist=${tDist}%.1fs local=${tLocal}%.2fs " +
+        f"dist_per_merge=${tDist / ds.size}%.3fs " +
+        f"scan_parts_total=$nPartTot " +
+        f"scan_parts_first128=${meanScan(head)}%.1f " +
+        f"scan_parts_last128=${meanScan(tail)}%.1f")
+    }
+
+    // WordPiece argmax: ScoreArgmax heap vs the r14 O(live pairs)
+    // scan, same build, byte-identity asserted — the r14 ask-#3
+    // measured row (driver-local path isolates pure argmax cost).
+    // One untimed call first: the first WordPiece train of the JVM
+    // pays word-count job + JIT warmup that would otherwise land on
+    // whichever variant runs first.
+    Tok.trainWordPiece(docs, "text", 16, localByteLimit = Long.MaxValue)
+    counts.filter(_ <= 1024).foreach { n =>
+      val (wpHeap, tHeap) = time {
+        Tok.trainWordPiece(docs, "text", n, localByteLimit = Long.MaxValue)
+      }
+      Tok.probeForceScanArgmax = true
+      val (wpScan, tScan) =
+        try time {
+          Tok.trainWordPiece(docs, "text", n, localByteLimit = Long.MaxValue)
+        } finally Tok.probeForceScanArgmax = false
+      require(wpHeap == wpScan,
+        s"wordpiece heap/scan divergence at nMerges=$n: " +
+          s"${wpHeap.zip(wpScan).indexWhere(p => p._1 != p._2)}")
+      println(f"[mergescale] wordpiece nMerges=$n merges=${wpHeap.size} " +
+        f"heap=${tHeap}%.2fs scan=${tScan}%.2fs " +
+        f"heap_per_merge=${tHeap / wpHeap.size * 1000}%.2fms " +
+        f"scan_per_merge=${tScan / wpHeap.size * 1000}%.2fms")
     }
     spark.stop()
   }

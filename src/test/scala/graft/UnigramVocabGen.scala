@@ -28,9 +28,11 @@ object UnigramVocabGen {
     val out = java.nio.file.Paths.get(
       "src/main/resources/graft/unigram_vocab.tsv")
     java.nio.file.Files.createDirectories(out.getParent)
+    // rendering lives in the PRODUCTION export surface (one
+    // definition with the writeUnigram engine operator); trainUnigram
+    // already returns piece-sorted, which renderUnigramTsv re-asserts
     java.nio.file.Files.write(out,
-      (model.map { case (p, c) => s"$p\t$c" }.mkString("\n") + "\n")
-        .getBytes("UTF-8"))
+      graft.sources.TokenizerArtifacts.renderUnigramTsv(model))
     println(s"[unigram] ${model.size} pieces -> $out")
     spark.stop()
   }

@@ -30,24 +30,19 @@ object WordPieceVocabGen {
     // alphabet: the distinct single-char symbols of the INITIAL
     // segmentation — bare first characters, ##-prefixed continuations
     // (a symbol-count aggregate over the distinct-word table; tiny)
-    val alphabet = docs
-      .select(explode(TextFunctions.normalizedWords(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .select(explode(expr(
-        "transform(sequence(1, length(w)), i -> CASE WHEN i = 1" +
-          " THEN substring(w, 1, 1)" +
-          " ELSE concat('##', substring(w, i, 1)) END)")).as("s"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    // alphabet derivation + rendering live in the PRODUCTION export
+    // surface (graft.sources.TokenizerArtifacts) — one definition for
+    // the committed vocab and the writeWordPiece engine operator
+    val alphabet = graft.sources.TokenizerArtifacts
+      .wordPieceAlphabet(docs, "text")
     val merges = graft.operators.Tokenizer.trainWordPiece(docs, "text", nMerges)
-    val pieces = (alphabet ++
-      merges.map { case (a, b) => a + b.substring(2) }).distinct.sorted
     val out = java.nio.file.Paths.get(
       "src/main/resources/graft/wordpiece_vocab.txt")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      (pieces.mkString("\n") + "\n").getBytes("UTF-8"))
+      graft.sources.TokenizerArtifacts.renderWordPieceVocab(alphabet, merges))
     println(s"[wordpiece] ${alphabet.size} alphabet symbols + " +
-      s"${merges.size} merges -> ${pieces.size} pieces -> $out")
+      s"${merges.size} merges -> $out")
     spark.stop()
   }
 }

@@ -113,4 +113,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val e4 = ApproxPqCosine(ch1, ch2, ch3, new PqCodebooks(reshaped), 2)
     assert(!e1.semanticEquals(e4), "shape must participate in equality")
   }
+
+  test("PqCodebooks digest computes once per instance and survives serialization (r14 ask #6)") {
+    // the digest backs equals/hashCode, which Catalyst calls on the
+    // PLANNING path (canonicalization / semanticEquals) — never per
+    // row: eval and doGenCode reference `books` directly
+    // (ctx.addReferenceObj), so the only digest cost an executor can
+    // ever pay is one lazy computation per deserialized instance
+    val books = Array(Array(Array(1.0, 2.0), Array(3.0, 4.0)))
+    val pq = new PqCodebooks(books)
+    // lazy val: the SAME String instance on every access — computed
+    // at most once per instance, by construction
+    assert(pq.digest eq pq.digest)
+    // broadcast-serialization round trip: the deserialized copy
+    // agrees on content identity and still memoizes
+    def roundTrip(p: PqCodebooks): PqCodebooks = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(p); oos.close()
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      ois.readObject().asInstanceOf[PqCodebooks]
+    }
+    val fresh = roundTrip(new PqCodebooks(books)) // digest never forced
+    assert(fresh.digest eq fresh.digest)
+    assert(fresh == pq && fresh.hashCode == pq.hashCode)
+    val forced = { val p = new PqCodebooks(books); p.digest; roundTrip(p) }
+    assert(forced == pq, "pre-forced digest must survive the round trip")
+  }
 }

@@ -440,6 +440,123 @@ class TokenizerSpec extends AnyFunSuite {
     model.toSeq.sortBy(_._1)
   }
 
+  /** Independent driver re-derivation of the KUDO LOSS-PRUNED mode
+    * (r14 ask #5): same seed/E/usage-prune as [[referenceUnigram]],
+    * plus the removal-loss shrink — usage × (best alternative
+    * segmentation cost with the piece itself excluded − own cost)
+    * under the CURRENT round's costs, keep-top by (loss desc, piece
+    * asc), down to the vocabSize budget on the last round. */
+  private def referenceUnigramKudo(wordCounts: Map[String, Long],
+                                   vocabSize: Int, maxLen: Int,
+                                   rounds: Int, seedMult: Int,
+                                   shrink: Double): Seq[(String, Long)] = {
+    def q(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val inf = Long.MaxValue / 4
+    def altCost(w: String, costs: Map[String, Long]): Long = {
+      val dp = Array.fill(w.length + 1)(inf)
+      dp(0) = 0L
+      (1 to w.length).foreach { i =>
+        (1 to math.min(maxLen, i)).foreach { l =>
+          val piece = w.substring(i - l, i)
+          if (piece != w && dp(i - l) < inf)
+            costs.get(piece).foreach { c =>
+              if (dp(i - l) + c < dp(i)) dp(i) = dp(i - l) + c
+            }
+        }
+      }
+      dp(w.length)
+    }
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        while (j <= math.min(w.length, i + maxLen)) {
+          val p = w.substring(i, j)
+          sub(p) = sub.getOrElse(p, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val singles = sub.filter(_._1.length == 1).toMap
+    val multis = sub.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - singles.size) * seedMult)
+    var model: Map[String, Long] = {
+      val seed: Map[String, Long] = singles ++ multis
+      val tot = seed.values.map(_.toDouble).sum
+      seed.map { case (p, c) => p -> q(-math.log(c / tot)) }
+    }
+    (0 until rounds).foreach { r =>
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      wordCounts.foreach { case (w, c) =>
+        graft.functions.UnigramLm.segmentPieces(w, model, maxLen)
+          .foreach(p => usage(p) = usage.getOrElse(p, 0L) + c)
+      }
+      var kept = model.keysIterator.flatMap { p =>
+        val u = usage.getOrElse(p, 0L)
+        if (u > 0L) Some(p -> u)
+        else if (p.length == 1) Some(p -> 1L)
+        else None
+      }.toMap
+      val nSingles = kept.keysIterator.count(_.length == 1)
+      val multisNow = kept.size - nSingles
+      val finalTarget = math.max(0, vocabSize - nSingles)
+      val target =
+        if (r == rounds - 1) finalTarget
+        else math.max(finalTarget,
+          math.floor(multisNow * (1.0 - shrink)).toInt)
+      if (multisNow > target) {
+        val keep = kept.iterator.filter(_._1.length > 1)
+          .map { case (p, u) =>
+            val alt = altCost(p, model)
+            val loss: Double =
+              if (alt >= inf) Double.PositiveInfinity
+              else u.toDouble * (alt - model(p)).toDouble
+            (p, loss)
+          }.toSeq.sortBy { case (p, l) => (-l, p) }
+          .take(target).map(_._1).toSet
+        kept = kept.filter { case (p, _) => p.length == 1 || keep(p) }
+      }
+      val tot = kept.values.map(_.toDouble).sum
+      model = kept.map { case (p, u) => p -> q(-math.log(u / tot)) }
+    }
+    model.toSeq.sortBy(_._1)
+  }
+
+  test("trainUnigram loss-prune (Kudo) == independent driver reference (r14 ask #5)") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    val counts = df
+      .select(explode(
+        graft.functions.TextFunctions.normalizedWords(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceUnigramKudo(counts, vocabSize = 100,
+      maxLen = 5, rounds = 3, seedMult = 3, shrink = 0.4)
+    val got = Tokenizer.trainUnigram(df, "text", vocabSize = 100,
+      maxPieceLen = 5, emRounds = 3, seedMultiplier = 3,
+      pruneShrink = 0.4)
+    assert(got == expected,
+      s"first divergence: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // the budget is reached and the coverage floor holds
+    assert(got.size <= 100, s"vocab ${got.size} over budget")
+    val singles = counts.keysIterator.flatMap(_.toCharArray).toSet
+    singles.foreach(ch =>
+      assert(got.exists(_._1 == ch.toString), s"single '$ch' pruned"))
+    // the default mode is UNTOUCHED by the new parameters: same call
+    // without them reproduces the committed-model discipline
+    val dflt = Tokenizer.trainUnigram(df, "text", vocabSize = 120,
+      maxPieceLen = 5, emRounds = 2)
+    val dfltRef = referenceUnigram(counts, vocabSize = 120,
+      maxLen = 5, rounds = 2)
+    assert(dflt == dfltRef)
+  }
+
   test("trainUnigram == driver reference trainer on the fixture corpus") {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.functions.ByteBpe
+import graft.operators.Tokenizer
+import graft.slope.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tokenizer-artifact export (r14 verdict ask #4): reload ≡ retrain
+  * differentials through the production writers/readers, byte-identity
+  * of the renderers against the COMMITTED fixtures (one-definition
+  * proof: `Gpt2VocabGen`/`UnigramVocabGen` route through the same
+  * renderers), and manifest integrity including corruption
+  * detection. */
+class TokenizerArtifactsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixtureDocs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").select("text")
+
+  private def tmp(): String =
+    Files.createTempDirectory("tok_artifacts").toString
+
+  private def resourceBytes(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("BPE export: reload == retrain, dense GPT-2 id layout, manifest verifies") {
+    val merges = Tokenizer.trainBpe(fixtureDocs, "text", 24)
+    val dir = tmp()
+    TokenizerArtifacts.writeBpe(dir, merges)
+    assert(TokenizerArtifacts.verifyManifest(dir).toSet ==
+      Set("merges.txt", "vocab.json"))
+    // reload ≡ retrain: the production parser returns exactly the
+    // trained (deduped) sequence — tokenization with the reloaded
+    // table is tokenization with the trained one by construction
+    val reloaded = TokenizerArtifacts.readMerges(dir)
+    assert(reloaded == merges.distinct.toIndexedSeq,
+      s"reload drift at ${reloaded.zip(merges.distinct)
+        .indexWhere(p => p._1 != p._2)}")
+    val vocab = TokenizerArtifacts.readBpeVocab(dir)
+    // dense ids from 0; the GPT-2 slots: special at 0, the 256 byte
+    // singles at 1..256, merge results after
+    assert(vocab.values.toSeq.sorted == (0 until vocab.size))
+    assert(vocab("<|endoftext|>") == 0)
+    (0 until 256).foreach { b =>
+      assert(vocab(ByteBpe.byteToChar(b).toString) == b + 1)
+    }
+    merges.foreach { case (a, b) =>
+      assert(vocab.contains(a + b), s"merge result '$a$b' missing")
+      assert(vocab(a + b) > 256)
+    }
+  }
+
+  test("renderers reproduce the committed GPT-2 fixture byte-for-byte") {
+    // the committed fixture was generated through these renderers
+    // (Gpt2VocabGen); parsing the committed merges back and
+    // re-rendering must reproduce both files exactly — the
+    // one-definition lock between the fixture, the production writer,
+    // and the q_tokenizer_export oracle
+    val mergesBytes = resourceBytes("/graft/gpt2/merges.txt")
+    val vocabBytes = resourceBytes("/graft/gpt2/vocab.json")
+    val parsed = ByteBpe.parseMerges(
+      new String(mergesBytes, UTF_8).linesIterator)
+    assert(TokenizerArtifacts.renderMergesTxt(parsed)
+      .sameElements(mergesBytes), "merges.txt rendering drifted")
+    assert(TokenizerArtifacts.renderBpeVocabJson(parsed)
+      .sameElements(vocabBytes), "vocab.json rendering drifted")
+  }
+
+  test("WordPiece export: reload == retrain, sorted BERT layout") {
+    val alphabet = TokenizerArtifacts.wordPieceAlphabet(fixtureDocs, "text")
+    assert(alphabet.nonEmpty && alphabet.exists(_.startsWith("##")))
+    val merges = Tokenizer.trainWordPiece(fixtureDocs, "text", 16)
+    val dir = tmp()
+    TokenizerArtifacts.writeWordPiece(dir, alphabet, merges)
+    assert(TokenizerArtifacts.verifyManifest(dir) == Seq("vocab.txt"))
+    val reloaded = TokenizerArtifacts.readWordPieceVocab(dir)
+    val expected = (alphabet ++
+      merges.map { case (a, b) => a + b.substring(2) }).distinct.sorted
+    assert(reloaded == expected)
+    // segmentation with the reloaded vocab == with the trained one on
+    // every distinct fixture word (same set, so trivially equal —
+    // asserted through the real segmenter to pin the loader contract)
+    val vocabSet = reloaded.toSet
+    val words = {
+      import org.apache.spark.sql.functions.{col, explode, length}
+      fixtureDocs
+        .select(explode(graft.functions.TextFunctions
+          .normalizedWords(col("text"))).as("w"))
+        .filter(length(col("w")) > 0).distinct().limit(50)
+        .collect().map(_.getString(0)).toSeq
+    }
+    words.foreach { w =>
+      val n1 = graft.functions.WordPiece.segmentCount(w, vocabSet,
+        vocabSet.map(_.length).max)
+      val n2 = graft.functions.WordPiece.segmentCount(w, expected.toSet,
+        expected.map(_.length).max)
+      assert(n1 == n2, s"segmentation drift on '$w'")
+    }
+  }
+
+  test("Unigram export: reload == retrain round-trip") {
+    val model = Tokenizer.trainUnigram(fixtureDocs, "text",
+      vocabSize = 80, maxPieceLen = 4, emRounds = 2)
+    val dir = tmp()
+    TokenizerArtifacts.writeUnigram(dir, model)
+    assert(TokenizerArtifacts.verifyManifest(dir) ==
+      Seq("unigram_vocab.tsv"))
+    assert(TokenizerArtifacts.readUnigramModel(dir) ==
+      model.sortBy(_._1))
+  }
+
+  test("renderUnigramTsv reproduces the committed model file") {
+    val committed = resourceBytes("/graft/unigram_vocab.tsv")
+    assert(TokenizerArtifacts
+      .renderUnigramTsv(graft.functions.UnigramLm.modelSorted)
+      .sameElements(committed), "unigram tsv rendering drifted")
+  }
+
+  test("manifest verification detects artifact corruption") {
+    val merges = Tokenizer.trainBpe(fixtureDocs, "text", 8)
+    val dir = tmp()
+    TokenizerArtifacts.writeBpe(dir, merges)
+    val f = Paths.get(dir, "merges.txt")
+    val bytes = Files.readAllBytes(f)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+    Files.write(f, bytes)
+    val e = intercept[IllegalArgumentException] {
+      TokenizerArtifacts.verifyManifest(dir)
+    }
+    assert(e.getMessage.contains("sha256 mismatch"))
+  }
+}
