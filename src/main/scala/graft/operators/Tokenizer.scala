@@ -139,10 +139,22 @@ object Tokenizer {
     * magnitude with no effect on the top merges (a pair made only of
     * sub-threshold pretokens can never beat one backed by the Zipf
     * head). `localByteLimit` gates the driver fallback (see the
-    * object doc); both paths are byte-identical. */
+    * object doc); both paths are byte-identical.
+    *
+    * RESUME (production 32k-50k-merge runs lose drivers): pass a
+    * previously returned merge PREFIX as `resumeFrom` and the trainer
+    * replays it onto the fresh distinct table — per row, each prefix
+    * merge as the same left-to-right kernel pass, in training order —
+    * then continues training and returns ONLY the continuation:
+    * `trainBpe(n) == trainBpe(k) ++ trainBpe(n−k, resumeFrom =
+    * <the k>)`, asserted in TokenizerSpec on both paths. Replay is
+    * one embarrassingly-parallel pass over the distinct table
+    * (O(prefix × row symbols) per row, no shuffle), folded into the
+    * init jobs. */
   def trainBpe(docs: DataFrame, textCol: String,
                nMerges: Int, minCount: Long = 1L,
-               localByteLimit: Long = DefaultLocalByteLimit)
+               localByteLimit: Long = DefaultLocalByteLimit,
+               resumeFrom: Seq[(String, String)] = Nil)
       : IndexedSeq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
@@ -151,7 +163,8 @@ object Tokenizer {
       .select(explode(ByteBpe.gpt2Pretokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    train(words, nMerges, wordpiece = false, localByteLimit)
+    train(words, nMerges, wordpiece = false, localByteLimit,
+      replaySeq(resumeFrom, wordpiece = false))
   }
 
   /** Distributed WORDPIECE training (the BERT discipline): like
@@ -172,7 +185,8 @@ object Tokenizer {
     * pair remains. Scale paths and determinism: object doc. */
   def trainWordPiece(docs: DataFrame, textCol: String, nMerges: Int,
                      minCount: Long = 1L,
-                     localByteLimit: Long = DefaultLocalByteLimit)
+                     localByteLimit: Long = DefaultLocalByteLimit,
+                     resumeFrom: Seq[(String, String)] = Nil)
       : IndexedSeq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
@@ -181,7 +195,8 @@ object Tokenizer {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    train(words, nMerges, wordpiece = true, localByteLimit)
+    train(words, nMerges, wordpiece = true, localByteLimit,
+      replaySeq(resumeFrom, wordpiece = true))
   }
 
   // ================================================== shared plumbing
@@ -210,6 +225,31 @@ object Tokenizer {
       a + b.substring(2)
     } else a + b
 
+  /** A resume prefix precompiled to (left, right, merged) triples —
+    * validated once on the driver, shipped to the replay closures. */
+  private def replaySeq(resume: Seq[(String, String)],
+                        wordpiece: Boolean): Array[(String, String, String)] =
+    resume.iterator.map { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty,
+        s"malformed resume pair ($a, $b)")
+      (a, b, mergedSym(a, b, wordpiece))
+    }.toArray
+
+  /** Replay a merge prefix onto one row's symbols: each prefix merge
+    * as the same left-to-right kernel pass, IN TRAINING ORDER — the
+    * definition of the state after those merges. No-op rows return
+    * reference-equal (applyMergeLocal's contract). */
+  private def replayAll(syms: Array[String],
+                        rp: Array[(String, String, String)]): Array[String] = {
+    var s = syms
+    var i = 0
+    while (i < rp.length) {
+      s = applyMergeLocal(s, rp(i)._1, rp(i)._2, rp(i)._3)
+      i += 1
+    }
+    s
+  }
+
   /** Byte-gate dispatch shared by both trainers: `words` is the
     * minCount-pruned distinct table (w, cnt). The table is persisted
     * BEFORE the estimate aggregate (r14 ADVICE): the corpus-sized
@@ -221,7 +261,9 @@ object Tokenizer {
     * (the local collect returns / [[trainDistributed]] materializes
     * its loop RDD). */
   private def train(words: DataFrame, nMerges: Int, wordpiece: Boolean,
-                    byteLimit: Long): IndexedSeq[(String, String)] = {
+                    byteLimit: Long,
+                    rp: Array[(String, String, String)])
+      : IndexedSeq[(String, String)] = {
     words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one bounded-row aggregate: estimated LOCAL-LOOP working-set
     // bytes (per-char String symbols + where-used index + count maps
@@ -233,10 +275,11 @@ object Tokenizer {
     if (est <= byteLimit) {
       val rows =
         try words.collect().map(r =>
-          (initialSyms(r.getString(0), wordpiece), r.getLong(1)))
+          (replayAll(initialSyms(r.getString(0), wordpiece), rp),
+            r.getLong(1)))
         finally words.unpersist(false)
       trainLocal(rows, nMerges, wordpiece)
-    } else trainDistributed(words, nMerges, wordpiece)
+    } else trainDistributed(words, nMerges, wordpiece, rp)
   }
 
   // =================================== local path (incremental, FFD of
@@ -790,7 +833,8 @@ object Tokenizer {
     * by driver-held integer maps; per-merge work is narrow
     * filter/map passes and a map-combine reduce, all data-parallel. */
   private def trainDistributed(words: DataFrame, nMerges: Int,
-                               wordpiece: Boolean)
+                               wordpiece: Boolean,
+                               rp: Array[(String, String, String)])
       : IndexedSeq[(String, String)] = {
     val wp = wordpiece
     val sc0 = words.sparkSession.sparkContext
@@ -800,7 +844,7 @@ object Tokenizer {
       .as[(String, Long)](org.apache.spark.sql.Encoders
         .tuple(org.apache.spark.sql.Encoders.STRING,
           org.apache.spark.sql.Encoders.scalaLong))
-      .rdd.map { case (w, c) => (initialSyms(w, wp), c) }
+      .rdd.map { case (w, c) => (replayAll(initialSyms(w, wp), rp), c) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // initial counts: ONE job — per-partition (pair, sym) count maps,

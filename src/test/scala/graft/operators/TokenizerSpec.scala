@@ -118,7 +118,14 @@ class TokenizerSpec extends AnyFunSuite {
     val expected = referenceMerges(richTexts, 512)
     val local = Tokenizer.trainBpe(df, "text", 512,
       localByteLimit = Long.MaxValue)
-    val dist = Tokenizer.trainBpe(df, "text", 512, localByteLimit = 0L)
+    // ride the distributed run with the skip-scan ledger (r15): the
+    // trainer is deterministic on this corpus, so the per-merge
+    // scanned-partition counts are a stable artifact, not a timing
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    Tokenizer.probeScanLedger = ledger
+    val dist =
+      try Tokenizer.trainBpe(df, "text", 512, localByteLimit = 0L)
+      finally Tokenizer.probeScanLedger = null
     // the distributed-incremental and local-incremental paths must be
     // byte-identical to each other AND (after the writer's dedupe) to
     // the recount-everything reference trainer — counts, argmax
@@ -129,6 +136,20 @@ class TokenizerSpec extends AnyFunSuite {
       s"reference divergence at ${local.distinct.zip(expected).indexWhere(p => p._1 != p._2)}")
     // the corpus must actually support the full request — no early stop
     assert(local.size == 512, s"corpus exhausted at ${local.size}")
+    // skip-scan evidence (r14 ask #2): every merge scanned a SUBSET of
+    // base partitions, and the deep tail reads far fewer than the
+    // head — the per-merge READ cost tracks affected partitions
+    assert(ledger.size == 512)
+    assert(ledger.forall { case (scanned, total) =>
+      scanned >= 0 && scanned <= total })
+    def mean(rows: Seq[(Int, Int)]): Double =
+      rows.map(_._1).sum.toDouble / rows.size
+    val head = mean(ledger.take(128).toSeq)
+    val tail = mean(ledger.takeRight(128).toSeq)
+    assert(tail < head,
+      s"skip-scan not pruning with depth: first128=$head last128=$tail")
+    assert(tail <= 3.0,
+      s"deep merges should touch ~1 partition of 32, got mean $tail")
   }
 
   test("trainBpe: both paths agree on EARLY STOP at the fixture corpus's 127-pair ceiling") {
@@ -244,6 +265,102 @@ class TokenizerSpec extends AnyFunSuite {
     // drain to empty: removing every key yields a null argmax
     keys.foreach { k => counts.remove(k); fam.update(k, 0L) }
     assert(fam.pop() == null)
+  }
+
+  test("trainer resume: split-resume == straight-through on BOTH paths (BPE + WordPiece)") {
+    import spark.implicits._
+    // a production 50k-merge run loses its driver eventually: resume
+    // replays the committed prefix onto a fresh distinct table and
+    // must continue EXACTLY where the uninterrupted run would be —
+    // train(n) == train(k) ++ train(n−k, resumeFrom = <the k>)
+    val df = richTexts.toDF("text")
+    // BPE, local path at 512 = 256 + 256
+    val fullL = Tokenizer.trainBpe(df, "text", 512,
+      localByteLimit = Long.MaxValue)
+    val preL = Tokenizer.trainBpe(df, "text", 256,
+      localByteLimit = Long.MaxValue)
+    val contL = Tokenizer.trainBpe(df, "text", 256,
+      localByteLimit = Long.MaxValue, resumeFrom = preL)
+    assert(preL ++ contL == fullL,
+      s"local split-resume diverges at ${
+        (preL ++ contL).zip(fullL).indexWhere(p => p._1 != p._2)}")
+    // BPE, distributed path at 256 = 128 + 128 (the replay rides the
+    // init map; skip-scan summaries build over the REPLAYED state)
+    val fullD = Tokenizer.trainBpe(df, "text", 256, localByteLimit = 0L)
+    val preD = Tokenizer.trainBpe(df, "text", 128, localByteLimit = 0L)
+    val contD = Tokenizer.trainBpe(df, "text", 128,
+      localByteLimit = 0L, resumeFrom = preD)
+    assert(preD ++ contD == fullD,
+      s"distributed split-resume diverges at ${
+        (preD ++ contD).zip(fullD).indexWhere(p => p._1 != p._2)}")
+    // WordPiece (the ## prefix survives the replay's mergedSym), and
+    // a CROSS-PATH resume: prefix trained distributed, continuation
+    // local — the checkpoint file doesn't remember which tier wrote it
+    val fullW = Tokenizer.trainWordPiece(df, "text", 256,
+      localByteLimit = Long.MaxValue)
+    val preW = Tokenizer.trainWordPiece(df, "text", 128,
+      localByteLimit = 0L)
+    val contW = Tokenizer.trainWordPiece(df, "text", 128,
+      localByteLimit = Long.MaxValue, resumeFrom = preW)
+    assert(preW ++ contW == fullW,
+      s"wordpiece cross-path split-resume diverges at ${
+        (preW ++ contW).zip(fullW).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("PartitionPairSummary: NO false negatives under random pair sets; or-merge is a superset") {
+    // the skip-scan's entire correctness burden: a summary may
+    // over-approximate (extra partition scanned) but must NEVER
+    // report absent for an inserted pair — byte-identity of the
+    // trainer rides on it. Exercised across sizes including heavy
+    // saturation (many more pairs than bits would like).
+    val rnd = new scala.util.Random(20260816L)
+    Seq(64, 1000, 20000).foreach { n =>
+      val s = new Tokenizer.PartitionPairSummary(
+        Tokenizer.PartitionPairSummary.bitsFor(n))
+      val pairs = (0 until n).map { _ =>
+        (rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString,
+          rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      }
+      pairs.foreach { case (a, b) => s.add(a, b) }
+      pairs.foreach { case (a, b) =>
+        assert(s.mayContain(a, b), s"false negative on ($a,$b) at n=$n")
+      }
+    }
+    // or-merge (the per-layer driver fold): the union sees every pair
+    // either side saw
+    val bits = Tokenizer.PartitionPairSummary.bitsFor(100)
+    val left = new Tokenizer.PartitionPairSummary(bits)
+    val right = new Tokenizer.PartitionPairSummary(bits)
+    left.add("x", "y"); right.add("p", "q")
+    left.orInPlace(right)
+    assert(left.mayContain("x", "y") && left.mayContain("p", "q"))
+    // size mismatch must fail loudly, never silently mis-merge
+    intercept[IllegalArgumentException] {
+      left.orInPlace(new Tokenizer.PartitionPairSummary(bits * 2))
+    }
+  }
+
+  test("ScoreArgmax: heavy update churn forces the rebuild path and stays exact") {
+    // few pairs, many snapshots: the 4x-size rebuild trigger must
+    // fire (stale-entry garbage collection) without ever changing
+    // the argmax
+    val rnd = new scala.util.Random(42L)
+    val pairCounts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val symCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    Seq("a", "b", "c").foreach(s => symCounts(s) = 100L)
+    val keys = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"))
+    keys.foreach(k => pairCounts(k) = 10L)
+    val sam = new Tokenizer.ScoreArgmax(pairCounts, symCounts)
+    (1 to 2000).foreach { step =>
+      val k = keys(rnd.nextInt(keys.length))
+      pairCounts(k) = 1L + rnd.nextInt(50)
+      val s = Seq("a", "b", "c")(rnd.nextInt(3))
+      symCounts(s) = math.max(1L, symCounts(s) + rnd.nextInt(11) - 5)
+      sam.noteChanged(Seq(k), Seq(s))
+      assert(sam.pop() == Tokenizer.likelihoodArgmax(pairCounts, symCounts),
+        s"divergence at churn step $step")
+    }
   }
 
   test("trainBpe duplicate-producer merges keep exact counts on both paths") {
