@@ -1162,7 +1162,9 @@ object Tokenizer {
   def trainUnigram(docs: DataFrame, textCol: String, vocabSize: Int = 300,
                    maxPieceLen: Int = 6, emRounds: Int = 2,
                    minCount: Long = 1L, seedMultiplier: Int = 1,
-                   pruneShrink: Double = 0.0): Seq[(String, Long)] = {
+                   pruneShrink: Double = 0.0,
+                   initModel: Seq[(String, Long)] = Nil)
+      : Seq[(String, Long)] = {
     require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
@@ -1177,6 +1179,19 @@ object Tokenizer {
       .filter(col("cnt") >= minCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (initModel.nonEmpty) {
+        // RESUME (hard-EM only): EM state IS the model, so resuming
+        // from a previous return value and running more rounds equals
+        // the longer uninterrupted run — trainUnigram(emRounds = a+b)
+        // == trainUnigram(emRounds = b, initModel =
+        // trainUnigram(emRounds = a)), asserted in TokenizerSpec. (In
+        // pruneShrink mode the shrink schedule keys on each CALL's
+        // last round, so split-resume is a different — valid —
+        // schedule, not the same run; the spec pins the hard-EM
+        // equality only.)
+        return runEm(words, initModel.toMap, vocabSize, maxPieceLen,
+          emRounds, pruneShrink)
+      }
       // SEED frequencies: every substring occurrence, weighted
       val subs = words
         .select(explode(expr(
@@ -1202,62 +1217,76 @@ object Tokenizer {
         seedFreqs.map { case (p, c) =>
           p -> quantizeCost(-math.log(c / tot)) }
       }
-      val ml = maxPieceLen
-      var r = 0
-      while (r < emRounds) {
-        // E: usage counts under the current model (distinct-word table
-        // only), segmented by the native shared-DP expression
-        val segCol = graft.functions.UnigramLm
-          .segmentPiecesCol(col("w"), model, ml)
-        val usage = words
-          .select(explode(segCol).as("p"), col("cnt"))
-          .groupBy("p").agg(sum("cnt").as("c"))
-          .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
-        // M: prune unused multi-char pieces; singles keep a floor of 1
-        var kept = model.keysIterator.flatMap { p =>
-          val u = usage.getOrElse(p, 0L)
-          if (u > 0L) Some(p -> u)
-          else if (p.length == 1) Some(p -> 1L)
-          else None
-        }.toMap
-        // Kudo loss-delta prune (pruneShrink > 0 — r14 verdict ask
-        // #5): rank multi-char pieces by removal loss
-        // usage × (altCost − ownCost), where altCost is the piece's
-        // best alternative segmentation under the CURRENT costs with
-        // itself excluded (SentencePiece's criterion in hard-EM
-        // form); shrink toward the vocabSize budget each round,
-        // all the way on the last. A piece with no alternative cover
-        // has infinite removal loss and always survives; singles are
-        // the coverage floor and are never pruned.
-        if (pruneShrink > 0.0) {
-          val nSingles = kept.keysIterator.count(_.length == 1)
-          val multisNow = kept.size - nSingles
-          val finalTarget = math.max(0, vocabSize - nSingles)
-          val target =
-            if (r == emRounds - 1) finalTarget
-            else math.max(finalTarget,
-              math.floor(multisNow * (1.0 - pruneShrink)).toInt)
-          if (multisNow > target) {
-            val keep = kept.iterator
-              .filter(_._1.length > 1)
-              .map { case (p, u) =>
-                val alt = viterbiCostExcluding(p, model, ml)
-                val loss: Double =
-                  if (alt >= UncoverableCost) Double.PositiveInfinity
-                  else u.toDouble * (alt - model(p)).toDouble
-                (p, loss)
-              }.toSeq
-              .sortBy { case (p, l) => (-l, p) } // loss desc, piece asc
-              .take(target).map(_._1).toSet
-            kept = kept.filter { case (p, _) => p.length == 1 || keep(p) }
-          }
-        }
-        val tot = kept.values.map(_.toDouble).sum
-        model = kept.map { case (p, u) =>
-          p -> quantizeCost(-math.log(u / tot)) }
-        r += 1
-      }
-      model.toSeq.sortBy(_._1)
+      runEm(words, model, vocabSize, maxPieceLen, emRounds, pruneShrink)
     } finally words.unpersist()
+  }
+
+  /** The EM loop over the persisted distinct-word table, from an
+    * arbitrary starting model — shared by the seeded path and the
+    * `initModel` resume (EM state IS the model, so factoring this out
+    * makes split-resume ≡ straight-through BY CONSTRUCTION in hard-EM
+    * mode). One vocab-bounded segmentation pass + one aggregate per
+    * round; the Kudo loss-prune (doc on [[trainUnigram]]) keys its
+    * final shrink on THIS call's last round. */
+  private def runEm(words: DataFrame, model0: Map[String, Long],
+                    vocabSize: Int, maxPieceLen: Int, emRounds: Int,
+                    pruneShrink: Double): Seq[(String, Long)] = {
+    val ml = maxPieceLen
+    var model = model0
+    var r = 0
+    while (r < emRounds) {
+      // E: usage counts under the current model (distinct-word table
+      // only), segmented by the native shared-DP expression
+      val segCol = graft.functions.UnigramLm
+        .segmentPiecesCol(col("w"), model, ml)
+      val usage = words
+        .select(explode(segCol).as("p"), col("cnt"))
+        .groupBy("p").agg(sum("cnt").as("c"))
+        .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+      // M: prune unused multi-char pieces; singles keep a floor of 1
+      var kept = model.keysIterator.flatMap { p =>
+        val u = usage.getOrElse(p, 0L)
+        if (u > 0L) Some(p -> u)
+        else if (p.length == 1) Some(p -> 1L)
+        else None
+      }.toMap
+      // Kudo loss-delta prune (pruneShrink > 0 — r14 verdict ask
+      // #5): rank multi-char pieces by removal loss
+      // usage × (altCost − ownCost), where altCost is the piece's
+      // best alternative segmentation under the CURRENT costs with
+      // itself excluded (SentencePiece's criterion in hard-EM
+      // form); shrink toward the vocabSize budget each round,
+      // all the way on the last. A piece with no alternative cover
+      // has infinite removal loss and always survives; singles are
+      // the coverage floor and are never pruned.
+      if (pruneShrink > 0.0) {
+        val nSingles = kept.keysIterator.count(_.length == 1)
+        val multisNow = kept.size - nSingles
+        val finalTarget = math.max(0, vocabSize - nSingles)
+        val target =
+          if (r == emRounds - 1) finalTarget
+          else math.max(finalTarget,
+            math.floor(multisNow * (1.0 - pruneShrink)).toInt)
+        if (multisNow > target) {
+          val keep = kept.iterator
+            .filter(_._1.length > 1)
+            .map { case (p, u) =>
+              val alt = viterbiCostExcluding(p, model, ml)
+              val loss: Double =
+                if (alt >= UncoverableCost) Double.PositiveInfinity
+                else u.toDouble * (alt - model(p)).toDouble
+              (p, loss)
+            }.toSeq
+            .sortBy { case (p, l) => (-l, p) } // loss desc, piece asc
+            .take(target).map(_._1).toSet
+          kept = kept.filter { case (p, _) => p.length == 1 || keep(p) }
+        }
+      }
+      val tot = kept.values.map(_.toDouble).sum
+      model = kept.map { case (p, u) =>
+        p -> quantizeCost(-math.log(u / tot)) }
+      r += 1
+    }
+    model.toSeq.sortBy(_._1)
   }
 }

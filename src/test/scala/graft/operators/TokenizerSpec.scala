@@ -674,6 +674,21 @@ class TokenizerSpec extends AnyFunSuite {
     assert(dflt == dfltRef)
   }
 
+  test("trainUnigram resume: initModel split == straight-through (hard-EM)") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    // EM state IS the model: 1 round + (resume: 2 rounds) == 3 rounds
+    val full = Tokenizer.trainUnigram(df, "text", vocabSize = 120,
+      maxPieceLen = 5, emRounds = 3)
+    val pre = Tokenizer.trainUnigram(df, "text", vocabSize = 120,
+      maxPieceLen = 5, emRounds = 1)
+    val cont = Tokenizer.trainUnigram(df, "text", vocabSize = 120,
+      maxPieceLen = 5, emRounds = 2, initModel = pre)
+    assert(cont == full,
+      s"first divergence: ${cont.zip(full).find(p => p._1 != p._2)}")
+  }
+
   test("trainUnigram == driver reference trainer on the fixture corpus") {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
