@@ -489,8 +489,9 @@ object Tokenizer {
     * (the array form of the tab-rendered `replace`): every adjacent
     * (a, b) becomes `merged`, scanning resumes after the replacement.
     * Returns `syms` ITSELF (reference-equal) when nothing matched. */
-  private def applyMergeLocal(syms: Array[String], a: String, b: String,
-                              merged: String): Array[String] = {
+  private[operators] def applyMergeLocal(syms: Array[String], a: String,
+                                         b: String,
+                                         merged: String): Array[String] = {
     var i = 0
     var hits = 0
     while (i < syms.length - 1) {
@@ -659,8 +660,8 @@ object Tokenizer {
 
   /** Does the pair (a, b) occur adjacently in `syms`? (The
     * affected-row predicate — a narrow scan, no shuffle.) */
-  private def containsPair(syms: Array[String], a: String,
-                           b: String): Boolean = {
+  private[operators] def containsPair(syms: Array[String], a: String,
+                                      b: String): Boolean = {
     var i = 0
     while (i < syms.length - 1) {
       if (syms(i) == a && syms(i + 1) == b) return true

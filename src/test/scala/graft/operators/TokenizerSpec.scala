@@ -363,6 +363,35 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("applyMergeLocal: one pass leaves NO residual (a,b) adjacency — the zero-count invariant's premise") {
+    // the distributed trainer's post-merge require (winner count
+    // lands on exactly 0) rests on this: the left-to-right
+    // non-overlapping pass removes EVERY (a,b) occurrence, because a
+    // skipped occurrence could only arise when the scan consumed its
+    // left symbol into a previous merge — and then that symbol is
+    // part of `merged` in the output, not an original. Randomized
+    // over small alphabets (dense adjacencies, self-pairs included).
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = Array("a", "b", "c")
+    (1 to 3000).foreach { trial =>
+      val n = 1 + rnd.nextInt(12)
+      val syms = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val a = alphabet(rnd.nextInt(alphabet.length))
+      val b = alphabet(rnd.nextInt(alphabet.length))
+      val out = Tokenizer.applyMergeLocal(syms, a, b, a + b)
+      assert(!Tokenizer.containsPair(out, a, b),
+        s"trial $trial: residual ($a,$b) in ${out.mkString("[", ",", "]")}" +
+          s" from ${syms.mkString("[", ",", "]")}")
+      // replacement conserves symbol material: concat is invariant
+      assert(out.mkString == syms.mkString,
+        s"trial $trial: pass lost or invented characters")
+      // no-op rows return reference-equal (the where-used index and
+      // the retire filter both rely on it being a real no-op)
+      if (!Tokenizer.containsPair(syms, a, b))
+        assert(out eq syms, s"trial $trial: no-op row was copied")
+    }
+  }
+
   test("trainBpe duplicate-producer merges keep exact counts on both paths") {
     import spark.implicits._
     // 'abab' learns (a,b) then (ab,ab); words containing the string
