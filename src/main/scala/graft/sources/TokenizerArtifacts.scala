@@ -129,26 +129,72 @@ object TokenizerArtifacts {
     Files.write(d.resolve("manifest.json"), renderManifest(kind, files))
   }
 
-  /** Re-hash every file `manifest.json` lists and require byte-count
-    * and SHA-256 agreement; returns the verified file names. */
-  def verifyManifest(dir: String): Seq[String] = {
+  /** One manifest-verification finding — the STRUCTURED error surface
+    * a pipeline consumer routes on (r15 verdict ask #5: the
+    * Jsonl/TfRecord quarantine discipline applied to model
+    * artifacts): per-file `ok` plus a machine-greppable `detail`
+    * (`OK` / `MISSING` / `SIZE …` / `SHA256 …` / `MANIFEST …`), so a
+    * 100-TB tokenization job can log, alert, and refuse the model
+    * with a reason instead of dying on a bare require string. */
+  final case class ArtifactCheck(name: String, ok: Boolean,
+                                 detail: String)
+
+  /** Thrown by [[verifyManifest]] when any check fails: carries EVERY
+    * failing [[ArtifactCheck]] (not just the first), and extends
+    * IllegalArgumentException so pre-r16 catch sites keep working. */
+  final class CorruptArtifactException(val failures: Seq[ArtifactCheck])
+      extends IllegalArgumentException(
+        "corrupt tokenizer artifacts: " +
+          failures.map(f => s"${f.name}: ${f.detail}").mkString("; "))
+
+  /** Check every file `manifest.json` lists against its recorded byte
+    * count and SHA-256, NEVER throwing on artifact defects: one
+    * [[ArtifactCheck]] per listed file (plus one `manifest.json` row
+    * when the manifest itself is missing/empty/unparseable). The
+    * consumer-side gate before committing to a model. */
+  def checkManifest(dir: String): Seq[ArtifactCheck] = {
     val d = Paths.get(dir)
-    val manifest = new String(
-      Files.readAllBytes(d.resolve("manifest.json")), UTF_8)
+    val mf = d.resolve("manifest.json")
+    if (!Files.exists(mf))
+      return Seq(ArtifactCheck("manifest.json", ok = false,
+        s"MANIFEST missing at $dir"))
+    val manifest = new String(Files.readAllBytes(mf), UTF_8)
     val entry =
       """\{"name": "([^"]+)", "bytes": (\d+), "sha256": "([0-9a-f]{64})"\}""".r
     val entries = entry.findAllMatchIn(manifest).map { m =>
       (m.group(1), m.group(2).toLong, m.group(3))
     }.toSeq
-    require(entries.nonEmpty, s"manifest at $dir lists no files")
+    if (entries.isEmpty)
+      return Seq(ArtifactCheck("manifest.json", ok = false,
+        "MANIFEST lists no files (empty or unparseable)"))
     entries.map { case (name, nBytes, sha) =>
-      val bytes = Files.readAllBytes(d.resolve(name))
-      require(bytes.length.toLong == nBytes,
-        s"$name: manifest says $nBytes bytes, file has ${bytes.length}")
-      require(sha256Hex(bytes) == sha,
-        s"$name: manifest sha256 mismatch — artifact corrupted")
-      name
+      val f = d.resolve(name)
+      if (!Files.exists(f))
+        ArtifactCheck(name, ok = false, "MISSING listed file")
+      else {
+        val bytes = Files.readAllBytes(f)
+        if (bytes.length.toLong != nBytes)
+          ArtifactCheck(name, ok = false,
+            s"SIZE manifest says $nBytes bytes, file has ${bytes.length}")
+        else if (sha256Hex(bytes) != sha)
+          ArtifactCheck(name, ok = false,
+            "SHA256 mismatch — artifact corrupted")
+        else ArtifactCheck(name, ok = true, "OK")
+      }
     }
+  }
+
+  /** Re-hash every file `manifest.json` lists and require byte-count
+    * and SHA-256 agreement; returns the verified file names, or
+    * throws [[CorruptArtifactException]] carrying ALL failing checks
+    * (the throwing form of [[checkManifest]] for callers that want
+    * verify-or-die semantics — the export queries, the reload
+    * paths). */
+  def verifyManifest(dir: String): Seq[String] = {
+    val checks = checkManifest(dir)
+    val bad = checks.filterNot(_.ok)
+    if (bad.nonEmpty) throw new CorruptArtifactException(bad)
+    checks.map(_.name)
   }
 
   // ---------------------------------------------------------- writers
@@ -204,7 +250,14 @@ object TokenizerArtifacts {
           case '"' => sb += '"'; i += 2
           case '\\' => sb += '\\'; i += 2
           case 'u' =>
-            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            // malformed \u escapes (truncated or non-hex) must surface
+            // as a validation error, not StringIndexOutOfBounds
+            require(i + 6 <= s.length,
+              s"malformed vocab.json: truncated \\u escape in $s")
+            val hex = s.substring(i + 2, i + 6)
+            require(hex.forall(c => Character.digit(c, 16) >= 0),
+              s"malformed vocab.json: bad \\u escape \\u$hex")
+            sb += Integer.parseInt(hex, 16).toChar
             i += 6
           case other => sb += other; i += 2
         }

@@ -85,9 +85,14 @@ object MergeScaleProbe {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val counts =
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(128, 512)
+    // SPARK_GRAFT_PROBE_SHUFFLE widens the trainer's base partition
+    // count (nPart follows the words-groupBy shuffle width) — the
+    // r15 ask #4 production-shape run sets 256 to show candidate
+    // partitions stay ~constant while total partitions grow
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE", "32").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

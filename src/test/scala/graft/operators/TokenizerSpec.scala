@@ -718,6 +718,46 @@ class TokenizerSpec extends AnyFunSuite {
       s"first divergence: ${cont.zip(full).find(p => p._1 != p._2)}")
   }
 
+  test("trainUnigram resume: pruneShrink split == straight-through under the absolute schedule (r15 ask #3)") {
+    import spark.implicits._
+    // the deep corpus (16,097 distinct pretokens): enough surviving
+    // multi-char candidates that the round-0 partial shrink actually
+    // keeps MORE than the final budget — on the sf0.001 fixture (and
+    // even richTexts) the usage prune alone lands under every target
+    // and the schedule pin would be vacuous (probed: pre=103 vs
+    // solo=100 here; 100 vs 100 on the smaller corpora)
+    val df = graft.TestCorpora.richTexts2.toDF("text")
+    // loss-prune mode: the shrink schedule keys on the ABSOLUTE round
+    // (roundsDone + r of totalRounds), so a restart that pins both
+    // walks the identical per-round targets — a production restart
+    // must not change the model
+    val full = Tokenizer.trainUnigram(df, "text", vocabSize = 100,
+      maxPieceLen = 5, emRounds = 3, seedMultiplier = 3,
+      pruneShrink = 0.4)
+    val pre = Tokenizer.trainUnigram(df, "text", vocabSize = 100,
+      maxPieceLen = 5, emRounds = 1, seedMultiplier = 3,
+      pruneShrink = 0.4, totalRounds = 3)
+    val cont = Tokenizer.trainUnigram(df, "text", vocabSize = 100,
+      maxPieceLen = 5, emRounds = 2, pruneShrink = 0.4,
+      initModel = pre, roundsDone = 1, totalRounds = 3)
+    assert(cont == full,
+      s"first divergence: ${cont.zip(full).find(p => p._1 != p._2)}")
+    // and the interrupted prefix is a genuinely different (larger)
+    // intermediate state than a 1-round plan would produce — the
+    // schedule pin is live, not vacuous
+    val solo = Tokenizer.trainUnigram(df, "text", vocabSize = 100,
+      maxPieceLen = 5, emRounds = 1, seedMultiplier = 3,
+      pruneShrink = 0.4)
+    assert(pre.size > solo.size,
+      s"totalRounds pin had no effect: pre=${pre.size} solo=${solo.size}")
+    // planning fewer total rounds than are actually run is an error
+    intercept[IllegalArgumentException] {
+      Tokenizer.trainUnigram(df, "text", vocabSize = 100,
+        maxPieceLen = 5, emRounds = 2, pruneShrink = 0.4,
+        initModel = pre, roundsDone = 2, totalRounds = 3)
+    }
+  }
+
   test("trainUnigram == driver reference trainer on the fixture corpus") {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

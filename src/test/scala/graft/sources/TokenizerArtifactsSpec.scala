@@ -122,7 +122,7 @@ class TokenizerArtifactsSpec extends AnyFunSuite {
       .sameElements(committed), "unigram tsv rendering drifted")
   }
 
-  test("manifest verification detects artifact corruption") {
+  test("manifest verification detects artifact corruption with a structured error surface (r15 ask #5)") {
     val merges = Tokenizer.trainBpe(fixtureDocs, "text", 8)
     val dir = tmp()
     TokenizerArtifacts.writeBpe(dir, merges)
@@ -130,9 +130,73 @@ class TokenizerArtifactsSpec extends AnyFunSuite {
     val bytes = Files.readAllBytes(f)
     bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
     Files.write(f, bytes)
-    val e = intercept[IllegalArgumentException] {
+    // non-throwing consumer gate: per-file findings, the corrupt file
+    // flagged with its reason, the intact file still OK — what a
+    // 100-TB tokenization job logs/alerts on before refusing the model
+    val checks = TokenizerArtifacts.checkManifest(dir)
+    assert(checks.map(_.name).sorted == Seq("merges.txt", "vocab.json"))
+    val bad = checks.find(_.name == "merges.txt").get
+    assert(!bad.ok && bad.detail.startsWith("SHA256"))
+    val good = checks.find(_.name == "vocab.json").get
+    assert(good.ok && good.detail == "OK")
+    // throwing form: a typed exception CARRYING the failing checks
+    // (not a bare require string), still an IllegalArgumentException
+    // for pre-r16 catch sites
+    val e = intercept[TokenizerArtifacts.CorruptArtifactException] {
       TokenizerArtifacts.verifyManifest(dir)
     }
-    assert(e.getMessage.contains("sha256 mismatch"))
+    assert(e.failures.map(_.name) == Seq("merges.txt"))
+    assert(e.getMessage.contains("merges.txt") &&
+      e.getMessage.contains("SHA256"))
+  }
+
+  test("manifest check routes missing files, size drift, and a missing manifest as findings") {
+    val merges = Tokenizer.trainBpe(fixtureDocs, "text", 8)
+    val dir = tmp()
+    TokenizerArtifacts.writeBpe(dir, merges)
+    // size drift (truncation — the partial-write a crashed copy leaves)
+    val f = Paths.get(dir, "vocab.json")
+    val orig = Files.readAllBytes(f)
+    Files.write(f, orig.dropRight(7))
+    val sizeBad = TokenizerArtifacts.checkManifest(dir)
+      .find(_.name == "vocab.json").get
+    assert(!sizeBad.ok && sizeBad.detail.startsWith("SIZE"))
+    // a listed file missing entirely
+    Files.delete(f)
+    val missBad = TokenizerArtifacts.checkManifest(dir)
+      .find(_.name == "vocab.json").get
+    assert(!missBad.ok && missBad.detail.startsWith("MISSING"))
+    // verify-or-die reports BOTH the missing file and nothing else
+    val e = intercept[TokenizerArtifacts.CorruptArtifactException] {
+      TokenizerArtifacts.verifyManifest(dir)
+    }
+    assert(e.failures.map(f0 => (f0.name, f0.ok)) ==
+      Seq(("vocab.json", false)))
+    // no manifest at all: one manifest-level finding, no throw from
+    // the non-throwing gate
+    val empty = tmp()
+    val mfBad = TokenizerArtifacts.checkManifest(empty)
+    assert(mfBad.size == 1 && !mfBad.head.ok &&
+      mfBad.head.detail.startsWith("MANIFEST"))
+  }
+
+  test("malformed vocab.json \\u escapes fail with a validation error, not StringIndexOutOfBounds") {
+    // a truncated \u escape at the end of a key: the pre-r16 reader
+    // threw StringIndexOutOfBoundsException from substring
+    val dir = tmp()
+    Files.write(Paths.get(dir, "vocab.json"),
+      "{\n  \"ab\\u\": 1\n}\n".getBytes(UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      TokenizerArtifacts.readBpeVocab(dir)
+    }
+    assert(e.getMessage.contains("malformed vocab.json"))
+    // and a non-hex \u payload is a validation error too
+    val dir2 = tmp()
+    Files.write(Paths.get(dir2, "vocab.json"),
+      "{\n  \"x\\u00zz\": 2\n}\n".getBytes(UTF_8))
+    val e2 = intercept[IllegalArgumentException] {
+      TokenizerArtifacts.readBpeVocab(dir2)
+    }
+    assert(e2.getMessage.contains("malformed vocab.json"))
   }
 }
