@@ -51,6 +51,38 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Shared body of the tokenizer-artifact export queries
+    * (q_tokenizer_export / _wp / _unigram): write the artifacts into a
+    * fresh temp dir via `write`, verify the SHA-256 manifest lists
+    * exactly `files`, hash the BYTES READ BACK FROM DISK (pinning what
+    * the engine shipped, not what it meant to ship), and ALWAYS remove
+    * the temp dir — r15 ADVICE: the delete runs in a finally so a
+    * failing write/verify doesn't leak a directory per bench rep. */
+  private def exportAndHash(s: SparkSession, files: Seq[String])
+                           (write: String => Unit)
+      : org.apache.spark.sql.DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_tok_export").toString
+    try {
+      write(out)
+      val verified = graft.sources.TokenizerArtifacts.verifyManifest(out)
+      require(verified.toSet == files.toSet,
+        s"manifest verification returned $verified, expected $files")
+      import s.implicits._
+      files.map { f =>
+        val bytes = java.nio.file.Files
+          .readAllBytes(java.nio.file.Paths.get(out, f))
+        (f, bytes.length.toLong,
+          graft.sources.TokenizerArtifacts.md5Hex(bytes))
+      }.toDF("file", "n_bytes", "md5").orderBy("file")
+    } finally {
+      (files :+ "manifest.json").foreach { f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out, f))
+      }
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out))
+    }
+  }
+
   /** Shared crawl host-edge fixture for the link-graph queries: the
     * q_outlink_hosts fabricated page, each doc's own host from its id
     * class, one (src_host, dst_host) row per absolute link — the same
@@ -463,26 +495,48 @@ object SparkEntry {
       // merge steps and md5s the content strings (TokenizerExportSql).
       val merges = graft.operators.Tokenizer
         .trainBpe(docs(s, dir), "text", 8, localByteLimit = 0L)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_tok_export").toString
-      graft.sources.TokenizerArtifacts.writeBpe(out, merges)
-      val verified = graft.sources.TokenizerArtifacts.verifyManifest(out)
-      require(verified.toSet == Set("merges.txt", "vocab.json"),
-        s"manifest verification returned $verified")
-      import s.implicits._
-      val rows = Seq("merges.txt", "vocab.json").map { f =>
-        val bytes = java.nio.file.Files
-          .readAllBytes(java.nio.file.Paths.get(out, f))
-        (f, bytes.length.toLong,
-          graft.sources.TokenizerArtifacts.md5Hex(bytes))
+      exportAndHash(s, Seq("merges.txt", "vocab.json")) { out =>
+        graft.sources.TokenizerArtifacts.writeBpe(out, merges)
       }
-      // hygiene: the artifacts are hashed into the result; drop the
-      // temp dir so repeated bench reps don't accumulate
-      Seq("merges.txt", "vocab.json", "manifest.json").foreach { f =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out, f))
+    }),
+
+    "q_tokenizer_export_wp" -> ((s, dir) => {
+      // WORDPIECE artifact export (r15 verdict ask #2 — the
+      // q_tokenizer_export discipline on the second family): the
+      // q_wordpiece_train merges through the SAME pinned distributed
+      // path plus the corpus-derived alphabet, written as the real
+      // BERT vocab.txt by the production writer, manifest-verified,
+      // and hashed from the bytes on disk; the oracle re-renders the
+      // file from its own replayed merge steps and an independent
+      // alphabet CTE (WordPieceExportSql).
+      val merges = graft.operators.Tokenizer
+        .trainWordPiece(docs(s, dir), "text", 6, localByteLimit = 0L)
+      val alphabet = graft.sources.TokenizerArtifacts
+        .wordPieceAlphabet(docs(s, dir), "text")
+      exportAndHash(s, Seq("vocab.txt")) { out =>
+        graft.sources.TokenizerArtifacts
+          .writeWordPiece(out, alphabet, merges)
       }
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out))
-      rows.toDF("file", "n_bytes", "md5").orderBy("file")
+    }),
+
+    "q_tokenizer_export_unigram" -> ((s, dir) => {
+      // UNIGRAM-LM artifact export (r15 verdict ask #2, third
+      // family): a FRESH trainUnigram hard-EM run at the production
+      // defaults — not the committed classpath model — written as
+      // unigram_vocab.tsv by the production writer, manifest-verified,
+      // and hashed from the bytes on disk. The oracle replays the
+      // ENTIRE training run in SQL (seed frequencies, quantized
+      // costs, two EM rounds of Viterbi DP + engine-tie-break
+      // backtrace + usage + M-step) and re-renders the TSV
+      // (UnigramExportSql) — the first end-to-end SQL derivation of a
+      // trained unigram model, where q_token_count_unigram only
+      // replays counting under the committed one.
+      val model = graft.operators.Tokenizer.trainUnigram(
+        docs(s, dir), "text", vocabSize = UniExportVocab,
+        maxPieceLen = UniExportMaxLen, emRounds = UniExportRounds)
+      exportAndHash(s, Seq("unigram_vocab.tsv")) { out =>
+        graft.sources.TokenizerArtifacts.writeUnigram(out, model)
+      }
     }),
 
     "q_wordpiece_train" -> ((s, dir) => {
@@ -3767,7 +3821,12 @@ object SparkEntry {
     * bit-identical; ties fall through to the lexicographic pair. */
   private val WordPieceTrainSteps = 6
 
-  private lazy val WordPieceTrainSql: String = {
+  /** The WordPiece trainer-replay CTE CHAIN (everything after `WITH`,
+    * through step tables `b1..bN`/`w1..wN`) — shared by
+    * [[WordPieceTrainSql]] and the artifact-export oracle
+    * ([[WordPieceExportSql]]), which append different consumers over
+    * the same replayed merges (the [[BpeTrainCtes]] discipline). */
+  private lazy val WordPieceTrainCtes: String = {
     val tt = "chr(9)||chr(9)"
     def step(i: Int): String =
       s"""sy$i AS MATERIALIZED (
@@ -3791,12 +3850,9 @@ object SparkEntry {
              chr(9) || a || substr(b, 3) || chr(9)) AS rend, cnt
            FROM w${i - 1}, b$i)"""
     val steps = (1 to WordPieceTrainSteps).map(step).mkString(",\n")
-    val out = (1 to WordPieceTrainSteps)
-      .map(i => s"SELECT $i::BIGINT AS step, a AS lhs, b AS rhs FROM b$i")
-      .mkString("\n UNION ALL ")
     // w0: distinct normalized words, rendered tab-wrapped with the
     // first symbol bare and the rest ##-prefixed
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
          SELECT list_aggregate(list_transform(
              range(1, length(word) + 1),
              i -> chr(9) || (CASE WHEN i = 1 THEN substr(word, 1, 1)
@@ -3806,8 +3862,163 @@ object SparkEntry {
          FROM (SELECT unnest(string_split($NormSql, ' ')) AS word
                FROM documents)
          WHERE length(word) > 0 GROUP BY 1),
-       $steps
-       SELECT step, lhs, rhs FROM ($out) ORDER BY step"""
+       $steps"""
+  }
+
+  /** `(step, lhs, rhs)` union over the replayed WordPiece step
+    * tables. */
+  private lazy val WordPieceStepsUnion: String =
+    (1 to WordPieceTrainSteps)
+      .map(i => s"SELECT $i::BIGINT AS step, a AS lhs, b AS rhs FROM b$i")
+      .mkString("\n UNION ALL ")
+
+  private lazy val WordPieceTrainSql: String =
+    s"""WITH $WordPieceTrainCtes
+       SELECT step, lhs, rhs FROM ($WordPieceStepsUnion) ORDER BY step"""
+
+  /** Full DuckDB replay of the q_tokenizer_export_wp ARTIFACT BYTES
+    * (r15 verdict ask #2 — the q_tokenizer_export discipline on the
+    * WordPiece family): the replayed merge steps
+    * ([[WordPieceTrainCtes]]) plus an independently-derived alphabet
+    * CTE (every initial / ##-continuation single-character symbol of
+    * the normalized word stream — the
+    * [[graft.sources.TokenizerArtifacts.wordPieceAlphabet]] contract)
+    * render into the exact BERT `vocab.txt` content string the
+    * production writer emits — alphabet ∪ ##-stripped merge results,
+    * deduped, sorted, newline-joined with a trailing newline — and
+    * the byte count/md5 are taken over that string, so one wrong
+    * piece, ordering, or byte anywhere in the writer hash-mismatches
+    * against the file the engine put on disk. */
+  private lazy val WordPieceExportSql: String =
+    s"""WITH $WordPieceTrainCtes,
+       mseq AS (SELECT step, lhs, rhs FROM ($WordPieceStepsUnion)),
+       awords AS (SELECT unnest(string_split($NormSql, ' ')) AS word
+         FROM documents),
+       alpha AS (SELECT DISTINCT
+           CASE WHEN i = 1 THEN substr(word, 1, 1)
+                ELSE '##' || substr(word, i::INT, 1) END AS piece
+         FROM (SELECT word, unnest(generate_series(1, length(word))) AS i
+               FROM awords WHERE length(word) > 0)),
+       pieces AS (SELECT DISTINCT piece FROM (
+         SELECT piece FROM alpha
+         UNION ALL
+         SELECT lhs || substr(rhs, 3) AS piece FROM mseq)),
+       vt AS (SELECT string_agg(piece, chr(10) ORDER BY piece) || chr(10)
+           AS content FROM pieces)
+       SELECT 'vocab.txt' AS file,
+         octet_length(encode(content))::BIGINT AS n_bytes,
+         md5(content) AS md5 FROM vt"""
+
+  /** q_tokenizer_export_unigram training shape (shared by the engine
+    * query and [[UnigramExportSql]]): the trainUnigram defaults. */
+  private val UniExportVocab = 300
+  private val UniExportMaxLen = 6
+  private val UniExportRounds = 2
+
+  /** Full DuckDB replay of the q_tokenizer_export_unigram ARTIFACT
+    * BYTES (r15 verdict ask #2, third family): unlike
+    * `q_token_count_unigram` (which inlines the COMMITTED model and
+    * replays only the Viterbi counting), this oracle replays the
+    * WHOLE [[graft.operators.Tokenizer.trainUnigram]] hard-EM run —
+    * seed substring frequencies over the distinct-word table, the
+    * initial quantized costs, then [[UniExportRounds]] EM rounds, each
+    * one a forward Viterbi DP (exact-BIGINT lexicographic (cost,
+    * ntok) minimum per position — the engine's tie-break), a
+    * backtrace that picks the engine's piece at every step (the
+    * LARGEST piece length attaining the per-position optimum — the
+    * descending-length first-write rule in UnigramLm.viterbi), a
+    * weighted usage aggregate, and the M-step keep/floor/requantize —
+    * and renders the final model into the exact `unigram_vocab.tsv`
+    * content string the production writer emits. One wrong seed
+    * count, DP cost, tie-break, backtrace piece, usage weight,
+    * quantized cost, or rendered byte anywhere hash-mismatches
+    * against the file the engine put on disk. */
+  private lazy val UnigramExportSql: String = {
+    val L = UniExportMaxLen
+    def emRound(i: Int): String = {
+      val pm = s"m${i - 1}"
+      s"""seg$i AS (
+           SELECT w AS word, 0 AS pos, 0::BIGINT AS cost, 0 AS ntok
+           FROM uwrds
+           UNION ALL
+           SELECT word, pos + length(p) AS pos,
+             min(cost + cq)::BIGINT AS cost, ntok + 1 AS ntok
+           FROM seg$i JOIN $pm ON p = substr(word, pos + 1, length(p))
+           WHERE pos < length(word)
+           GROUP BY word, pos + length(p), ntok + 1),
+         dp$i AS MATERIALIZED (
+           SELECT word, pos, min(struct_pack(c := cost, t := ntok)) AS sb
+           FROM seg$i GROUP BY word, pos),
+         bt$i AS (
+           SELECT db.word, db.pos, CAST(NULL AS VARCHAR) AS piece
+           FROM dp$i db
+           WHERE db.pos = length(db.word) AND db.sb.t > 0
+           UNION ALL
+           SELECT word, (pos - l)::INT AS pos,
+             substr(word, pos - l + 1, l) AS piece
+           FROM (
+             SELECT b.word, b.pos, max(length(m.p))::INT AS l
+             FROM bt$i b
+             JOIN dp$i de ON de.word = b.word AND de.pos = b.pos
+             JOIN $pm m ON length(m.p) <= b.pos
+               AND m.p = substr(b.word, b.pos - length(m.p) + 1,
+                 length(m.p))
+             JOIN dp$i dpre ON dpre.word = b.word
+               AND dpre.pos = b.pos - length(m.p)
+             WHERE b.pos > 0
+               AND dpre.sb.c + m.cq = de.sb.c
+               AND dpre.sb.t + 1 = de.sb.t
+             GROUP BY b.word, b.pos)),
+         us$i AS MATERIALIZED (
+           SELECT piece AS p, sum(cnt)::BIGINT AS u
+           FROM bt$i JOIN uwrds ON uwrds.w = bt$i.word
+           WHERE piece IS NOT NULL GROUP BY 1),
+         k$i AS MATERIALIZED (
+           SELECT $pm.p,
+             CASE WHEN coalesce(us$i.u, 0) > 0 THEN us$i.u
+                  ELSE 1::BIGINT END AS u
+           FROM $pm LEFT JOIN us$i ON us$i.p = $pm.p
+           WHERE coalesce(us$i.u, 0) > 0 OR length($pm.p) = 1),
+         m$i AS MATERIALIZED (
+           SELECT p, round(-ln(u::DOUBLE /
+               (SELECT sum(u)::DOUBLE FROM k$i)) * 1000000)::BIGINT AS cq
+           FROM k$i)"""
+    }
+    val rounds = (1 to UniExportRounds).map(emRound).mkString(",\n")
+    s"""WITH RECURSIVE
+       uwrds AS MATERIALIZED (
+         SELECT word AS w, count(*)::BIGINT AS cnt
+         FROM (SELECT unnest(string_split($NormSql, ' ')) AS word
+               FROM documents)
+         WHERE length(word) > 0 GROUP BY 1),
+       usub AS MATERIALIZED (
+         SELECT p, sum(cnt)::BIGINT AS c FROM (
+           SELECT unnest(flatten(list_transform(
+               range(1, length(w) + 1),
+               i -> list_transform(
+                 range(i::INT, least(length(w), i + ${L - 1})::INT + 1),
+                 j -> substr(w, i::INT, (j - i + 1)::INT))))) AS p,
+             cnt
+           FROM uwrds)
+         GROUP BY 1),
+       useed AS MATERIALIZED (
+         SELECT p, c FROM usub WHERE length(p) = 1
+         UNION ALL
+         SELECT p, c FROM (
+           SELECT p, c, row_number() OVER (ORDER BY c DESC, p ASC) AS rn
+           FROM usub WHERE length(p) > 1)
+         WHERE rn <= greatest(0, $UniExportVocab -
+           (SELECT count(*) FROM usub WHERE length(p) = 1))),
+       m0 AS MATERIALIZED (
+         SELECT p, round(-ln(c::DOUBLE /
+             (SELECT sum(c)::DOUBLE FROM useed)) * 1000000)::BIGINT AS cq
+         FROM useed),
+       $rounds,
+       tsv AS (SELECT string_agg(p || chr(9) || cq, chr(10) ORDER BY p)
+           || chr(10) AS content FROM m$UniExportRounds)
+       SELECT 'unigram_vocab.tsv' AS file,
+         octet_length(encode(content))::BIGINT AS n_bytes,
+         md5(content) AS md5 FROM tsv"""
   }
 
   /** Recursive-CTE replay of [[graft.functions.WordPiece]]'s greedy
@@ -4409,6 +4620,8 @@ object SparkEntry {
 
       "q_bpe_train" -> BpeTrainSql,
       "q_tokenizer_export" -> TokenizerExportSql,
+      "q_tokenizer_export_wp" -> WordPieceExportSql,
+      "q_tokenizer_export_unigram" -> UnigramExportSql,
 
       "q_wordpiece_train" -> WordPieceTrainSql,
 
