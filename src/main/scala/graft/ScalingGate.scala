@@ -32,12 +32,21 @@ object ScalingGate {
     * is the last mile — the one family that had no per-round 10× row —
     * so epoch-pack scaling (slim-projection PrefixSum + the single id
     * exchange) is now certified under the default 1.0 bound every
-    * round. */
+    * round. Round 16 adds the TRAINER rows: q_bpe_train (the
+    * distributed incremental merge loop — one corpus pass to the
+    * distinct-pretoken table, then per-merge cost ~ affected
+    * partitions) and q_tokenizer_export_unigram (trainUnigram EM +
+    * artifact write — one corpus pass to the distinct-word table,
+    * then vocab-bounded EM rounds), so the tokenizer-training family
+    * is exponent-certified per round like every other headline
+    * operator. Both should sit far below the bound: 10× corpus barely
+    * grows the distinct tables on this vocabulary. */
   val GateRows: Seq[String] = Seq(
     "q_pseudo_ppl_5", "q_slope_binom_dist", "q_slope_fit_dist",
     "q_quality_classifier", "q_leakage_split_neardup", "q_pipeline",
     "q_exact_substr", "q_pseudo_ppl_ext", "q_pseudo_ppl_tri",
-    "q_slope_cv", "q_pack_ids_gpt2")
+    "q_slope_cv", "q_pack_ids_gpt2", "q_bpe_train",
+    "q_tokenizer_export_unigram")
 
   /** Per-row exponent bound: 1.0 for every row (sub-linear in corpus
     * size). The r11 gate carried a bespoke 1.45 bound for q_slope_cv
