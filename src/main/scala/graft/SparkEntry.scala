@@ -1252,6 +1252,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_token_entropy" -> ((s, dir) => {
+      // per-source GPT-2 TOKEN-DISTRIBUTION entropy: Shannon and
+      // Rényi-2 (collision) bits + distinct/total tokens + top-token
+      // share — the tokenizer-SELECTION diagnostic fertility misses
+      // (equal-fertility tokenizers can differ wildly in distribution
+      // shape; Zouhar 2023). Counts stay exact integers end to end;
+      // ONE float sum (Σ c·ln c — the q_token_drift parity
+      // discipline, round 6). The oracle recomputes the ids through
+      // the full merge-loop replay (Gpt2IdsCte) and the same
+      // two-level aggregate.
+      graft.operators.CorpusStats.tokenEntropy(docs(s, dir), "source",
+        "text", graft.functions.ByteBpe.gpt2TokenIdArray)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
     "q_corpus_merge" -> ((s, dir) => {
       // CDC merge — the write side of q_corpus_diff: apply a
       // deterministic change batch (deletes at doc_id % 11, revisions
@@ -5170,6 +5186,27 @@ object SparkEntry {
              count(CASE WHEN p > 0 THEN 1 END)::BIGINT AS n_group_tokens,
              count(*)::BIGINT AS n_corpus_tokens
            FROM fl GROUP BY grp ORDER BY source""",
+
+      "q_token_entropy" ->
+        s"""WITH RECURSIVE $Gpt2IdsCte,
+           tid AS (SELECT d.source, unnest(i.ids) AS id
+             FROM documents d JOIN dids i USING (doc_id)),
+           tc AS (SELECT source, id, count(*)::BIGINT AS c
+             FROM tid GROUP BY 1, 2),
+           agg AS (SELECT source,
+               sum(c)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS distinct_tokens,
+               sum(c::DOUBLE * ln(c::DOUBLE)) AS sumclnc,
+               sum(c * c)::BIGINT AS sumc2,
+               max(c)::BIGINT AS cmax
+             FROM tc GROUP BY 1)
+           SELECT source, n_tokens, distinct_tokens,
+             round((ln(n_tokens::DOUBLE) - sumclnc / n_tokens)
+               / ln(2), 6) AS shannon_bits,
+             round((2 * ln(n_tokens::DOUBLE) - ln(sumc2::DOUBLE))
+               / ln(2), 6) AS renyi2_bits,
+             round(cmax::DOUBLE / n_tokens, 6) AS top_token_share
+           FROM agg ORDER BY source""",
 
       "q_corpus_merge" ->
         s"""WITH base AS (SELECT doc_id, source, text FROM documents),

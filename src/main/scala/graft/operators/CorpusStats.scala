@@ -83,6 +83,52 @@ object CorpusStats {
       .agg(sum("__occ").as("n_occurrences"), count(lit(1)).as("n_docs"))
   }
 
+  /** Per-group TOKEN-DISTRIBUTION entropy under an arbitrary
+    * tokenizer — the tokenizer-SELECTION diagnostic the fertility
+    * queries don't capture (two tokenizers with equal fertility can
+    * produce very differently-shaped id distributions; Shannon/Rényi
+    * efficiency of the token distribution is the published predictor
+    * of downstream quality — Zouhar et al. 2023, "Tokenization and
+    * the Theory of Compression"). Per `groupCol`:
+    *
+    *  - `n_tokens` / `distinct_tokens` — exact BIGINT;
+    *  - `shannon_bits` = −Σ pᵢ log₂ pᵢ computed as
+    *    (ln N − Σ cᵢ·ln cᵢ / N) / ln 2 — counts stay exact integers,
+    *    ONE float sum (the q_token_drift parity discipline, round 6);
+    *  - `renyi2_bits` = −log₂ Σ pᵢ² = (2·ln N − ln Σ cᵢ²) / ln 2 with
+    *    Σ cᵢ² an EXACT integer sum — the collision entropy, most
+    *    sensitive to head-heavy vocabularies;
+    *  - `top_token_share` = max cᵢ / N.
+    *
+    * 100-TB shape: one tokenize pass → map-side-combined
+    * groupBy(group, id) → a vocab×groups-sized frame; the entropy
+    * aggregate runs over THAT, never over documents. No windows. */
+  def tokenEntropy(docs: DataFrame, groupCol: String, textCol: String,
+                   tokens: org.apache.spark.sql.Column =>
+                     org.apache.spark.sql.Column): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("id"))
+      .groupBy("grp", "id").agg(count(lit(1)).as("c"))
+    val ln2 = math.log(2.0)
+    counts.groupBy("grp")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("__sumclnc"),
+        sum(col("c") * col("c")).as("__sumc2"),
+        max("c").as("__cmax"))
+      .select(col("grp"), col("n_tokens"), col("distinct_tokens"),
+        round((log(col("n_tokens").cast("double"))
+          - col("__sumclnc") / col("n_tokens")) / ln2, 6)
+          .as("shannon_bits"),
+        round((lit(2.0) * log(col("n_tokens").cast("double"))
+          - log(col("__sumc2").cast("double"))) / ln2, 6)
+          .as("renyi2_bits"),
+        round(col("__cmax").cast("double") / col("n_tokens"), 6)
+          .as("top_token_share"))
+  }
+
   /** Occurrence-only token counts: ONE keyed aggregation over the
     * exploded token stream — the form a complete-mode STREAMING query
     * supports (state = one row per distinct token, map-side combined
