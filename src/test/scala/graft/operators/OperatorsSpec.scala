@@ -2914,6 +2914,32 @@ class OperatorsSpec extends AnyFunSuite {
       (3, "gamma", 3L, 2L), (4, "delta", 1L, 1L)), got.mkString(";"))
   }
 
+  test("token entropy: hand-checked Shannon/Renyi-2, exact counts, top share") {
+    import spark.implicits._
+    // group a: ids (1,1,2,3) -> p = (1/2, 1/4, 1/4)
+    //   Shannon = 1.5 bits; Renyi-2 = -log2(6/16) = log2(16/6);
+    //   top share = 2/4. group b: uniform (7,8) -> both entropies 1.
+    val docs = Seq(("a", "x"), ("b", "y")).toDF("source", "text")
+    val fakeIds = (c: org.apache.spark.sql.Column) =>
+      when(c === "x", typedLit(Seq(1, 1, 2, 3)))
+        .otherwise(typedLit(Seq(7, 8)))
+    val got = CorpusStats.tokenEntropy(docs, "source", "text", fakeIds)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    def bits(x: Double) = math.log(x) / math.log(2.0)
+    assert(got(0)._1 == "a" && got(0)._2 == 4L && got(0)._3 == 3L)
+    assert(math.abs(got(0)._4 - 1.5) < 1e-9, s"shannon ${got(0)._4}")
+    assert(math.abs(got(0)._5 - bits(16.0 / 6.0)) < 1e-6,
+      s"renyi2 ${got(0)._5}")
+    assert(got(0)._6 == 0.5)
+    assert(got(1) == (("b", 2L, 2L, 1.0, 1.0, 0.5)))
+    // plan shape: two aggregates, no window (the 100-TB contract)
+    val plan = CorpusStats.tokenEntropy(docs, "source", "text", fakeIds)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "entropy must not use a window")
+  }
+
   test("paragraph dedup: global keep-first, intra-doc order preserved") {
     import spark.implicits._
     // boilerplate "header text" in docs 2, 1(pos1), 3; intra-doc repeat
