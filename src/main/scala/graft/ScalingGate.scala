@@ -40,13 +40,17 @@ object ScalingGate {
     * then vocab-bounded EM rounds), so the tokenizer-training family
     * is exponent-certified per round like every other headline
     * operator. Both should sit far below the bound: 10× corpus barely
-    * grows the distinct tables on this vocabulary. */
+    * grows the distinct tables on this vocabulary. Late round 16 adds
+    * the new CONTRASTIVE-SELECTION family rows: q_moore_lewis (shared
+    * token pass, two trigram model sets, class-partitioned scoring
+    * joins) and q_dsir (hashed features, 8192-row broadcast λ table —
+    * the flattest shape in the gate by design). */
   val GateRows: Seq[String] = Seq(
     "q_pseudo_ppl_5", "q_slope_binom_dist", "q_slope_fit_dist",
     "q_quality_classifier", "q_leakage_split_neardup", "q_pipeline",
     "q_exact_substr", "q_pseudo_ppl_ext", "q_pseudo_ppl_tri",
     "q_slope_cv", "q_pack_ids_gpt2", "q_bpe_train",
-    "q_tokenizer_export_unigram")
+    "q_tokenizer_export_unigram", "q_moore_lewis", "q_dsir")
 
   /** Per-row exponent bound: 1.0 for every row (sub-linear in corpus
     * size). The r11 gate carried a bespoke 1.45 bound for q_slope_cv

@@ -1476,6 +1476,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_moore_lewis" -> ((s, dir) => {
+      // Moore-Lewis cross-entropy-difference selection — the classic
+      // contrastive in-domain data selector: trigram Stupid-Backoff
+      // LMs for the in-domain slice (src0/src1 stand in for the
+      // curated corpus) and the whole pool, ce_diff = H_in − H_pool
+      // per doc, select where the rounded diff is negative (more
+      // in-domain-like than pool-typical). One shared token pass
+      // scores BOTH models; in-domain backoff live, pool backoff
+      // provably dead (self-LM)
+      val d = docs(s, dir)
+      val inDomain = d.filter(col("source").isin("src0", "src1"))
+      val out = graft.operators.LanguageModel.crossEntropyDiff(
+        d, "doc_id", "text", inDomain, order = 3,
+        parallelism = OpParallelism)
+      out.select(col("doc_id"), col("n_words"),
+        round(col("ce_in"), 6).as("ce_in"),
+        round(col("ce_out"), 6).as("ce_out"),
+        round(col("ce_diff"), 6).as("ce_diff"),
+        (round(col("ce_diff"), 6) < 0).as("ml_select"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dsir" -> ((s, dir) => {
+      // DSIR hashed importance weights (Xie et al. 2023) — the
+      // scalable contrastive selector: uni+bigram features hashed
+      // into 8192 md5 buckets, add-one-smoothed target (src0/src1,
+      // the same in-domain slice as q_moore_lewis) vs pool bucket
+      // distributions, per-doc log importance weight = bag-of-
+      // features log-likelihood ratio. The λ table is 8192 rows —
+      // broadcast by construction; one cached pool tokenize pass
+      val d = docs(s, dir)
+      val target = d.filter(col("source").isin("src0", "src1"))
+      val out = graft.operators.Sampling.dsirWeights(
+        d, "doc_id", "text", target, buckets = 8192,
+        parallelism = OpParallelism)
+      out.select(col("doc_id"), col("n_feats"),
+        round(col("log_w"), 6).as("log_w"),
+        (round(col("log_w"), 6) > 0).as("dsir_select"))
+        .orderBy("doc_id")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 top-k keyword retrieval (Robertson-Zaragoza 2009, Lucene
       // idf): postings of the 5 query terms only ever shuffle — the
@@ -5502,6 +5543,107 @@ object SparkEntry {
                   tot)
            SELECT doc_id, count(*)::BIGINT AS n_words,
              round(exp(-avg(ls)), 6) AS pseudo_ppl_ext
+           FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_moore_lewis" ->
+        s"""WITH t AS (
+             SELECT doc_id, source,
+               regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           e AS (SELECT doc_id, source, w, unnest(range(len(w))) AS pos
+                 FROM t),
+           tok AS (SELECT doc_id, source, pos, w[pos+1] AS word,
+                     CASE WHEN pos < 1 THEN NULL ELSE w[pos] END AS p1,
+                     CASE WHEN pos < 2 THEN NULL ELSE w[pos-1] END AS p2
+                   FROM e WHERE length(w[pos+1]) > 0),
+           itok AS (SELECT word, p1, p2 FROM tok
+                    WHERE source IN ('src0', 'src1')),
+           c1 AS (SELECT word, count(*)::DOUBLE AS c FROM tok GROUP BY word),
+           tot AS (SELECT sum(c) AS n FROM c1),
+           c2 AS (SELECT p1, word, count(*)::DOUBLE AS c FROM tok
+                  WHERE p1 IS NOT NULL GROUP BY p1, word),
+           c3 AS (SELECT p2, p1, word, count(*)::DOUBLE AS c FROM tok
+                  WHERE p2 IS NOT NULL GROUP BY p2, p1, word),
+           l2 AS (SELECT c2.p1, c2.word, ln(c2.c) - ln(x.c) AS ls
+                  FROM c2 JOIN c1 x ON c2.p1 = x.word),
+           l3 AS (SELECT c3.p2, c3.p1, c3.word, ln(c3.c) - ln(x.c) AS ls
+                  FROM c3 JOIN c2 x ON c3.p2 = x.p1 AND c3.p1 = x.word),
+           i1 AS (SELECT word, count(*)::DOUBLE AS c FROM itok GROUP BY word),
+           itot AS (SELECT sum(c) AS n FROM i1),
+           i2 AS (SELECT p1, word, count(*)::DOUBLE AS c FROM itok
+                  WHERE p1 IS NOT NULL GROUP BY p1, word),
+           i3 AS (SELECT p2, p1, word, count(*)::DOUBLE AS c FROM itok
+                  WHERE p2 IS NOT NULL GROUP BY p2, p1, word),
+           il2 AS (SELECT i2.p1, i2.word, ln(i2.c) - ln(x.c) AS ls
+                   FROM i2 JOIN i1 x ON i2.p1 = x.word),
+           il3 AS (SELECT i3.p2, i3.p1, i3.word, ln(i3.c) - ln(x.c) AS ls
+                   FROM i3 JOIN i2 x ON i3.p2 = x.p1 AND i3.p1 = x.word),
+           sc AS (SELECT tok.doc_id,
+                    CASE WHEN tok.p1 IS NULL THEN ln(u.c) - ln(tot.n)
+                         WHEN tok.p2 IS NULL THEN l2.ls
+                         ELSE l3.ls END AS ls_out,
+                    CASE WHEN tok.p1 IS NULL THEN
+                           coalesce(ln(iu.c) - ln(itot.n),
+                             ln(0.000000001::DOUBLE))
+                         WHEN tok.p2 IS NULL THEN coalesce(il2.ls,
+                           ln(0.4::DOUBLE) +
+                             coalesce(ln(iu.c) - ln(itot.n),
+                               ln(0.000000001::DOUBLE)))
+                         ELSE coalesce(il3.ls,
+                           ln(0.4::DOUBLE) + coalesce(il2.ls,
+                             ln(0.4::DOUBLE) +
+                               coalesce(ln(iu.c) - ln(itot.n),
+                                 ln(0.000000001::DOUBLE))))
+                    END AS ls_in
+                  FROM tok LEFT JOIN c1 u ON tok.word = u.word
+                  LEFT JOIN l2 ON l2.p1 = tok.p1 AND l2.word = tok.word
+                  LEFT JOIN l3 ON l3.p2 = tok.p2 AND l3.p1 = tok.p1
+                    AND l3.word = tok.word
+                  LEFT JOIN i1 iu ON tok.word = iu.word
+                  LEFT JOIN il2 ON il2.p1 = tok.p1 AND il2.word = tok.word
+                  LEFT JOIN il3 ON il3.p2 = tok.p2 AND il3.p1 = tok.p1
+                    AND il3.word = tok.word,
+                  tot, itot)
+           SELECT doc_id, count(*)::BIGINT AS n_words,
+             round(-avg(ls_in), 6) AS ce_in,
+             round(-avg(ls_out), 6) AS ce_out,
+             round(avg(ls_out) - avg(ls_in), 6) AS ce_diff,
+             (round(avg(ls_out) - avg(ls_in), 6) < 0) AS ml_select
+           FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_dsir" ->
+        s"""WITH t AS (
+             SELECT doc_id, source,
+               regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           e AS (SELECT doc_id, source, w, unnest(range(len(w))) AS pos
+                 FROM t),
+           tok AS (SELECT doc_id, source, w[pos+1] AS word,
+                     CASE WHEN pos < 1 THEN NULL ELSE w[pos] END AS p1
+                   FROM e WHERE length(w[pos+1]) > 0),
+           f AS (SELECT doc_id, source, word AS gram FROM tok
+                 UNION ALL
+                 SELECT doc_id, source, p1 || chr(1) || word AS gram
+                 FROM tok WHERE p1 IS NOT NULL),
+           fb AS (SELECT doc_id, source,
+                    (('0x' || substr(md5(gram), 1, 8))::UBIGINT
+                      % 8192)::BIGINT AS bucket
+                  FROM f),
+           cr AS (SELECT bucket, count(*)::DOUBLE AS c FROM fb
+                  GROUP BY bucket),
+           ct AS (SELECT bucket, count(*)::DOUBLE AS c FROM fb
+                  WHERE source IN ('src0', 'src1') GROUP BY bucket),
+           nr AS (SELECT sum(c) AS n FROM cr),
+           nt AS (SELECT sum(c) AS n FROM ct),
+           lam AS (SELECT cr.bucket,
+                     ln(coalesce(ct.c, 0) + 1) - ln(nt.n + 8192)
+                       - ln(cr.c + 1) + ln(nr.n + 8192) AS lam
+                   FROM cr LEFT JOIN ct USING (bucket), nr, nt),
+           sc AS (SELECT fb.doc_id, lam.lam FROM fb
+                  JOIN lam USING (bucket))
+           SELECT doc_id, count(*)::BIGINT AS n_feats,
+             round(sum(lam), 6) AS log_w,
+             (round(sum(lam), 6) > 0) AS dsir_select
            FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
       "q_bm25" ->

@@ -257,6 +257,17 @@ object LanguageModel {
     models.toMap
   }
 
+  /** Position-class predicate over a [[tokenizeNgrams]] frame: class 1
+    * = the doc's first token (no context), class k < order = exactly
+    * the token at position k-1 (k-1 context words, no more), class
+    * `order` = every later token (full context). Disjoint and
+    * exhaustive because a null prev_k implies null prev_{k+1}. */
+  private[graft] def positionClassFilter(k: Int, order: Int) =
+    if (k == 1) col("prev1").isNull
+    else if (k < order) col(s"prev${k - 1}").isNotNull &&
+      col(s"prev$k").isNull
+    else col(s"prev${order - 1}").isNotNull
+
   /** Order-`order` Stupid-Backoff pseudo-perplexity — the general gate
     * behind [[bigramPseudoPerplexity]] and [[trigramPseudoPerplexity]],
     * at `order = 5` the full CCNet/KenLM-order fluency filter. Score of
@@ -320,11 +331,7 @@ object LanguageModel {
     // position class k scores with the order-k model: class 1 = first
     // token, class k < order = exactly the token at position k-1,
     // class `order` = every later token
-    def classFilter(k: Int) =
-      if (k == 1) col("prev1").isNull
-      else if (k < order) col(s"prev${k - 1}").isNotNull &&
-        col(s"prev$k").isNull
-      else col(s"prev${order - 1}").isNotNull
+    def classFilter(k: Int) = positionClassFilter(k, order)
     val classLs = (1 to order).map { k =>
       val classTok = tokens.filter(classFilter(k))
       if (modelDocs.isEmpty) {
@@ -358,5 +365,89 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_words"), avg(col("ls")).as("mean_ls"))
       .select(col(idCol), col("n_words"),
         exp(-col("mean_ls")).as(s"pseudo_ppl_$order"))
+  }
+
+  /** Moore-Lewis cross-entropy-difference data selection (Moore &
+    * Lewis 2010, "Intelligent Selection of Language Model Training
+    * Data") — the classic contrastive in-domain selector: score every
+    * pool document under an IN-DOMAIN LM and under the POOL's own LM,
+    * and rank by the difference
+    *
+    *   ce_diff(d) = H_in(d) − H_pool(d)
+    *
+    * (per-token cross-entropies in nats). Low ce_diff = the document
+    * looks like the in-domain corpus RELATIVE to how typical it is of
+    * the pool — the normalization that makes this beat a plain
+    * in-domain-LM gate (which just prefers short/stereotypical text).
+    * Both LMs are order-`order` Stupid-Backoff models
+    * ([[buildNgramModels]]; Brants et al. 2007, raw counts, alpha
+    * backoff). Output: (idCol, n_words, ce_in, ce_out, ce_diff) —
+    * empty documents vanish (no tokens), like every gate in this file.
+    *
+    * Against the in-domain models backoff is LIVE (the pool contains
+    * n-grams/words the in-domain corpus never saw): each position
+    * class routes once through its k left joins with the alpha chain
+    * as a coalesce, bottoming out at `oovLogp` — exactly
+    * [[ngramPseudoPerplexity]]'s external mode. Against the pool's own
+    * models the backoff branches are provably dead (every observed
+    * k-gram is in its model frame by construction), so the pool score
+    * is ONE inner join per class — the self-LM fast path. Both scores
+    * ride the SAME class pass: the k-th class frame joins the pool
+    * model (inner) and the in-domain chain (left) in one plan, one
+    * final per-doc aggregation.
+    *
+    * 100-TB shape: the pool corpus is tokenized ONCE (cached token
+    * frame shared by the pool-model build and both scorings — at scale
+    * the tokenize pass dominates, so calling the two ppl operators
+    * separately would double it); the in-domain corpus is by
+    * definition small next to the pool. All model builds are map-side
+    * combined groupBys; scoring is keyed equi-joins with vocab-sized
+    * right sides (AQE broadcasts them when they fit); no windows, no
+    * self-joins, the only corpus-sized exchange is the final per-doc
+    * aggregation, partial-aggregated and spillable. */
+  def crossEntropyDiff(docs: DataFrame, idCol: String, textCol: String,
+                       inDomainDocs: DataFrame, order: Int = 3,
+                       alpha: Double = 0.4,
+                       oovLogp: Double = math.log(1e-9),
+                       parallelism: Int = 0): DataFrame = {
+    require(order >= 2 && order <= 8,
+      s"order must be in [2, 8], got $order")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val tokens = graft.CacheRegistry.register(
+      tokenizeNgrams(docs, Some(idCol), textCol, order, parallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val inTokens = graft.CacheRegistry.register(
+      tokenizeNgrams(inDomainDocs, None, textCol, order, parallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val inModels = buildNgramModels(inTokens, order)
+    val poolModels = buildNgramModels(tokens, order)
+    val classScores = (1 to order).map { k =>
+      val classTok = tokens.filter(positionClassFilter(k, order))
+        .select((col(idCol) +: (1 to k).map(j => gramKey(j).as(s"gram$j"))): _*)
+      // pool side: the class-k token's order-k gram is in the pool
+      // model by construction — inner join, backoff dead
+      var df = classTok.join(
+        poolModels(k).select(col("gram").as(s"gram$k"),
+          col("ls").as("ls_out")), Seq(s"gram$k"))
+      // in-domain side: backoff live — left joins orders k..1, then
+      // the alpha chain as a coalesce (the external-mode shape)
+      for (j <- k to 1 by -1)
+        df = df.join(inModels(j).select(col("gram").as(s"gram$j"),
+          col("ls").as(s"ls_in$j")), Seq(s"gram$j"), "left")
+      var lsIn: org.apache.spark.sql.Column =
+        coalesce(col("ls_in1"), lit(oovLogp))
+      for (j <- 2 to k)
+        lsIn = coalesce(col(s"ls_in$j"), log(lit(alpha)) + lsIn)
+      df.select(col(idCol), lsIn.as("ls_in"), col("ls_out"))
+    }
+    classScores.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        avg(col("ls_in")).as("mean_ls_in"),
+        avg(col("ls_out")).as("mean_ls_out"))
+      .select(col(idCol), col("n_words"),
+        (-col("mean_ls_in")).as("ce_in"),
+        (-col("mean_ls_out")).as("ce_out"),
+        (col("mean_ls_out") - col("mean_ls_in")).as("ce_diff"))
   }
 }

@@ -304,4 +304,75 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("__q", "__prior", "__in_lvl")
   }
+
+  /** DSIR importance weights — Data Selection via Importance
+    * Resampling (Xie et al. 2023): the hashed-feature contrastive
+    * selector that scales where an explicit n-gram LM
+    * ([[LanguageModel.crossEntropyDiff]], Moore-Lewis) would carry an
+    * unbounded vocabulary. Features are the document's unigrams AND
+    * bigrams over normalized words, hashed into `buckets` cells
+    * (md5-derived, engine-portable like every hash in this file);
+    * target and raw (pool) bucket distributions get add-one smoothing;
+    * a document's log importance weight is the bag-of-features
+    * log-likelihood ratio
+    *
+    *   log w(d) = Σ_{g ∈ grams(d)} [ln p_target(b(g)) − ln p_raw(b(g))]
+    *
+    * with p(b) = (c_b + 1) / (N + buckets). High log_w = the document
+    * looks like the target distribution relative to the pool — the
+    * paper resamples with these as Gumbel-perturbed keys; this
+    * operator returns the deterministic weights (callers rank or
+    * threshold; [[hashSample]] composes for the stochastic step).
+    * Output: (idCol, n_feats, log_w); empty documents vanish.
+    *
+    * 100-TB shape: the pool is tokenized ONCE (cached feature frame
+    * shared by the raw-count build and the scoring join); the λ table
+    * is EXACTLY `buckets` rows — broadcast by construction, which is
+    * the whole point of hashing: scoring is one broadcast-joined
+    * map-side pass + one per-doc aggregation, no vocabulary-sized
+    * state anywhere. Counts are map-side-combined groupBys; no
+    * windows, no self-joins. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetDocs: DataFrame, buckets: Int = 8192,
+                  parallelism: Int = 0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // uni+bi gram buckets per row; GramSep joins bigram parts (cannot
+    // occur in a normalized word — LanguageModel.GramSep discipline)
+    def featureFrame(src: DataFrame, id: Option[String]): DataFrame = {
+      val toks = LanguageModel.tokenizeNgrams(src, id, textCol, 2,
+        parallelism)
+      val idCols = id.map(col).toSeq
+      val uni = toks.select((idCols :+ col("word").as("gram")): _*)
+      val bi = toks.filter(col("prev1").isNotNull)
+        .select((idCols :+ concat_ws(LanguageModel.GramSep,
+          col("prev1"), col("word")).as("gram")): _*)
+      uni.unionByName(bi).select((idCols :+
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket")): _*)
+    }
+    val feats = graft.CacheRegistry.register(
+      featureFrame(docs, Some(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rawCounts = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tCounts = featureFrame(targetDocs, None)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val rawTot = rawCounts.agg(sum("cr").as("nr"))
+    val tTot = tCounts.agg(sum("ct").as("nt"))
+    // λ per bucket; left join suffices (every scored bucket is in the
+    // raw counts by construction — the pool contains the docs)
+    val lam = rawCounts.join(tCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tTot))
+      .select(col("bucket"),
+        (log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
+          - log(col("nt").cast("double") + buckets.toDouble)
+          - log(col("cr").cast("double") + 1.0)
+          + log(col("nr").cast("double") + buckets.toDouble)).as("lam"))
+    // explicit broadcast: λ is ≤ `buckets` rows BY CONSTRUCTION, but
+    // Catalyst's size estimate for an aggregate over corpus scans is
+    // corpus-sized — at 100 TB the auto-planner would sort-merge the
+    // token-sized feats frame on 8k keys instead of map-side scoring
+    feats.join(broadcast(lam), "bucket")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("log_w"))
+  }
 }

@@ -1731,6 +1731,112 @@ class OperatorsSpec extends AnyFunSuite {
       s"got $gp want $wantPure")
   }
 
+  test("Moore-Lewis cross-entropy diff ≡ the two ppl gates it contrasts") {
+    import spark.implicits._
+    val lm = graft.operators.LanguageModel
+    // pool = in-domain-vocab docs + out-vocab docs + mixed docs; the
+    // in-domain slice is a SUBSET of the pool (the production shape)
+    val rnd = new scala.util.Random(11)
+    val vocabIn = Vector("alpha", "beta", "gamma", "delta", "the")
+    val vocabOut = Vector("rocket", "engine", "turbo", "pump", "the")
+    def mk(id: Long, v: Vector[String], n: Int) =
+      id -> Seq.fill(n)(v(rnd.nextInt(v.size))).mkString(" ")
+    val inDocs = (1L to 25L).map(i => mk(i, vocabIn, 3 + rnd.nextInt(8)))
+    val outDocs = (100L to 124L).map(i => mk(i, vocabOut, 3 + rnd.nextInt(8)))
+    val mixed = (200L to 209L).map(i =>
+      mk(i, vocabIn ++ vocabOut, 3 + rnd.nextInt(8)))
+    val pool = (inDocs ++ outDocs ++ mixed).toDF("doc_id", "text")
+    val inDf = inDocs.toDF("doc_id", "text")
+    val got = lm.crossEntropyDiff(pool, "doc_id", "text", inDf, order = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // differential: ce_out is exactly the self-LM trigram gate's
+    // ln(ppl); ce_in exactly the external-mode gate's, model = inDf
+    val selfPpl = lm.ngramPseudoPerplexity(pool, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val extPpl = lm.ngramPseudoPerplexity(pool, "doc_id", "text", 3,
+        modelDocs = Some(inDf))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == selfPpl.keySet && got.keySet == extPpl.keySet)
+    got.foreach { case (id, (n, ceIn, ceOut, ceDiff)) =>
+      assert(n == selfPpl(id)._1, s"doc $id n_words")
+      val wantOut = math.log(selfPpl(id)._2)
+      val wantIn = math.log(extPpl(id))
+      assert(math.abs(ceOut - wantOut) <= 1e-9 * math.max(1.0, wantOut.abs),
+        s"doc $id ce_out: got $ceOut want $wantOut")
+      assert(math.abs(ceIn - wantIn) <= 1e-9 * math.max(1.0, wantIn.abs),
+        s"doc $id ce_in: got $ceIn want $wantIn")
+      assert(math.abs(ceDiff - (ceIn - ceOut)) <= 1e-9,
+        s"doc $id ce_diff inconsistent")
+    }
+    // selection semantics: every pure-in-domain doc ranks below every
+    // pure-out-domain doc (out-vocab content words are OOV to the
+    // in-domain LM, so their ce_in floors while ce_out stays typical)
+    val worstIn = inDocs.map(d => got(d._1)._4).max
+    val bestOut = outDocs.map(d => got(d._1)._4).min
+    assert(worstIn < bestOut,
+      s"in-domain docs must outrank out-domain: $worstIn vs $bestOut")
+  }
+
+  test("DSIR hashed importance weights match the in-memory reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocabIn = Vector("alpha", "beta", "gamma", "delta", "the")
+    val vocabOut = Vector("rocket", "engine", "turbo", "pump", "the")
+    def mk(id: Long, v: Vector[String], n: Int) =
+      id -> Seq.fill(n)(v(rnd.nextInt(v.size))).mkString(" ")
+    val inDocs = (1L to 20L).map(i => mk(i, vocabIn, 2 + rnd.nextInt(9)))
+    val outDocs = (100L to 119L).map(i => mk(i, vocabOut, 2 + rnd.nextInt(9)))
+    val pool = (inDocs ++ outDocs).toDF("doc_id", "text")
+    val target = inDocs.toDF("doc_id", "text")
+    val B = 64 // small bucket count so hash COLLISIONS are exercised
+    val got = Sampling.dsirWeights(pool, "doc_id", "text", target, buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // in-memory reference: same normalization, md5-first-8-hex bucket
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", " ")
+      .replaceAll(" +", " ").trim.split(" ").toSeq.filter(_.nonEmpty)
+    def bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    def grams(t: String): Seq[Long] = {
+      val ws = norm(t)
+      (ws ++ ws.sliding(2).filter(_.size == 2)
+        .map(_.mkString(""))).map(bucket)
+    }
+    val poolB = (inDocs ++ outDocs).flatMap(d => grams(d._2))
+    val tgtB = inDocs.flatMap(d => grams(d._2))
+    val cr = poolB.groupBy(identity).view.mapValues(_.size).toMap
+    val ct = tgtB.groupBy(identity).view.mapValues(_.size).toMap
+    val distinctGrams = (inDocs ++ outDocs).flatMap { d =>
+      val ws = norm(d._2)
+      ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString("\u0001"))
+    }.distinct.size
+    def lam(b: Long) =
+      math.log(ct.getOrElse(b, 0) + 1.0) - math.log(tgtB.size + B.toDouble) -
+        math.log(cr(b) + 1.0) + math.log(poolB.size + B.toDouble)
+    val want = (inDocs ++ outDocs).map { case (id, t) =>
+      val gs = grams(t); id -> (gs.size.toLong, gs.map(lam).sum)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    // collisions must actually occur at B=64 or the test is weak:
+    // more distinct gram strings than occupied buckets
+    assert(distinctGrams > cr.size,
+      s"want hash collisions: $distinctGrams grams in ${cr.size} buckets")
+    want.foreach { case (id, (n, w)) =>
+      assert(got(id)._1 == n, s"doc $id n_feats: ${got(id)._1} vs $n")
+      assert(math.abs(got(id)._2 - w) <= 1e-9 * math.max(1.0, w.abs),
+        s"doc $id log_w: ${got(id)._2} vs $w")
+    }
+    // selection semantics: target-like docs carry higher weights
+    val worstIn = inDocs.map(d => got(d._1)._2).min
+    val bestOut = outDocs.map(d => got(d._1)._2).max
+    assert(worstIn > bestOut,
+      s"in-domain docs must outweigh out-domain: $worstIn vs $bestOut")
+  }
+
   test("trigram LM separates a bigram-preserving half-swap the bigram model scores flat") {
     import spark.implicits._
     val lm = graft.operators.LanguageModel
