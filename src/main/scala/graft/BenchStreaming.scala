@@ -198,6 +198,45 @@ object BenchStreaming {
     }
   }
 
+  /** Streaming DSIR gate throughput: the full-domain 8192-bucket λ
+    * table trained once from 500-doc static raw/target corpora, every
+    * arriving doc scored via the broadcast stream-static probe.
+    * State rows must read ZERO like the LM gate. */
+  def benchDsirGate(spark: SparkSession, batches: Int,
+                    batchSize: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = (0L until 500L).map(i => (i, docText(i, 30)))
+      .toDF("doc_id", "text")
+    val target = (0L until 100L).map(i => (i, docText(i * 3, 30)))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.DocStreams
+      .streamingDsirGate(docs, raw, target)
+      .writeStream.format("memory").queryName("bench_dsirgate")
+      .outputMode("update").start()
+    try {
+      var k = 100000L
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        val batch = Array.tabulate(batchSize)(i => (k + i, docText(k + i, 30)))
+        k += batchSize
+        stream.addData(batch.toIndexedSeq)
+        out.processAllAvailable()
+        b += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = batches.toLong * batchSize
+      Result("dsir_gate_stream", rows, batches, dt, rows / dt,
+        stateRowsOf(out))
+    } finally {
+      out.stop(); graft.CacheRegistry.releaseAll()
+      spark.sql("DROP TABLE IF EXISTS bench_dsirgate")
+    }
+  }
+
   /** MinHash-LSH near-dup pair stream throughput: every doc is
     * signatured (n-gram shingles -> 32 hashes), banded into 8 bucket
     * states, scored against stored members. ~6% of docs are exact
@@ -317,9 +356,11 @@ object BenchStreaming {
       val t = benchTokenCounts(spark, batches = 10, batchSize = 1000)
       benchLmGate(spark, batches = 2, batchSize = 200) // warm
       val g = benchLmGate(spark, batches = 10, batchSize = 1000)
+      benchDsirGate(spark, batches = 2, batchSize = 200) // warm
+      val dg = benchDsirGate(spark, batches = 10, batchSize = 1000)
       benchStreamingPack(spark, batches = 2, batchSize = 200) // warm
       val pk = benchStreamingPack(spark, batches = 10, batchSize = 1000)
-      Seq(s, m, floor, mBig2, t, g, pk)
+      Seq(s, m, floor, mBig2, t, g, dg, pk)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

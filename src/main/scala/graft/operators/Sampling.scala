@@ -332,24 +332,33 @@ object Sampling {
     * map-side pass + one per-doc aggregation, no vocabulary-sized
     * state anywhere. Counts are map-side-combined groupBys; no
     * windows, no self-joins. */
+  /** The DSIR feature frame: one row per unigram AND bigram of the
+    * normalized words, reduced to its md5 hash bucket (GramSep joins
+    * bigram parts — collision-free, the separator cannot occur in a
+    * normalized word). Shared by [[dsirWeights]] and the streaming
+    * gate ([[graft.streaming.DocStreams]]); works unchanged on a
+    * streaming `src` (pure per-row transform). */
+  private[graft] def dsirFeatures(src: DataFrame, id: Option[String],
+                                  textCol: String, buckets: Int,
+                                  parallelism: Int): DataFrame = {
+    val toks = LanguageModel.tokenizeNgrams(src, id, textCol, 2,
+      parallelism)
+    val idCols = id.map(col).toSeq
+    val uni = toks.select((idCols :+ col("word").as("gram")): _*)
+    val bi = toks.filter(col("prev1").isNotNull)
+      .select((idCols :+ concat_ws(LanguageModel.GramSep,
+        col("prev1"), col("word")).as("gram")): _*)
+    uni.unionByName(bi).select((idCols :+
+      pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)).as("bucket")): _*)
+  }
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetDocs: DataFrame, buckets: Int = 8192,
                   parallelism: Int = 0): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    // uni+bi gram buckets per row; GramSep joins bigram parts (cannot
-    // occur in a normalized word — LanguageModel.GramSep discipline)
-    def featureFrame(src: DataFrame, id: Option[String]): DataFrame = {
-      val toks = LanguageModel.tokenizeNgrams(src, id, textCol, 2,
-        parallelism)
-      val idCols = id.map(col).toSeq
-      val uni = toks.select((idCols :+ col("word").as("gram")): _*)
-      val bi = toks.filter(col("prev1").isNotNull)
-        .select((idCols :+ concat_ws(LanguageModel.GramSep,
-          col("prev1"), col("word")).as("gram")): _*)
-      uni.unionByName(bi).select((idCols :+
-        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("bucket")): _*)
-    }
+    def featureFrame(src: DataFrame, id: Option[String]): DataFrame =
+      dsirFeatures(src, id, textCol, buckets, parallelism)
     val feats = graft.CacheRegistry.register(
       featureFrame(docs, Some(idCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -495,6 +495,8 @@ object DocStreams {
 
   case class LmGateOut(doc_id: Long, n_words: Long, pseudo_ppl: Double)
 
+  case class DsirGateOut(doc_id: Long, n_feats: Long, log_w: Double)
+
   case class LangGateOut(doc_id: Long, lang_pred: String)
 
   case class SemGateOut(vec_id: Long, is_near_dup: Boolean,
@@ -721,6 +723,85 @@ object DocStreams {
           rows.foreach { r => n += 1; s += r._2 }
           if (state.exists) state.remove()
           Iterator(LmGateOut(id, n, math.exp(-s / n)))
+      }.toDF()
+  }
+
+  /** Streaming DSIR selection gate — the streaming face of
+    * [[graft.operators.Sampling.dsirWeights]] (Xie et al. 2023) run
+    * as an ingest filter: the hashed-feature λ table is trained ONCE
+    * from STATIC raw-pool and target corpora, and every arriving
+    * document is scored with its bag-of-features log importance
+    * weight via a broadcast stream-static join.
+    *
+    * Unlike the batch operator (whose scored docs ARE the raw pool,
+    * so every feature bucket is observed by construction), a stream
+    * document can hash into a bucket neither static corpus saw. The
+    * λ table here is therefore built over the FULL bucket domain —
+    * `spark.range(buckets)` left-joined with both count frames — so
+    * the stream-side join is a guaranteed-hit inner join with no
+    * miss/coalesce path, and unseen buckets carry the correct
+    * add-one-smoothed value ln(1)−ln(Nt+B)−ln(1)+ln(Nr+B). Exactly
+    * `buckets` rows, always; `broadcast()`-hinted (AQE is off in
+    * streaming plans, and Catalyst's static size estimate for the
+    * count aggregates is corpus-sized).
+    *
+    * Per-doc fold + single emission via `flatMapGroupsWithState`
+    * with state removed in the doc's own batch — zero retained
+    * state, docs batch-atomic like every per-doc gate here. Output:
+    * (doc_id, n_feats, log_w); matches the batch operator
+    * doc-for-doc where the doc's buckets are raw-observed (fp
+    * addition order differs — ~1e-12 relative, tested), and the
+    * full-domain λ formula everywhere else.
+    *
+    * 100-TB shape: per micro-batch the work is one map-side
+    * broadcast-hash probe per feature + one per-doc aggregation —
+    * shuffle-free up to the fold; λ is model-sized (`buckets` rows)
+    * regardless of corpus scale. The λ cache registers with
+    * [[graft.CacheRegistry]]: release after the stream stops. */
+  def streamingDsirGate(docs: DataFrame, rawDocs: DataFrame,
+                        targetDocs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        buckets: Int = 8192,
+                        parallelism: Int = 0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val sm = graft.operators.Sampling
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rawCounts = sm.dsirFeatures(rawDocs, None, textCol, buckets,
+        parallelism)
+      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tCounts = sm.dsirFeatures(targetDocs, None, textCol, buckets,
+        parallelism)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    // 1-row totals; coalesce(0) keeps even an empty corpus lawful
+    // (p(b) = 1/buckets for every bucket)
+    val totals = broadcast(
+      rawCounts.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
+        .crossJoin(tCounts.agg(coalesce(sum("ct"), lit(0L)).as("nt"))))
+    val lam = graft.CacheRegistry.register(
+      spark.range(buckets).toDF("bucket")
+        .join(rawCounts, Seq("bucket"), "left")
+        .join(tCounts, Seq("bucket"), "left")
+        .crossJoin(totals)
+        .select(col("bucket"),
+          (log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
+            - log(col("nt").cast("double") + buckets.toDouble)
+            - log(coalesce(col("cr"), lit(0L)).cast("double") + 1.0)
+            + log(col("nr").cast("double") + buckets.toDouble)).as("lam"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sm.dsirFeatures(docs, Some(idCol), textCol, buckets, parallelism)
+      .join(broadcast(lam), Seq("bucket"))
+      .select(col(idCol).cast("long").as("id"), col("lam"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, DsirGateOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (id, rows, state: GroupState[Boolean]) =>
+          var n = 0L; var s = 0.0
+          rows.foreach { r => n += 1; s += r._2 }
+          if (state.exists) state.remove()
+          Iterator(DsirGateOut(id, n, s))
       }.toDF()
   }
 

@@ -743,6 +743,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("lmgate_test").count() == expected.size)
   }
 
+  test("streaming DSIR gate equals batch weights; unseen buckets score the full-domain λ") {
+    // λ trained once on static raw+target corpora; the stream scored
+    // per micro-batch via the broadcast full-domain λ. Docs whose
+    // buckets are raw-observed must equal Sampling.dsirWeights
+    // doc-for-doc (fp order differs — ~1e-12 relative); a doc with
+    // vocabulary neither corpus saw must score the add-one-smoothed
+    // unseen-bucket value, not drop or NaN.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val vocabIn = Vector("alpha", "beta", "gamma", "delta", "the")
+    val vocabOut = Vector("rocket", "engine", "turbo", "pump", "the")
+    def mk(id: Long, v: Vector[String], n: Int) =
+      id -> Seq.fill(n)(v(rnd.nextInt(v.size))).mkString(" ")
+    val inDocs = (1L to 15L).map(i => mk(i, vocabIn, 2 + rnd.nextInt(8)))
+    val outDocs = (100L to 114L).map(i => mk(i, vocabOut, 2 + rnd.nextInt(8)))
+    val crawl = inDocs ++ outDocs
+    val rawDf = crawl.toDF("doc_id", "text")
+    val targetDf = inDocs.toDF("doc_id", "text")
+    val B = 64
+    val expected = graft.operators.Sampling
+      .dsirWeights(rawDf, "doc_id", "text", targetDf, buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // the unseen-vocab doc: "qqq zzz9" -> 2 unigrams + 1 bigram; its
+    // expected weight from the full-domain formula, accounting for
+    // possible collisions into observed buckets at B=64
+    def bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % B
+    }
+    def gramBuckets(t: String): Seq[Long] = {
+      val ws = t.split(" ").toSeq
+      (ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString("")))
+        .map(bucket)
+    }
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", " ")
+      .replaceAll(" +", " ").trim.split(" ").toSeq.filter(_.nonEmpty)
+    val poolB = crawl.flatMap(d =>
+      gramBuckets(norm(d._2).mkString(" ")))
+    val tgtB = inDocs.flatMap(d => gramBuckets(norm(d._2).mkString(" ")))
+    val cr = poolB.groupBy(identity).view.mapValues(_.size).toMap
+    val ct = tgtB.groupBy(identity).view.mapValues(_.size).toMap
+    def lam(b: Long) =
+      math.log(ct.getOrElse(b, 0) + 1.0) - math.log(tgtB.size + B.toDouble) -
+        math.log(cr.getOrElse(b, 0) + 1.0) + math.log(poolB.size + B.toDouble)
+    val novel = 999L -> "qqq zzz9"
+    val novelWant = gramBuckets(novel._2).map(lam).sum
+
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingDsirGate(
+      stream.toDF().toDF("doc_id", "text"), rawDf, targetDf, buckets = B)
+      .writeStream.format("memory").queryName("dsir_gate_test")
+      .outputMode("update").start()
+    stream.addData(crawl.take(18): _*)
+    q.processAllAvailable()
+    stream.addData((crawl.drop(18) :+ novel): _*)
+    q.processAllAvailable()
+    val got = spark.table("dsir_gate_test").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    q.stop()
+    graft.CacheRegistry.releaseAll()
+    assert(got.keySet == expected.keySet + novel._1)
+    expected.foreach { case (id, (n, w)) =>
+      assert(got(id)._1 == n, s"doc $id n_feats: ${got(id)._1} != $n")
+      assert(math.abs(got(id)._2 - w) <= 1e-12 * math.max(1.0, w.abs),
+        s"doc $id: stream ${got(id)._2} != batch $w")
+    }
+    assert(got(novel._1)._1 == 3, "novel doc: 2 unigrams + 1 bigram")
+    assert(math.abs(got(novel._1)._2 - novelWant) <=
+      1e-12 * math.max(1.0, novelWant.abs),
+      s"novel doc: ${got(novel._1)._2} != $novelWant")
+    // each doc emitted exactly once (state removed in its own batch)
+    assert(spark.table("dsir_gate_test").count() == expected.size + 1)
+  }
+
   test("streaming token counts: complete-mode aggregation equals batch across batches") {
     // corpus heavy-hitter counting as a stream: one keyed aggregation
     // (state = one row per distinct token) in complete output mode —
