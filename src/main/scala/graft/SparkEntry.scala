@@ -1517,6 +1517,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_dsir_sample" -> ((s, dir) => {
+      // the DSIR pipeline end-to-end: hashed importance weights
+      // (same target slice as q_dsir) -> derandomized Gumbel-top-k
+      // resampling (the paper's softmax-weighted without-replacement
+      // draw, noise from the content hash, key quantized to the 1e-6
+      // grid so the selection boundary replays in any engine). Top 50
+      // via TakeOrderedAndProject — per-partition heaps, no global
+      // sort. The weight fed to the sampler is the ROUNDED log_w (the
+      // q_dsir output surface), keeping engine and oracle keys
+      // byte-comparable
+      val d = docs(s, dir)
+      val target = d.filter(col("source").isin("src0", "src1"))
+      val w = graft.operators.Sampling.dsirWeights(
+        d, "doc_id", "text", target, buckets = 8192,
+        parallelism = OpParallelism)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("log_w"), 6).as("log_w"))
+      graft.operators.Sampling.dsirResample(
+        w, "doc_id", "log_w", k = 50)
+        .select(col("doc_id"), col("n_feats"), col("log_w"),
+          col("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id"))
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 top-k keyword retrieval (Robertson-Zaragoza 2009, Lucene
       // idf): postings of the 5 query terms only ever shuffle — the
@@ -5238,7 +5262,7 @@ object SparkEntry {
                sum(c)::BIGINT AS n_tokens,
                count(*)::BIGINT AS distinct_tokens,
                sum(c::DOUBLE * ln(c::DOUBLE)) AS sumclnc,
-               sum(c * c)::BIGINT AS sumc2,
+               sum(c::HUGEINT * c::HUGEINT) AS sumc2,
                max(c)::BIGINT AS cmax
              FROM tc GROUP BY 1)
            SELECT source, n_tokens, distinct_tokens,
@@ -5645,6 +5669,46 @@ object SparkEntry {
              round(sum(lam), 6) AS log_w,
              (round(sum(lam), 6) > 0) AS dsir_select
            FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_dsir_sample" ->
+        s"""WITH t AS (
+             SELECT doc_id, source,
+               regexp_split_to_array($NormSql, ' ') AS w
+             FROM documents),
+           e AS (SELECT doc_id, source, w, unnest(range(len(w))) AS pos
+                 FROM t),
+           tok AS (SELECT doc_id, source, w[pos+1] AS word,
+                     CASE WHEN pos < 1 THEN NULL ELSE w[pos] END AS p1
+                   FROM e WHERE length(w[pos+1]) > 0),
+           f AS (SELECT doc_id, source, word AS gram FROM tok
+                 UNION ALL
+                 SELECT doc_id, source, p1 || chr(1) || word AS gram
+                 FROM tok WHERE p1 IS NOT NULL),
+           fb AS (SELECT doc_id, source,
+                    (('0x' || substr(md5(gram), 1, 8))::UBIGINT
+                      % 8192)::BIGINT AS bucket
+                  FROM f),
+           cr AS (SELECT bucket, count(*)::DOUBLE AS c FROM fb
+                  GROUP BY bucket),
+           ct AS (SELECT bucket, count(*)::DOUBLE AS c FROM fb
+                  WHERE source IN ('src0', 'src1') GROUP BY bucket),
+           nr AS (SELECT sum(c) AS n FROM cr),
+           nt AS (SELECT sum(c) AS n FROM ct),
+           lam AS (SELECT cr.bucket,
+                     ln(coalesce(ct.c, 0) + 1) - ln(nt.n + 8192)
+                       - ln(cr.c + 1) + ln(nr.n + 8192) AS lam
+                   FROM cr LEFT JOIN ct USING (bucket), nr, nt),
+           wts AS (SELECT fb.doc_id, count(*)::BIGINT AS n_feats,
+                     round(sum(lam.lam), 6) AS log_w
+                   FROM fb JOIN lam USING (bucket) GROUP BY fb.doc_id),
+           keyed AS (SELECT doc_id, n_feats, log_w,
+                       round(log_w - ln(-ln(
+                         ((('0x' || substr(md5(doc_id::VARCHAR || 'graft'),
+                             1, 8))::UBIGINT)::DOUBLE + 0.5)
+                           / 4294967296.0)), 6) AS sample_key
+                     FROM wts)
+           SELECT doc_id, n_feats, log_w, sample_key
+           FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50""",
 
       "q_bm25" ->
         s"""WITH t AS (

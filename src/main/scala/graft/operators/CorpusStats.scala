@@ -96,8 +96,12 @@ object CorpusStats {
     *    (ln N − Σ cᵢ·ln cᵢ / N) / ln 2 — counts stay exact integers,
     *    ONE float sum (the q_token_drift parity discipline, round 6);
     *  - `renyi2_bits` = −log₂ Σ pᵢ² = (2·ln N − ln Σ cᵢ²) / ln 2 with
-    *    Σ cᵢ² an EXACT integer sum — the collision entropy, most
-    *    sensitive to head-heavy vocabularies;
+    *    Σ cᵢ² an EXACT integer sum in decimal(38,0) — a Long square
+    *    overflows once any count passes ~3×10⁹, which a 100-TB corpus
+    *    (~10¹³ tokens) reaches for every token above a 0.02% share;
+    *    decimal keeps the sum exact to 10³⁸ (ANSI-safe, no silent
+    *    wrap). The collision entropy, most sensitive to head-heavy
+    *    vocabularies;
     *  - `top_token_share` = max cᵢ / N.
     *
     * 100-TB shape: one tokenize pass → map-side-combined
@@ -116,7 +120,8 @@ object CorpusStats {
         count(lit(1)).as("distinct_tokens"),
         sum(col("c").cast("double") * log(col("c").cast("double")))
           .as("__sumclnc"),
-        sum(col("c") * col("c")).as("__sumc2"),
+        sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+          .as("__sumc2"),
         max("c").as("__cmax"))
       .select(col("grp"), col("n_tokens"), col("distinct_tokens"),
         round((log(col("n_tokens").cast("double"))

@@ -353,6 +353,20 @@ object Sampling {
         lit(buckets.toLong)).as("bucket")): _*)
   }
 
+  /** The add-one-smoothed DSIR bucket log-likelihood ratio
+    *   λ(b) = ln((ct_b + 1) / (Nt + B)) − ln((cr_b + 1) / (Nr + B))
+    * as a Column over nullable count columns (null ⇒ 0 — an
+    * unobserved bucket). The ONE definition both the batch operator
+    * and [[graft.streaming.DocStreams.streamingDsirGate]] score with:
+    * their doc-for-doc parity is pinned by StreamingSpec, so the
+    * formula must not fork. */
+  private[graft] def dsirLambdaCol(ct: Column, cr: Column, nt: Column,
+                                   nr: Column, buckets: Int): Column =
+    log(coalesce(ct, lit(0L)).cast("double") + 1.0) -
+      log(nt.cast("double") + buckets.toDouble) -
+      log(coalesce(cr, lit(0L)).cast("double") + 1.0) +
+      log(nr.cast("double") + buckets.toDouble)
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetDocs: DataFrame, buckets: Int = 8192,
                   parallelism: Int = 0): DataFrame = {
@@ -371,11 +385,8 @@ object Sampling {
     // raw counts by construction — the pool contains the docs)
     val lam = rawCounts.join(tCounts, Seq("bucket"), "left")
       .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tTot))
-      .select(col("bucket"),
-        (log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
-          - log(col("nt").cast("double") + buckets.toDouble)
-          - log(col("cr").cast("double") + 1.0)
-          + log(col("nr").cast("double") + buckets.toDouble)).as("lam"))
+      .select(col("bucket"), dsirLambdaCol(col("ct"), col("cr"),
+        col("nt"), col("nr"), buckets).as("lam"))
     // explicit broadcast: λ is ≤ `buckets` rows BY CONSTRUCTION, but
     // Catalyst's size estimate for an aggregate over corpus scans is
     // corpus-sized — at 100 TB the auto-planner would sort-merge the
@@ -383,5 +394,40 @@ object Sampling {
     feats.join(broadcast(lam), "bucket")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("log_w"))
+  }
+
+  /** DSIR's resampling step, derandomized: Gumbel-top-k sampling
+    * WITHOUT replacement (the Xie et al. 2023 selection rule — taking
+    * the k largest `w_i/T + Gumbel_i` draws exactly the softmax-
+    * weighted sample) with the Gumbel noise derived from the row's
+    * CONTENT HASH instead of `rand()`, like every sampler in this
+    * file: g_i = −ln(−ln(u_i)) with u_i the md5 [0,1) bucket of
+    * (id, salt), nudged by +0.5/2³² so u ∈ (0,1) strictly (the
+    * all-zero hash would otherwise send g to −∞ and deterministically
+    * exile that row). Same id + salt + weights ⇒ same sample,
+    * forever — rerun-stable, engine-replayable, auditable.
+    *
+    * `sample_key` = round(w/T + g, 6): quantized to the 1e-6 grid
+    * with the id as tiebreak, so the SELECTION BOUNDARY is
+    * engine-exact (the [[temperatureFractions]] dyadic-grid argument
+    * — a rank decided by the last ulp of ln would replay differently
+    * across engines). Temperature T sharpens (T→0: plain top-k by
+    * weight) or flattens (T→∞: uniform hash sample) the draw.
+    *
+    * 100-TB shape: one narrow projection + TakeOrderedAndProject —
+    * per-partition k-heaps, only k rows ever reach the driver; no
+    * global sort, no shuffle of the corpus. */
+  def dsirResample(df: DataFrame, idCol: String, weightCol: String,
+                   k: Int, salt: String = "graft",
+                   temperature: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(salt))), 1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val gumbel = -log(-log(u))
+    df.withColumn("sample_key",
+        round(col(weightCol).cast("double") / temperature + gumbel, 6))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
   }
 }

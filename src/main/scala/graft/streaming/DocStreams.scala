@@ -784,11 +784,8 @@ object DocStreams {
         .join(rawCounts, Seq("bucket"), "left")
         .join(tCounts, Seq("bucket"), "left")
         .crossJoin(totals)
-        .select(col("bucket"),
-          (log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
-            - log(col("nt").cast("double") + buckets.toDouble)
-            - log(coalesce(col("cr"), lit(0L)).cast("double") + 1.0)
-            + log(col("nr").cast("double") + buckets.toDouble)).as("lam"))
+        .select(col("bucket"), sm.dsirLambdaCol(col("ct"), col("cr"),
+          col("nt"), col("nr"), buckets).as("lam"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     sm.dsirFeatures(docs, Some(idCol), textCol, buckets, parallelism)
       .join(broadcast(lam), Seq("bucket"))

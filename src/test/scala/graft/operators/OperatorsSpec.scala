@@ -1804,7 +1804,7 @@ class OperatorsSpec extends AnyFunSuite {
     def grams(t: String): Seq[Long] = {
       val ws = norm(t)
       (ws ++ ws.sliding(2).filter(_.size == 2)
-        .map(_.mkString(""))).map(bucket)
+        .map(_.mkString("\u0001"))).map(bucket)
     }
     val poolB = (inDocs ++ outDocs).flatMap(d => grams(d._2))
     val tgtB = inDocs.flatMap(d => grams(d._2))
@@ -1835,6 +1835,49 @@ class OperatorsSpec extends AnyFunSuite {
     val bestOut = outDocs.map(d => got(d._1)._2).max
     assert(worstIn > bestOut,
       s"in-domain docs must outweigh out-domain: $worstIn vs $bestOut")
+  }
+
+  test("dsirResample: derandomized Gumbel-top-k matches the reference, replays, respects T") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 200L).map(i => (i, rnd.nextDouble() * 10 - 5))
+    val df = rows.toDF("doc_id", "log_w")
+    def refKey(id: Long, w: Double, t: Double): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + "graft").getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      val k = w / t - math.log(-math.log(u))
+      math.rint(k * 1e6) / 1e6
+    }
+    val want = rows.map { case (id, w) => (id, refKey(id, w, 1.0)) }
+      .sortBy { case (id, k) => (-k, id) }.take(25)
+    val got = Sampling.dsirResample(df, "doc_id", "log_w", k = 25)
+      .select("doc_id", "sample_key")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, k) => (-k, id) }.toSeq
+    assert(got.map(_._1) == want.map(_._1),
+      s"selection mismatch: ${got.map(_._1)} vs ${want.map(_._1)}")
+    got.zip(want).foreach { case ((_, gk), (_, wk)) =>
+      assert(math.abs(gk - wk) <= 1e-9, s"key $gk vs $wk") }
+    // replay-stable: the same call selects the same set
+    val again = Sampling.dsirResample(df, "doc_id", "log_w", k = 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.map(_._1).toSet)
+    // T -> 0 sharpens to plain top-k by weight (noise overwhelmed)
+    val sharp = Sampling.dsirResample(df, "doc_id", "log_w", k = 25,
+        temperature = 1e-9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sharp == rows.sortBy(-_._2).take(25).map(_._1).toSet,
+      "T->0 must select exactly the top weights")
+    // and the Gumbel noise genuinely reorders at T = 1 (not top-k)
+    assert(got.map(_._1).toSet != sharp,
+      "T=1 sample should differ from the deterministic top-k")
+    // scalable selection: per-partition heaps, no global sort
+    val plan = Sampling.dsirResample(df, "doc_id", "log_w", k = 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("trigram LM separates a bigram-preserving half-swap the bigram model scores flat") {

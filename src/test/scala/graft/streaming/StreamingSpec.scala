@@ -777,7 +777,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     def gramBuckets(t: String): Seq[Long] = {
       val ws = t.split(" ").toSeq
-      (ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString("")))
+      (ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString("\u0001")))
         .map(bucket)
     }
     def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9]", " ")
