@@ -497,6 +497,9 @@ object DocStreams {
 
   case class DsirGateOut(doc_id: Long, n_feats: Long, log_w: Double)
 
+  case class CeDiffGateOut(doc_id: Long, n_words: Long, ce_in: Double,
+                           ce_out: Double, ce_diff: Double)
+
   case class LangGateOut(doc_id: Long, lang_pred: String)
 
   case class SemGateOut(vec_id: Long, is_near_dup: Boolean,
@@ -723,6 +726,84 @@ object DocStreams {
           rows.foreach { r => n += 1; s += r._2 }
           if (state.exists) state.remove()
           Iterator(LmGateOut(id, n, math.exp(-s / n)))
+      }.toDF()
+  }
+
+  /** Streaming Moore-Lewis gate — contrastive cross-entropy-difference
+    * selection ([[graft.operators.LanguageModel.crossEntropyDiff]])
+    * run as an ingest filter: Stupid-Backoff model sets are trained
+    * ONCE from a static IN-DOMAIN corpus and a static GENERAL-POOL
+    * reference, and each arriving document is scored under BOTH in one
+    * pass — ce_diff = H_in(d) − H_pool(d), low = select.
+    *
+    * Unlike the batch operator (where the pool model comes from the
+    * scored corpus itself, making its backoff provably dead), the
+    * stream is NOT the pool: backoff is LIVE ON BOTH SIDES, so each
+    * side routes through the same k left joins + alpha-coalesce chain
+    * as [[streamingLmGate]] — the two chains share the single
+    * tokenize/gram projection and the same class CASE, so the
+    * incremental cost over the one-model gate is k more model joins,
+    * not a second corpus pass. Output: (doc_id, n_words, ce_in,
+    * ce_out, ce_diff), one emission per doc, zero retained state.
+    * Model frames are vocab-sized: `broadcastModels = true` makes
+    * every micro-batch shuffle-free up to the per-doc fold (AQE is
+    * off in streaming plans), leave false for unbounded corpora.
+    * Caches register with [[graft.CacheRegistry]]: release after the
+    * stream stops. */
+  def streamingCeDiffGate(docs: DataFrame, inDomainDocs: DataFrame,
+                          poolDocs: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          order: Int = 3, alpha: Double = 0.4,
+                          oovLogp: Double = math.log(1e-9),
+                          broadcastModels: Boolean = false): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val lm = graft.operators.LanguageModel
+    val hint: DataFrame => DataFrame =
+      if (broadcastModels) broadcast(_) else identity
+    def models(src: DataFrame, tag: String): Map[Int, DataFrame] =
+      lm.buildNgramModels(
+        lm.tokenizeNgrams(src, None, textCol, order, 0), order)
+        .map { case (k, df) => k -> hint(graft.CacheRegistry.register(
+          df.withColumnRenamed("ls", s"ls_$tag$k")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+        }
+    val inM = models(inDomainDocs, "in")
+    val poolM = models(poolDocs, "out")
+    var scored = lm.tokenizeNgrams(docs, Some(idCol), textCol, order, 0)
+    for (j <- order to 1 by -1) {
+      scored = scored.withColumn(s"gram$j", lm.gramKey(j))
+        .join(inM(j).withColumnRenamed("gram", s"gram$j"),
+          Seq(s"gram$j"), "left")
+        .join(poolM(j).withColumnRenamed("gram", s"gram$j"),
+          Seq(s"gram$j"), "left")
+    }
+    def chain(k: Int, tag: String) = {
+      var e = coalesce(col(s"ls_${tag}1"), lit(oovLogp))
+      for (j <- 2 to k) e = coalesce(col(s"ls_$tag$j"), log(lit(alpha)) + e)
+      e
+    }
+    def classLs(tag: String) = {
+      var ls = chain(order, tag)
+      for (k <- order - 1 to 1 by -1)
+        ls = when(col(s"prev$k").isNull, chain(k, tag)).otherwise(ls)
+      ls
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    scored.select(col(idCol).cast("long").as("id"),
+        classLs("in").as("lsi"), classLs("out").as("lso"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, CeDiffGateOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (id, rows, state: GroupState[Boolean]) =>
+          var n = 0L; var si = 0.0; var so = 0.0
+          rows.foreach { r => n += 1; si += r._2; so += r._3 }
+          if (state.exists) state.remove()
+          Iterator(CeDiffGateOut(id, n, -si / n, -so / n,
+            (-si / n) - (-so / n)))
       }.toDF()
   }
 

@@ -743,6 +743,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("lmgate_test").count() == expected.size)
   }
 
+  test("streaming Moore-Lewis gate: ce_in/ce_out equal the two batch external-mode gates") {
+    // Both model sets static (in-domain + general pool), the stream
+    // is neither — backoff live on both sides. Each side must equal
+    // ln(ppl) of the batch external-mode operator against that model
+    // corpus, doc-for-doc (fp fold order differs — ~1e-12 relative).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val vocabIn = Vector("alpha", "beta", "gamma", "delta", "the")
+    val vocabPool = Vector("alpha", "rocket", "engine", "pump", "the")
+    def mk(id: Long, v: Vector[String], n: Int) =
+      id -> Seq.fill(n)(v(rnd.nextInt(v.size))).mkString(" ")
+    val inDocs = (1L to 30L).map(i => mk(i, vocabIn, 2 + rnd.nextInt(8)))
+    val poolDocs = (50L to 90L).map(i => mk(i, vocabPool, 2 + rnd.nextInt(8)))
+    // the crawl mixes both vocabularies plus words NEITHER corpus saw
+    val crawl = (100L to 140L).map(i =>
+      mk(i, vocabIn ++ vocabPool ++ Vector("qqq", "zzz9"), 2 + rnd.nextInt(8)))
+    val inDf = inDocs.toDF("doc_id", "text")
+    val poolDf = poolDocs.toDF("doc_id", "text")
+    val crawlDf = crawl.toDF("doc_id", "text")
+    val lm = graft.operators.LanguageModel
+    def batchCe(model: org.apache.spark.sql.DataFrame) =
+      lm.ngramPseudoPerplexity(crawlDf, "doc_id", "text", 3,
+          modelDocs = Some(model))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), math.log(r.getDouble(2)))).toMap
+    val wantIn = batchCe(inDf)
+    val wantOut = batchCe(poolDf)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingCeDiffGate(
+      stream.toDF().toDF("doc_id", "text"), inDf, poolDf)
+      .writeStream.format("memory").queryName("cediff_gate_test")
+      .outputMode("update").start()
+    stream.addData(crawl.take(20): _*)
+    q.processAllAvailable()
+    stream.addData(crawl.drop(20): _*)
+    q.processAllAvailable()
+    val got = spark.table("cediff_gate_test").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    q.stop()
+    graft.CacheRegistry.releaseAll()
+    assert(got.keySet == wantIn.keySet)
+    got.foreach { case (id, (n, ceIn, ceOut, ceDiff)) =>
+      assert(n == wantIn(id)._1, s"doc $id n_words")
+      assert(math.abs(ceIn - wantIn(id)._2) <=
+        1e-12 * math.max(1.0, wantIn(id)._2.abs),
+        s"doc $id ce_in: $ceIn vs ${wantIn(id)._2}")
+      assert(math.abs(ceOut - wantOut(id)._2) <=
+        1e-12 * math.max(1.0, wantOut(id)._2.abs),
+        s"doc $id ce_out: $ceOut vs ${wantOut(id)._2}")
+      assert(math.abs(ceDiff - (ceIn - ceOut)) <= 1e-12)
+    }
+    // one emission per doc
+    assert(spark.table("cediff_gate_test").count() == wantIn.size)
+  }
+
   test("streaming DSIR gate equals batch weights; unseen buckets score the full-domain λ") {
     // λ trained once on static raw+target corpora; the stream scored
     // per micro-batch via the broadcast full-domain λ. Docs whose
