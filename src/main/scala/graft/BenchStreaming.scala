@@ -198,6 +198,44 @@ object BenchStreaming {
     }
   }
 
+  /** Streaming Moore-Lewis CE-diff gate throughput: both trigram
+    * model sets (in-domain + pool) from 500/250-doc static corpora,
+    * arriving docs scored under both in one pass. Zero state rows. */
+  def benchCeDiffGate(spark: SparkSession, batches: Int,
+                      batchSize: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pool = (0L until 500L).map(i => (i, docText(i, 30)))
+      .toDF("doc_id", "text")
+    val inDomain = (0L until 250L).map(i => (i, docText(i * 2, 30)))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.DocStreams
+      .streamingCeDiffGate(docs, inDomain, pool, broadcastModels = true)
+      .writeStream.format("memory").queryName("bench_cediffgate")
+      .outputMode("update").start()
+    try {
+      var k = 100000L
+      val t0 = System.nanoTime()
+      var b = 0
+      while (b < batches) {
+        val batch = Array.tabulate(batchSize)(i => (k + i, docText(k + i, 30)))
+        k += batchSize
+        stream.addData(batch.toIndexedSeq)
+        out.processAllAvailable()
+        b += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = batches.toLong * batchSize
+      Result("cediff_gate_stream", rows, batches, dt, rows / dt,
+        stateRowsOf(out))
+    } finally {
+      out.stop(); graft.CacheRegistry.releaseAll()
+      spark.sql("DROP TABLE IF EXISTS bench_cediffgate")
+    }
+  }
+
   /** Streaming DSIR gate throughput: the full-domain 8192-bucket λ
     * table trained once from 500-doc static raw/target corpora, every
     * arriving doc scored via the broadcast stream-static probe.
@@ -358,9 +396,11 @@ object BenchStreaming {
       val g = benchLmGate(spark, batches = 10, batchSize = 1000)
       benchDsirGate(spark, batches = 2, batchSize = 200) // warm
       val dg = benchDsirGate(spark, batches = 10, batchSize = 1000)
+      benchCeDiffGate(spark, batches = 2, batchSize = 200) // warm
+      val cg = benchCeDiffGate(spark, batches = 10, batchSize = 1000)
       benchStreamingPack(spark, batches = 2, batchSize = 200) // warm
       val pk = benchStreamingPack(spark, batches = 10, batchSize = 1000)
-      Seq(s, m, floor, mBig2, t, g, dg, pk)
+      Seq(s, m, floor, mBig2, t, g, dg, cg, pk)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
