@@ -1778,6 +1778,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"in-domain docs must outrank out-domain: $worstIn vs $bestOut")
   }
 
+  test("Moore-Lewis: a vocabulary-disjoint in-domain corpus floors every token") {
+    import spark.implicits._
+    val lm = graft.operators.LanguageModel
+    // pool and in-domain share NO words: every in-domain-side score
+    // bottoms out at the alpha-chained OOV floor, exactly computable
+    val pool = Seq(1L -> "a b c", 2L -> "b c a b").toDF("doc_id", "text")
+    val inDf = Seq(10L -> "x y z x").toDF("doc_id", "text")
+    val oov = math.log(1e-9)
+    val la = math.log(0.4)
+    val got = lm.crossEntropyDiff(pool, "doc_id", "text", inDf, order = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1 (a b c): pos0 -> oov; pos1 -> alpha+oov; pos2 ->
+    // alpha+(alpha+oov) (trigram+bigram both miss, chain descends
+    // twice to the unigram floor)
+    val want1 = -(oov + (la + oov) + (la + la + oov)) / 3.0
+    assert(math.abs(got(1L)._2 - want1) <= 1e-12 * want1.abs,
+      s"ce_in: ${got(1L)._2} vs $want1")
+    // pool side stays the self-LM score (finite, small) so ce_diff
+    // is dominated by the floor — every doc far above zero
+    assert(got.values.forall(v => v._2 - v._3 > 10),
+      s"fully-OOV in-domain must reject everything: $got")
+  }
+
   test("DSIR hashed importance weights match the in-memory reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
