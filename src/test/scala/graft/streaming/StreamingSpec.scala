@@ -743,6 +743,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("lmgate_test").count() == expected.size)
   }
 
+  test("streaming DSIR gate: an empty target corpus is lawful (uniform prior, finite weights)") {
+    // the scaladoc claim behind the coalesce(sum, 0) totals: with no
+    // target docs every bucket's target term is ln(1) - ln(0 + B),
+    // so log_w = sum over features of [-ln(B) - ln(cr_b + 1) +
+    // ln(Nr + B)] — finite, exactly computable, never null/NaN
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Seq(1L -> "a b", 2L -> "b a b").toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val B = 32
+    def bucket(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % B
+    }
+    // doc1 "a b": uni a, b + bigram; doc2 "b a b": uni b, a, b +
+    // two bigrams -> 8 features total
+    val rawB = Seq("a", "b", "a\u0001b",
+      "b", "a", "b", "b\u0001a", "a\u0001b").map(bucket)
+    val cr = rawB.groupBy(identity).view.mapValues(_.size).toMap
+    def lam(b: Long) = math.log(1.0) - math.log(0 + B.toDouble) -
+      math.log(cr.getOrElse(b, 0) + 1.0) + math.log(rawB.size + B.toDouble)
+    val doc = 7L -> "a b"
+    val want = Seq("a", "b", "a\u0001b").map(g => lam(bucket(g))).sum
+
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.streamingDsirGate(
+      stream.toDF().toDF("doc_id", "text"), raw, empty, buckets = B)
+      .writeStream.format("memory").queryName("dsir_empty_test")
+      .outputMode("update").start()
+    stream.addData(doc)
+    q.processAllAvailable()
+    val got = spark.table("dsir_empty_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    graft.CacheRegistry.releaseAll()
+    assert(got.length == 1 && got(0)._1 == 7L && got(0)._2 == 3L, got.toList)
+    assert(!got(0)._3.isNaN && math.abs(got(0)._3 - want) <=
+      1e-12 * math.max(1.0, want.abs),
+      s"empty-target weight: ${got(0)._3} vs $want")
+  }
+
   test("streaming Moore-Lewis gate: ce_in/ce_out equal the two batch external-mode gates") {
     // Both model sets static (in-domain + general pool), the stream
     // is neither — backoff live on both sides. Each side must equal
