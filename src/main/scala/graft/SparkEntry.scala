@@ -46,6 +46,18 @@ object SparkEntry {
     s.read.parquet(s"$dir/lineitem.parquet")
   private def docs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
+  /** documents fanned out before heavy per-row kernels (subword
+    * tokenizers, quality regexes, HTML build/extract): the sub-MB
+    * parquet arrives as ONE scan split, which serializes those
+    * projections onto a single task (profiled at 1-4 s/stage on one
+    * core vs <0.2 s spread — the guide §2.5 input-skew signature).
+    * Same discipline as the operators' `parallelism` parameter,
+    * applied at the query level where the operator has no knob. The
+    * exchange moves only raw (id, text) rows, never computed columns;
+    * results are layout-independent (content-hash keys, exact sums,
+    * deterministic ORDER BY everywhere). */
+  private def docsP(s: SparkSession, dir: String) =
+    docs(s, dir).repartition(OpParallelism)
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String) =
@@ -386,7 +398,7 @@ object SparkEntry {
       // uncached, the bench showed the expression tree re-evaluating
       // ~6x (21.7 s -> ~1 s cached). PrefixSum respects a
       // caller-managed cache (checks storageLevel).
-      val d = docs(s, dir).select(col("doc_id"),
+      val d = docsP(s, dir).select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("__quality"),
         TextFunctions.wsTokenCount(col("text")).cast("int").as("n_tokens"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -452,7 +464,7 @@ object SparkEntry {
       // all hash-mismatch. Greedy longest-match (pre_tokens) rides
       // alongside as the differential anchor the two columns are
       // EXPECTED to diverge on.
-      docs(s, dir).select(col("doc_id"),
+      docsP(s, dir).select(col("doc_id"),
         graft.functions.ByteBpe.gpt2TokenCount(col("text")).as("gpt2_tokens"),
         graft.functions.Subword.pretrainedTokenCount(col("text"))
           .as("pre_tokens"))
@@ -646,7 +658,7 @@ object SparkEntry {
       // materializes once (a production epoch job persists the pack
       // anyway: it IS the training artifact the manifest permutes)
       val packed = graft.CacheRegistry.register(
-        graft.operators.Packing.packTokenSequences(docs(s, dir),
+        graft.operators.Packing.packTokenSequences(docsP(s, dir),
           "doc_id", "text", seqLen = 512,
           tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
           orderSeed = Some(13L))
@@ -667,7 +679,7 @@ object SparkEntry {
     "q_seq_pack_gpt2" -> ((s, dir) => {
       // packing routed through the TRUE byte-level tokenizer — the
       // offsets a production pipeline would actually pack by
-      graft.operators.Packing.packOffsets(docs(s, dir), "doc_id", "text",
+      graft.operators.Packing.packOffsets(docsP(s, dir), "doc_id", "text",
         seqLen = 512,
         tokenCount = graft.functions.ByteBpe.gpt2TokenCount)
         .select(col("doc_id"), col("n_tokens"), col("token_offset"),
@@ -684,7 +696,7 @@ object SparkEntry {
       // comma-joined ids), so one wrong id anywhere hash-mismatches;
       // the oracle rebuilds every sequence from the merge-loop replay
       // plus the same vocab id map.
-      graft.operators.Packing.packTokenSequences(docs(s, dir),
+      graft.operators.Packing.packTokenSequences(docsP(s, dir),
         "doc_id", "text", seqLen = 512,
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray)
         .select(col("seq_id"), col("n_tokens"), col("n_docs"),
@@ -702,7 +714,7 @@ object SparkEntry {
       // hardcoded 0 would silently terminate documents with '!' —
       // r12 ADVICE), and the oracle SQL inlines the same resolved
       // value. Same fingerprint contract.
-      graft.operators.Packing.packTokenSequences(docs(s, dir),
+      graft.operators.Packing.packTokenSequences(docsP(s, dir),
         "doc_id", "text", seqLen = 512,
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
         eotId = Some(graft.functions.ByteBpe.endOfTextId))
@@ -721,7 +733,7 @@ object SparkEntry {
       // permutation in SQL, so order-key or string-order-PrefixSum
       // bugs hash-mismatch. A different seed is a different complete
       // pack (asserted in OperatorsSpec).
-      graft.operators.Packing.packTokenSequences(docs(s, dir),
+      graft.operators.Packing.packTokenSequences(docsP(s, dir),
         "doc_id", "text", seqLen = 512,
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
         orderSeed = Some(13L))
@@ -745,7 +757,7 @@ object SparkEntry {
       // arithmetic — offset base, carry splice, span carry, boundary
       // re-emission — hash-mismatches.
       val p = graft.operators.Packing
-      val d = docs(s, dir)
+      val d = docsP(s, dir)
       val cut = d.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
       val firstHalf = p.packTokenSequences(d.filter(col("doc_id") <= cut),
         "doc_id", "text", seqLen = 512,
@@ -779,7 +791,7 @@ object SparkEntry {
       // hash-mismatches. Shares q_pack_ids_gpt2's oracle — identical
       // output contract, measured through the serialization loop.
       val edir = "/tmp/graft_packexp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val packed = graft.operators.Packing.packTokenSequences(docs(s, dir),
+      val packed = graft.operators.Packing.packTokenSequences(docsP(s, dir),
         "doc_id", "text", seqLen = 512,
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray)
         .select(col("seq_id"),
@@ -1558,7 +1570,7 @@ object SparkEntry {
       // retrieval corpus a vector store ingests, checked byte-for-byte
       // against the oracle's slice arithmetic
       val chunks = TextFunctions.chunkWords(col("text"), 32, 8)
-      docs(s, dir)
+      docsP(s, dir)
         .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
         .select(col("doc_id"), col("chunk_idx"),
           when(length(col("chunk")) === 0, 0)
@@ -1692,7 +1704,7 @@ object SparkEntry {
       import graft.functions.HtmlFunctions
       val wdir = "/tmp/graft_wet_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       graft.sources.Warc.writeWet(
-        docs(s, dir).select(col("doc_id"),
+        docsP(s, dir).select(col("doc_id"),
           HtmlFunctions.mainText(
             syntheticPage(col("doc_id"), col("text"))).as("payload")),
         wdir, nFiles = 8)
@@ -2189,7 +2201,7 @@ object SparkEntry {
       // language-ID EVALUATION against the fixture's ground-truth lang
       // column: the confusion table that decides whether the heuristic
       // is good enough to route filtering decisions
-      docs(s, dir).select(col("lang"),
+      docsP(s, dir).select(col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n_docs"))
@@ -2201,7 +2213,7 @@ object SparkEntry {
       // (doc counts, token mass, mean quality) a corpus pipeline
       // reviews before mixing sources
       val t = col("text")
-      docs(s, dir).select(col("source"),
+      docsP(s, dir).select(col("source"),
         TextFunctions.wsTokenCount(t).as("toks"),
         TextFunctions.qualityScore(t).as("q"))
         .groupBy("source")
@@ -2216,7 +2228,7 @@ object SparkEntry {
       // the release-summary table a corpus ships with; composes
       // language ID, deterministic hash split and token counting in
       // one declarative plan (no intermediate materialization)
-      val base = Sampling.hashSplit(docs(s, dir), "doc_id",
+      val base = Sampling.hashSplit(docsP(s, dir), "doc_id",
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
       base.select(col("split"),
         TextFunctions.langId(col("text")).as("lang"),
@@ -2512,7 +2524,7 @@ object SparkEntry {
       // rewrite), and without the cache the quality text kernels run
       // twice over the corpus — the r10->r11 adjudicated regression
       // (1.9 -> 3.8 s isolated; cached: ~2.5 s)
-      val d = graft.CacheRegistry.register(docs(s, dir)
+      val d = graft.CacheRegistry.register(docsP(s, dir)
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .filter(col("quality") >= 0.6)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -2792,7 +2804,7 @@ object SparkEntry {
       // only the fit's gradient aggregates cross the cluster.
       val qcFeats = Seq("f_punct", "f_stop", "f_digit", "f_upper",
         "f_mwl", "f_uniq", "f_len")
-      val feat = docs(s, dir).select(col("doc_id") :: col("source") ::
+      val feat = docsP(s, dir).select(col("doc_id") :: col("source") ::
         TextFunctions.punctRatio(col("text")).as("f_punct") ::
         TextFunctions.stopwordRatio(col("text")).as("f_stop") ::
         TextFunctions.digitRatio(col("text")).as("f_digit") ::

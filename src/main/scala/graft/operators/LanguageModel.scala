@@ -318,49 +318,70 @@ object LanguageModel {
     require(order >= 2 && order <= 8,
       s"order must be in [2, 8] (unigram = pseudoPerplexity), got $order")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
-    val tokens = graft.CacheRegistry.register(
-      tokenizeNgrams(docs, Some(idCol), textCol, order, parallelism)
+    // self-LM mode scans the token frame `order` + 1 times (model build
+    // + one inner join per position class) -> persist; external mode
+    // scores in ONE pass (below) and the model corpus is scanned once
+    // by the combined count groupBy -> no token cache needed on either
+    // side (r16 optimization round: two persists and their fill passes
+    // removed)
+    val tokensRaw = tokenizeNgrams(docs, Some(idCol), textCol, order,
+      parallelism)
+    val tokens = if (modelDocs.isEmpty)
+      graft.CacheRegistry.register(tokensRaw
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // external mode builds the models from the reference corpus's
-    // tokens instead (cached: scanned once per order)
-    val modelTokens = modelDocs.map(md => graft.CacheRegistry.register(
-      tokenizeNgrams(md, None, textCol, order, parallelism)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    else tokensRaw
+    val modelTokens = modelDocs.map(md =>
+      tokenizeNgrams(md, None, textCol, order, parallelism))
       .getOrElse(tokens)
     val models = buildNgramModels(modelTokens, order)
     // position class k scores with the order-k model: class 1 = first
     // token, class k < order = exactly the token at position k-1,
     // class `order` = every later token
     def classFilter(k: Int) = positionClassFilter(k, order)
-    val classLs = (1 to order).map { k =>
-      val classTok = tokens.filter(classFilter(k))
-      if (modelDocs.isEmpty) {
-        // self-LM fast path: every observed k-gram is in its own model
-        // frame, so the backoff branches are dead and ONE inner join
-        // per class suffices (see the scaladoc argument)
-        classTok.select(col(idCol), gramKey(k).as("gram"))
+    val perDoc = if (modelDocs.isEmpty) {
+      // self-LM fast path: every observed k-gram is in its own model
+      // frame, so the backoff branches are dead and ONE inner join
+      // per class suffices (see the scaladoc argument). The bulk class
+      // (`order`) joins exactly one model frame — at 100 TB this is
+      // the minimal corpus-token join count, which is why the class
+      // split stays (the one-pass form below would probe every order).
+      val classLs = (1 to order).map { k =>
+        tokens.filter(classFilter(k))
+          .select(col(idCol), gramKey(k).as("gram"))
           .join(models(k), "gram").select(col(idCol), col("ls"))
-      } else {
-        // external-LM mode: backoff is LIVE. ONE pass of the class
-        // tokens through k left joins (orders k..1), then the alpha
-        // chain as a coalesce expression — exactly the oracle's shape.
-        // (A miss-set cascade looks cheaper but re-executes each join
-        // subtree once per deeper level unless every residual is
-        // persisted; the routed-through form scans the class once.)
-        var df = classTok.select(
-          (col(idCol) +: (1 to k).map(j => gramKey(j).as(s"gram$j"))): _*)
-        for (j <- k to 1 by -1)
-          df = df.join(models(j).withColumnRenamed("ls", s"ls$j")
-            .withColumnRenamed("gram", s"gram$j"), Seq(s"gram$j"), "left")
-        // ln(alpha) is the cost of DESCENDING an order; the OOV floor
-        // replaces S at order 1, it is not one more backoff step
-        var expr: org.apache.spark.sql.Column =
-          coalesce(col("ls1"), lit(oovLogp))
-        for (j <- 2 to k) expr = coalesce(col(s"ls$j"), log(lit(alpha)) + expr)
-        df.select(col(idCol), expr.as("ls"))
       }
+      classLs.reduce(_ unionByName _)
+    } else {
+      // external-LM mode: backoff is LIVE, and EVERY class routes
+      // through left joins — so score all classes in ONE pass of the
+      // token frame (the streamingLmGate shape, r16 optimization
+      // round): left-join orders `order`..1 once, then select the
+      // class-k alpha chain with a position CASE. Join count on the
+      // bulk class is unchanged (it already routed through `order`
+      // joins); the former per-class token scans (`order` of them),
+      // the class union, and the token persist all disappear. Each
+      // per-token value is bit-identical: gram_j for a class-k token
+      // with j > k concat_ws-skips the null prevs — a guaranteed join
+      // miss whose ls_j the class CASE never reads.
+      var df = tokens
+      for (j <- order to 1 by -1)
+        df = df.withColumn(s"gram$j", gramKey(j))
+          .join(models(j).withColumnRenamed("ls", s"ls$j")
+            .withColumnRenamed("gram", s"gram$j"), Seq(s"gram$j"), "left")
+      // ln(alpha) is the cost of DESCENDING an order; the OOV floor
+      // replaces S at order 1, it is not one more backoff step
+      def chain(k: Int) = {
+        var e: org.apache.spark.sql.Column =
+          coalesce(col("ls1"), lit(oovLogp))
+        for (j <- 2 to k) e = coalesce(col(s"ls$j"), log(lit(alpha)) + e)
+        e
+      }
+      var ls = chain(order)
+      for (k <- order - 1 to 1 by -1)
+        ls = when(col(s"prev$k").isNull, chain(k)).otherwise(ls)
+      df.select(col(idCol), ls.as("ls"))
     }
-    classLs.reduce(_ unionByName _)
+    perDoc
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), avg(col("ls")).as("mean_ls"))
       .select(col(idCol), col("n_words"),
@@ -413,34 +434,47 @@ object LanguageModel {
     require(order >= 2 && order <= 8,
       s"order must be in [2, 8], got $order")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    // the pool token frame feeds the pool-model build AND the one-pass
+    // scoring below (2 scans) -> persist; the in-domain corpus is
+    // scanned exactly once by its combined count groupBy -> no cache
+    // (r16 optimization round: one persist + fill pass removed)
     val tokens = graft.CacheRegistry.register(
       tokenizeNgrams(docs, Some(idCol), textCol, order, parallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val inTokens = graft.CacheRegistry.register(
-      tokenizeNgrams(inDomainDocs, None, textCol, order, parallelism)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val inTokens = tokenizeNgrams(inDomainDocs, None, textCol, order,
+      parallelism)
     val inModels = buildNgramModels(inTokens, order)
     val poolModels = buildNgramModels(tokens, order)
-    val classScores = (1 to order).map { k =>
-      val classTok = tokens.filter(positionClassFilter(k, order))
-        .select((col(idCol) +: (1 to k).map(j => gramKey(j).as(s"gram$j"))): _*)
-      // pool side: the class-k token's order-k gram is in the pool
-      // model by construction — inner join, backoff dead
-      var df = classTok.join(
-        poolModels(k).select(col("gram").as(s"gram$k"),
-          col("ls").as("ls_out")), Seq(s"gram$k"))
-      // in-domain side: backoff live — left joins orders k..1, then
-      // the alpha chain as a coalesce (the external-mode shape)
-      for (j <- k to 1 by -1)
-        df = df.join(inModels(j).select(col("gram").as(s"gram$j"),
+    // ONE pass of the token frame scores BOTH models (the
+    // streamingCeDiffGate shape, r16 optimization round): left-join
+    // in-domain and pool frames for orders `order`..1 once, then pick
+    // each side's class-k value with a position CASE — the former
+    // per-class token scans, the class union, and their stages
+    // disappear; per-token values are bit-identical (a class-k token's
+    // gram_j for j > k is a guaranteed join miss never read by the
+    // CASE; its pool gram_k is a guaranteed HIT, so the left join
+    // equals the old inner join on the class-k rows).
+    var scored = tokens
+    for (j <- order to 1 by -1)
+      scored = scored.withColumn(s"gram$j", gramKey(j))
+        .join(inModels(j).select(col("gram").as(s"gram$j"),
           col("ls").as(s"ls_in$j")), Seq(s"gram$j"), "left")
-      var lsIn: org.apache.spark.sql.Column =
+        .join(poolModels(j).select(col("gram").as(s"gram$j"),
+          col("ls").as(s"ls_out$j")), Seq(s"gram$j"), "left")
+    def chainIn(k: Int) = {
+      var e: org.apache.spark.sql.Column =
         coalesce(col("ls_in1"), lit(oovLogp))
-      for (j <- 2 to k)
-        lsIn = coalesce(col(s"ls_in$j"), log(lit(alpha)) + lsIn)
-      df.select(col(idCol), lsIn.as("ls_in"), col("ls_out"))
+      for (j <- 2 to k) e = coalesce(col(s"ls_in$j"), log(lit(alpha)) + e)
+      e
     }
-    classScores.reduce(_ unionByName _)
+    def classCase(of: Int => org.apache.spark.sql.Column) = {
+      var e = of(order)
+      for (k <- order - 1 to 1 by -1)
+        e = when(col(s"prev$k").isNull, of(k)).otherwise(e)
+      e
+    }
+    scored.select(col(idCol), classCase(chainIn).as("ls_in"),
+        classCase(k => col(s"ls_out$k")).as("ls_out"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         avg(col("ls_in")).as("mean_ls_in"),
