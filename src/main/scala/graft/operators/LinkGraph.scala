@@ -58,9 +58,24 @@ object LinkGraph {
                iterations: Int = 5, damping: Double = 0.85,
                seeds: Option[DataFrame] = None,
                seedCol: String = "host",
-               tol: Double = 0.0): DataFrame =
+               tol: Double = 0.0,
+               localEdgeLimit: Long = DefaultLocalEdgeLimit): DataFrame =
     pageRankWithStats(edges, srcCol, dstCol, iterations, damping,
-      seeds, seedCol, tol)._1
+      seeds, seedCol, tol, localEdgeLimit)._1
+
+  /** Driver-gate threshold for the power iteration (same design as
+    * [[Dedup.dupClusters]]' `localEdgeLimit` and the solver's
+    * `localCellLimit`): a HOST graph is host-pair-bounded, not
+    * corpus-bounded — a 100-TB crawl folds to tens of millions of
+    * host edges, and below a few million the distributed loop's fixed
+    * per-iteration scheduling cost (2 shuffles + a checkpoint job x
+    * iterations) dominates the arithmetic by orders of magnitude.
+    * Under the limit the FOLDED edge list (already grouped, weighted,
+    * host-pair-sized — never the raw link list) collects once and the
+    * iteration runs as driver arrays; above it the distributed loop
+    * runs unchanged. 4M string edges ≈ a few hundred MB of Rows —
+    * inside the same driver budget dupClusters documents. */
+  val DefaultLocalEdgeLimit: Long = 4000000L
 
   /** [[pageRank]] exposing the iteration count actually run — the
     * convergence-stop observability hook (tests assert the early stop
@@ -77,7 +92,9 @@ object LinkGraph {
                         iterations: Int = 5, damping: Double = 0.85,
                         seeds: Option[DataFrame] = None,
                         seedCol: String = "host",
-                        tol: Double = 0.0): (DataFrame, Int) = {
+                        tol: Double = 0.0,
+                        localEdgeLimit: Long = DefaultLocalEdgeLimit)
+      : (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(tol >= 0.0, s"tol must be >= 0, got $tol")
     require(damping > 0.0 && damping < 1.0,
@@ -91,6 +108,12 @@ object LinkGraph {
       .groupBy("src", "dst")
       .agg(count(lit(1)).cast("double").as("w"))
       .persist())
+    // driver gate: the count doubles as the cache-fill action either
+    // way (the distributed path's first downstream action would fill
+    // it identically)
+    if (e.count() <= localEdgeLimit)
+      return pageRankLocal(edges.sparkSession, e, iterations, damping,
+        seeds, seedCol, tol)
     val outW = e.groupBy("src").agg(sum("w").as("out_w"))
     // per-edge share of the source's mass: joined once, reused every
     // iteration
@@ -165,6 +188,69 @@ object LinkGraph {
       }
     }
     (ranks, it)
+  }
+
+  /** Driver-side power iteration over a collected FOLDED edge list —
+    * the under-the-gate branch of [[pageRankWithStats]]. Same
+    * formulas, same iteration/stop semantics, same output surface
+    * (one (host, rank) row per node). Arithmetic differs from the
+    * distributed loop only in floating-point fold ORDER (host-sorted
+    * here vs partial-aggregate order there) — the ~1e-16 class of
+    * difference every cross-engine rank comparison already rounds
+    * away (see the pageRank scaladoc); equality to the forced
+    * distributed path is pinned at 1e-12 in OperatorsSpec. */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+                            e: DataFrame, iterations: Int,
+                            damping: Double, seeds: Option[DataFrame],
+                            seedCol: String, tol: Double)
+      : (DataFrame, Int) = {
+    val edgeRows = e.collect()
+    val hosts = (edgeRows.map(_.getString(0)) ++
+      edgeRows.map(_.getString(1))).distinct.sorted
+    val n = hosts.length
+    val idx = hosts.zipWithIndex.toMap
+    val outW = new Array[Double](n)
+    edgeRows.foreach(r => outW(idx(r.getString(0))) += r.getDouble(2))
+    // per-edge share of the source's mass, host-sorted for a
+    // deterministic contribution fold order
+    val es = edgeRows
+      .map(r => (idx(r.getString(0)), idx(r.getString(1)), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+      .map { case (s, d, w) => (s, d, w / outW(s)) }
+    val dangling = (0 until n).filter(outW(_) == 0.0).toArray
+    val tele = seeds match {
+      case None => Array.fill(n)(1.0 / n)
+      case Some(sd) =>
+        val sHosts = sd.select(col(seedCol).cast("string").as("host"))
+          .distinct().collect().map(_.getString(0)).filter(idx.contains)
+        require(sHosts.nonEmpty,
+          "no seed host appears in the edge list — " +
+            "personalized PageRank needs at least one in-graph seed")
+        val t = new Array[Double](n)
+        sHosts.foreach(h => t(idx(h)) = 1.0 / sHosts.distinct.length)
+        t
+    }
+    var rank = tele.clone()
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      var dMass = 0.0
+      dangling.foreach(i => dMass += rank(i))
+      val contrib = new Array[Double](n)
+      es.foreach { case (s, d, sh) => contrib(d) += rank(s) * sh }
+      val next = Array.tabulate(n)(i =>
+        (1.0 - damping) * tele(i) + damping * (contrib(i) + dMass * tele(i)))
+      it += 1
+      if (tol > 0.0 && it < iterations) {
+        var delta = 0.0
+        var i = 0
+        while (i < n) { delta += math.abs(next(i) - rank(i)); i += 1 }
+        converged = delta <= tol
+      }
+      rank = next
+    }
+    import spark.implicits._
+    (hosts.indices.map(i => (hosts(i), rank(i))).toDF("host", "rank"), it)
   }
 
   /** Per-host in/out degree and link volume over the same folded edge

@@ -959,6 +959,91 @@ class OperatorsSpec extends AnyFunSuite {
     e.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"expected nulls: $r"))
   }
 
+  test("codegen norm2/normalize are bit-identical to the HOF folds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    // adversarial: fold-order-observable magnitudes, NaN/Inf, zero
+    // vector, empty array, plus gaussians — and the null-element row
+    // where normalize must return an ALL-null array of equal length
+    val special = Seq(
+      Array(1e16f, 1.0f, -1e16f),
+      Array(Float.NaN, 2.0f),
+      Array(Float.PositiveInfinity, 1.0f),
+      Array(0.0f, 0.0f, 0.0f),
+      Array.empty[Float])
+    val rand = Seq.fill(200)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val df = (special ++ rand).zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }.toDF("id", "a")
+    for (cast <- Seq(false, true)) {
+      val in = if (cast) df.select(col("id"),
+        col("a").cast("array<double>").as("a")) else df
+      val rows = in.select(col("id"),
+        VectorFunctions.norm2(col("a")).as("n_native"),
+        VectorFunctions.norm2Hof(col("a")).as("n_hof"),
+        VectorFunctions.normalize(col("a")).as("v_native"),
+        VectorFunctions.normalizeHof(col("a")).as("v_hof")).collect()
+      rows.foreach { r =>
+        def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+        assert(r.isNullAt(1) == r.isNullAt(2), s"norm null mismatch: $r")
+        if (!r.isNullAt(1))
+          assert(bits(r.getDouble(1)) == bits(r.getDouble(2)),
+            s"id=${r.getLong(0)} cast=$cast norm ${r.getDouble(1)} vs ${r.getDouble(2)}")
+        val (vn, vh) = (r.getSeq[Any](3), r.getSeq[Any](4))
+        assert(vn.length == vh.length, s"normalize length: $r")
+        vn.zip(vh).foreach {
+          case (null, null) =>
+          case (x: Double, y: Double) =>
+            assert(bits(x) == bits(y), s"id=${r.getLong(0)} cast=$cast $x vs $y")
+          case other => fail(s"id=${r.getLong(0)} mixed nullness: $other")
+        }
+      }
+    }
+    // null element: normalize -> all-null array of same length; norm2 -> null
+    val e = spark.sql(
+      "SELECT array(cast(1.0 as float), cast(null as float), cast(2.0 as float)) AS a")
+      .select(VectorFunctions.norm2(col("a")).as("n_native"),
+        VectorFunctions.norm2Hof(col("a")).as("n_hof"),
+        VectorFunctions.normalize(col("a")).as("v_native"),
+        VectorFunctions.normalizeHof(col("a")).as("v_hof")).collect()(0)
+    assert(e.isNullAt(0) && e.isNullAt(1))
+    assert(e.getSeq[Any](2) == Seq(null, null, null))
+    assert(e.getSeq[Any](3) == Seq(null, null, null))
+  }
+
+  test("hyperplane-buckets kernel is bit-identical to the per-band dot-expression chain") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val dim = 16; val nBits = 6; val bands = 4; val seed = 42L
+    // degenerate shapes the kernel must map exactly like the dot-NULL
+    // expression semantics: wrong length, empty, NaN component
+    val special = Seq(
+      Array.fill(dim - 1)(1.0f),
+      Array.empty[Float],
+      Array.fill(dim)(Float.NaN))
+    val vecs = special ++ Seq.fill(300)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val cols = (0 until bands).map(b =>
+      VectorFunctions.hyperplaneBucketExpr(col("v"), dim, nBits, seed + b)
+        .as(s"e$b"))
+    val rows = df.select((col("id") +:
+      VectorFunctions.hyperplaneBuckets(col("v"), dim, nBits, bands, seed)
+        .as("k") +: cols): _*).collect()
+    rows.foreach { r =>
+      val kern = r.getSeq[Long](1)
+      (0 until bands).foreach { b =>
+        assert(kern(b) == r.getLong(2 + b),
+          s"id=${r.getLong(0)} band=$b kernel=${kern(b)} expr=${r.getLong(2 + b)}")
+      }
+    }
+    // null element: every band's dot is null -> bucket 0 everywhere
+    val e = spark.sql(
+      s"SELECT array(${Seq.fill(dim - 1)("cast(1.0 as float)").mkString(",")}, " +
+        "cast(null as float)) AS v")
+      .select(VectorFunctions.hyperplaneBuckets(col("v"), dim, nBits, bands, seed))
+      .collect()(0).getSeq[Long](0)
+    assert(e == Seq.fill(bands)(0L), s"null-element vector must bucket to 0: $e")
+  }
+
   test("lsh topk: high recall vs brute force on clustered data") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
@@ -2626,6 +2711,35 @@ class OperatorsSpec extends AnyFunSuite {
       assert(il == inLinks.getOrElse(h, 0L), s"$h in_links")
       assert(od == rawEdges.filter(_._1 == h).map(_._2).distinct.size.toLong)
       assert(id == rawEdges.filter(_._2 == h).map(_._1).distinct.size.toLong)
+    }
+  }
+
+  test("pageRank driver gate: local path ≡ forced-distributed path, both teleport modes") {
+    import spark.implicits._
+    // same structural fixture family as the reference-parity test:
+    // dangling nodes, parallel edges, a seeded and an unseeded run.
+    // localEdgeLimit = 0 forces the distributed loop; the default gate
+    // takes the driver path — ranks must agree to 1e-12 (identical
+    // formulas, fold order differs) and iteration counts exactly.
+    val rng = new scala.util.Random(23)
+    val rawEdges = (0 until 140).map { _ =>
+      (s"h${rng.nextInt(30)}", s"h${rng.nextInt(22)}")
+    } ++ Seq(("h0", "h1"), ("h0", "h1"))
+    val edges = rawEdges.toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (seeds <- Seq(None, Some(Seq("h0", "h3").toDF("host")))) {
+      val (loc, itLoc) = graft.operators.LinkGraph.pageRankWithStats(
+        edges, "src", "dst", iterations = 5, seeds = seeds, tol = 1e-7)
+      val (dist, itDist) = graft.operators.LinkGraph.pageRankWithStats(
+        edges, "src", "dst", iterations = 5, seeds = seeds, tol = 1e-7,
+        localEdgeLimit = 0L)
+      val (lm, dm) = (toMap(loc), toMap(dist))
+      graft.CacheRegistry.releaseAll()
+      assert(itLoc == itDist, s"iteration counts: $itLoc vs $itDist")
+      assert(lm.keySet == dm.keySet)
+      lm.foreach { case (h, v) =>
+        assert(math.abs(v - dm(h)) < 1e-12, s"$h: $v vs ${dm(h)}") }
     }
   }
 
