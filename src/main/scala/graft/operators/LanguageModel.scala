@@ -293,11 +293,15 @@ object LanguageModel {
     *
     * External-LM mode (`modelDocs = Some(reference)`) is the CCNet
     * production shape — train the LM on a clean reference corpus,
-    * score the crawl — and there backoff IS live: each class routes
-    * ONCE through its k left model joins with the alpha chain as a
-    * coalesce expression, bottoming out at `oovLogp` (the floor for
-    * words the reference corpus has never seen, with the accumulated
-    * alpha chain applied — S(w) = exp(oovLogp) at order 1).
+    * score the crawl — and there backoff IS live: ALL classes score
+    * in ONE pass of the token frame (the streamingLmGate shape; r16
+    * optimization round) — left joins against orders `order`..1, then
+    * a position CASE selects each class's alpha-coalesce chain,
+    * bottoming out at `oovLogp` (the floor for words the reference
+    * corpus has never seen, with the accumulated alpha chain applied —
+    * S(w) = exp(oovLogp) at order 1). A class-k token's gram_j for
+    * j > k concat_ws-skips its null prevs — a guaranteed join miss
+    * whose ls_j the CASE never reads.
     * [[graft.streaming.DocStreams.streamingLmGate]] is the streaming
     * face: the same models as stream-static joins.
     *
@@ -406,16 +410,17 @@ object LanguageModel {
     * empty documents vanish (no tokens), like every gate in this file.
     *
     * Against the in-domain models backoff is LIVE (the pool contains
-    * n-grams/words the in-domain corpus never saw): each position
-    * class routes once through its k left joins with the alpha chain
-    * as a coalesce, bottoming out at `oovLogp` — exactly
+    * n-grams/words the in-domain corpus never saw): the alpha chain
+    * rides as a coalesce, bottoming out at `oovLogp` — exactly
     * [[ngramPseudoPerplexity]]'s external mode. Against the pool's own
     * models the backoff branches are provably dead (every observed
-    * k-gram is in its model frame by construction), so the pool score
-    * is ONE inner join per class — the self-LM fast path. Both scores
-    * ride the SAME class pass: the k-th class frame joins the pool
-    * model (inner) and the in-domain chain (left) in one plan, one
-    * final per-doc aggregation.
+    * k-gram is in its model frame by construction), so a class-k
+    * token's pool join is a guaranteed HIT. Both scores ride ONE pass
+    * of the token frame (the streamingCeDiffGate shape; r16
+    * optimization round): left joins against both model sets for
+    * orders `order`..1, then a position CASE selects each side's
+    * class-k value, one final per-doc aggregation — no per-class
+    * token scans, no class union.
     *
     * 100-TB shape: the pool corpus is tokenized ONCE (cached token
     * frame shared by the pool-model build and both scorings — at scale
