@@ -464,7 +464,7 @@ object SparkEntry {
       // all hash-mismatch. Greedy longest-match (pre_tokens) rides
       // alongside as the differential anchor the two columns are
       // EXPECTED to diverge on.
-      docsP(s, dir).select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         graft.functions.ByteBpe.gpt2TokenCount(col("text")).as("gpt2_tokens"),
         graft.functions.Subword.pretrainedTokenCount(col("text"))
           .as("pre_tokens"))
@@ -679,7 +679,7 @@ object SparkEntry {
     "q_seq_pack_gpt2" -> ((s, dir) => {
       // packing routed through the TRUE byte-level tokenizer — the
       // offsets a production pipeline would actually pack by
-      graft.operators.Packing.packOffsets(docsP(s, dir), "doc_id", "text",
+      graft.operators.Packing.packOffsets(docs(s, dir), "doc_id", "text",
         seqLen = 512,
         tokenCount = graft.functions.ByteBpe.gpt2TokenCount)
         .select(col("doc_id"), col("n_tokens"), col("token_offset"),
@@ -696,7 +696,7 @@ object SparkEntry {
       // comma-joined ids), so one wrong id anywhere hash-mismatches;
       // the oracle rebuilds every sequence from the merge-loop replay
       // plus the same vocab id map.
-      graft.operators.Packing.packTokenSequences(docsP(s, dir),
+      graft.operators.Packing.packTokenSequences(docs(s, dir),
         "doc_id", "text", seqLen = 512,
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray)
         .select(col("seq_id"), col("n_tokens"), col("n_docs"),
@@ -714,7 +714,7 @@ object SparkEntry {
       // hardcoded 0 would silently terminate documents with '!' —
       // r12 ADVICE), and the oracle SQL inlines the same resolved
       // value. Same fingerprint contract.
-      graft.operators.Packing.packTokenSequences(docsP(s, dir),
+      graft.operators.Packing.packTokenSequences(docs(s, dir),
         "doc_id", "text", seqLen = 512,
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray,
         eotId = Some(graft.functions.ByteBpe.endOfTextId))
@@ -757,7 +757,7 @@ object SparkEntry {
       // arithmetic — offset base, carry splice, span carry, boundary
       // re-emission — hash-mismatches.
       val p = graft.operators.Packing
-      val d = docsP(s, dir)
+      val d = docs(s, dir)
       val cut = d.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
       val firstHalf = p.packTokenSequences(d.filter(col("doc_id") <= cut),
         "doc_id", "text", seqLen = 512,
@@ -791,7 +791,7 @@ object SparkEntry {
       // hash-mismatches. Shares q_pack_ids_gpt2's oracle — identical
       // output contract, measured through the serialization loop.
       val edir = "/tmp/graft_packexp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val packed = graft.operators.Packing.packTokenSequences(docsP(s, dir),
+      val packed = graft.operators.Packing.packTokenSequences(docs(s, dir),
         "doc_id", "text", seqLen = 512,
         tokenIds = graft.functions.ByteBpe.gpt2TokenIdArray)
         .select(col("seq_id"),
@@ -2213,7 +2213,7 @@ object SparkEntry {
       // (doc counts, token mass, mean quality) a corpus pipeline
       // reviews before mixing sources
       val t = col("text")
-      docsP(s, dir).select(col("source"),
+      docs(s, dir).select(col("source"),
         TextFunctions.wsTokenCount(t).as("toks"),
         TextFunctions.qualityScore(t).as("q"))
         .groupBy("source")
